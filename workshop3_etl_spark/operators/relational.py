@@ -1,0 +1,581 @@
+"""Core relational operators over the star schema.
+
+Covers the SURVEY.md §2 inventory rows: scans (S1), projections/filters
+(P2,P7,P8), casts (P4), literal columns (P3), unions (U1), joins
+(J1-J3 generalized to real equi/semi/anti/outer joins), aggregations
+(A1-A5,A13), sorts/limits/top-k (T1-T3), scalar functions (§2.8), and
+the grouping-set extensions called out at the end of §2.5.
+
+Scale notes (these run against ~100 TB in production):
+- Dimension joins (region/nation/supplier) are explicitly
+  ``broadcast()`` — no shuffle of the fact table for those.
+- Fact-fact joins (orders-lineitem) shuffle on the join key; both
+  sides are largest-first so AQE can pick shuffle-hash where one side
+  is small after filters.
+- Filters are applied before joins so Catalyst pushes them into the
+  parquet scan (verified via ``explain`` in tests/test_plans.py).
+- Top-k uses orderBy+limit which Spark plans as TakeOrderedAndProject
+  (per-partition heap + driver merge, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workshop3_etl_spark.functions import metrics as M
+from workshop3_etl_spark.plans.registry import register
+from workshop3_etl_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------
+# Q1: pricing summary (scan → filter → groupBy agg → orderBy).
+# Exercises A1 count, A2-style averages, P8 predicate, T2 ordering —
+# the same operator set as the reference's KPI-by-year query
+# (`Reporte_Tecnico.md:507-524`), on the lineitem fact table.
+# --------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {M.oracle_dsum('l_quantity', 'sum_qty')},
+  {M.oracle_dsum('l_extendedprice', 'sum_base_price')},
+  {M.oracle_dsum('CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE))', 'sum_disc_price', 4)},
+  {M.oracle_dsum('CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE)) * (1.0 + CAST(l_tax AS DOUBLE))', 'sum_charge', 6)},
+  {M.oracle_davg('l_quantity', 'avg_qty')},
+  {M.oracle_davg('l_extendedprice', 'avg_price')},
+  {M.oracle_davg('l_discount', 'avg_disc', 4)},
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (TPC-H Q1 shape) on lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            M.dsum("l_quantity", "sum_qty"),
+            M.dsum("l_extendedprice", "sum_base_price"),
+            M.dsum(disc_price, "sum_disc_price", 4),
+            M.dsum(charge, "sum_charge", 6),
+            M.davg("l_quantity", "avg_qty"),
+            M.davg("l_extendedprice", "avg_price"),
+            M.davg("l_discount", "avg_disc", 4),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------
+# Q6: forecast revenue change (pure scan-filter-agg; tests predicate
+# pushdown of a conjunctive range filter — P8/P10 shape).
+# --------------------------------------------------------------------
+
+_Q6_ORACLE = f"""
+SELECT
+  {M.oracle_dsum_prod('l_extendedprice', 'l_discount', 'revenue')},
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate revenue aggregate (TPC-H Q6 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            M.dsum_prod("l_extendedprice", "l_discount", "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Q3: shipping priority (fact-fact join + broadcast-able dim filter,
+# groupBy, top-k). First real join surface (SURVEY §2.4 notes the
+# reference has none; this is the §7 build-plan extension).
+# --------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT
+  l.l_orderkey,
+  CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE) * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE) AS revenue,
+  o.o_orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=_Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-order revenue top-10 (TPC-H Q3 shape).
+
+    customer is small relative to the fact tables → broadcast; the
+    orders↔lineitem join shuffles on orderkey (co-partitioned by AQE).
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue.cast("decimal(27,4)")).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------
+# Q5: regional revenue (multi-way star join: 2 broadcast dims + 2
+# facts + supplier co-location condition).
+# --------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT
+  n.n_name,
+  CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE) * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+"""
+
+
+@register("q5_regional_revenue", oracle=_Q5_ORACLE)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation for one region (TPC-H Q5 shape).
+
+    region/nation/supplier broadcast (5/25/small rows at any SF);
+    customer-orders-lineitem chain shuffles on its keys.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (supp.s_suppkey == li.l_suppkey) & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue.cast("decimal(27,4)")).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# --------------------------------------------------------------------
+# Semi/anti joins (J1's key-match semantics generalized): customers
+# with vs without orders.
+# --------------------------------------------------------------------
+
+_SEMI_ANTI_ORACLE = """
+SELECT
+  c.c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+  CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
+FROM customer c
+LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+  ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register("join_semi_anti_customers", oracle=_SEMI_ANTI_ORACLE)
+def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment customer counts split by order existence.
+
+    Implemented with left_semi/left_anti joins (Spark's EXISTS /
+    NOT EXISTS physical forms — no row duplication, no shuffle of the
+    payload columns), then unioned; the oracle uses the equivalent
+    LEFT JOIN + CASE formulation.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    without_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    totals = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+    return (
+        totals.join(with_orders, "c_mktsegment", "left")
+        .join(without_orders, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------
+# Outer join with null handling (P4's coerce-to-null + coalesce
+# semantics): parts and their sales, including never-sold parts.
+# --------------------------------------------------------------------
+
+_OUTER_ORACLE = f"""
+SELECT
+  p.p_brand,
+  CAST(COUNT(DISTINCT p.p_partkey) AS BIGINT) AS n_parts,
+  CAST(COUNT(l.l_partkey) AS BIGINT) AS n_lineitems,
+  {M.oracle_dsum('COALESCE(l.l_quantity, 0.0)', 'total_qty')}
+FROM part p
+LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+@register("join_outer_part_sales", oracle=_OUTER_ORACLE)
+def join_outer_part_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer part→lineitem with COALESCE over the null side."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left")
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("p_partkey").alias("n_parts"),
+            F.count("l_partkey").alias("n_lineitems"),
+            M.dsum(F.coalesce(F.col("l_quantity"), F.lit(0.0)), "total_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------
+# Scalar subquery (J2: every row compared against a global aggregate —
+# the reference's R² CTE shape, `Reporte_Tecnico.md:487-503`).
+# --------------------------------------------------------------------
+
+_SCALAR_SUBQ_ORACLE = f"""
+WITH stats AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS decimal(27,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_price
+  FROM orders
+)
+SELECT
+  o.o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_above_avg,
+  {M.oracle_dsum('o.o_totalprice', 'sum_above_avg')}
+FROM orders o, stats
+WHERE CAST(o.o_totalprice AS DOUBLE) > stats.avg_price
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register("scalar_subquery_above_avg", oracle=_SCALAR_SUBQ_ORACLE)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price, grouped by priority.
+
+    The global mean is an exact-decimal aggregate broadcast back
+    against the fact table (agg → crossJoin(broadcast) — the
+    at-scale-safe form of an unpartitioned window, SURVEY §2.6).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    stats = orders.agg(M.davg("o_totalprice", "avg_price"))
+    return (
+        orders.crossJoin(F.broadcast(stats))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_above_avg"),
+            M.dsum("o_totalprice", "sum_above_avg"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------
+# Top-k (T1: ORDER BY … DESC LIMIT k — `Reporte_Tecnico.md:529-538`).
+# --------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("topk_orders_by_price", oracle=_TOPK_ORACLE)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders by price (TakeOrderedAndProject — per-partition
+    heaps, no global sort; deterministic via orderkey tie-break)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------
+# Union / distinct (U1: the reference's 5-way concat,
+# `src/etl.py:103-107`, generalized to heterogeneous-source union).
+# --------------------------------------------------------------------
+
+_UNION_ORACLE = f"""
+WITH balances AS (
+  SELECT 'customer' AS side, c_nationkey AS nationkey, c_acctbal AS acctbal
+  FROM customer
+  UNION ALL
+  SELECT 'supplier' AS side, s_nationkey AS nationkey, s_acctbal AS acctbal
+  FROM supplier
+)
+SELECT
+  side,
+  nationkey,
+  CAST(COUNT(*) AS BIGINT) AS n_accounts,
+  {M.oracle_dsum('acctbal', 'total_balance')}
+FROM balances
+GROUP BY side, nationkey
+ORDER BY side, nationkey
+"""
+
+
+@register("union_account_balances", oracle=_UNION_ORACLE)
+def union_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName of two differently-shaped sources harmonized to one
+    schema — the Spark form of the reference's pd.concat ETL union."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.lit("customer").alias("side"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            F.lit("supplier").alias("side"),
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("s_acctbal").alias("acctbal"),
+        )
+    )
+    return (
+        cust.unionByName(supp)
+        .groupBy("side", "nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_accounts"),
+            M.dsum("acctbal", "total_balance"),
+        )
+        .orderBy("side", "nationkey")
+    )
+
+
+# --------------------------------------------------------------------
+# Rollup / cube (cheap Spark built-ins flagged in SURVEY §2.5 as the
+# natural extension beyond the reference's plain GROUP BY).
+# --------------------------------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  {M.oracle_dsum('l_quantity', 'sum_qty')}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("rollup_lineitem_status", oracle=_ROLLUP_ORACLE)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (subtotal + grand-total rows)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            M.dsum("l_quantity", "sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {M.oracle_dsum('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register("cube_order_status_priority", oracle=_CUBE_ORACLE)
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations via CUBE."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            M.dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# CASE bucketing + distinct counting (P9 clip-shape conditionals, A6's
+# countDistinct).
+# --------------------------------------------------------------------
+
+_BUCKET_ORACLE = """
+SELECT
+  CASE
+    WHEN o_totalprice < 50000 THEN 'small'
+    WHEN o_totalprice < 150000 THEN 'medium'
+    WHEN o_totalprice < 300000 THEN 'large'
+    ELSE 'jumbo'
+  END AS price_band,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+GROUP BY 1
+ORDER BY price_band
+"""
+
+
+@register("bucket_orders_price_band", oracle=_BUCKET_ORACLE)
+def bucket_orders_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN banding + exact distinct count per band."""
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(band.alias("price_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("price_band")
+    )
+
+
+# --------------------------------------------------------------------
+# Train/test-flag cardinalities (A13/M1/P6: the reference's
+# deterministic split protocol re-expressed as a salted-hash split —
+# `src/train_model.py:26-28`, `kafka/producer.py:67-73`; SURVEY §7
+# "hard parts" decision). The hash is an md5-hex-prefix threshold
+# (first byte < 0xb3 ≈ 69.9% train) — md5 is the portable hash both
+# engines share, so the split itself is oracle-checkable.
+# --------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+SELECT
+  CAST(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':42'), 1, 2) < 'b3'
+       THEN 1 ELSE 0 END AS INT) AS is_train,
+  CAST(CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':42'), 1, 2) < 'b3'
+       THEN 0 ELSE 1 END AS INT) AS is_test,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY 1, 2
+ORDER BY is_train
+"""
+
+
+@register("split_train_test_counts", oracle=_SPLIT_ORACLE)
+def split_train_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, reproducible ~70/30 split via salted key hash.
+
+    Protocol parity with the reference (same rows flagged across
+    independent runs/processes) without sklearn's permutation —
+    at 100 TB a permutation split is a full shuffle; a key hash is a
+    map-only expression.
+    """
+    is_train = (
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":42"))), 1, 2
+        )
+        < "b3"
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            is_train.cast("int").alias("is_train"),
+            (~is_train).cast("int").alias("is_test"),
+        )
+        .groupBy("is_train", "is_test")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("is_train")
+    )
