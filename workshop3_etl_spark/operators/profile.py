@@ -1,1 +1,445 @@
-"""Placeholder — populated in a later milestone."""
+"""Data-profiling operators (the reference's EDA surface, SURVEY §2.5
+A6-A11 + P9/P10): descriptive stats, null profiling, exact quantiles,
+correlation, z-score & IQR outlier detection, winsorization.
+
+Reference semantics being reproduced:
+- describe/null-profile — `notebooks/EDA.ipynb:592-601` (cell 4)
+- quantiles — `notebooks/EDA.ipynb:1179-1182` (cell 13)
+- correlation matrix — `notebooks/EDA.ipynb:753-780` (cell 7)
+- z-score |z|>3 outliers (population std, ddof=0) —
+  `notebooks/EDA.ipynb:598-601,1188-1190`
+- IQR fences Q1-1.5·IQR / Q3+1.5·IQR, global & per-year —
+  `notebooks/EDA.ipynb:1179-1205,1433-1450` (cells 13-14)
+- winsorize at q01/q99 — `notebooks/EDA.ipynb:1557-1565` (cell 18)
+
+Determinism: moment statistics use the centered two-pass form — pass 1
+computes exact decimal (count, sum) → an IEEE-double mean identical on
+any engine; pass 2 aggregates per-row double deviations through exact
+decimal casts (rules in functions/metrics.py). Quantiles use exact
+``percentile`` (bit-identical to DuckDB ``quantile_cont``, verified) —
+the at-scale variant would swap in ``percentile_approx`` (documented
+trade-off; the reference itself is exact-quantile, pandas
+``.quantile``).
+
+Scale notes: pass 1 and pass 2 are each single map-side-combinable
+aggregates over the fact table — two scans total, no shuffle of raw
+rows; per-group variants shuffle only the (group, sufficient-stats)
+pairs. Exact percentile needs a per-group sort of values; at 100 TB
+use percentile_approx (t-digest, mergeable sketches) — both are
+exposed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workshop3_etl_spark.functions import metrics as M
+from workshop3_etl_spark.plans.registry import register
+from workshop3_etl_spark.sources.tables import load_table
+
+_LI_NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _mean_of(spark: SparkSession, sf_dir: str, table: str, col: str) -> tuple[int, float]:
+    """Pass 1: exact decimal count+sum → engine-independent double mean."""
+    row = (
+        load_table(spark, sf_dir, table)
+        .agg(
+            F.count(col).cast("long").alias("n"),
+            F.sum(F.col(col).cast(M._sum_type(2))).alias("s"),
+        )
+        .collect()[0]
+    )
+    return row["n"], float(row["s"]) / float(row["n"])
+
+
+def _oracle_mean_cte(table: str, col: str) -> str:
+    """The SQL twin of _mean_of — identical double by rule 4/5."""
+    return (
+        f"SELECT CAST(COUNT({col}) AS BIGINT) AS n, "
+        f"CAST(SUM(CAST({col} AS decimal(27,2))) AS DOUBLE)"
+        f" / CAST(COUNT({col}) AS DOUBLE) AS mean FROM {table}"
+    )
+
+
+# --------------------------------------------------------------------
+# A6: descriptive statistics (count/mean/std/min/max), long format.
+# --------------------------------------------------------------------
+
+def _describe_oracle() -> str:
+    parts = []
+    for c in _LI_NUMERIC:
+        parts.append(f"""
+SELECT
+  '{c}' AS column_name,
+  m.n AS n,
+  m.mean AS mean,
+  SQRT(CAST(SUM(CAST((CAST(l.{c} AS DOUBLE) - m.mean) * (CAST(l.{c} AS DOUBLE) - m.mean) / CAST(m.n - 1 AS DOUBLE) AS decimal(27,6))) AS DOUBLE)) AS stddev_samp,
+  MIN(CAST(l.{c} AS DOUBLE)) AS min_value,
+  MAX(CAST(l.{c} AS DOUBLE)) AS max_value
+FROM lineitem l, ({_oracle_mean_cte('lineitem', c)}) m
+GROUP BY m.n, m.mean""")
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_describe_lineitem", oracle=_describe_oracle())
+def profile_describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe() over lineitem numerics — n/mean/stddev/min/max.
+
+    pandas describe uses ddof=1 (`notebooks/EDA.ipynb` cell 4) →
+    stddev_samp here.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    frames = []
+    for c in _LI_NUMERIC:
+        n, mean = _mean_of(spark, sf_dir, "lineitem", c)
+        dev = F.col(c).cast("double") - F.lit(mean)
+        frames.append(
+            li.agg(
+                F.lit(c).alias("column_name"),
+                F.count(c).cast("long").alias("n"),
+                F.lit(mean).alias("mean"),
+                F.sqrt(
+                    F.sum(
+                        (dev * dev / F.lit(float(n - 1))).cast("decimal(27,6)")
+                    ).cast("double")
+                ).alias("stddev_samp"),
+                F.min(F.col(c).cast("double")).alias("min_value"),
+                F.max(F.col(c).cast("double")).alias("max_value"),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
+# --------------------------------------------------------------------
+# A7: null-count profile.
+# --------------------------------------------------------------------
+
+_NULL_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+  CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props
+FROM events
+"""
+
+
+@register("profile_null_counts_events", oracle=_NULL_ORACLE)
+def profile_null_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null counts (`df.isna().sum()` twin) in one scan."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("int")).cast("long").alias(f"null_{c}")
+        for c in ev.columns
+    ]
+    return ev.agg(*aggs)
+
+
+# --------------------------------------------------------------------
+# A8: exact quantiles (pandas .quantile twin; percentile ==
+# quantile_cont bit-for-bit, verified empirically).
+# --------------------------------------------------------------------
+
+def _quantile_oracle() -> str:
+    parts = []
+    for c in _LI_NUMERIC:
+        parts.append(f"""
+SELECT
+  '{c}' AS column_name,
+  quantile_cont(CAST({c} AS DOUBLE), 0.01) AS q01,
+  quantile_cont(CAST({c} AS DOUBLE), 0.25) AS q25,
+  quantile_cont(CAST({c} AS DOUBLE), 0.50) AS q50,
+  quantile_cont(CAST({c} AS DOUBLE), 0.75) AS q75,
+  quantile_cont(CAST({c} AS DOUBLE), 0.99) AS q99
+FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_quantiles_lineitem", oracle=_quantile_oracle())
+def profile_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles for lineitem numerics, long format."""
+    li = load_table(spark, sf_dir, "lineitem")
+    frames = []
+    for c in _LI_NUMERIC:
+        frames.append(
+            li.agg(
+                F.lit(c).alias("column_name"),
+                F.expr(f"percentile(cast({c} as double), 0.01)").alias("q01"),
+                F.expr(f"percentile(cast({c} as double), 0.25)").alias("q25"),
+                F.expr(f"percentile(cast({c} as double), 0.50)").alias("q50"),
+                F.expr(f"percentile(cast({c} as double), 0.75)").alias("q75"),
+                F.expr(f"percentile(cast({c} as double), 0.99)").alias("q99"),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
+# --------------------------------------------------------------------
+# A10: z-score outliers (population std, ddof=0 — EDA.ipynb:598).
+# --------------------------------------------------------------------
+
+def _zscore_oracle() -> str:
+    parts = []
+    for c in ("l_quantity", "l_extendedprice"):
+        parts.append(f"""
+SELECT
+  '{c}' AS column_name,
+  m.n AS n,
+  CAST(SUM(CASE WHEN ABS(
+    (CAST(l.{c} AS DOUBLE) - m.mean)
+    / SQRT(s.var_pop)
+  ) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM lineitem l,
+     ({_oracle_mean_cte('lineitem', c)}) m,
+     (SELECT CAST(SUM(CAST((CAST(l2.{c} AS DOUBLE) - m2.mean) * (CAST(l2.{c} AS DOUBLE) - m2.mean) / CAST(m2.n AS DOUBLE) AS decimal(27,6))) AS DOUBLE) AS var_pop
+      FROM lineitem l2, ({_oracle_mean_cte('lineitem', c)}) m2
+      GROUP BY m2.n) s
+GROUP BY m.n""")
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_zscore_outliers", oracle=_zscore_oracle())
+def profile_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of |z|>3 rows per column (population std, two-pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    frames = []
+    for c in ("l_quantity", "l_extendedprice"):
+        n, mean = _mean_of(spark, sf_dir, "lineitem", c)
+        dev = F.col(c).cast("double") - F.lit(mean)
+        var_pop = float(
+            li.agg(
+                F.sum((dev * dev / F.lit(float(n))).cast("decimal(27,6)"))
+                .cast("double")
+            ).collect()[0][0]
+        )
+        z = (F.col(c).cast("double") - F.lit(mean)) / F.lit(var_pop) ** 0.5
+        frames.append(
+            li.agg(
+                F.lit(c).alias("column_name"),
+                F.lit(n).alias("n"),
+                F.sum((F.abs(z) > 3).cast("int")).cast("long").alias("n_outliers"),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
+# --------------------------------------------------------------------
+# A11: IQR outlier profile, global and per-year.
+# --------------------------------------------------------------------
+
+_IQR_ORACLE = """
+WITH q AS (
+  SELECT
+    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1,
+    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3
+  FROM lineitem
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN CAST(l_extendedprice AS DOUBLE) < q.q1 - 1.5 * (q.q3 - q.q1)
+                  OR CAST(l_extendedprice AS DOUBLE) > q.q3 + 1.5 * (q.q3 - q.q1)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  q.q1 AS q1,
+  q.q3 AS q3
+FROM lineitem, q
+GROUP BY q.q1, q.q3
+"""
+
+
+@register("profile_iqr_outliers_price", oracle=_IQR_ORACLE)
+def profile_iqr_outliers_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR-fence outlier count on l_extendedprice (EDA cell 13)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.agg(
+        F.expr("percentile(cast(l_extendedprice as double), 0.25)").alias("q1"),
+        F.expr("percentile(cast(l_extendedprice as double), 0.75)").alias("q3"),
+    )
+    x = F.col("l_extendedprice").cast("double")
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        li.crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(((x < lo) | (x > hi)).cast("int")).cast("long").alias("n_outliers"),
+            F.first("q1").alias("q1"),
+            F.first("q3").alias("q3"),
+        )
+    )
+
+
+_IQR_YEAR_ORACLE = """
+WITH q AS (
+  SELECT
+    CAST(year(l_shipdate) AS INT) AS ship_year,
+    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1,
+    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT
+  CAST(year(l.l_shipdate) AS INT) AS ship_year,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) < q.q1 - 1.5 * (q.q3 - q.q1)
+                  OR CAST(l.l_extendedprice AS DOUBLE) > q.q3 + 1.5 * (q.q3 - q.q1)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM lineitem l
+JOIN q ON CAST(year(l.l_shipdate) AS INT) = q.ship_year
+GROUP BY 1
+ORDER BY ship_year
+"""
+
+
+@register("profile_iqr_outliers_by_year", oracle=_IQR_YEAR_ORACLE)
+def profile_iqr_outliers_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year IQR outlier counts (EDA cell 14's groupby('Year')).
+
+    Per-group quantiles computed in one grouped agg, broadcast back
+    onto the fact table — the scalable replacement for pandas'
+    group-apply.
+    """
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    q = li.groupBy("ship_year").agg(
+        F.expr("percentile(cast(l_extendedprice as double), 0.25)").alias("q1"),
+        F.expr("percentile(cast(l_extendedprice as double), 0.75)").alias("q3"),
+    )
+    x = F.col("l_extendedprice").cast("double")
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        li.join(F.broadcast(q), "ship_year")
+        .groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(((x < lo) | (x > hi)).cast("int")).cast("long").alias("n_outliers"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+# --------------------------------------------------------------------
+# A9: correlation matrix (pairwise Pearson, centered two-pass).
+# --------------------------------------------------------------------
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+]
+
+
+def _corr_oracle() -> str:
+    parts = []
+    for a, b in _CORR_PAIRS:
+        parts.append(f"""
+SELECT
+  '{a}' AS col_a,
+  '{b}' AS col_b,
+  CAST(SUM(CAST((CAST(l.{a} AS DOUBLE) - ma.mean) * (CAST(l.{b} AS DOUBLE) - mb.mean) / CAST(ma.n AS DOUBLE) AS decimal(27,9))) AS DOUBLE)
+  / SQRT(
+      CAST(SUM(CAST((CAST(l.{a} AS DOUBLE) - ma.mean) * (CAST(l.{a} AS DOUBLE) - ma.mean) / CAST(ma.n AS DOUBLE) AS decimal(27,9))) AS DOUBLE)
+      * CAST(SUM(CAST((CAST(l.{b} AS DOUBLE) - mb.mean) * (CAST(l.{b} AS DOUBLE) - mb.mean) / CAST(ma.n AS DOUBLE) AS decimal(27,9))) AS DOUBLE)
+    ) AS corr_pearson
+FROM lineitem l,
+     ({_oracle_mean_cte('lineitem', a)}) ma,
+     ({_oracle_mean_cte('lineitem', b)}) mb
+GROUP BY ma.n, ma.mean, mb.mean""")
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_corr_pairs", oracle=_corr_oracle())
+def profile_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over lineitem numerics.
+
+    The EDA notebook's corr matrix (cell 7) flattened to pairs; at
+    scale this is one pass per pair over centered products — all
+    map-side combinable. (ml.stat.Correlation gives the same numbers
+    in one pass when bit-parity isn't required.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    frames = []
+    for a, b in _CORR_PAIRS:
+        n, mean_a = _mean_of(spark, sf_dir, "lineitem", a)
+        _, mean_b = _mean_of(spark, sf_dir, "lineitem", b)
+        da = F.col(a).cast("double") - F.lit(mean_a)
+        db = F.col(b).cast("double") - F.lit(mean_b)
+        nn = F.lit(float(n))
+        cov = F.sum((da * db / nn).cast("decimal(27,9)")).cast("double")
+        va = F.sum((da * da / nn).cast("decimal(27,9)")).cast("double")
+        vb = F.sum((db * db / nn).cast("decimal(27,9)")).cast("double")
+        frames.append(
+            li.agg(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                (cov / F.sqrt(va * vb)).alias("corr_pearson"),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
+# --------------------------------------------------------------------
+# P9/M7: winsorized mean (clip at q01/q99 then aggregate).
+# --------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH q AS (
+  SELECT
+    quantile_cont(CAST(o_totalprice AS DOUBLE), 0.01) AS lo,
+    quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS hi
+  FROM orders
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(GREATEST(q.lo, LEAST(q.hi, CAST(o_totalprice AS DOUBLE))) AS decimal(27,6))) AS DOUBLE)
+  / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean,
+  q.lo AS clip_lo,
+  q.hi AS clip_hi
+FROM orders, q
+GROUP BY q.lo, q.hi
+"""
+
+
+@register("profile_winsorized_mean_price", oracle=_WINSOR_ORACLE)
+def profile_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize o_totalprice at [q01,q99], then mean (EDA cell 18's
+    clip; greatest/least is the Spark form of pandas .clip)."""
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.agg(
+        F.expr("percentile(cast(o_totalprice as double), 0.01)").alias("lo"),
+        F.expr("percentile(cast(o_totalprice as double), 0.99)").alias("hi"),
+    )
+    clipped = F.greatest(
+        F.col("lo"), F.least(F.col("hi"), F.col("o_totalprice").cast("double"))
+    )
+    return (
+        orders.crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(clipped.cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("winsorized_mean"),
+            F.first("lo").alias("clip_lo"),
+            F.first("hi").alias("clip_hi"),
+        )
+    )

@@ -1,1 +1,295 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function operators.
+
+The reference has no OVER clauses (SURVEY §2.6) — these are the §7
+build-plan extensions that give the engine the windowed-analytics
+surface any warehouse user expects, expressed with Spark's Window API.
+
+Scale notes:
+- Every window here is PARTITIONED (by supplier/customer/user) — an
+  unpartitioned window collapses to one task and is forbidden in this
+  codebase (SURVEY §2.6 flag); global aggregates use agg+broadcast
+  instead (see relational.scalar_subquery_above_avg).
+- Ordering keys always end with a unique tie-breaker so results are
+  deterministic under any partitioning.
+- Running sums cast to exact decimals at the frame boundary — same
+  determinism rules as functions/metrics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from workshop3_etl_spark.plans.registry import register
+from workshop3_etl_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------
+# Top-N per group (the distributed form of the reference's global
+# top-k T1 — `Reporte_Tecnico.md:529-538` — partitioned so it scales).
+# --------------------------------------------------------------------
+
+_TOP3_ORACLE = """
+SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice
+FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         ) AS INT) AS rn
+  FROM lineitem
+) t
+WHERE rn <= 3
+ORDER BY l_suppkey, rn
+"""
+
+
+@register("window_top3_per_supplier", oracle=_TOP3_ORACLE)
+def window_top3_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier top-3 lineitems by price via row_number."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_suppkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------
+# Running (cumulative) aggregate per key.
+# --------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS decimal(27,2))) OVER (
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@register("window_running_customer_spend", oracle=_RUNNING_ORACLE)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative customer spend ordered by order date."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------
+# lag/lead deltas on the event stream (batch form; the streaming
+# stateful form lives in streaming/).
+# --------------------------------------------------------------------
+
+_LAG_ORACLE = """
+SELECT
+  user_id,
+  event_id,
+  ts,
+  value,
+  LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+  value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+FROM events
+ORDER BY user_id, ts, event_id
+"""
+
+
+@register("window_lag_delta_events", oracle=_LAG_ORACLE)
+def window_lag_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-over-event value delta via lag."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            prev.alias("prev_value"),
+            (F.col("value") - prev).alias("delta"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+# --------------------------------------------------------------------
+# Ranking family: dense_rank + ntile within broadcastable dims.
+# --------------------------------------------------------------------
+
+_RANK_ORACLE = """
+SELECT
+  s_nationkey,
+  s_suppkey,
+  s_acctbal,
+  CAST(DENSE_RANK() OVER (
+    PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+  ) AS INT) AS balance_rank,
+  CAST(NTILE(4) OVER (
+    PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+  ) AS INT) AS quartile
+FROM supplier
+ORDER BY s_nationkey, balance_rank, s_suppkey
+"""
+
+
+@register("window_rank_supplier_balance", oracle=_RANK_ORACLE)
+def window_rank_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + ntile of suppliers by balance within nation."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        supp.select(
+            "s_nationkey",
+            "s_suppkey",
+            "s_acctbal",
+            F.dense_rank().over(w).alias("balance_rank"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("s_nationkey", "balance_rank", "s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------
+# Share-of-total per key (windowed ratio — the partitioned form of
+# the reference's scalar-subquery R² denominator, J2/A4).
+# --------------------------------------------------------------------
+
+_SHARE_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  o_totalprice,
+  CAST(o_totalprice AS DOUBLE) / CAST(SUM(CAST(o_totalprice AS decimal(27,2))) OVER (
+    PARTITION BY o_custkey
+  ) AS DOUBLE) AS share_of_customer
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("window_share_of_customer", oracle=_SHARE_ORACLE)
+def window_share_of_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order's share of its customer's total spend."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(F.col("o_totalprice").cast("decimal(27,2)")).over(w).cast("double")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_totalprice").cast("double") / total).alias("share_of_customer"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------
+# Gap-based sessionization (lag + cumulative flag — the batch twin of
+# streaming session windows; §2.9 notes the reference has no session
+# semantics at all, this is the idiomatic-Spark extension).
+# --------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT
+    user_id,
+    event_id,
+    ts,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) > 1800000000
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT
+    user_id,
+    event_id,
+    ts,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_id
+  FROM flagged
+)
+SELECT
+  user_id,
+  CAST(session_id AS BIGINT) AS session_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+  CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@register("sessionize_events_30min", oracle=_SESSION_ORACLE)
+def sessionize_events_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min inactivity) per user.
+
+    lag→flag→cumsum is one shuffle on user_id reused by all three
+    window passes (same partitioning), then the session aggregate is
+    map-side combinable — the classic scalable sessionization plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    new_session = (
+        F.when(prev_us.isNull() | ((us - prev_us) > 1_800_000_000), 1).otherwise(0)
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", new_session.alias("new_session"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.sum("new_session").over(cum).alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros(F.col("ts"))).alias("session_start_us"),
+            (F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts"))))
+            .alias("duration_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )

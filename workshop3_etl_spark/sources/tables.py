@@ -35,7 +35,18 @@ BROADCAST_DIMS = ("region", "nation", "supplier")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the parquet footer; Spark reads it
+        # as a nanos long (session.py sets nanosAsLong). Truncate to
+        # micros — the same conversion DuckDB applies — so downstream
+        # timestamp semantics agree across engines.
+        from pyspark.sql import functions as F
+
+        # integer div — float division would lose precision on ns
+        # epochs (~1.7e18 > 2^53).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
