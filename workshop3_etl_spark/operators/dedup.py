@@ -1,1 +1,434 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over the ``documents`` table.
+
+The LLM-pipeline dedup family (BASELINE.json north star):
+
+- exact dedup — hash-groupBy on a normalized fingerprint
+- MinHash + LSH — shingle → k min-hashes → banded bucket join
+- n-gram Jaccard — blocked pairwise token-set similarity
+- SimHash — bitwise-majority token-hash signature + Hamming buckets
+
+Portability design: every hash is md5 (the one hash Spark and DuckDB
+share). MinHash signatures are the lexicographic MIN of per-shingle
+md5 hex strings under k salts — min() over strings is associative and
+engine-independent, so even the LSH pipeline is oracle-checkable.
+
+Scale notes (the real design target):
+- Exact dedup: one shuffle on the 16-byte fingerprint. At 100 TB,
+  shuffle fingerprints only (project text away first) — done here.
+- MinHash: shingling is map-only; the signature is ONE groupBy(doc)
+  with k min() aggregates (map-side combinable — the shuffle carries
+  k×32-byte partial minima per doc, not shingles). Banding re-keys
+  doc→(band, slice) pairs — k/r small shuffles of tiny rows. The
+  candidate join is self-equi-join on band keys; skewed buckets
+  (boilerplate docs) are exactly what AQE skew-join splitting
+  handles.
+- Pairwise Jaccard runs ONLY on LSH/block candidates, never all
+  pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workshop3_etl_spark.plans.registry import register
+from workshop3_etl_spark.sources.tables import load_table
+
+_TOKENS = "filter(split(text, ' '), x -> x != '')"
+_TOKENS_DUCK = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+# MinHash configuration: 8 hash functions in 4 bands of 2 rows.
+_N_HASHES = 8
+_N_BANDS = 4
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+
+
+# --------------------------------------------------------------------
+# Exact deduplication.
+# --------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+groups AS (
+  SELECT fingerprint,
+         CAST(COUNT(*) AS BIGINT) AS group_size,
+         CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+  FROM fp GROUP BY fingerprint
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(SUM(group_size) AS BIGINT) AS n_docs,
+  CAST(SUM(group_size) - COUNT(*) AS BIGINT) AS n_duplicates_removed,
+  CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_groups
+FROM groups
+"""
+
+
+@register("dedup_exact_documents", oracle=_EXACT_ORACLE)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary via normalized-md5 hash-groupBy.
+
+    Only (doc_id, fingerprint) is shuffled — the text column is
+    projected away before the exchange, which is the difference
+    between shuffling 32 bytes/doc and shuffling the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    groups = (
+        docs.select(
+            "doc_id", F.md5(normalized.cast("binary")).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("group_size").cast("long").alias("n_docs"),
+        (F.sum("group_size") - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_duplicates_removed"),
+        F.sum((F.col("group_size") > 1).cast("int"))
+        .cast("long")
+        .alias("n_dup_groups"),
+    )
+
+
+# --------------------------------------------------------------------
+# Exact dedup on a business key (relational flavor — same-day repeat
+# orders per customer; the upsert key-match semantics of S4/J1).
+# --------------------------------------------------------------------
+
+_KEYDUP_ORACLE = """
+WITH g AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_cust_days,
+  CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_cust_days,
+  CAST(SUM(CASE WHEN n_orders > 1 THEN n_orders - 1 ELSE 0 END) AS BIGINT)
+    AS n_excess_orders
+FROM g
+"""
+
+
+@register("dedup_key_orders_same_day", oracle=_KEYDUP_ORACLE)
+def dedup_key_orders_same_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate detection on a composite business key
+    (customer, order-day) — the batch form of the reference's
+    idempotent upsert key (`kafka/consumer.py:90`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("order_day")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_cust_days"),
+        F.sum((F.col("n_orders") > 1).cast("int")).cast("long")
+        .alias("n_dup_cust_days"),
+        F.sum(
+            F.when(F.col("n_orders") > 1, F.col("n_orders") - 1).otherwise(0)
+        ).cast("long").alias("n_excess_orders"),
+    )
+
+
+# --------------------------------------------------------------------
+# MinHash + LSH near-duplicate candidates.
+# --------------------------------------------------------------------
+
+def _shingle_sql_spark() -> str:
+    # 5-gram character shingles of the normalized text.
+    return (
+        "transform(sequence(1, greatest(1, length(text) - 4)),"
+        " i -> substring(text, i, 5))"
+    )
+
+
+def _shingle_sql_duck() -> str:
+    return (
+        "list_transform(generate_series(1, greatest(1, length(text) - 4)),"
+        " i -> substr(text, CAST(i AS INT), 5))"
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_aggs = ",\n    ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(_N_HASHES)
+    )
+    band_exprs = ",\n    ".join(
+        "md5("
+        + " || ".join(
+            f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        )
+        + f") AS band{b}"
+        for b in range(_N_BANDS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM sigs"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, unnest({_shingle_sql_duck()}) AS shingle
+  FROM documents
+),
+minhash AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM shingled GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+    {band_exprs}
+  FROM minhash
+),
+bands AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+  CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_docs_with_candidates
+FROM pairs
+"""
+
+
+@register("dedup_minhash_lsh_candidates", oracle=_minhash_oracle())
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)/LSH(4 bands × 2) near-dup candidate-pair summary.
+
+    Pipeline: shingle(5-char) → per-doc min of salted md5 (ONE
+    map-side-combinable groupBy) → band keys → self-join on
+    (band, key) → distinct pairs. Signatures are lexicographic-min
+    hex strings, so Spark and DuckDB agree bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = docs.select(
+        "doc_id", F.explode(F.expr(_shingle_sql_spark())).alias("shingle")
+    )
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary")))
+        .alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    minhash = shingled.groupBy("doc_id").agg(*sig_aggs)
+    band_cols = [
+        F.md5(
+            F.concat(
+                *[F.col(f"h{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+            ).cast("binary")
+        ).alias(f"band{b}")
+        for b in range(_N_BANDS)
+    ]
+    sigs = minhash.select("doc_id", *band_cols)
+    bands = None
+    for b in range(_N_BANDS):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.col(f"band{b}").alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.countDistinct("doc_a").alias("n_docs_with_candidates"),
+    )
+
+
+# --------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (blocked pairwise).
+# --------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, list_distinct({_TOKENS_DUCK}) AS tokens
+  FROM documents
+),
+pairs AS (
+  SELECT
+    a.doc_id AS doc_a,
+    b.doc_id AS doc_b,
+    CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.tokens, b.tokens))) AS DOUBLE)
+      AS jaccard
+  FROM toks a JOIN toks b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_blocked_pairs,
+  CAST(SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_near_dups_08,
+  CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_near_dups_05,
+  CAST(SUM(CAST(jaccard AS decimal(18,12))) AS DOUBLE) AS sum_jaccard
+FROM pairs
+"""
+
+
+@register("dedup_ngram_jaccard_blocked", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard over (lang, source)-blocked pairs.
+
+    Blocking bounds the quadratic term to within-block sizes; the
+    production path uses LSH candidates as the block instead.
+    Set ops are JVM built-ins (array_intersect/array_distinct) —
+    both engines produce distinct-element sets, so |∩|/|∪| is an
+    integer ratio → identical doubles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(f"array_distinct({_TOKENS})").alias("tokens"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    jaccard = (
+        F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))).cast("double")
+        / F.size(F.array_distinct(F.concat(F.col("a.tokens"), F.col("b.tokens"))))
+        .cast("double")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(jaccard.alias("jaccard"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_blocked_pairs"),
+        F.sum((F.col("jaccard") >= 0.8).cast("int")).cast("long")
+        .alias("n_near_dups_08"),
+        F.sum((F.col("jaccard") >= 0.5).cast("int")).cast("long")
+        .alias("n_near_dups_05"),
+        F.sum(F.col("jaccard").cast("decimal(18,12)")).cast("double")
+        .alias("sum_jaccard"),
+    )
+
+
+# --------------------------------------------------------------------
+# SimHash signatures (16-bit portable variant over the first 4 md5 hex
+# chars per token: bit j of the signature is the majority vote of bit
+# j across token hashes).
+# --------------------------------------------------------------------
+
+def _simhash_bits_duck() -> str:
+    # value of hex digit at position p (1-based): strpos is 1-based.
+    bit_exprs = []
+    for j in range(16):
+        hexpos = j // 4 + 1
+        bit = j % 4
+        digit = f"(strpos('0123456789abcdef', substr(h, {hexpos}, 1)) - 1)"
+        bit_exprs.append(f"CAST(({digit} // {2 ** bit}) % 2 AS INT) AS bit{j}")
+    return ",\n    ".join(bit_exprs)
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(bit{j}) AS s{j}, COUNT(*) AS n{j}" if j == 0 else f"SUM(bit{j}) AS s{j}"
+        for j in range(16)
+    )
+    sig_concat = " || ".join(
+        f"(CASE WHEN 2 * s{j} >= n0 THEN '1' ELSE '0' END)" for j in range(16)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest({_TOKENS_DUCK})) AS h
+  FROM documents
+),
+bits AS (
+  SELECT doc_id,
+    {_simhash_bits_duck()}
+  FROM tok
+),
+agg AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM bits GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {sig_concat} AS simhash FROM agg
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT simhash) AS BIGINT) AS n_distinct_signatures,
+  CAST(MAX(cnt) AS BIGINT) AS max_bucket_size
+FROM sigs
+JOIN (SELECT simhash AS sh, COUNT(*) AS cnt FROM sigs GROUP BY 1) b
+  ON sigs.simhash = b.sh
+"""
+
+
+@register("dedup_simhash_signatures", oracle=_simhash_oracle())
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature distribution (majority-vote bits).
+
+    The production variant is 64-bit with weighted tokens; the
+    pipeline shape (token-hash → per-bit vote → per-doc signature →
+    bucket count) is identical and all JVM-side.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("token")
+    ).select("doc_id", F.md5(F.col("token").cast("binary")).alias("h"))
+    bit_cols = []
+    for j in range(16):
+        hexpos = j // 4 + 1
+        bit = j % 4
+        digit = (
+            F.expr(f"instr('0123456789abcdef', substring(h, {hexpos}, 1))") - 1
+        )
+        bit_cols.append(
+            ((digit / (2 ** bit)).cast("int") % 2).cast("int").alias(f"bit{j}")
+        )
+    bits = tok.select("doc_id", *bit_cols)
+    aggs = [F.count(F.lit(1)).alias("n0")] + [
+        F.sum(f"bit{j}").alias(f"s{j}") for j in range(16)
+    ]
+    agg = bits.groupBy("doc_id").agg(*aggs)
+    sig = F.concat(
+        *[
+            F.when(2 * F.col(f"s{j}") >= F.col("n0"), "1").otherwise("0")
+            for j in range(16)
+        ]
+    ).alias("simhash")
+    sigs = agg.select("doc_id", sig)
+    buckets = sigs.groupBy("simhash").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        sigs.join(buckets, "simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("simhash").alias("n_distinct_signatures"),
+            F.max("cnt").cast("long").alias("max_bucket_size"),
+        )
+    )

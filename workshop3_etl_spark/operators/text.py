@@ -1,1 +1,272 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over the ``documents`` table.
+
+These are the LLM-training-data-pipeline extensions (BASELINE.json
+north star): token statistics, quality scoring, language-ID heuristics,
+document fingerprinting, and n-gram profiling. The reference has no
+text processing at all — its only string ops are display formatting
+(SURVEY §2.8) — so this module is pure Spark-first design.
+
+Everything is built from JVM-side built-in functions (split, filter,
+transform, aggregate lambdas) — no Python UDFs in any hot path. Each
+per-document computation is embarrassingly parallel (map-only, no
+shuffle); global profiles aggregate counters, which are map-side
+combinable. At 100 TB this pipeline is bounded by scan throughput,
+which is the right bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workshop3_etl_spark.plans.registry import register
+from workshop3_etl_spark.sources.tables import load_table
+
+# Tokens: split on single spaces, drop empties. The same expression is
+# used in every query so token semantics are uniform engine-wide.
+_TOKENS = "filter(split(text, ' '), x -> x != '')"
+_TOKENS_DUCK = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+# --------------------------------------------------------------------
+# Token statistics.
+# --------------------------------------------------------------------
+
+_TOKEN_STATS_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct({_TOKENS_DUCK})) AS BIGINT) AS n_distinct_tokens,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+    / CAST(len({_TOKENS_DUCK}) AS DOUBLE) AS avg_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_token_stats", oracle=_TOKEN_STATS_ORACLE)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + average token length (whitespace
+    tokenizer — the BPE-ish regex variant is text_token_count_bpe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens"),
+        F.expr(f"size(array_distinct({_TOKENS}))").cast("long")
+        .alias("n_distinct_tokens"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.expr(f"size({_TOKENS})").cast("double")
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword-ratio features —
+# the standard pretraining-corpus quality heuristics).
+# --------------------------------------------------------------------
+
+_IN_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter({_TOKENS_DUCK}, x -> x IN ({_IN_LIST}))) AS DOUBLE)
+    / CAST(len({_TOKENS_DUCK}) AS DOUBLE) AS stopword_ratio,
+  CAST(len(list_distinct({_TOKENS_DUCK})) AS DOUBLE)
+    / CAST(len({_TOKENS_DUCK}) AS DOUBLE) AS distinct_ratio,
+  CASE WHEN len({_TOKENS_DUCK}) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+    * (0.5 + 0.5 * (CAST(len(list_distinct({_TOKENS_DUCK})) AS DOUBLE)
+                    / CAST(len({_TOKENS_DUCK}) AS DOUBLE))) AS quality_score
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_quality_score", oracle=_QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length gate × lexical diversity,
+    with stopword ratio as a side feature."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.expr(f"size({_TOKENS})")
+    n_distinct = F.expr(f"size(array_distinct({_TOKENS}))")
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+    n_stop = F.expr(f"size(filter({_TOKENS}, x -> array_contains({stop_arr}, x)))")
+    distinct_ratio = n_distinct.cast("double") / n_tokens.cast("double")
+    length_gate = F.when(n_tokens.between(20, 1000), 1.0).otherwise(0.0)
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        (length_gate * (F.lit(0.5) + F.lit(0.5) * distinct_ratio))
+        .alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# Language ID (marker-token heuristic). The docs' text is synthetic,
+# so predictions mostly collapse to the fallback — the *operator*
+# (argmax over per-language marker hits with deterministic
+# tie-breaking) is what's being verified.
+# --------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "is", "and"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def _lang_oracle() -> str:
+    score_exprs = []
+    for lang, markers in _LANG_MARKERS.items():
+        inl = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"len(list_filter({_TOKENS_DUCK}, x -> x IN ({inl}))) AS score_{lang}"
+        )
+    scores = ",\n  ".join(score_exprs)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+  {scores}
+  FROM documents
+)
+SELECT
+  lang,
+  CASE
+    WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr
+         AND score_en > 0 THEN 'en'
+    WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+    WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+    WHEN score_fr > 0 THEN 'fr'
+    ELSE 'unknown'
+  END AS predicted_lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM scored
+GROUP BY 1, 2
+ORDER BY lang, predicted_lang
+"""
+
+
+@register("text_lang_id_confusion", oracle=_lang_oracle())
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts of labeled vs heuristically-predicted language."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs
+    for lang, markers in _LANG_MARKERS.items():
+        arr = "array(" + ", ".join(f"'{m}'" for m in markers) + ")"
+        scored = scored.withColumn(
+            f"score_{lang}",
+            F.expr(f"size(filter({_TOKENS}, x -> array_contains({arr}, x)))"),
+        )
+    s = {lang: F.col(f"score_{lang}") for lang in _LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"])
+            & (s["en"] > 0),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] > 0), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] > 0), "de")
+        .when(s["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    return (
+        scored.groupBy("lang", predicted.alias("predicted_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+# --------------------------------------------------------------------
+# Document fingerprinting (md5 of normalized text — the portable
+# exact-dup fingerprint; dedup.py builds on this).
+# --------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+       AS BIGINT) AS n_distinct_fingerprints,
+  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_raw
+FROM documents
+"""
+
+
+@register("text_fingerprint_cardinality", oracle=_FINGERPRINT_ORACLE)
+def text_fingerprint_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cardinality under raw vs normalized md5 fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(normalized.cast("binary")))
+        .alias("n_distinct_fingerprints"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_distinct_raw"),
+    )
+
+
+# --------------------------------------------------------------------
+# Global n-gram (token) frequency profile — top-k with deterministic
+# tie-break.
+# --------------------------------------------------------------------
+
+_TOP_TOKENS_ORACLE = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM (SELECT unnest({_TOKENS_DUCK}) AS token FROM documents)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 20
+"""
+
+
+@register("text_top_tokens", oracle=_TOP_TOKENS_ORACLE)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent tokens (explode → count → top-k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.expr(_TOKENS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# BPE-ish token counting (regex word/number/punctuation classes —
+# the cheap stand-in for a real tokenizer's pre-tokenization).
+# --------------------------------------------------------------------
+
+_BPE_ORACLE = """
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+    AS n_bpe_pieces,
+  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_pieces
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_token_count_bpe", oracle=_BPE_ORACLE)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer piece counts via regex classes (letters / digits /
+    other) — approximates BPE pre-splitting without a vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(r"size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        .cast("long")
+        .alias("n_bpe_pieces"),
+        F.expr(r"size(regexp_extract_all(text, '[0-9]+', 0))")
+        .cast("long")
+        .alias("n_number_pieces"),
+    ).orderBy("doc_id")
