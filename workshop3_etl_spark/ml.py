@@ -1,0 +1,198 @@
+"""ML operators: the reference's model leg (SURVEY §2.10 M1-M7)
+re-expressed for Spark.
+
+- Deterministic split (M1): salted-hash flags — see
+  operators/relational.split_train_test_counts for the oracle-checked
+  protocol; ``with_split_flags`` is the reusable column form.
+- Linear regression (M2): two ways —
+  (a) closed-form OLS as a *query* (exact sufficient statistics →
+      engine-independent coefficients; oracle-checkable, and at scale
+      it's one map-side-combinable aggregate pass), and
+  (b) MLlib ``VectorAssembler + LinearRegression(solver='normal')``
+      (the production multi-feature path).
+- Scoring (M3): ``model.transform`` on whole DataFrames/micro-batches
+  — never per-row like the reference's consumer
+  (`kafka/consumer.py:162-165,224`).
+- Metrics (M4): functions/metrics.mae/rmse + r2 here.
+- Scaling / one-hot (M5/M6): thin builders over ml.feature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workshop3_etl_spark.plans.registry import register
+from workshop3_etl_spark.sources.tables import load_table
+
+
+def with_split_flags(df: DataFrame, key_cols: list[str], seed: int = 42,
+                     train_frac_hex: str = "b3") -> DataFrame:
+    """Add reference-protocol is_train/is_test flags (M1/P6).
+
+    Salted md5 of the row key: deterministic across runs and engines,
+    map-only (no shuffle), any train fraction via the hex threshold
+    (0x00..0xff; 'b3' ≈ 0.699). Replaces sklearn's permutation split
+    (`src/train_model.py:26-28`) whose index-alignment trick
+    (`kafka/producer.py:69-73`) doesn't distribute.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    is_train = F.substring(F.md5(F.concat(key, F.lit(f":{seed}"))), 1, 2) < train_frac_hex
+    return df.withColumn("is_train", is_train.cast("int")).withColumn(
+        "is_test", (~is_train).cast("int")
+    )
+
+
+# --------------------------------------------------------------------
+# Closed-form simple OLS as an oracle-checked query: y = a + b*x over
+# lineitem (y = extendedprice, x = quantity). beta = cov/var from
+# centered exact-decimal sums; r2 = beta^2 * var_x / var_y. This IS
+# model training as a single aggregate — the 100 TB-friendly form for
+# low-dimensional regression.
+# --------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH m AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(l_quantity AS decimal(27,2))) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS mx,
+    CAST(SUM(CAST(l_extendedprice AS decimal(27,2))) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS my
+  FROM lineitem
+),
+s AS (
+  SELECT
+    m.n AS n, m.mx AS mx, m.my AS my,
+    CAST(SUM(CAST((CAST(l_quantity AS DOUBLE) - m.mx)
+                  * (CAST(l_extendedprice AS DOUBLE) - m.my)
+                  / CAST(m.n AS DOUBLE) AS decimal(27,9))) AS DOUBLE) AS cov_xy,
+    CAST(SUM(CAST((CAST(l_quantity AS DOUBLE) - m.mx)
+                  * (CAST(l_quantity AS DOUBLE) - m.mx)
+                  / CAST(m.n AS DOUBLE) AS decimal(27,9))) AS DOUBLE) AS var_x,
+    CAST(SUM(CAST((CAST(l_extendedprice AS DOUBLE) - m.my)
+                  * (CAST(l_extendedprice AS DOUBLE) - m.my)
+                  / CAST(m.n AS DOUBLE) AS decimal(27,9))) AS DOUBLE) AS var_y
+  FROM lineitem, m
+  GROUP BY m.n, m.mx, m.my
+)
+SELECT
+  n,
+  cov_xy / var_x AS beta,
+  my - (cov_xy / var_x) * mx AS alpha,
+  (cov_xy / var_x) * (cov_xy / var_x) * var_x / var_y AS r2
+FROM s
+"""
+
+
+@register("ml_ols_qty_price", oracle=_OLS_ORACLE)
+def ml_ols_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS of extendedprice on quantity (M2/M4 as a query)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.col("l_quantity").cast("decimal(27,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mx"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(27,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("my"),
+    )
+    dx = F.col("l_quantity").cast("double") - F.col("mx")
+    dy = F.col("l_extendedprice").cast("double") - F.col("my")
+    nn = F.col("n").cast("double")
+    s = (
+        li.crossJoin(F.broadcast(m))
+        .groupBy("n", "mx", "my")
+        .agg(
+            F.sum((dx * dy / nn).cast("decimal(27,9)")).cast("double").alias("cov_xy"),
+            F.sum((dx * dx / nn).cast("decimal(27,9)")).cast("double").alias("var_x"),
+            F.sum((dy * dy / nn).cast("decimal(27,9)")).cast("double").alias("var_y"),
+        )
+    )
+    beta = F.col("cov_xy") / F.col("var_x")
+    return s.select(
+        "n",
+        beta.alias("beta"),
+        (F.col("my") - beta * F.col("mx")).alias("alpha"),
+        (beta * beta * F.col("var_x") / F.col("var_y")).alias("r2"),
+    )
+
+
+def r2(y_true: str, y_pred: str, mean_y: float, alias: str = "r2") -> Column:
+    """R² = 1 - SS_res/NULLIF(SS_tot,0) — `Reporte_Tecnico.md:487-503`.
+
+    ``mean_y`` comes from a prior exact-decimal pass (see
+    operators/profile._mean_of) so the statistic is engine-independent.
+    """
+    res = F.col(y_true).cast("double") - F.col(y_pred).cast("double")
+    tot = F.col(y_true).cast("double") - F.lit(mean_y)
+    ss_res = F.sum((res * res).cast("decimal(27,6)")).cast("double")
+    ss_tot = F.sum((tot * tot).cast("decimal(27,6)")).cast("double")
+    return (
+        F.lit(1.0) - ss_res / F.when(ss_tot != 0, ss_tot).otherwise(F.lit(None))
+    ).alias(alias)
+
+
+# --------------------------------------------------------------------
+# MLlib pipeline (the production multi-feature path). Registered as a
+# rows-only query (no SQL oracle — iterative/linear-algebra training
+# isn't SQL); tests/test_ml.py cross-checks it against the
+# closed-form result.
+# --------------------------------------------------------------------
+
+def build_linreg_pipeline(feature_cols: list[str], label_col: str):
+    """VectorAssembler → LinearRegression('normal' solver) — the
+    MLlib twin of the reference's sklearn fit (`src/train_model.py:
+    30-31`). Returns an unfit Pipeline; persist fitted models with
+    ``model.write().save(path)`` (S6's pickle replaced by the
+    language-neutral MLlib format)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    lr = LinearRegression(
+        featuresCol="features",
+        labelCol=label_col,
+        predictionCol="prediction",
+        solver="normal",  # deterministic closed-form; no SGD jitter
+        regParam=0.0,
+    )
+    return Pipeline(stages=[assembler, lr])
+
+
+@register("ml_linreg_mllib_coefficients", oracle=None)
+def ml_linreg_mllib_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train MLlib linear regression (price ~ quantity + discount) on
+    the salted-hash train split; emit coefficients + test metrics.
+
+    Rows-only check: training is linear algebra, not SQL — but
+    tests/test_ml.py asserts agreement with ml_ols_qty_price.
+    """
+    li = with_split_flags(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_linenumber"],
+    )
+    train = li.filter(F.col("is_train") == 1)
+    test = li.filter(F.col("is_test") == 1)
+    pipeline = build_linreg_pipeline(["l_quantity", "l_discount"], "l_extendedprice")
+    model = pipeline.fit(train)
+    lr_model = model.stages[-1]
+    scored = model.transform(test)
+    from workshop3_etl_spark.functions import metrics as M
+
+    mrow = scored.agg(
+        M.mae("l_extendedprice", "prediction", "mae_test", scale=4),
+        M.rmse("l_extendedprice", "prediction", "rmse_test", scale=2),
+    ).collect()[0]
+    rows = [
+        ("intercept", float(lr_model.intercept), mrow["mae_test"], mrow["rmse_test"]),
+        ("l_quantity", float(lr_model.coefficients[0]), None, None),
+        ("l_discount", float(lr_model.coefficients[1]), None, None),
+    ]
+    return spark.createDataFrame(
+        rows, "term string, coefficient double, mae_test double, rmse_test double"
+    )

@@ -71,8 +71,10 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     # Imports deferred to avoid circular import at package import time.
+    from workshop3_etl_spark import ml  # noqa: F401
     from workshop3_etl_spark.operators import (  # noqa: F401
         dedup,
+        multimodal,
         profile,
         relational,
         similarity,

@@ -1,0 +1,74 @@
+"""Harmonized readers for the happiness CSVs (the reference's ETL:
+S1 scan, P1 rename, P2 project, P3 literal year, P4 coerce-cast,
+P5 dropna, U1 union — `src/etl.py:26-114`).
+
+Semantics preserved exactly:
+- header CSV read with quote handling (2017 is fully quoted) —
+  Spark's csv reader covers both (`src/etl.py:31-32`).
+- alias maps applied only for columns actually present
+  (`src/etl.py:79-84`'s missing-column tolerance) — the select list is
+  built against df.columns, like the reference builds its rename map.
+- ``try_cast('double')`` turns unparseable strings (the 2018 ``N/A``
+  corruption cell, `data/2018.csv:21`) into NULL — the ANSI-mode
+  spelling of ``pd.to_numeric(errors='coerce')`` (SURVEY §1.2).
+- 2015-2017 files lack a Year column → added as a literal
+  (`src/etl.py:49,61,73`).
+
+Scale: one DataFrame per year, late-bound union — Catalyst prunes
+per-file columns; at real scale the same code reads partitioned
+directories and the year literal comes from partition discovery.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workshop3_etl_spark.schema import (
+    CANONICAL_COLS,
+    MODEL_COLS,
+    YEAR_ALIASES,
+)
+
+
+def read_year(spark: SparkSession, path: str, year: int) -> DataFrame:
+    """CSV scan → rename → project → cast → add Year literal."""
+    raw = spark.read.csv(path, header=True, inferSchema=False)
+    aliases = YEAR_ALIASES[year]
+    select_list = [
+        F.col(f"`{src}`").alias(dst)
+        for src, dst in aliases.items()
+        if src in raw.columns
+    ]
+    df = raw.select(*select_list)
+    if "Year" not in df.columns:
+        df = df.withColumn("Year", F.lit(year))
+    # coerce-to-null casts (P4): invalid strings -> NULL, like
+    # pd.to_numeric(errors="coerce"). Spark 4's ANSI cast throws on
+    # malformed input, so the coercion semantic is spelled try_cast.
+    casts = [F.col("Country").cast("string").alias("Country"),
+             F.col("Year").try_cast("int").alias("Year")]
+    for c in MODEL_COLS:
+        casts.append(
+            (F.col(c).try_cast("double") if c in df.columns
+             else F.lit(None).cast("double"))
+            .alias(c)
+        )
+    return df.select(*casts).select(*CANONICAL_COLS)
+
+
+def load_unified(spark: SparkSession, paths: dict[int, str]) -> DataFrame:
+    """Union of all harmonized years (`src/etl.py:97-114`)."""
+    frames = [read_year(spark, p, y) for y, p in sorted(paths.items())]
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
+
+
+def clean(df: DataFrame) -> DataFrame:
+    """dropna over FEATURES+TARGET (P5 — `src/train_model.py:21`,
+    `kafka/producer.py:64`). On the real data this removes exactly the
+    UAE-2018 row (782 → 781, BASELINE.md)."""
+    return df.na.drop(subset=MODEL_COLS)

@@ -1,1 +1,148 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming queries with batch-verifiable semantics.
+
+The reference's streaming leg (SURVEY §2.9, §3.2-3.3) is a Kafka
+producer/consumer pair with at-least-once delivery made effectively-
+once by an idempotent upsert. Here the same semantics run as
+Structured Streaming micro-batches; these registry entries execute a
+REAL streaming query (file source, availableNow trigger, in-memory
+sink) whose final state is deterministic and therefore DuckDB-
+oracle-checkable — the strongest correctness statement a stream can
+make: stream(finite input) == batch(same input).
+
+Kafka itself isn't reachable in this environment; sources/kafka_io.py
+builds the identical pipeline against a broker when one exists.
+
+Scale notes: tumbling-window counts with a watermark are the
+canonical bounded-state streaming aggregate — state is
+O(windows x keys), late data beyond the watermark is dropped, and the
+shuffle key is (window, key) so partial aggregation happens before
+the exchange, exactly as in batch.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workshop3_etl_spark.plans.registry import register
+
+_TUMBLING_ORACLE = """
+SELECT
+  date_trunc('hour', ts) AS window_start,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS decimal(27,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (nanos ts normalized
+    to micros exactly as sources.tables.load_table does)."""
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        # file sources need a directory; glob-filter down to events
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    return stream
+
+
+@register("stream_tumbling_hourly_counts", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling-window counts, executed as a real
+    Structured Streaming query (availableNow → memory sink), then
+    returned as the equivalent batch DataFrame.
+
+    With a finite input the watermark closes every window, so the
+    result equals the batch GROUP BY date_trunc('hour') — which is
+    exactly what the oracle asserts.
+    """
+    sink = f"stream_tumbling_{abs(hash(sf_dir)) % 10_000_000}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return (
+            spark.table(sink)
+            .orderBy("window_start", "event_type")
+            # materialize before the checkpoint dir vanishes
+            .localCheckpoint(eager=True)
+        )
+
+
+_STATEFUL_ORACLE = """
+SELECT
+  user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS decimal(27,2))) AS DOUBLE) AS total_value,
+  CAST(SUM(CAST(value AS decimal(27,2))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS mean_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("stream_stateful_user_metrics", oracle=_STATEFUL_ORACLE)
+def stream_stateful_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running metrics as a streaming stateful aggregate —
+    the reference's per-country Welford dict (`kafka/consumer.py:
+    123-151,249-255`) re-expressed as an unbounded groupBy in update
+    mode. Spark's partial sums reproduce Welford's result exactly
+    (SURVEY A12); unlike the reference's process-local dict, state
+    here is checkpointed and sharded across executors.
+    """
+    sink = f"stream_stateful_{abs(hash(sf_dir)) % 10_000_000}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
+            .alias("total_value"),
+            (
+                F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_value"),
+        )
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return spark.table(sink).orderBy("user_id").localCheckpoint(eager=True)
