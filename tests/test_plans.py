@@ -1,0 +1,66 @@
+"""Physical-plan hygiene: the properties that make these queries hold
+up at 100 TB, asserted on the actual optimized plans.
+
+These tests read ``explain('formatted')`` output — if a filter stops
+reaching the parquet scan or a dimension join silently degrades to
+sort-merge, they fail before a benchmark ever notices.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_CORRECT
+from workshop3_etl_spark.operators.relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_regional_revenue,
+    q6_forecast_revenue,
+    topk_orders_by_price,
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_filter_pushdown(spark):
+    plan = _plan(q6_forecast_revenue(spark, SF_CORRECT))
+    # range predicates must reach the parquet scan
+    assert "PushedFilters:" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_q1_column_pruning(spark):
+    plan = _plan(q1_pricing_summary(spark, SF_CORRECT))
+    # ReadSchema must not include columns the query never touches
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = _plan(q3_shipping_priority(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_dims(spark):
+    plan = _plan(q5_regional_revenue(spark, SF_CORRECT))
+    # region/nation/supplier joins must be broadcast, and at most the
+    # two fact-fact joins may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _plan(topk_orders_by_price(spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_stays_in_codegen(spark):
+    plan = _plan(q1_pricing_summary(spark, SF_CORRECT))
+    # the scan→filter→partial-agg pipeline must be inside whole-stage
+    # codegen (no Python/interpreted operators in the hot path)
+    assert "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

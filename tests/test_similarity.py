@@ -1,0 +1,42 @@
+"""LSH ANN validated against the brute-force baseline."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from workshop3_etl_spark.operators.similarity import (
+    sim_ann_lsh_topk,
+    sim_cosine_topk_bruteforce,
+)
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    exact = sim_cosine_topk_bruteforce(spark, SF_SMOKE).collect()
+    approx = sim_ann_lsh_topk(spark, SF_SMOKE).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    # every query must return candidates, and mean recall@10 must be
+    # well above chance (10/500 = 2%)
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.3, f"LSH recall collapsed: {recalls}"
+
+
+def test_lsh_approx_sims_are_exact_for_returned_pairs(spark):
+    """The rerank stage is exact: any (query, candidate) the ANN
+    returns must carry the same cosine as brute force computes."""
+    exact = {
+        (r["query_id"], r["candidate_id"]): r["cosine_sim"]
+        for r in sim_cosine_topk_bruteforce(spark, SF_SMOKE).collect()
+    }
+    for r in sim_ann_lsh_topk(spark, SF_SMOKE).collect():
+        key = (r["query_id"], r["candidate_id"])
+        if key in exact:
+            assert r["cosine_sim"] == exact[key]

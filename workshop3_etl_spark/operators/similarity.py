@@ -33,6 +33,14 @@ from workshop3_etl_spark.sources.tables import load_table
 
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _TOP_K = 10
+# 4 bits x 8 tables: tuned for the testdata's weak similarity
+# structure (true top-10 neighbors sit at cosine ~0.25-0.4, where the
+# per-bit sign-agreement probability is only ~0.6, so short band
+# signatures + many tables is the recall-preserving configuration;
+# tight-duplicate corpora would invert the dial to more bits, fewer
+# tables).
+_N_HYPERPLANES = 4  # LSH signature bits per table
+_N_TABLES = 8  # independent hash tables (OR-amplification)
 
 
 def _dot_decimal_duck(a: str, b: str) -> str:
@@ -265,4 +273,136 @@ def sim_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum((cos >= 0.99).cast("int")).cast("long").alias("n_above_099"),
         )
         .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplanes) — the scale path.
+# --------------------------------------------------------------------
+
+def _hyperplanes(dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (hash-derived, no RNG
+    state — reproducible across drivers/executors/runs)."""
+    import hashlib
+    import struct
+
+    planes = []
+    for t in range(_N_TABLES):
+        for h in range(_N_HYPERPLANES):
+            vals = []
+            for d in range(dim):
+                digest = hashlib.md5(f"{seed}:{t}:{h}:{d}".encode()).digest()
+                # uniform in [-0.5, 0.5)
+                vals.append(struct.unpack("<Q", digest[:8])[0] / 2**64 - 0.5)
+            planes.append(vals)
+    return planes
+
+
+def lsh_signatures(df: DataFrame, vec_col: str, dim: int = 64) -> DataFrame:
+    """Add (table_id, bucket) signature rows per vector: sign pattern
+    of _N_HYPERPLANES dot products per table. Map-only — one pass, no
+    shuffle; the bucket string is the join key downstream."""
+    planes = _hyperplanes(dim)
+    out = df
+    bits = []
+    for i, plane in enumerate(planes):
+        arr = "array(" + ", ".join(repr(v) for v in plane) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
+            f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(F.when(dot >= 0, "1").otherwise("0").alias(f"bit{i}"))
+    out = out.select("*", *bits)
+    tables = None
+    for t in range(_N_TABLES):
+        bucket = F.concat(
+            *[F.col(f"bit{t * _N_HYPERPLANES + h}") for h in range(_N_HYPERPLANES)]
+        )
+        part = out.select(
+            *df.columns, F.lit(t).alias("table_id"), bucket.alias("bucket")
+        )
+        tables = part if tables is None else tables.unionByName(part)
+    return tables
+
+
+@register("sim_ann_lsh_topk", oracle=None)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k: LSH candidate generation (4 tables x
+    8 hyperplane bits) + exact rerank within candidates.
+
+    Rows-only check (the bucketing isn't SQL-portable);
+    tests/test_similarity.py measures recall vs the brute-force
+    baseline. At corpus scale the bucket join touches only colliding
+    candidates — the classic sublinear ANN trade: more tables = more
+    recall, longer buckets = more rerank cost.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Materialize the signature table (vec_id, table_id, bucket) —
+    # in production this IS a persisted index artifact; here it also
+    # keeps the 32 hyperplane fold-expressions from being re-inlined
+    # into every branch of the self-join plan.
+    sigs = (
+        lsh_signatures(emb.select("vec_id", F.col("embedding").alias("v")), "v")
+        .select("vec_id", "table_id", "bucket")
+        .persist()
+    )
+    sigs.count()  # force the index build
+    q = sigs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
+    )
+    c = sigs.select(F.col("vec_id").alias("candidate_id"), "table_id", "bucket")
+    # bucket join carries only ids — vectors re-attach for the rerank
+    cand_ids = (
+        q.join(c, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .select("query_id", "candidate_id")
+        .distinct()
+    )
+    qvec = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cvec = emb.select(
+        F.col("vec_id").alias("candidate_id"), F.col("embedding").alias("cv")
+    )
+    cands = cand_ids.join(F.broadcast(qvec), "query_id").join(cvec, "candidate_id")
+    # exact rerank (same decimal-dot determinism as brute force)
+    prods = cands.select(
+        "query_id",
+        "candidate_id",
+        F.posexplode(
+            F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double"))
+        ).alias("i", "p"),
+        "qv",
+        "cv",
+    ).select(
+        "query_id",
+        "candidate_id",
+        F.col("p").cast("decimal(20,12)").alias("p"),
+        (F.element_at("qv", F.col("i") + 1).cast("double")
+         * F.element_at("qv", F.col("i") + 1).cast("double"))
+        .cast("decimal(20,12)").alias("pq"),
+        (F.element_at("cv", F.col("i") + 1).cast("double")
+         * F.element_at("cv", F.col("i") + 1).cast("double"))
+        .cast("decimal(20,12)").alias("pc"),
+    )
+    sums = prods.groupBy("query_id", "candidate_id").agg(
+        F.sum("p").cast("double").alias("dot"),
+        F.sum("pq").cast("double").alias("qn"),
+        F.sum("pc").cast("double").alias("cn"),
+    )
+    sim = sums.select(
+        "query_id",
+        "candidate_id",
+        (F.col("dot") / (F.sqrt("qn") * F.sqrt("cn"))).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("candidate_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "candidate_id", "cosine_sim")
+        .orderBy("query_id", "rank")
     )
