@@ -22,6 +22,7 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
+    # one query per physical-operator family
     headline = [
         "q1_pricing_summary",
         "q3_shipping_priority",
@@ -29,11 +30,19 @@ def main() -> None:
         "q6_forecast_revenue",
         "scalar_subquery_above_avg",
         "topk_orders_by_price",
+        "window_top3_per_supplier",
+        "sessionize_events_30min",
+        "profile_describe_lineitem",
+        "dedup_exact_documents",
+        "dedup_minhash_lsh_candidates",
+        "text_quality_score",
+        "sim_cosine_topk_bruteforce",
+        "stream_tumbling_hourly_counts",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]
-    # Include any registered headline-worthy additions (windows, dedup,
-    # similarity, text) tagged by module; keep the core set stable.
+    # JVM/codegen warmup outside the timed region
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
     for name in headline:

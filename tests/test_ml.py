@@ -33,3 +33,50 @@ def test_model_save_load_roundtrip(spark, tmp_path):
     a = model.transform(li).agg(F.sum("prediction")).collect()[0][0]
     b = loaded.transform(li).agg(F.sum("prediction")).collect()[0][0]
     assert a == b
+
+
+def test_scalers_and_one_hot(spark):
+    """M5/M6: scaler + OHE builders produce the expected shapes."""
+    from pyspark.ml.feature import VectorAssembler
+
+    from workshop3_etl_spark.ml import build_one_hot, build_scaler
+    from workshop3_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").limit(200)
+    assembled = VectorAssembler(
+        inputCols=["l_quantity", "l_extendedprice"], outputCol="features"
+    ).transform(li)
+    for kind in ("standard", "minmax"):
+        scaled = build_scaler(kind).fit(assembled).transform(assembled)
+        assert "features_scaled" in scaled.columns
+    ohe = build_one_hot("l_returnflag", "flag_vec").fit(li).transform(li)
+    row = ohe.select("flag_vec").first()
+    n_flags = li.select("l_returnflag").distinct().count()
+    # dropLast=True (drop_first twin): size = cardinality (with the
+    # handleInvalid bucket) minus the dropped last category
+    assert row["flag_vec"].size == n_flags
+
+
+def test_compare_outlier_treatments(spark):
+    """M7: the EDA notebook's baseline/winsorize/IQR experiment runs
+    and produces one metric row per variant."""
+    from workshop3_etl_spark.ml import compare_outlier_treatments
+    from workshop3_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_extendedprice"
+    )
+    out = compare_outlier_treatments(
+        li,
+        ["l_quantity", "l_discount"],
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+    ).collect()
+    assert {r["variant"] for r in out} == {
+        "baseline", "winsorize_1_99", "drop_iqr_1_5"
+    }
+    for r in out:
+        assert r["n_test"] > 0 and r["rmse"] > 0
+    by_name = {r["variant"]: r for r in out}
+    # IQR-drop trains/tests on fewer rows than baseline
+    assert by_name["drop_iqr_1_5"]["n_test"] <= by_name["baseline"]["n_test"]

@@ -196,3 +196,111 @@ def ml_linreg_mllib_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "term string, coefficient double, mae_test double, rmse_test double"
     )
+
+
+# --------------------------------------------------------------------
+# Feature engineering builders (M5/M6) and the outlier-treatment
+# model-comparison harness (M7).
+# --------------------------------------------------------------------
+
+def build_scaler(kind: str = "standard", input_col: str = "features",
+                 output_col: str = "features_scaled"):
+    """M5: Standard or MinMax scaling over an assembled vector —
+    the reference's toggleable scaler (`notebooks/EDA.ipynb:909-935`).
+    Both fit one pass of column stats then apply map-only."""
+    from pyspark.ml.feature import MinMaxScaler, StandardScaler
+
+    if kind == "standard":
+        return StandardScaler(
+            inputCol=input_col, outputCol=output_col, withMean=True, withStd=True
+        )
+    if kind == "minmax":
+        return MinMaxScaler(inputCol=input_col, outputCol=output_col)
+    raise ValueError(f"unknown scaler kind {kind!r}")
+
+
+def build_one_hot(input_col: str, output_col: str):
+    """M6: StringIndexer + OneHotEncoder(dropLast=True) — dropLast
+    mirrors pd.get_dummies(drop_first=True)
+    (`notebooks/EDA.ipynb:753-755`)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import OneHotEncoder, StringIndexer
+
+    idx = StringIndexer(
+        inputCol=input_col, outputCol=f"{input_col}_idx", handleInvalid="keep"
+    )
+    ohe = OneHotEncoder(
+        inputCols=[f"{input_col}_idx"], outputCols=[output_col], dropLast=True
+    )
+    return Pipeline(stages=[idx, ohe])
+
+
+def compare_outlier_treatments(
+    df: DataFrame, feature_cols: list[str], label_col: str,
+    key_cols: list[str], seed: int = 42,
+) -> DataFrame:
+    """M7: retrain under baseline vs winsorized vs IQR-dropped
+    features and compare test R²/MAE/RMSE — the EDA notebook's
+    experiment matrix (`notebooks/EDA.ipynb:1513-1684`, cells 17-20).
+
+    Quantile fences come from ONE exact-percentile pass per variant;
+    clipping/filtering is map-only; each variant is an independent
+    lazy plan so Spark schedules them without materializing
+    intermediates.
+    """
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    def quantiles(frame: DataFrame, probs: list[float]) -> dict[str, list[float]]:
+        aggs = []
+        for c in feature_cols:
+            arr = ", ".join(str(p) for p in probs)
+            aggs.append(F.expr(f"percentile(cast(`{c}` as double), array({arr}))").alias(c))
+        row = frame.agg(*aggs).collect()[0]
+        return {c: list(row[c]) for c in feature_cols}
+
+    def winsorize(frame: DataFrame) -> DataFrame:
+        q = quantiles(frame, [0.01, 0.99])
+        for c in feature_cols:
+            lo, hi = q[c]
+            frame = frame.withColumn(
+                c, F.greatest(F.lit(lo), F.least(F.lit(hi), F.col(c)))
+            )
+        return frame
+
+    def drop_iqr(frame: DataFrame) -> DataFrame:
+        q = quantiles(frame, [0.25, 0.75])
+        cond = F.lit(True)
+        for c in feature_cols:
+            q1, q3 = q[c]
+            lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+            cond = cond & (F.col(c).between(lo, hi) | F.col(c).isNull())
+        return frame.filter(cond)
+
+    variants = {
+        "baseline": df,
+        "winsorize_1_99": winsorize(df),
+        "drop_iqr_1_5": drop_iqr(df),
+    }
+    rows = []
+    for name, frame in variants.items():
+        flagged = with_split_flags(frame, key_cols, seed)
+        train = flagged.filter(F.col("is_train") == 1)
+        test = flagged.filter(F.col("is_test") == 1)
+        model = build_linreg_pipeline(feature_cols, label_col).fit(train)
+        scored = model.transform(test)
+        evaluator = RegressionEvaluator(
+            labelCol=label_col, predictionCol="prediction"
+        )
+        rows.append(
+            (
+                name,
+                test.count(),
+                evaluator.setMetricName("r2").evaluate(scored),
+                evaluator.setMetricName("mae").evaluate(scored),
+                evaluator.setMetricName("rmse").evaluate(scored),
+            )
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "variant string, n_test long, r2 double, mae double, rmse double"
+    )

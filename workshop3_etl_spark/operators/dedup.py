@@ -8,8 +8,9 @@ The LLM-pipeline dedup family (BASELINE.json north star):
 - SimHash — bitwise-majority token-hash signature + Hamming buckets
 
 Portability design: every hash is md5 (the one hash Spark and DuckDB
-share). MinHash signatures are the lexicographic MIN of per-shingle
-md5 hex strings under k salts — min() over strings is associative and
+share). MinHash signatures are the lexicographic MIN of disjoint
+4-hex slices of each shingle's md5 digest (k hash functions from ONE
+digest computation) — min() over strings is associative and
 engine-independent, so even the LSH pipeline is oracle-checkable.
 
 Scale notes (the real design target):
@@ -162,8 +163,12 @@ def _shingle_sql_duck() -> str:
 
 
 def _minhash_oracle() -> str:
+    # one md5 per shingle; the k "hash functions" are disjoint 4-hex
+    # slices of the digest (independent enough for min-hashing, and
+    # 8x fewer digest computations than salted per-function hashes)
     sig_aggs = ",\n    ".join(
-        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(_N_HASHES)
+        f"MIN(substr(md5(shingle), {i * 4 + 1}, 4)) AS h{i}"
+        for i in range(_N_HASHES)
     )
     band_exprs = ",\n    ".join(
         "md5("
@@ -210,18 +215,18 @@ FROM pairs
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)/LSH(4 bands × 2) near-dup candidate-pair summary.
 
-    Pipeline: shingle(5-char) → per-doc min of salted md5 (ONE
-    map-side-combinable groupBy) → band keys → self-join on
-    (band, key) → distinct pairs. Signatures are lexicographic-min
-    hex strings, so Spark and DuckDB agree bit-for-bit.
+    Pipeline: shingle(5-char) → one md5 per shingle → per-doc min of
+    k digest slices (ONE map-side-combinable groupBy) → band keys →
+    self-join on (band, key) → distinct pairs. Signatures are
+    lexicographic-min hex strings, so Spark and DuckDB agree
+    bit-for-bit.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     shingled = docs.select(
         "doc_id", F.explode(F.expr(_shingle_sql_spark())).alias("shingle")
-    )
+    ).select("doc_id", F.md5(F.col("shingle").cast("binary")).alias("digest"))
     sig_aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary")))
-        .alias(f"h{i}")
+        F.min(F.substring("digest", i * 4 + 1, 4)).alias(f"h{i}")
         for i in range(_N_HASHES)
     ]
     minhash = shingled.groupBy("doc_id").agg(*sig_aggs)

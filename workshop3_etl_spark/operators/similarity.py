@@ -7,14 +7,18 @@ The LLM-pipeline ANN family (BASELINE.json north star):
 - LSH-bucketed ANN (random hyperplanes) — the scale path, validated
   against brute force in tests/test_similarity.py
 
-Determinism: dot products are sums of per-element double products,
-each product cast to decimal(20,12) (rounding identical on both
-engines, rule 2 of functions/metrics.py) and summed exactly — so
-cosine values, and therefore rankings, are bit-identical. Per-element
-products use explode + groupBy(pair) rather than a fold so the plan is
-a plain vectorized aggregate.
+Determinism: dot products are sequential left-folds over the zipped
+element products in IEEE doubles. A left fold with a 0.0 seed adds
+elements in index order — the identical sequence DuckDB's
+``list_reduce`` performs — so cosines, and therefore rankings, are
+bit-identical across engines (verified empirically; note 0.0+x1 == x1
+exactly, so the differing seed conventions don't matter).
 
 Scale notes:
+- Norms are computed per-vector BEFORE any join (map-only), so the
+  pairwise stage is pure per-row expression work: no explode, no
+  shuffle of element products. The only exchange in the whole
+  brute-force plan is the final per-query ranking window.
 - Brute force is O(Q x N x d): fine for reranking candidate sets,
   never the full corpus. The broadcast side is the query set.
 - LSH hyperplane signatures are map-only (one pass over vectors);
@@ -25,7 +29,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from workshop3_etl_spark.plans.registry import register
@@ -43,57 +47,54 @@ _N_HYPERPLANES = 4  # LSH signature bits per table
 _N_TABLES = 8  # independent hash tables (OR-amplification)
 
 
-def _dot_decimal_duck(a: str, b: str) -> str:
-    """Exact-decimal dot product of two float lists (DuckDB)."""
+def dot_fold(a: str, b: str) -> Column:
+    """Deterministic double dot product: sequential left-fold over
+    zipped element products (bit-identical to DuckDB list_reduce)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b},"
+        f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_duck(a: str, b: str) -> str:
     return (
-        f"CAST((SELECT SUM(CAST(CAST(x.{a}[x.i] AS DOUBLE)"
-        f" * CAST(x.{b}[x.i] AS DOUBLE) AS decimal(20,12)))"
-        f" FROM (SELECT unnest(generate_series(1, len({a}))) AS i,"
-        f" {a} AS {a}, {b} AS {b}) x) AS DOUBLE)"
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _norm2_duck(a: str) -> str:
+    return (
+        f"list_reduce(list_transform({a},"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)"
     )
 
 
 _TOPK_ORACLE = f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE vec_id < {_N_QUERIES}
+  SELECT vec_id AS query_id, embedding AS qv,
+         {_norm2_duck('embedding')} AS qn
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
 ),
 c AS (
-  SELECT vec_id AS candidate_id, label AS candidate_label,
-         embedding AS cv
+  SELECT vec_id AS candidate_id, label AS candidate_label, embedding AS cv,
+         {_norm2_duck('embedding')} AS cn
   FROM embeddings
 ),
-pairs AS (
+ranked AS (
   SELECT
     q.query_id,
     c.candidate_id,
     c.candidate_label,
-    CAST((SELECT SUM(CAST(CAST(qv[i.i] AS DOUBLE) * CAST(cv[i.i] AS DOUBLE)
-                          AS decimal(20,12)))
-          FROM (SELECT unnest(generate_series(1, len(qv))) AS i) i) AS DOUBLE)
-      AS dot,
-    CAST((SELECT SUM(CAST(CAST(qv[i.i] AS DOUBLE) * CAST(qv[i.i] AS DOUBLE)
-                          AS decimal(20,12)))
-          FROM (SELECT unnest(generate_series(1, len(qv))) AS i) i) AS DOUBLE)
-      AS qn,
-    CAST((SELECT SUM(CAST(CAST(cv[i.i] AS DOUBLE) * CAST(cv[i.i] AS DOUBLE)
-                          AS decimal(20,12)))
-          FROM (SELECT unnest(generate_series(1, len(cv))) AS i) i) AS DOUBLE)
-      AS cn
+    {_dot_duck('q.qv', 'c.cv')} / (SQRT(q.qn) * SQRT(c.cn)) AS cosine_sim,
+    ROW_NUMBER() OVER (
+      PARTITION BY q.query_id
+      ORDER BY {_dot_duck('q.qv', 'c.cv')} / (SQRT(q.qn) * SQRT(c.cn)) DESC,
+               c.candidate_id
+    ) AS rank
   FROM q, c
   WHERE q.query_id <> c.candidate_id
-),
-ranked AS (
-  SELECT
-    query_id,
-    candidate_id,
-    candidate_label,
-    dot / (SQRT(qn) * SQRT(cn)) AS cosine_sim,
-    ROW_NUMBER() OVER (
-      PARTITION BY query_id
-      ORDER BY dot / (SQRT(qn) * SQRT(cn)) DESC, candidate_id
-    ) AS rank
-  FROM pairs
 )
 SELECT query_id, CAST(rank AS INT) AS rank, candidate_id, candidate_label,
        cosine_sim
@@ -103,71 +104,36 @@ ORDER BY query_id, rank
 """
 
 
-def _norms(df: DataFrame, vec: str, out: str) -> DataFrame:
-    """Exact-decimal squared norm via posexplode + groupBy."""
-    key = [c for c in df.columns if c != vec]
-    exploded = df.select(*key, F.posexplode(vec).alias("i", "x"))
-    prod = (F.col("x").cast("double") * F.col("x").cast("double")).cast(
-        "decimal(20,12)"
-    )
-    return (
-        exploded.groupBy(*key)
-        .agg(F.sum(prod).cast("double").alias(out))
-    )
-
-
 @register("sim_cosine_topk_bruteforce", oracle=_TOPK_ORACLE)
 def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for the first 5 query vectors.
 
-    Plan: broadcast the query set against all candidates, posexplode
-    the zipped element products into a (query, candidate) groupBy —
-    one vectorized aggregate, no Python. Rank with a window
-    partitioned by query.
-    """
+    Norms precomputed per side (map-only), dot as an in-expression
+    fold — the pairwise stage is shuffle-free; only the ranking
+    window exchanges (keyed by query)."""
+    from pyspark.sql import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        dot_fold("embedding", "embedding").alias("qn"),
     )
     c = emb.select(
         F.col("vec_id").alias("candidate_id"),
         F.col("label").alias("candidate_label"),
         F.col("embedding").alias("cv"),
+        dot_fold("embedding", "embedding").alias("cn"),
     )
-    pairs = (
+    sim = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("candidate_id"))
         .select(
             "query_id",
             "candidate_id",
             "candidate_label",
-            F.posexplode(F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double"))).alias("i", "p"),
-            F.col("qv"),
-            F.col("cv"),
-        )
-        .groupBy("query_id", "candidate_id", "candidate_label")
-        .agg(
-            F.sum(F.col("p").cast("decimal(20,12)")).cast("double").alias("dot"),
-        )
-    )
-    qn = _norms(q.select("query_id", F.col("qv").alias("v")), "v", "qn")
-    cn = _norms(
-        c.select("candidate_id", F.col("cv").alias("v")).withColumnRenamed(
-            "candidate_id", "candidate_id"
-        ),
-        "v",
-        "cn",
-    )
-    from pyspark.sql import Window
-
-    sim = (
-        pairs.join(F.broadcast(qn), "query_id")
-        .join(cn, "candidate_id")
-        .select(
-            "query_id",
-            "candidate_id",
-            "candidate_label",
-            (F.col("dot") / (F.sqrt("qn") * F.sqrt("cn"))).alias("cosine_sim"),
+            (dot_fold("qv", "cv") / (F.sqrt("qn") * F.sqrt("cn")))
+            .alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -186,36 +152,25 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (embedding-cosine near-dup — the dedup-by-embedding operator).
 # --------------------------------------------------------------------
 
-_NEARDUP_ORACLE = """
+_NEARDUP_ORACLE = f"""
 WITH v AS (
-  SELECT vec_id, label, embedding AS ev FROM embeddings
+  SELECT vec_id, label, embedding AS ev,
+         {_norm2_duck('embedding')} AS nrm
+  FROM embeddings
 ),
 pairs AS (
   SELECT
     a.label,
-    a.vec_id AS vec_a,
-    b.vec_id AS vec_b,
-    CAST((SELECT SUM(CAST(CAST(a.ev[i.i] AS DOUBLE) * CAST(b.ev[i.i] AS DOUBLE)
-                          AS decimal(20,12)))
-          FROM (SELECT unnest(generate_series(1, len(a.ev))) AS i) i) AS DOUBLE)
-      AS dot,
-    CAST((SELECT SUM(CAST(CAST(a.ev[i.i] AS DOUBLE) * CAST(a.ev[i.i] AS DOUBLE)
-                          AS decimal(20,12)))
-          FROM (SELECT unnest(generate_series(1, len(a.ev))) AS i) i) AS DOUBLE)
-      AS na,
-    CAST((SELECT SUM(CAST(CAST(b.ev[i.i] AS DOUBLE) * CAST(b.ev[i.i] AS DOUBLE)
-                          AS decimal(20,12)))
-          FROM (SELECT unnest(generate_series(1, len(b.ev))) AS i) i) AS DOUBLE)
-      AS nb
+    {_dot_duck('a.ev', 'b.ev')} / (SQRT(a.nrm) * SQRT(b.nrm)) AS cosine_sim
   FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT
   label,
   CAST(COUNT(*) AS BIGINT) AS n_pairs,
-  CAST(SUM(CASE WHEN dot / (SQRT(na) * SQRT(nb)) >= 0.9 THEN 1 ELSE 0 END)
-       AS BIGINT) AS n_above_090,
-  CAST(SUM(CASE WHEN dot / (SQRT(na) * SQRT(nb)) >= 0.99 THEN 1 ELSE 0 END)
-       AS BIGINT) AS n_above_099
+  CAST(SUM(CASE WHEN cosine_sim >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_above_090,
+  CAST(SUM(CASE WHEN cosine_sim >= 0.99 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_above_099
 FROM pairs
 GROUP BY label
 ORDER BY label
@@ -227,50 +182,37 @@ def sim_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     """Within-label cosine near-dup counts (label as blocking key —
     production swaps in LSH buckets for the block)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").alias("ev")
+        "vec_id",
+        "label",
+        F.col("embedding").alias("ev"),
+        dot_fold("embedding", "embedding").alias("nrm"),
     )
     a = emb.alias("a")
     b = emb.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.label").alias("label"),
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.posexplode(
-            F.zip_with("a.ev", "b.ev", lambda x, y: x.cast("double") * y.cast("double"))
-        ).alias("i", "p_ab"),
-        F.col("a.ev").alias("av"),
-        F.col("b.ev").alias("bv"),
+    cos = (
+        F.expr(
+            "aggregate(zip_with(a.ev, b.ev,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        / (F.sqrt(F.col("a.nrm")) * F.sqrt(F.col("b.nrm")))
     )
-    prods = joined.select(
-        "label",
-        "vec_a",
-        "vec_b",
-        F.col("p_ab").cast("decimal(20,12)").alias("p_ab"),
-        (F.element_at("av", F.col("i") + 1).cast("double")
-         * F.element_at("av", F.col("i") + 1).cast("double"))
-        .cast("decimal(20,12)")
-        .alias("p_aa"),
-        (F.element_at("bv", F.col("i") + 1).cast("double")
-         * F.element_at("bv", F.col("i") + 1).cast("double"))
-        .cast("decimal(20,12)")
-        .alias("p_bb"),
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.label").alias("label"), cos.alias("cosine_sim"))
     )
-    sums = prods.groupBy("label", "vec_a", "vec_b").agg(
-        F.sum("p_ab").cast("double").alias("dot"),
-        F.sum("p_aa").cast("double").alias("na"),
-        F.sum("p_bb").cast("double").alias("nb"),
-    )
-    cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
     return (
-        sums.groupBy("label")
+        pairs.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.sum((cos >= 0.9).cast("int")).cast("long").alias("n_above_090"),
-            F.sum((cos >= 0.99).cast("int")).cast("long").alias("n_above_099"),
+            F.sum((F.col("cosine_sim") >= 0.9).cast("int")).cast("long")
+            .alias("n_above_090"),
+            F.sum((F.col("cosine_sim") >= 0.99).cast("int")).cast("long")
+            .alias("n_above_099"),
         )
         .orderBy("label")
     )
@@ -327,8 +269,8 @@ def lsh_signatures(df: DataFrame, vec_col: str, dim: int = 64) -> DataFrame:
 
 @register("sim_ann_lsh_topk", oracle=None)
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate cosine top-k: LSH candidate generation (4 tables x
-    8 hyperplane bits) + exact rerank within candidates.
+    """Approximate cosine top-k: LSH candidate generation (8 tables x
+    4 hyperplane bits) + exact rerank within candidates.
 
     Rows-only check (the bucketing isn't SQL-portable);
     tests/test_similarity.py measures recall vs the brute-force
@@ -361,41 +303,24 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     qvec = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        dot_fold("embedding", "embedding").alias("qn"),
     )
     cvec = emb.select(
-        F.col("vec_id").alias("candidate_id"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("cv"),
+        dot_fold("embedding", "embedding").alias("cn"),
     )
-    cands = cand_ids.join(F.broadcast(qvec), "query_id").join(cvec, "candidate_id")
-    # exact rerank (same decimal-dot determinism as brute force)
-    prods = cands.select(
-        "query_id",
-        "candidate_id",
-        F.posexplode(
-            F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double"))
-        ).alias("i", "p"),
-        "qv",
-        "cv",
-    ).select(
-        "query_id",
-        "candidate_id",
-        F.col("p").cast("decimal(20,12)").alias("p"),
-        (F.element_at("qv", F.col("i") + 1).cast("double")
-         * F.element_at("qv", F.col("i") + 1).cast("double"))
-        .cast("decimal(20,12)").alias("pq"),
-        (F.element_at("cv", F.col("i") + 1).cast("double")
-         * F.element_at("cv", F.col("i") + 1).cast("double"))
-        .cast("decimal(20,12)").alias("pc"),
-    )
-    sums = prods.groupBy("query_id", "candidate_id").agg(
-        F.sum("p").cast("double").alias("dot"),
-        F.sum("pq").cast("double").alias("qn"),
-        F.sum("pc").cast("double").alias("cn"),
-    )
-    sim = sums.select(
-        "query_id",
-        "candidate_id",
-        (F.col("dot") / (F.sqrt("qn") * F.sqrt("cn"))).alias("cosine_sim"),
+    sim = (
+        cand_ids.join(F.broadcast(qvec), "query_id")
+        .join(cvec, "candidate_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            (dot_fold("qv", "cv") / (F.sqrt("qn") * F.sqrt("cn")))
+            .alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("candidate_id")

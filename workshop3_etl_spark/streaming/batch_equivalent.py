@@ -22,11 +22,26 @@ the exchange, exactly as in batch.
 from __future__ import annotations
 
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from workshop3_etl_spark.plans.registry import register
+
+@contextmanager
+def _few_state_partitions(spark: SparkSession, n: int = 8):
+    """Streaming state-store instances scale with shuffle partitions;
+    for these bounded demo streams 32 stores are pure overhead (each
+    is opened/committed per micro-batch). A real deployment sizes this
+    to key cardinality x executor count."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 _TUMBLING_ORACLE = """
 SELECT
@@ -82,15 +97,16 @@ def stream_tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     with tempfile.TemporaryDirectory() as ckpt:
-        (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        with _few_state_partitions(spark):
+            (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
         return (
             spark.table(sink)
             .orderBy("window_start", "event_type")
@@ -136,13 +152,14 @@ def stream_stateful_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     with tempfile.TemporaryDirectory() as ckpt:
-        (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        with _few_state_partitions(spark):
+            (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
         return spark.table(sink).orderBy("user_id").localCheckpoint(eager=True)
