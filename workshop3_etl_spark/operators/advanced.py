@@ -1,0 +1,295 @@
+"""Advanced relational surface: correlated subqueries, set operations,
+pivot, as-of join, range join, and semi-structured (JSON) columns.
+
+Two styles on display:
+
+- *Shared-SQL queries*: the Spark side executes the SAME SQL text
+  (via ``spark.sql`` over registered views) that DuckDB runs as the
+  oracle — demonstrating the engine's SQL API is a first-class,
+  ANSI-compatible surface (Catalyst rewrites correlated EXISTS/IN to
+  semi-joins; no manual decorrelation needed).
+- *Composed operators*: as-of join and range join are the operators
+  Spark "lacks" as primitives; each is built as the canonical
+  scalable composition (union+window carry-forward for as-of;
+  equi-key + interval predicate for range join) rather than a Python
+  kernel.
+
+Scale notes:
+- Catalyst decorrelates EXISTS/IN into left-semi hash joins —
+  asserted by the same broadcast/codegen test machinery as the rest.
+- The as-of join is ONE shuffle on the key (union then window) —
+  the alternative (range self-join then argmax) shuffles twice and
+  explodes pairs. This is the pattern for "most recent prior event"
+  at any scale.
+- The range join keys on the equi column first (user/customer), so
+  the interval predicate only filters within key-groups — never a
+  cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from workshop3_etl_spark.plans.registry import register
+from workshop3_etl_spark.sources.tables import load_table, register_views
+
+
+# --------------------------------------------------------------------
+# Shared-SQL: correlated EXISTS.
+# --------------------------------------------------------------------
+
+_EXISTS_SQL = """
+SELECT s.s_suppkey, s.s_name, s.s_nationkey
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey
+    AND CAST(l.l_extendedprice AS DOUBLE) > 90000.0
+)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("sql_exists_high_value_suppliers", oracle=_EXISTS_SQL)
+def sql_exists_high_value_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with any high-value lineitem — the same SQL text runs
+    on both engines; Catalyst decorrelates to a left-semi join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+# --------------------------------------------------------------------
+# Shared-SQL: IN / NOT IN subqueries.
+# --------------------------------------------------------------------
+
+_IN_SQL = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE c.c_nationkey IN (
+  SELECT n.n_nationkey FROM nation n
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name IN ('ASIA', 'EUROPE')
+)
+AND c.c_custkey NOT IN (
+  SELECT o.o_custkey FROM orders o
+  WHERE o.o_totalprice > 400000.0
+)
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register("sql_in_subquery_segments", oracle=_IN_SQL)
+def sql_in_subquery_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN + NOT IN subqueries (semi/anti-join rewrites) over the
+    region→nation→customer→orders chain."""
+    register_views(spark, sf_dir)
+    return spark.sql(_IN_SQL)
+
+
+# --------------------------------------------------------------------
+# Shared-SQL: INTERSECT / EXCEPT.
+# --------------------------------------------------------------------
+
+_SETOP_SQL = """
+SELECT 'customer_and_supplier' AS which, n_nationkey FROM (
+  SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'customer_only' AS which, n_nationkey FROM (
+  SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey FROM supplier
+)
+ORDER BY which, n_nationkey
+"""
+
+
+@register("sql_setops_nations", oracle=_SETOP_SQL)
+def sql_setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT over nation keys (SURVEY §2.3 notes the
+    reference has none — Spark gives them for free)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SETOP_SQL)
+
+
+# --------------------------------------------------------------------
+# Pivot (DataFrame API; oracle uses the portable CASE formulation).
+# --------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(SUM(CASE WHEN l_linestatus = 'F'
+       THEN CAST(l_quantity AS decimal(27,2)) END) AS DOUBLE) AS qty_F,
+  CAST(SUM(CASE WHEN l_linestatus = 'O'
+       THEN CAST(l_quantity AS decimal(27,2)) END) AS DOUBLE) AS qty_O
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("pivot_qty_by_linestatus", oracle=_PIVOT_ORACLE)
+def pivot_qty_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit pivot values (explicit values
+    keep the plan single-pass; value-discovery adds a scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,2)")).cast("double"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_F"),
+            F.col("O").alias("qty_O"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------
+# As-of join: for each purchase event, the most recent prior 'view'
+# event of the same user.
+# --------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_view_us
+  FROM events
+)
+SELECT
+  user_id,
+  event_id AS purchase_event_id,
+  CAST(epoch_us(ts) AS BIGINT) AS purchase_us,
+  CAST(last_view_us AS BIGINT) AS last_view_us,
+  CAST(epoch_us(ts) - last_view_us AS BIGINT) AS view_to_purchase_us
+FROM tagged
+WHERE event_type = 'purchase'
+ORDER BY user_id, purchase_event_id
+"""
+
+
+@register("asof_join_view_before_purchase", oracle=_ASOF_ORACLE)
+def asof_join_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the union+window carry-forward pattern: one
+    shuffle on user_id, then a running MAX over prior 'view'
+    timestamps — no pairwise range join, no explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts"))
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", us)
+    ).over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            last_view.alias("last_view_us"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.unix_micros(F.col("ts")).alias("purchase_us"),
+            "last_view_us",
+            (F.unix_micros(F.col("ts")) - F.col("last_view_us"))
+            .alias("view_to_purchase_us"),
+        )
+        .orderBy("user_id", "purchase_event_id")
+    )
+
+
+# --------------------------------------------------------------------
+# Range join: events within 7 days after the user's order.
+# --------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+SELECT
+  o.o_orderkey,
+  CAST(COUNT(e.event_id) AS BIGINT) AS n_events_within_7d
+FROM orders o
+JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+"""
+
+
+@register("range_join_orders_events_7d", oracle=_RANGE_ORACLE)
+def range_join_orders_events_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join keyed on the equi column first: the
+    (customer=user) hash join bounds the pair space, the time-range
+    predicate filters inside each key group. (The bucketed-interval
+    technique from the range-join literature applies when there's no
+    equi key; with one, this is the cheaper plan.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.join(
+            orders,
+            (ev.user_id == orders.o_custkey)
+            & (ev.ts >= orders.o_orderdate)
+            & (ev.ts < F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("event_id").alias("n_events_within_7d"))
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------
+# Semi-structured JSON column (events.props).
+# --------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS INTEGER)
+       AS decimal(27,0))) AS DOUBLE) AS sum_k,
+  CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS INTEGER)
+       AS decimal(27,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("json_props_extract_stats", oracle=_JSON_ORACLE)
+def json_props_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON props column with from_json + typed schema
+    (S2/S3's message-parsing semantics on a non-Kafka column) and
+    aggregate the extracted field."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").cast("decimal(27,0)")).cast("double").alias("sum_k"),
+            (
+                F.sum(F.col("k").cast("decimal(27,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

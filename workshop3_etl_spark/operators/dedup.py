@@ -238,7 +238,14 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(_N_BANDS)
     ]
-    sigs = minhash.select("doc_id", *band_cols)
+    # Persist the signature table: the band union + self-join below
+    # reference it 2 x _N_BANDS times, and without a materialization
+    # boundary Spark would recompute the whole shingle -> md5 ->
+    # groupBy pipeline for every branch. The persisted frame is tiny
+    # (doc_id + 4 x 32-hex strings) — in production it's the stored
+    # index artifact, exactly like the LSH ANN signatures.
+    sigs = minhash.select("doc_id", *band_cols).persist()
+    sigs.count()
     bands = None
     for b in range(_N_BANDS):
         part = sigs.select(

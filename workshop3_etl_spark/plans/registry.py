@@ -73,6 +73,7 @@ def _ensure_loaded() -> None:
     # Imports deferred to avoid circular import at package import time.
     from workshop3_etl_spark import ml  # noqa: F401
     from workshop3_etl_spark.operators import (  # noqa: F401
+        advanced,
         dedup,
         multimodal,
         profile,

