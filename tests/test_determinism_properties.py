@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the cross-engine determinism
+framework: for arbitrary 2-decimal data, the exact-decimal aggregate
+helpers must produce values bit-identical between Spark and DuckDB —
+independent of row order and grouping.
+
+These generalize the fixed-testdata oracle gate: the parity rules in
+functions/metrics.py claim engine-independence for a whole class of
+inputs, and hypothesis hunts the class boundaries (negatives, zeros,
+huge magnitudes, single-row groups).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from workshop3_etl_spark.functions import metrics as M
+
+# 2-decimal "money" values across sign and magnitude, inside the
+# documented bound (|sum| < 9e13 at scale 2).
+money = st.integers(min_value=-10_000_000, max_value=10_000_000).map(
+    lambda c: c / 100.0
+)
+rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3), money, money),
+    min_size=1,
+    max_size=60,
+)
+
+
+@pytest.fixture(scope="module")
+def duck_mem():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=rows)
+def test_grouped_aggregates_bit_identical(spark, duck_mem, data):
+    sdf = spark.createDataFrame(data, "k int, x double, y double")
+    got = {
+        r["k"]: (r["s"], r["a"], r["m"], r["r"])
+        for r in sdf.groupBy("k")
+        .agg(
+            M.dsum("x", "s"),
+            M.davg("x", "a"),
+            M.mae("x", "y", "m"),
+            M.rmse("x", "y", "r"),
+        )
+        .collect()
+    }
+    duck_mem.execute("DROP TABLE IF EXISTS t")
+    duck_mem.execute("CREATE TABLE t (k INT, x DOUBLE, y DOUBLE)")
+    duck_mem.executemany("INSERT INTO t VALUES (?, ?, ?)", data)
+    q = f"""
+      SELECT k, {M.oracle_dsum('x', 's')}, {M.oracle_davg('x', 'a')},
+             {M.oracle_mae('x', 'y', 'm')}, {M.oracle_rmse('x', 'y', 'r')}
+      FROM t GROUP BY k
+    """
+    want = {r[0]: tuple(r[1:]) for r in duck_mem.execute(q).fetchall()}
+    assert got == want  # bit-identical, not approx
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=rows, n_salts=st.integers(min_value=1, max_value=5))
+def test_salted_agg_equals_plain(spark, data, n_salts):
+    """Salting must never change the result (exact decimal partials)."""
+    from workshop3_etl_spark.functions.skew import salted_sum_count
+
+    sdf = spark.createDataFrame(data, "k int, x double, y double")
+    salted = {
+        r["k"]: (r["sum_value"], r["n_rows"])
+        for r in salted_sum_count(sdf, ["k"], "x", n_salts=n_salts).collect()
+    }
+    from pyspark.sql import functions as F
+
+    plain = {
+        r["k"]: (r["s"], r["n"])
+        for r in sdf.groupBy("k")
+        .agg(M.dsum("x", "s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert salted == plain

@@ -1,0 +1,46 @@
+"""Skew-resistant two-stage (salted) aggregation.
+
+At 100 TB a handful of hot keys (one giant customer, one boilerplate
+document) can pin a groupBy's worst shuffle partition at hours while
+the rest finish in minutes. AQE's skew-join splitting covers joins;
+for *aggregations* the classic fix is salting: split each key into
+``n_salts`` sub-keys, pre-aggregate (stage 1 spreads the hot key over
+n tasks), then merge the partials (stage 2 touches n rows per key).
+
+Only works for algebraic aggregates (sum/count/min/max — anything
+with a merge function). The helpers here keep the engine's exact-
+decimal determinism so a salted result is bit-identical to the plain
+one — which is exactly what the oracle check asserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_salts: int = 8,
+    scale: int = 2,
+) -> DataFrame:
+    """groupBy(key) → (sum, count) computed via a salted two-stage
+    aggregation. Output columns: key..., sum_value, n_rows."""
+    salt = (F.crc32(F.col(value_col).cast("string")) % n_salts).alias("_salt")
+    stage1 = (
+        df.select(*key_cols, F.col(value_col), salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(
+            F.sum(F.col(value_col).cast(f"decimal(27,{scale})")).alias("_psum"),
+            F.count(F.lit(1)).alias("_pcnt"),
+        )
+    )
+    return (
+        stage1.groupBy(*key_cols)
+        .agg(
+            F.sum("_psum").cast("double").alias("sum_value"),
+            F.sum("_pcnt").cast("long").alias("n_rows"),
+        )
+    )

@@ -579,3 +579,37 @@ def split_train_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("is_train")
     )
+
+
+# --------------------------------------------------------------------
+# Salted (skew-resistant) aggregation — same result as a plain
+# groupBy, bit-for-bit, which is exactly what the oracle asserts.
+# The skew scenario: revenue per returnflag (3 hot keys over the
+# whole fact table — the degenerate-cardinality case where one
+# reducer would otherwise absorb a third of the table).
+# --------------------------------------------------------------------
+
+_SALTED_ORACLE = f"""
+SELECT
+  l_returnflag,
+  {M.oracle_dsum('l_extendedprice', 'sum_value')},
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("salted_agg_returnflag_revenue", oracle=_SALTED_ORACLE)
+def salted_agg_returnflag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted sum/count over a 3-key (maximally skewed)
+    aggregation — functions/skew.py; decimal partials make the salted
+    result identical to the direct groupBy."""
+    from workshop3_etl_spark.functions.skew import salted_sum_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        salted_sum_count(li, ["l_returnflag"], "l_extendedprice", n_salts=8)
+        .select("l_returnflag", "sum_value", "n_rows")
+        .orderBy("l_returnflag")
+    )
