@@ -40,3 +40,24 @@ def test_lsh_approx_sims_are_exact_for_returned_pairs(spark):
         key = (r["query_id"], r["candidate_id"])
         if key in exact:
             assert r["cosine_sim"] == exact[key]
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from workshop3_etl_spark.operators.similarity import sim_ann_ivf_topk
+
+    exact = sim_cosine_topk_bruteforce(spark, SF_SMOKE).collect()
+    approx = sim_ann_ivf_topk(spark, SF_SMOKE).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # 4/16 cells probed on weak-structure data: must beat chance (2%)
+    # by a wide margin
+    assert mean_recall >= 0.3, f"IVF recall collapsed: {recalls}"

@@ -92,3 +92,57 @@ def test_incremental_upsert_across_batches(spark, tmp_path):
     ).fetchone()[0]
     con.close()
     assert y == pytest.approx(6.2)  # update won, no duplicate row
+
+
+def test_full_stream_scoring_topology(spark, tmp_path):
+    """SURVEY §3.3 end-to-end: JSON messages → streamed parse →
+    micro-batch model scoring → idempotent warehouse upsert. Runs the
+    REAL topology (streaming/pipeline.py) over a file-backed message
+    stream, then checks warehouse count and replay idempotency."""
+    import os
+
+    from workshop3_etl_spark.ml import build_linreg_pipeline, with_split_flags
+    from workshop3_etl_spark.schema import FEATURES, MESSAGE_SCHEMA, TARGET
+    from workshop3_etl_spark.sources.happiness import clean, load_unified
+    from workshop3_etl_spark.sources.kafka_io import (
+        parse_json_messages,
+        to_kafka_messages,
+    )
+    from workshop3_etl_spark.streaming.pipeline import score_and_upsert_stream
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures", "happiness")
+    paths = {y: os.path.join(fixtures, f"{y}.csv") for y in range(2015, 2020)}
+    data = with_split_flags(clean(load_unified(spark, paths)), ["Country", "Year"])
+    model = build_linreg_pipeline(FEATURES, TARGET).fit(
+        data.filter("is_train = 1")
+    )
+
+    # produce the message log (the Kafka topic stand-in)
+    topic_dir = str(tmp_path / "topic")
+    to_kafka_messages(data).write.mode("overwrite").text(topic_dir)
+
+    db = str(tmp_path / "warehouse.sqlite")
+
+    def run(ckpt: str) -> None:
+        raw = spark.readStream.schema("value string").text(topic_dir)
+        messages = parse_json_messages(raw, MESSAGE_SCHEMA)
+        q = score_and_upsert_stream(
+            messages, model, db, str(tmp_path / ckpt)
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    import sqlite3
+
+    con = sqlite3.connect(db)
+    n1 = con.execute("SELECT COUNT(*) FROM predictions").fetchone()[0]
+    assert n1 == data.count()  # sent == upserted (the reference's 781 golden shape)
+    # full replay from scratch offsets → same count (effectively-once)
+    run("ckpt2")
+    n2 = con.execute("SELECT COUNT(*) FROM predictions").fetchone()[0]
+    ys = con.execute(
+        "SELECT COUNT(*) FROM predictions WHERE y_pred IS NULL"
+    ).fetchone()[0]
+    con.close()
+    assert n2 == n1
+    assert ys == 0  # every row actually scored

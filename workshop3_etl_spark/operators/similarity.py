@@ -331,3 +331,99 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "candidate_id", "cosine_sim")
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------
+# IVF ANN: k-means coarse quantizer + probe-nearest-centroids.
+# --------------------------------------------------------------------
+
+_IVF_CLUSTERS = 16
+_IVF_PROBES = 4
+
+
+@register("sim_ann_ivf_topk", oracle=None)
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index:
+    KMeans coarse quantizer assigns every vector to a cell; each
+    query probes its _IVF_PROBES nearest cells and exact-reranks only
+    those members.
+
+    Rows-only check (KMeans isn't SQL); tests/test_similarity.py
+    measures recall vs brute force. At corpus scale: the quantizer
+    trains on a sample, assignment is one map-only pass, and the
+    probe join touches n_probes/n_cells of the corpus — the
+    recall/latency dial is (n_cells, n_probes).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("feat"),
+        dot_fold("embedding", "embedding").alias("nrm"),
+    )
+    km = KMeans(k=_IVF_CLUSTERS, seed=42, featuresCol="feat", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "v", "nrm", "cell").persist()
+    assigned.count()  # materialize the index (one pass)
+
+    # rank cells per query by distance to centroid, keep top probes
+    centroids = [
+        (int(i), [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    )
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    qc = q.crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "qv",
+        "qn",
+        "cell",
+        (
+            dot_fold("qv", "qv") - 2 * dot_fold("qv", "centroid")
+            + dot_fold("centroid", "centroid")
+        ).alias("dist2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    probes = (
+        qc.withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= _IVF_PROBES)
+        .select("query_id", "qv", "qn", "cell")
+    )
+    # probe join: only members of the probed cells are reranked
+    cands = (
+        probes.join(
+            assigned.select(
+                F.col("vec_id").alias("candidate_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+                "cell",
+            ),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            (dot_fold("qv", "cv") / (F.sqrt("qn") * F.sqrt("cn")))
+            .alias("cosine_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("candidate_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "candidate_id", "cosine_sim")
+        .orderBy("query_id", "rank")
+    )
