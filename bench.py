@@ -38,6 +38,12 @@ def main() -> None:
         "text_quality_score",
         "sim_cosine_topk_bruteforce",
         "stream_tumbling_hourly_counts",
+        "asof_join_view_before_purchase",
+        "range_join_orders_events_7d",
+        "json_props_extract_stats",
+        "salted_agg_returnflag_revenue",
+        "sql_exists_high_value_suppliers",
+        "pivot_qty_by_linestatus",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

@@ -613,3 +613,137 @@ def salted_agg_returnflag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("l_returnflag", "sum_value", "n_rows")
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------
+# Q4-shape: order-priority counts with correlated EXISTS over a date
+# range — the count-distinct-by-existence pattern.
+# --------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT
+  o.o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register("q4_priority_late_ship", oracle=_Q4_ORACLE)
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders (by priority) with at least one lineitem shipped after
+    the order date (TPC-H Q4 shape). Spark side uses an explicit
+    left-semi join with a non-equi condition — the decorrelated form
+    Catalyst would produce from EXISTS."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------
+# Q12-shape: conditional (CASE) aggregation over a join — counts per
+# bucket from one pass.
+# --------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT
+  l.l_linestatus,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+"""
+
+
+@register("q12_priority_by_linestatus", oracle=_Q12_ORACLE)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count aggregation over the orders-lineitem join
+    (TPC-H Q12 shape) — one pass, two CASE counters."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("int")).cast("long").alias("high_line_count"),
+            F.sum((~high).cast("int")).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------
+# Q14-shape: conditional-revenue ratio (promo share) — a ratio of two
+# exact-decimal conditional sums.
+# --------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT
+  CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+       THEN CAST(CAST(l.l_extendedprice AS DOUBLE)
+            * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))
+       ELSE CAST(0 AS decimal(27,4)) END) AS DOUBLE)
+  / CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE)
+         * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE)
+  AS promo_share,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue_share", oracle=_Q14_ORACLE)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share (TPC-H Q14 shape): broadcast part dim,
+    conditional decimal sums, double ratio."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(27,4)")
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), revenue
+    ).otherwise(F.lit(0).cast("decimal(27,4)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.sum(promo).cast("double") / F.sum(revenue).cast("double"))
+            .alias("promo_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -270,3 +270,87 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_number_pieces"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# TF-IDF: top term per language by corpus-weighted importance.
+# --------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH doc_tokens AS (
+  SELECT doc_id, lang, unnest(list_distinct({_TOKENS_DUCK})) AS token
+  FROM documents
+),
+n_docs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+  FROM doc_tokens GROUP BY token
+),
+tf AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS lang_tf
+  FROM doc_tokens GROUP BY lang, token
+),
+scored AS (
+  SELECT
+    tf.lang,
+    tf.token,
+    tf.lang_tf,
+    df.doc_freq,
+    CAST(tf.lang_tf AS DOUBLE) * ln(n_docs.n / CAST(df.doc_freq AS DOUBLE))
+      AS tfidf
+  FROM tf, df, n_docs
+  WHERE tf.token = df.token
+),
+ranked AS (
+  SELECT lang, token, lang_tf, doc_freq, tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY tfidf DESC, token
+         ) AS rnk
+  FROM scored
+)
+SELECT lang, CAST(rnk AS INT) AS rnk, token, lang_tf, doc_freq
+FROM ranked WHERE rnk <= 5
+ORDER BY lang, rnk
+"""
+
+
+@register("text_tfidf_top_terms_per_lang", oracle=_TFIDF_ORACLE)
+def text_tfidf_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per language.
+
+    Shape at scale: one explode of distinct tokens per doc, ONE
+    document-frequency aggregate (broadcast back — vocabulary is
+    small relative to the corpus), one (lang, token) aggregate, then
+    a per-lang ranking window. The tfidf value itself is excluded
+    from the output (ln() is not guaranteed bit-identical across
+    libm implementations); ranks + integer stats are.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_tokens = docs.select(
+        "doc_id", "lang",
+        F.explode(F.expr(f"array_distinct({_TOKENS})")).alias("token"),
+    )
+    n_docs = float(docs.count())
+    df_ = doc_tokens.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    tf = doc_tokens.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("lang_tf")
+    )
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "lang",
+        "token",
+        "lang_tf",
+        "doc_freq",
+        (
+            F.col("lang_tf").cast("double")
+            * F.log(F.lit(n_docs) / F.col("doc_freq").cast("double"))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "rnk", "token", "lang_tf", "doc_freq")
+        .orderBy("lang", "rnk")
+    )
