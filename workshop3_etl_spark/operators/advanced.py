@@ -293,3 +293,113 @@ def json_props_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# Shared-SQL: GROUPING SETS + grouping_id (finer-grained than
+# rollup/cube — exactly the requested subtotal combinations).
+# --------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+    AS grouping_level,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(l_quantity AS decimal(27,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY grouping_level, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("sql_grouping_sets_lineitem", oracle=_GROUPING_SETS_SQL)
+def sql_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicators — the same
+    SQL text runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --------------------------------------------------------------------
+# Distribution windows: percent_rank / cume_dist.
+# --------------------------------------------------------------------
+
+_PCTRANK_ORACLE = """
+SELECT
+  o_orderpriority,
+  o_orderkey,
+  o_totalprice,
+  PERCENT_RANK() OVER (
+    PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+  ) AS pct_rank,
+  CUME_DIST() OVER (
+    PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+  ) AS cume_dist
+FROM orders
+ORDER BY o_orderpriority, o_totalprice, o_orderkey
+"""
+
+
+@register("window_percent_rank_orders", oracle=_PCTRANK_ORACLE)
+def window_percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist within priority (rank/(n-1) and
+    rank/n are integer ratios → identical doubles)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume_dist"),
+        )
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------
+# Array-column analytics over embeddings (array min/max/mean + a
+# filtered-element count — §2.8 notes the reference has no array ops;
+# these are the built-in higher-order functions).
+# --------------------------------------------------------------------
+
+_ARRAY_ORACLE = """
+SELECT
+  vec_id,
+  CAST(len(embedding) AS INT) AS dim,
+  CAST(list_min(embedding) AS DOUBLE) AS min_val,
+  CAST(list_max(embedding) AS DOUBLE) AS max_val,
+  list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+              (a, b) -> a + b) / CAST(len(embedding) AS DOUBLE) AS mean_val,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register("array_stats_embeddings", oracle=_ARRAY_ORACLE)
+def array_stats_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector array statistics via higher-order functions —
+    map-only, no explode, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean_val = (
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        / F.size("embedding").cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_min("embedding").cast("double").alias("min_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        mean_val.alias("mean_val"),
+        F.expr("size(filter(embedding, x -> x > 0))").cast("long")
+        .alias("n_positive"),
+    ).orderBy("vec_id")
