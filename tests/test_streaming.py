@@ -146,3 +146,83 @@ def test_full_stream_scoring_topology(spark, tmp_path):
     con.close()
     assert n2 == n1
     assert ys == 0  # every row actually scored
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark: events that
+    arrive behind the watermark are DROPPED (the late-data policy the
+    reference has no concept of — SURVEY §2.9 'Ordering/time').
+
+    Two micro-batch rounds over a shared checkpoint: round 1 advances
+    the watermark; round 2 delivers one event behind it (dropped) and
+    one ahead (counted)."""
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "event_id long, ts timestamp, value double") \
+            .coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        # move parquet part into the source dir as one new file
+        import glob
+        import shutil
+
+        part = glob.glob(str(src / name / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+        shutil.rmtree(str(src / name))
+
+    from datetime import datetime as dt
+
+    write_batch(
+        "b1",
+        [
+            (1, dt(2024, 1, 1, 10, 10), 1.0),
+            (2, dt(2024, 1, 1, 10, 40), 1.0),
+            (3, dt(2024, 1, 1, 12, 0), 1.0),  # advances watermark to 11:30
+        ],
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .parquet(str(src))
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        (
+            agg.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run()
+    write_batch(
+        "b2",
+        [
+            (4, dt(2024, 1, 1, 10, 15), 1.0),  # LATE: behind 11:30 watermark
+            (5, dt(2024, 1, 1, 13, 5), 1.0),   # on time
+        ],
+    )
+    run()
+    # third empty-ish round to flush closed windows
+    write_batch("b3", [(6, dt(2024, 1, 1, 15, 0), 1.0)])
+    run()
+
+    out = {
+        r["window_start"].hour: r["n"]
+        for r in spark.read.parquet(str(sink)).collect()
+    }
+    # the 10:00 window must count ONLY the two on-time events —
+    # the late event_id=4 was dropped by the watermark
+    assert out[10] == 2
+    # the 13:00 window (event 5) finalized in round 3
+    assert out[13] == 1
