@@ -443,3 +443,32 @@ def profile_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame
             F.first("hi").alias("clip_hi"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# The at-scale approximation dials: sketch-based distinct counts and
+# quantiles. Rows-only by design — HLL/t-digest internals differ
+# across engines, so there is no bit-parity to assert; instead
+# tests/test_profile_approx.py bounds the error against the exact
+# answers. These are the swaps the exact queries above document for
+# the 100 TB path (mergeable sketches: one pass, fixed memory).
+# --------------------------------------------------------------------
+
+@register("profile_approx_dials", oracle=None)
+def profile_approx_dials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) + percentile_approx per order
+    priority — the sketch versions of A8/countDistinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("o_custkey", rsd=0.02)
+            .alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.percentile_approx("o_totalprice", 0.5, 10000)
+            .alias("approx_median_price"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("exact_median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
