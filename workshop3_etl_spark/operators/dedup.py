@@ -444,3 +444,138 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cnt").cast("long").alias("max_bucket_size"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# SimHash Hamming-distance near-dup pairs: pigeonhole blocking on
+# 4-bit signature quarters (any pair with hamming <= 3 shares at
+# least one exact quarter), then exact Hamming on candidates.
+# --------------------------------------------------------------------
+
+def _simhash_sigs_cte() -> str:
+    """The shared WITH-clauses producing sigs(doc_id, simhash)."""
+    bit_sums = ",\n    ".join(
+        f"SUM(bit{j}) AS s{j}, COUNT(*) AS n{j}" if j == 0 else f"SUM(bit{j}) AS s{j}"
+        for j in range(16)
+    )
+    sig_concat = " || ".join(
+        f"(CASE WHEN 2 * s{j} >= n0 THEN '1' ELSE '0' END)" for j in range(16)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest({_TOKENS_DUCK})) AS h
+  FROM documents
+),
+bits AS (
+  SELECT doc_id,
+    {_simhash_bits_duck()}
+  FROM tok
+),
+agg AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM bits GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {sig_concat} AS simhash FROM agg
+)"""
+
+
+_HAMMING_ORACLE = f"""{_simhash_sigs_cte()},
+blocks AS (
+  SELECT doc_id, simhash, q AS quarter_id,
+         substr(simhash, q * 4 + 1, 4) AS quarter
+  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS q)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM blocks a JOIN blocks b
+    ON a.quarter_id = b.quarter_id AND a.quarter = b.quarter
+   AND a.doc_id < b.doc_id
+),
+measured AS (
+  SELECT doc_a, doc_b, hamming(sig_a, sig_b) AS dist FROM cands
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+  CAST(SUM(CASE WHEN dist <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_3,
+  CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_identical
+FROM measured
+"""
+
+
+@register("dedup_simhash_hamming_pairs", oracle=_HAMMING_ORACLE)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= 3.
+
+    Pigeonhole guarantee: a 16-bit signature split into 4 quarters —
+    any pair differing in <= 3 bits matches exactly on >= 1 quarter,
+    so the quarter-block join has NO false negatives for the
+    threshold; exact Hamming then filters false positives. Same
+    persist-the-index discipline as MinHash.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("token")
+    ).select("doc_id", F.md5(F.col("token").cast("binary")).alias("h"))
+    bit_cols = []
+    for j in range(16):
+        hexpos = j // 4 + 1
+        bit = j % 4
+        digit = (
+            F.expr(f"instr('0123456789abcdef', substring(h, {hexpos}, 1))") - 1
+        )
+        bit_cols.append(
+            ((digit / (2 ** bit)).cast("int") % 2).cast("int").alias(f"bit{j}")
+        )
+    bits = tok.select("doc_id", *bit_cols)
+    aggs = [F.count(F.lit(1)).alias("n0")] + [
+        F.sum(f"bit{j}").alias(f"s{j}") for j in range(16)
+    ]
+    agg = bits.groupBy("doc_id").agg(*aggs)
+    sig = F.concat(
+        *[
+            F.when(2 * F.col(f"s{j}") >= F.col("n0"), "1").otherwise("0")
+            for j in range(16)
+        ]
+    ).alias("simhash")
+    sigs = agg.select("doc_id", sig).persist()
+    sigs.count()
+
+    blocks = None
+    for q in range(4):
+        part = sigs.select(
+            "doc_id",
+            "simhash",
+            F.lit(q).alias("quarter_id"),
+            F.substring("simhash", q * 4 + 1, 4).alias("quarter"),
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.quarter_id") == F.col("b.quarter_id"))
+            & (F.col("a.quarter") == F.col("b.quarter"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    dist = F.expr(
+        "aggregate(sequence(1, 16), 0,"
+        " (acc, i) -> acc + IF(substring(sig_a, i, 1) = substring(sig_b, i, 1), 0, 1))"
+    )
+    measured = cands.select(dist.alias("dist"))
+    return measured.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum((F.col("dist") <= 3).cast("int")).cast("long").alias("n_within_3"),
+        F.sum((F.col("dist") == 0).cast("int")).cast("long").alias("n_identical"),
+    )
