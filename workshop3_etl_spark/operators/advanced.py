@@ -403,3 +403,99 @@ def array_stats_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(filter(embedding, x -> x > 0))").cast("long")
         .alias("n_positive"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------
+# Q2-shape: correlated scalar MIN subquery — cheapest supplier per
+# part (decorrelates to an aggregate + join).
+# --------------------------------------------------------------------
+
+_MIN_COST_SQL = """
+SELECT
+  l.l_partkey,
+  CAST(MIN(l.l_extendedprice / l.l_quantity) AS DOUBLE) AS min_unit_price,
+  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem l
+WHERE CAST(l.l_extendedprice AS DOUBLE) / CAST(l.l_quantity AS DOUBLE) <= (
+  SELECT MIN(CAST(l2.l_extendedprice AS DOUBLE) / CAST(l2.l_quantity AS DOUBLE))
+  FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY l.l_partkey
+ORDER BY l.l_partkey
+"""
+
+
+@register("sql_correlated_min_unit_price", oracle=_MIN_COST_SQL)
+def sql_correlated_min_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows achieving the per-part minimum unit price via a correlated
+    scalar subquery (TPC-H Q2's min-cost pattern). Same SQL text on
+    both engines; Catalyst decorrelates to agg+join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MIN_COST_SQL)
+
+
+# --------------------------------------------------------------------
+# Q15-shape: derived revenue view + global-max scalar.
+# --------------------------------------------------------------------
+
+_TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+  SELECT
+    l_suppkey AS supplier_no,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+         * (1.0 - CAST(l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE)
+      AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("sql_top_revenue_supplier", oracle=_TOP_SUPPLIER_SQL)
+def sql_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape): a derived
+    view consumed twice (join + scalar max) — exact-decimal revenue so
+    the equality predicate is parity-safe."""
+    register_views(spark, sf_dir)
+    return spark.sql(_TOP_SUPPLIER_SQL)
+
+
+# --------------------------------------------------------------------
+# Q18-shape: HAVING-filtered subquery feeding a join (large orders).
+# --------------------------------------------------------------------
+
+_BIG_ORDERS_SQL = """
+SELECT
+  c.c_custkey,
+  o.o_orderkey,
+  o.o_orderdate,
+  CAST(SUM(CAST(l.l_quantity AS decimal(27,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS decimal(27,2))) > 150
+)
+GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate
+ORDER BY total_qty DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+@register("sql_large_quantity_orders", oracle=_BIG_ORDERS_SQL)
+def sql_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers' largest orders by total quantity (TPC-H Q18 shape):
+    HAVING-filtered IN subquery + 3-way join + top-k. Exact-decimal
+    HAVING threshold keeps membership identical across engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BIG_ORDERS_SQL)
