@@ -472,3 +472,54 @@ def profile_approx_dials(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------
+# A6 (categorical half): unique/top/freq per string column — the
+# pandas describe(include='all') fields the numeric describe above
+# doesn't cover. Mode with deterministic tie-break (max count, then
+# lexicographically smallest value).
+# --------------------------------------------------------------------
+
+def _cat_describe_oracle() -> str:
+    parts = []
+    for c in ("o_orderstatus", "o_orderpriority"):
+        parts.append(f"""
+SELECT
+  '{c}' AS column_name,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_unique,
+  (SELECT {c} FROM orders GROUP BY {c}
+   ORDER BY COUNT(*) DESC, {c} LIMIT 1) AS top_value,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders GROUP BY {c}
+   ORDER BY COUNT(*) DESC, {c} LIMIT 1) AS top_freq
+FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_categorical_describe", oracle=_cat_describe_oracle())
+def profile_categorical_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/unique/top/freq for categorical columns (`df.describe(
+    include='all')` — `notebooks/EDA.ipynb:592-601`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    frames = []
+    for c in ("o_orderstatus", "o_orderpriority"):
+        counts = orders.groupBy(c).agg(F.count(F.lit(1)).alias("cnt"))
+        # TakeOrdered(1), not an unpartitioned window (codebase rule)
+        top = (
+            counts.orderBy(F.desc("cnt"), F.asc(c))
+            .limit(1)
+            .select(
+                F.col(c).alias("top_value"), F.col("cnt").alias("top_freq")
+            )
+        )
+        stats = orders.agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(c).alias("n_unique"),
+        )
+        frames.append(stats.crossJoin(F.broadcast(top)))
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out.select("column_name", "n", "n_unique", "top_value", "top_freq")
