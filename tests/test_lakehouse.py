@@ -33,3 +33,54 @@ def test_partition_directories_on_disk(spark, tmp_path):
         p.name for p in (tmp_path / "li").iterdir() if p.name.startswith("ship_year=")
     )
     assert len(years) >= 2  # hive-style layout materialized
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Tables bucketed on the join key join WITHOUT an exchange —
+    the co-located-join layout for recurring fact-fact joins."""
+    import uuid
+
+    from workshop3_etl_spark.sources.lakehouse import write_bucketed
+    from workshop3_etl_spark.sources.tables import load_table
+
+    suffix = uuid.uuid4().hex[:8]
+    t_orders, t_li = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+    write_bucketed(
+        load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice"),
+        t_orders, "o_orderkey", n_buckets=8,
+    )
+    write_bucketed(
+        load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity"),
+        t_li, "l_orderkey", n_buckets=8,
+    )
+    try:
+        # disable broadcast so the join strategy decision is about
+        # shuffle-vs-bucket, not size
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(t_li).join(
+            spark.table(t_orders),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        # bucketed-on-key scan feeds the join without re-hashing
+        assert "Exchange hashpartitioning" not in plan
+        # and the join result is correct
+        n = joined.count()
+        expected = (
+            load_table(spark, SF_SMOKE, "lineitem")
+            .join(
+                load_table(spark, SF_SMOKE, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert n == expected
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")

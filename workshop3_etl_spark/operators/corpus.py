@@ -1,0 +1,167 @@
+"""Training-corpus preparation operators: chunking documents into
+token windows and benchmark decontamination — the last-mile ops that
+turn a cleaned/deduped corpus (dedup.py, text.py) into model-ready
+data.
+
+Both are pure higher-order-function pipelines (map-only until a
+small-key join/aggregate), so at 100 TB they are scan-bound:
+
+- Chunking: per-doc token windows with stride — transform over an
+  index sequence, one explode; output rows ≈ tokens/stride. No
+  shuffle at all.
+- Decontamination: 8-token shingles of corpus docs hash-joined
+  against benchmark shingles. The benchmark side is tiny → broadcast;
+  the corpus side ships only (doc_id, shingle-md5) pairs, and a
+  left-semi join marks contaminated docs without duplicating them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workshop3_etl_spark.plans.registry import register
+from workshop3_etl_spark.sources.tables import load_table
+
+_TOKENS = "filter(split(text, ' '), x -> x != '')"
+_TOKENS_DUCK = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_CHUNK_SIZE = 64
+_STRIDE = 32
+
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_TOKENS_DUCK} AS tokens FROM documents
+),
+chunks AS (
+  SELECT
+    doc_id,
+    lang,
+    CAST(s.i AS INT) AS chunk_id,
+    list_slice(tokens, s.i * {_STRIDE} + 1,
+               s.i * {_STRIDE} + {_CHUNK_SIZE}) AS chunk_tokens
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(
+         0, CAST(greatest(0,
+              ceil((len(tokens) - {_CHUNK_SIZE})
+                   / CAST({_STRIDE} AS DOUBLE))) AS BIGINT))) AS i) s
+)
+SELECT
+  doc_id,
+  chunk_id,
+  lang,
+  CAST(len(chunk_tokens) AS INT) AS n_tokens,
+  md5(array_to_string(chunk_tokens, ' ')) AS chunk_fingerprint
+FROM chunks
+WHERE len(chunk_tokens) > 0
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("corpus_chunk_documents", oracle=_CHUNK_ORACLE)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: {chunk} tokens, stride {stride} —
+    the standard pretraining packing prep. transform+explode,
+    map-only, no shuffle; chunk fingerprints feed chunk-level dedup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_windows = (
+        f"cast(greatest(0, ceil((size({_TOKENS}) - {_CHUNK_SIZE})"
+        f" / cast({_STRIDE} as double))) as int)"
+    )
+    windows = F.expr(
+        f"transform(sequence(0, {n_windows}),"
+        f" i -> slice({_TOKENS}, i * {_STRIDE} + 1, {_CHUNK_SIZE}))"
+    )
+    chunks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(windows).alias("chunk_id", "chunk_tokens"),
+    ).filter(F.size("chunk_tokens") > 0)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "lang",
+        F.size("chunk_tokens").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk_tokens")).cast("binary"))
+        .alias("chunk_fingerprint"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+corpus_chunk_documents.__doc__ = corpus_chunk_documents.__doc__.format(
+    chunk=_CHUNK_SIZE, stride=_STRIDE
+)
+
+
+# --------------------------------------------------------------------
+# Benchmark decontamination: flag corpus docs sharing any 8-token
+# shingle with the benchmark set (here: docs from source 'src0' play
+# the benchmark role).
+# --------------------------------------------------------------------
+
+_NGRAM = 8
+
+_DECONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKENS_DUCK} AS tokens FROM documents
+),
+shingled AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           generate_series(1, greatest(1, len(tokens) - {_NGRAM - 1})),
+           i -> md5(array_to_string(
+             list_slice(tokens, CAST(i AS INT), CAST(i AS INT) + {_NGRAM - 1}),
+             ' '))
+         )) AS sh
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT sh FROM shingled WHERE source = 'src0'
+),
+contaminated AS (
+  SELECT DISTINCT s.doc_id
+  FROM shingled s JOIN bench b ON s.sh = b.sh
+  WHERE s.source <> 'src0'
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM documents WHERE source <> 'src0') AS BIGINT)
+    AS n_corpus_docs,
+  CAST((SELECT COUNT(*) FROM contaminated) AS BIGINT) AS n_contaminated,
+  CAST((SELECT COUNT(*) FROM bench) AS BIGINT) AS n_benchmark_shingles
+"""
+
+
+@register("corpus_decontaminate_vs_benchmark", oracle=_DECONTAM_ORACLE)
+def corpus_decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap detection: corpus docs sharing any 8-token
+    shingle with the benchmark slice.
+
+    The benchmark shingle set is broadcast; corpus docs are flagged
+    via left-semi join on shingle md5 (16 bytes/shingle moves, text
+    never does). The kept set would be the anti-join complement.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(1, size({_TOKENS}) - {_NGRAM - 1})),"
+        f" i -> md5(cast(concat_ws(' ', slice({_TOKENS}, i, {_NGRAM})) as binary)))"
+    )
+    shingled = docs.select(
+        "doc_id", "source", F.explode(shingles).alias("sh")
+    )
+    bench = (
+        shingled.filter(F.col("source") == "src0").select("sh").distinct()
+    )
+    corpus = shingled.filter(F.col("source") != "src0")
+    contaminated = (
+        corpus.join(F.broadcast(bench), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    n_corpus = docs.filter(F.col("source") != "src0").count()
+    n_contam = contaminated.count()
+    n_bench = bench.count()
+    return spark.createDataFrame(
+        [(n_corpus, n_contam, n_bench)],
+        "n_corpus_docs long, n_contaminated long, n_benchmark_shingles long",
+    )

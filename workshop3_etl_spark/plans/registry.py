@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
     from workshop3_etl_spark import ml  # noqa: F401
     from workshop3_etl_spark.operators import (  # noqa: F401
         advanced,
+        corpus,
         dedup,
         multimodal,
         profile,
