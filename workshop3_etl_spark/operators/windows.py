@@ -293,3 +293,58 @@ def sessionize_events_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# --------------------------------------------------------------------
+# Cohort / retention: users grouped by first-activity day, tracked
+# across subsequent days — the canonical product-analytics rollup
+# (first-touch attribution + activity join).
+# --------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT
+  cohort_day,
+  CAST(day_offset AS INT) AS day_offset,
+  CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
+@register("cohort_retention_daily", oracle=_COHORT_ORACLE)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention (first 7 days): min-ts cohort assignment
+    broadcast back onto the activity stream, distinct-active-days per
+    user, counts per (cohort, offset). Two small shuffles — both on
+    user_id, so AQE reuses the partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
