@@ -499,3 +499,113 @@ def sql_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING threshold keeps membership identical across engines."""
     register_views(spark, sf_dir)
     return spark.sql(_BIG_ORDERS_SQL)
+
+
+# --------------------------------------------------------------------
+# Q19-shape: disjunctive multi-predicate join (OR of conjunction
+# groups over both join sides — the predicate-pushdown stress test).
+# --------------------------------------------------------------------
+
+_DISJUNCTIVE_SQL = """
+SELECT
+  CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE)
+       * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE)
+    AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE
+  (p.p_brand = 'BRAND#1' AND p.p_size BETWEEN 1 AND 15
+   AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+  OR
+  (p.p_brand = 'BRAND#2' AND p.p_size BETWEEN 10 AND 30
+   AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+  OR
+  (p.p_type = 'PROMO' AND l.l_quantity >= 20)
+"""
+
+
+@register("sql_disjunctive_join_revenue", oracle=_DISJUNCTIVE_SQL)
+def sql_disjunctive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction of conjunctive predicate groups across a join
+    (TPC-H Q19 shape). Same SQL both engines; Catalyst extracts the
+    common join key and pushes the per-side residuals."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DISJUNCTIVE_SQL)
+
+
+# --------------------------------------------------------------------
+# Q21-shape: EXISTS + NOT EXISTS against the same table (suppliers
+# who were the ONLY late shipper on a multi-supplier order).
+# --------------------------------------------------------------------
+
+_MULTI_EXISTS_SQL = """
+SELECT
+  s.s_name,
+  CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+"""
+
+
+@register("sql_sole_late_shipper", oracle=_MULTI_EXISTS_SQL)
+def sql_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for late multi-supplier orders
+    (TPC-H Q21 shape): correlated EXISTS and NOT EXISTS over the same
+    fact table — the semi+anti join double-decorrelation."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MULTI_EXISTS_SQL)
+
+
+# --------------------------------------------------------------------
+# Q22-shape: NOT EXISTS + uncorrelated scalar-avg subquery over a
+# derived prefix key.
+# --------------------------------------------------------------------
+
+_PREFIX_ANTI_SQL = """
+WITH wealthy AS (
+  SELECT substr(c_name, 10, 1) AS name_digit,
+         c_custkey, c_acctbal
+  FROM customer
+  WHERE CAST(c_acctbal AS DOUBLE) > (
+    SELECT CAST(SUM(CAST(c_acctbal AS decimal(27,2))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE)
+    FROM customer WHERE CAST(c_acctbal AS DOUBLE) > 0.0
+  )
+)
+SELECT
+  w.name_digit,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(CAST(w.c_acctbal AS decimal(27,2))) AS DOUBLE) AS total_balance
+FROM wealthy w
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = w.c_custkey
+)
+GROUP BY w.name_digit
+ORDER BY w.name_digit
+"""
+
+
+@register("sql_wealthy_inactive_customers", oracle=_PREFIX_ANTI_SQL)
+def sql_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no orders, grouped by a
+    name-derived key (TPC-H Q22 shape): uncorrelated scalar subquery
+    + anti join, exact-decimal threshold."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PREFIX_ANTI_SQL)
