@@ -163,3 +163,81 @@ def stream_stateful_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .awaitTermination()
             )
         return spark.table(sink).orderBy("user_id").localCheckpoint(eager=True)
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT
+  v.user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_view_purchase_pairs
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+GROUP BY v.user_id
+ORDER BY v.user_id
+"""
+
+
+@register("stream_stream_join_view_purchase", oracle=_STREAM_JOIN_ORACLE)
+def stream_stream_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: views joined to purchases of the
+    same user within the following hour — both sides REAL streams
+    with watermarks and a time-range join condition (the state-
+    cleanup contract), drained with availableNow and aggregated.
+
+    Scale notes: the join keys on (user_id + time range); each side's
+    watermark bounds how long unmatched rows stay in state — without
+    the range condition + watermarks a stream-stream join's state is
+    unbounded. Batch equivalence on finite input is what the oracle
+    asserts.
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(F.col("v_user").alias("user_id"))
+
+    sink = f"stream_join_{abs(hash(sf_dir)) % 10_000_000}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        with _few_state_partitions(spark):
+            (
+                joined.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        return (
+            spark.table(sink)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_view_purchase_pairs"))
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
