@@ -92,3 +92,37 @@ def test_salted_agg_equals_plain(spark, data, n_salts):
         .collect()
     }
     assert salted == plain
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2), money),
+        min_size=1, max_size=40,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4), money),
+        min_size=1, max_size=6,
+    ),
+)
+def test_salted_join_equals_plain(spark, left, right):
+    """Salting a join must never change the joined multiset."""
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.functions.skew import salted_join
+
+    ldf = spark.createDataFrame(left, "k int, x double")
+    rdf = spark.createDataFrame(right, "k int, y double").dropDuplicates(["k"])
+    plain = sorted(
+        (r["k"], r["x"], r["y"])
+        for r in ldf.join(rdf, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["x"], r["y"])
+        for r in salted_join(ldf, rdf, "k", n_salts=4).collect()
+    )
+    assert salted == plain

@@ -44,3 +44,31 @@ def salted_sum_count(
             F.sum("_pcnt").cast("long").alias("n_rows"),
         )
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed side's key, replicate
+    the small side once per salt, join on (key, salt).
+
+    The hot key's rows spread over ``n_salts`` reducers instead of
+    one. Cost: the small side is duplicated n_salts times — use only
+    when the small side is broadcast-size but the join still shuffles
+    (e.g. the skewed side is too large for AQE's skew splitting to
+    keep partitions balanced). Result is row-identical to the plain
+    join (asserted by property test).
+    """
+    salted_left = skewed.withColumn(
+        "_salt", (F.crc32(F.monotonically_increasing_id().cast("string")) % n_salts)
+    )
+    explode_salts = F.explode(
+        F.array(*[F.lit(i).cast("long") for i in range(n_salts)])
+    )
+    replicated_right = small.withColumn("_salt", explode_salts)
+    out = salted_left.join(replicated_right, [key, "_salt"], how)
+    return out.drop("_salt")
