@@ -241,3 +241,76 @@ def stream_stream_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFr
             .orderBy("user_id")
             .localCheckpoint(eager=True)
         )
+
+
+_SESSION_WINDOW_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) > 1800000000
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_id
+  FROM flagged
+)
+SELECT
+  user_id,
+  MIN(ts) AS session_start,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@register("stream_session_window_counts", oracle=_SESSION_WINDOW_ORACLE)
+def stream_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-min gap) as a
+    REAL streaming aggregation — the built-in stateful form of the
+    batch lag+cumsum sessionizer (operators/windows.
+    sessionize_events_30min), whose SQL is exactly the oracle: on
+    finite input, merged session windows == gap-based sessions.
+
+    Scale: session-window state merges adjacent windows per key and
+    the watermark closes sessions whose gap has provably expired —
+    bounded state without a TTL hack.
+    """
+    sink = f"stream_session_{abs(hash(sf_dir)) % 10_000_000}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        with _few_state_partitions(spark):
+            (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        return (
+            spark.table(sink)
+            .orderBy("user_id", "session_start")
+            .localCheckpoint(eager=True)
+        )
