@@ -1,0 +1,74 @@
+"""Named SQL function registration: the engine's text/quality kernels
+exposed to ``spark.sql`` users as callable functions.
+
+The reference's extensibility surface is "apply an arbitrary Python
+function per row" (SURVEY §2.10); the Spark-first version registers
+NAMED functions built from catalyst expressions — not Python UDFs —
+so user SQL like
+
+    SELECT doc_id, ws_token_count(text) FROM documents
+
+stays entirely JVM-side (codegen, no serialization). Registration
+uses temp SQL macros (CREATE TEMPORARY FUNCTION ... via expression
+aliasing isn't available from PySpark, so these register as SQL
+lambda-free expression macros through ``spark.sql`` DDL).
+
+One genuinely-Python example (``ws_media_checksum``) shows where a
+Pandas UDF is the honest boundary — its registration is Arrow-
+batched, never per-row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def register_engine_functions(spark: SparkSession) -> list[str]:
+    """Register the engine's named SQL functions; returns the names.
+
+    Expression-backed macros (JVM, codegen'd):
+    - ws_token_count(text): whitespace token count
+    - ws_normalize(text): lowercase/whitespace-collapse normalization
+    - ws_fingerprint(text): md5 of the normalized text
+    - ws_is_train(key, seed): the salted-hash split flag (M1)
+
+    Arrow-batched Pandas UDF (the slow-path pattern, used only where
+    Python is genuinely needed):
+    - ws_media_checksum(payload): byte-sum checksum of a binary column
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ws_token_count(t STRING)"
+        " RETURNS INT RETURN size(filter(split(t, ' '), x -> x != ''))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ws_normalize(t STRING)"
+        " RETURNS STRING RETURN trim(regexp_replace(lower(t), '\\\\s+', ' '))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ws_fingerprint(t STRING)"
+        " RETURNS STRING RETURN"
+        " md5(cast(trim(regexp_replace(lower(t), '\\\\s+', ' ')) as binary))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ws_is_train(k STRING, seed INT)"
+        " RETURNS INT RETURN"
+        " cast(substring(md5(cast(concat(k, ':', seed) as binary)), 1, 2) < 'b3'"
+        " as int)"
+    )
+
+    @F.pandas_udf(T.LongType())
+    def ws_media_checksum(payload: pd.Series) -> pd.Series:
+        return payload.map(lambda b: sum(b) % 2_147_483_647 if b is not None else -1)
+
+    spark.udf.register("ws_media_checksum", ws_media_checksum)
+    return [
+        "ws_token_count",
+        "ws_normalize",
+        "ws_fingerprint",
+        "ws_is_train",
+        "ws_media_checksum",
+    ]

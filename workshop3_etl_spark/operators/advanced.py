@@ -609,3 +609,71 @@ def sql_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFram
     + anti join, exact-decimal threshold."""
     register_views(spark, sf_dir)
     return spark.sql(_PREFIX_ANTI_SQL)
+
+
+# --------------------------------------------------------------------
+# Q8-shape: share-of-total by year (conditional / total ratio per
+# group — nested aggregation).
+# --------------------------------------------------------------------
+
+_MARKET_SHARE_SQL = """
+WITH allrev AS (
+  SELECT
+    CAST(year(o.o_orderdate) AS INT) AS order_year,
+    n.n_name AS supp_nation,
+    CAST(CAST(l.l_extendedprice AS DOUBLE)
+         * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(19,4)) AS volume
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT
+  order_year,
+  CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+       ELSE CAST(0 AS decimal(19,4)) END) AS DOUBLE)
+  / CAST(SUM(volume) AS DOUBLE) AS nation_share,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM allrev
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+@register("sql_nation_market_share", oracle=_MARKET_SHARE_SQL)
+def sql_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's share of yearly supply revenue (TPC-H Q8 shape):
+    conditional-sum / total-sum ratio per year, exact-decimal both."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MARKET_SHARE_SQL)
+
+
+# --------------------------------------------------------------------
+# Q10-shape: returned-item losses per customer, top-k.
+# --------------------------------------------------------------------
+
+_RETURNS_SQL = """
+SELECT
+  c.c_custkey,
+  c.c_name,
+  n.n_name,
+  CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE)
+       * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE)
+    AS lost_revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("sql_top_return_customers", oracle=_RETURNS_SQL)
+def sql_top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with the highest returned-item revenue (TPC-H Q10
+    shape): 4-way join, filtered agg, deterministic top-k."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RETURNS_SQL)
