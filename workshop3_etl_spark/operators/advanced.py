@@ -55,7 +55,7 @@ ORDER BY s.s_suppkey
 def sql_exists_high_value_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers with any high-value lineitem — the same SQL text runs
     on both engines; Catalyst decorrelates to a left-semi join."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("supplier", "lineitem"))
     return spark.sql(_EXISTS_SQL)
 
 
@@ -85,7 +85,7 @@ ORDER BY c.c_mktsegment
 def sql_in_subquery_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN + NOT IN subqueries (semi/anti-join rewrites) over the
     region→nation→customer→orders chain."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "nation", "region", "orders"))
     return spark.sql(_IN_SQL)
 
 
@@ -113,7 +113,7 @@ ORDER BY which, n_nationkey
 def sql_setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT/EXCEPT over nation keys (SURVEY §2.3 notes the
     reference has none — Spark gives them for free)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "supplier"))
     return spark.sql(_SETOP_SQL)
 
 
@@ -219,15 +219,31 @@ def asof_join_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
 # Range join: events within 7 days after the user's order.
 # --------------------------------------------------------------------
 
-_RANGE_ORACLE = """
+# The testdata calendars are disjoint (orders 1995-2001, events Jan
+# 2024), so a naive date-range join is vacuous — it would "pass" with 0
+# rows forever and verify nothing. Align each order onto the event
+# month (day-offset mod 30 from a fixed anchor) in pure integer
+# microsecond arithmetic, which both engines compute bit-identically,
+# so the range join produces real matches. 1704067200000000 =
+# epoch_us('2024-01-01 00:00:00 UTC'); 86400000000 = µs/day.
+_US_PER_DAY = 86_400_000_000
+_ANCHOR_US = 1_704_067_200_000_000
+
+_RANGE_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         {_ANCHOR_US} + (date_diff('day', DATE '1995-01-01',
+           CAST(o_orderdate AS DATE)) % 30) * {_US_PER_DAY} AS start_us
+  FROM orders
+)
 SELECT
   o.o_orderkey,
   CAST(COUNT(e.event_id) AS BIGINT) AS n_events_within_7d
-FROM orders o
+FROM o
 JOIN events e
   ON e.user_id = o.o_custkey
- AND e.ts >= o.o_orderdate
- AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+ AND epoch_us(e.ts) >= o.start_us
+ AND epoch_us(e.ts) < o.start_us + 7 * {_US_PER_DAY}
 GROUP BY o.o_orderkey
 ORDER BY o.o_orderkey
 """
@@ -239,15 +255,24 @@ def range_join_orders_events_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customer=user) hash join bounds the pair space, the time-range
     predicate filters inside each key group. (The bucketed-interval
     technique from the range-join literature applies when there's no
-    equi key; with one, this is the cheaper plan.)"""
+    equi key; with one, this is the cheaper plan.) Order dates are
+    aligned onto the event month (see _RANGE_ORACLE comment) so the
+    join is non-degenerate on this dataset."""
     orders = load_table(spark, sf_dir, "orders")
     ev = load_table(spark, sf_dir, "events")
+    start_us = (
+        F.lit(_ANCHOR_US)
+        + (F.expr("datediff(o_orderdate, date'1995-01-01') % 30").cast("long"))
+        * F.lit(_US_PER_DAY)
+    )
+    o = orders.select("o_orderkey", "o_custkey", start_us.alias("start_us"))
+    e_us = F.unix_micros(ev.ts)
     return (
         ev.join(
-            orders,
-            (ev.user_id == orders.o_custkey)
-            & (ev.ts >= orders.o_orderdate)
-            & (ev.ts < F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")),
+            o,
+            (ev.user_id == o.o_custkey)
+            & (e_us >= o.start_us)
+            & (e_us < o.start_us + F.lit(7 * _US_PER_DAY)),
         )
         .groupBy("o_orderkey")
         .agg(F.count("event_id").alias("n_events_within_7d"))
@@ -318,7 +343,7 @@ ORDER BY grouping_level, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 def sql_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with grouping() indicators — the same
     SQL text runs on both engines."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("lineitem",))
     return spark.sql(_GROUPING_SETS_SQL)
 
 
@@ -431,7 +456,7 @@ def sql_correlated_min_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame
     """Rows achieving the per-part minimum unit price via a correlated
     scalar subquery (TPC-H Q2's min-cost pattern). Same SQL text on
     both engines; Catalyst decorrelates to agg+join."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("lineitem",))
     return spark.sql(_MIN_COST_SQL)
 
 
@@ -464,7 +489,7 @@ def sql_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier by quarterly revenue (TPC-H Q15 shape): a derived
     view consumed twice (join + scalar max) — exact-decimal revenue so
     the equality predicate is parity-safe."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("lineitem", "supplier"))
     return spark.sql(_TOP_SUPPLIER_SQL)
 
 
@@ -497,7 +522,7 @@ def sql_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers' largest orders by total quantity (TPC-H Q18 shape):
     HAVING-filtered IN subquery + 3-way join + top-k. Exact-decimal
     HAVING threshold keeps membership identical across engines."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "orders", "lineitem"))
     return spark.sql(_BIG_ORDERS_SQL)
 
 
@@ -530,7 +555,7 @@ def sql_disjunctive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disjunction of conjunctive predicate groups across a join
     (TPC-H Q19 shape). Same SQL both engines; Catalyst extracts the
     common join key and pushes the per-side residuals."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("lineitem", "part"))
     return spark.sql(_DISJUNCTIVE_SQL)
 
 
@@ -569,7 +594,7 @@ def sql_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers solely responsible for late multi-supplier orders
     (TPC-H Q21 shape): correlated EXISTS and NOT EXISTS over the same
     fact table — the semi+anti join double-decorrelation."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("supplier", "lineitem", "orders"))
     return spark.sql(_MULTI_EXISTS_SQL)
 
 
@@ -607,7 +632,7 @@ def sql_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFram
     """Above-average-balance customers with no orders, grouped by a
     name-derived key (TPC-H Q22 shape): uncorrelated scalar subquery
     + anti join, exact-decimal threshold."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "orders"))
     return spark.sql(_PREFIX_ANTI_SQL)
 
 
@@ -644,7 +669,7 @@ ORDER BY order_year
 def sql_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One nation's share of yearly supply revenue (TPC-H Q8 shape):
     conditional-sum / total-sum ratio per year, exact-decimal both."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("lineitem", "orders", "supplier", "nation"))
     return spark.sql(_MARKET_SHARE_SQL)
 
 
@@ -675,5 +700,5 @@ LIMIT 20
 def sql_top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with the highest returned-item revenue (TPC-H Q10
     shape): 4-way join, filtered agg, deterministic top-k."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "orders", "lineitem", "nation"))
     return spark.sql(_RETURNS_SQL)

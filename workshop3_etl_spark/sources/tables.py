@@ -73,12 +73,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS), which Spark rejects
+    # unless nanosAsLong is set. The conf is runtime-settable and must
+    # hold in ANY session that loads tables (the correctness driver
+    # builds its own SparkSession without session.py), so set it here
+    # at the single load chokepoint rather than only at session build.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp-derived results (year(), window(), date_trunc) follow
+    # the session timezone; the DuckDB oracle is timezone-naive (UTC
+    # semantics), so pin it here too, not only in session.py.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the parquet footer; Spark reads it
-        # as a nanos long (session.py sets nanosAsLong). Truncate to
-        # micros — the same conversion DuckDB applies — so downstream
-        # timestamp semantics agree across engines.
+        # ts is read as a nanos long (conf above). Truncate to micros —
+        # the same conversion DuckDB applies — so downstream timestamp
+        # semantics agree across engines.
         from pyspark.sql import functions as F
 
         # integer div — float division would lose precision on ns
@@ -91,8 +100,15 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view so ``spark.sql`` queries can
-    name them exactly as the DuckDB oracle does."""
-    for name in TABLE_NAMES:
+def register_views(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> None:
+    """Register tables as temp views so ``spark.sql`` queries can name
+    them exactly as the DuckDB oracle does.
+
+    ``only`` limits registration to the tables a query actually
+    references — eager all-table registration would couple every SQL
+    query's fate (and latency) to tables it never touches.
+    """
+    for name in only if only is not None else TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
