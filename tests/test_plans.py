@@ -69,3 +69,26 @@ def test_q1_stays_in_codegen(spark):
         df._jdf.queryExecution(), "codegen"
     )
     assert "WholeStageCodegen" in codegen
+
+
+def test_driver_priority_budget():
+    """The driver runs only the first 50 queries() entries; the curated
+    priority list must be exactly 50 registered, oracled names, and the
+    first 50 must include every operator family."""
+    from workshop3_etl_spark.plans import registry
+
+    qs = registry.queries()
+    oracles = registry.oracles()
+    prio = registry.DRIVER_PRIORITY
+    assert len(prio) == 50
+    assert len(set(prio)) == 50
+    missing = [n for n in prio if n not in qs]
+    assert not missing, f"priority names not registered: {missing}"
+    no_oracle = [n for n in prio if n not in oracles]
+    assert not no_oracle, f"priority names without oracle: {no_oracle}"
+    first50 = list(qs)[:50]
+    assert first50 == list(prio)
+    for family in ("sql_", "text_", "sim_", "window_", "stream_",
+                   "dedup_", "profile_", "corpus_", "multimodal_",
+                   "q1_", "ml_", "udf_"):
+        assert any(n.startswith(family) for n in first50), family

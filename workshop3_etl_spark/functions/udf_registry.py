@@ -72,3 +72,51 @@ def register_engine_functions(spark: SparkSession) -> list[str]:
         "ws_is_train",
         "ws_media_checksum",
     ]
+
+
+# --------------------------------------------------------------------
+# Driver-facing query: user SQL calling the named functions. The
+# oracle inlines each function's definition (DuckDB has no temp-macro
+# DDL shared with Spark), so parity proves the registered functions
+# compute exactly their documented expression semantics.
+# --------------------------------------------------------------------
+
+_UDF_QUERY_SQL = """
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CAST(ws_token_count(text) AS BIGINT)) AS BIGINT) AS total_tokens,
+  CAST(COUNT(DISTINCT ws_fingerprint(text)) AS BIGINT) AS n_fingerprints,
+  CAST(SUM(ws_is_train(CAST(doc_id AS STRING), 42)) AS BIGINT) AS n_train
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+_UDF_ORACLE = r"""
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       AS BIGINT)) AS BIGINT) AS total_tokens,
+  CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+       AS BIGINT) AS n_fingerprints,
+  CAST(SUM(CAST(substring(md5(doc_id || ':' || 42), 1, 2) < 'b3' AS INT))
+       AS BIGINT) AS n_train
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+from workshop3_etl_spark.plans.registry import register  # noqa: E402
+from workshop3_etl_spark.sources.tables import register_views  # noqa: E402
+
+
+@register("udf_named_functions_docs", oracle=_UDF_ORACLE)
+def udf_named_functions_docs(spark: SparkSession, sf_dir: str):
+    """Per-language corpus stats computed through the NAMED SQL
+    function surface (ws_token_count / ws_fingerprint / ws_is_train) —
+    the user-extensibility path (SURVEY §2.10), entirely JVM-side
+    expression macros, zero Python in the plan."""
+    register_engine_functions(spark)
+    register_views(spark, sf_dir, only=("documents",))
+    return spark.sql(_UDF_QUERY_SQL)

@@ -36,6 +36,70 @@ class RegisteredQuery:
 
 _REGISTRY: dict[str, RegisteredQuery] = {}
 
+# The correctness driver runs the FIRST 50 entries of queries() only
+# (registration order), so ordering is budget allocation, not
+# cosmetics. This list is the curated first-50: every operator family
+# gets at least one driver-checked representative, the r01
+# environment-bug casualties come first (to prove the fix), and
+# no-oracle queries (weaker rows-only check) are excluded. Everything
+# not listed follows in registration order. A plan test asserts the
+# list stays registered, oracled, and exactly 50 long.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # r01 driver-ERR (events.parquet nanos footer) — prove fixed.
+    "sql_exists_high_value_suppliers",
+    "sql_in_subquery_segments",
+    "sql_setops_nations",
+    "sql_grouping_sets_lineitem",
+    "sql_correlated_min_unit_price",
+    "sql_top_revenue_supplier",
+    "sql_large_quantity_orders",
+    "sql_disjunctive_join_revenue",
+    "sql_sole_late_shipper",
+    "sql_wealthy_inactive_customers",
+    "sql_nation_market_share",
+    "sql_top_return_customers",
+    "asof_join_view_before_purchase",
+    "range_join_orders_events_7d",
+    "json_props_extract_stats",
+    "profile_null_counts_events",
+    # Families the r01 driver budget never reached.
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id_confusion",
+    "text_fingerprint_cardinality",
+    "text_top_tokens",
+    "text_token_count_bpe",
+    "text_tfidf_top_terms_per_lang",
+    "sim_cosine_topk_bruteforce",
+    "sim_embedding_neardup_blocked",
+    "window_top3_per_supplier",
+    "window_running_customer_spend",
+    "window_lag_delta_events",
+    "window_rank_supplier_balance",
+    "window_share_of_customer",
+    "sessionize_events_30min",
+    "cohort_retention_daily",
+    "stream_tumbling_hourly_counts",
+    "stream_stateful_user_metrics",
+    "stream_stream_join_view_purchase",
+    "stream_session_window_counts",
+    "salted_agg_returnflag_revenue",
+    "split_train_test_counts",
+    "udf_named_functions_docs",
+    # Per-family flagships that stay inside the driver budget.
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "ml_ols_qty_price",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_candidates",
+    "dedup_simhash_hamming_pairs",
+    "corpus_decontaminate_vs_benchmark",
+    "profile_describe_lineitem",
+    "multimodal_payload_stats",
+)
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -47,14 +111,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-def queries() -> dict[str, QueryFn]:
+def _ordered() -> list[RegisteredQuery]:
     _ensure_loaded()
-    return {q.name: q.fn for q in _REGISTRY.values()}
+    rest = dict(_REGISTRY)
+    out = [rest.pop(n) for n in DRIVER_PRIORITY if n in rest]
+    out.extend(rest.values())
+    return out
+
+
+def queries() -> dict[str, QueryFn]:
+    return {q.name: q.fn for q in _ordered()}
 
 
 def oracles() -> dict[str, str]:
-    _ensure_loaded()
-    return {q.name: q.oracle for q in _REGISTRY.values() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
 
 
 def get(name: str) -> RegisteredQuery:
@@ -72,6 +142,7 @@ def _ensure_loaded() -> None:
         return
     # Imports deferred to avoid circular import at package import time.
     from workshop3_etl_spark import ml  # noqa: F401
+    from workshop3_etl_spark.functions import udf_registry  # noqa: F401
     from workshop3_etl_spark.operators import (  # noqa: F401
         advanced,
         corpus,
