@@ -126,3 +126,18 @@ def test_salted_join_equals_plain(spark, left, right):
         for r in salted_join(ldf, rdf, "k", n_salts=4).collect()
     )
     assert salted == plain
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """Replicating the small side per salt would emit unmatched right
+    rows n_salts times; those join types must be rejected."""
+    import pytest as _pytest
+
+    from workshop3_etl_spark.functions.skew import salted_join
+
+    ldf = spark.createDataFrame([(1, "a")], "k int, v string")
+    rdf = spark.createDataFrame([(1, "x")], "k int, w string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(ldf, rdf, "k", how=how)
+    salted_join(ldf, rdf, "k", how="left")  # allowed

@@ -61,8 +61,16 @@ def salted_join(
     when the small side is broadcast-size but the join still shuffles
     (e.g. the skewed side is too large for AQE's skew splitting to
     keep partitions balanced). Result is row-identical to the plain
-    join (asserted by property test).
+    join (asserted by property test) for inner/left joins ONLY:
+    right/full would emit each unmatched small-side row once per
+    salt replica, so those are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "the small side is replicated per salt, so right/full outer "
+            "would duplicate unmatched right rows n_salts times"
+        )
     salted_left = skewed.withColumn(
         "_salt", (F.crc32(F.monotonically_increasing_id().cast("string")) % n_salts)
     )

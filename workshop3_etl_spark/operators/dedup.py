@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from workshop3_etl_spark.functions.cache import materialize_and_release
 from workshop3_etl_spark.plans.registry import register
 from workshop3_etl_spark.sources.tables import load_table
 
@@ -268,10 +269,11 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.agg(
+    result = pairs.agg(
         F.count(F.lit(1)).alias("n_candidate_pairs"),
         F.countDistinct("doc_a").alias("n_docs_with_candidates"),
     )
+    return materialize_and_release(result, sigs)
 
 
 # --------------------------------------------------------------------
@@ -574,8 +576,9 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (acc, i) -> acc + IF(substring(sig_a, i, 1) = substring(sig_b, i, 1), 0, 1))"
     )
     measured = cands.select(dist.alias("dist"))
-    return measured.agg(
+    result = measured.agg(
         F.count(F.lit(1)).alias("n_candidate_pairs"),
         F.sum((F.col("dist") <= 3).cast("int")).cast("long").alias("n_within_3"),
         F.sum((F.col("dist") == 0).cast("int")).cast("long").alias("n_identical"),
     )
+    return materialize_and_release(result, sigs)

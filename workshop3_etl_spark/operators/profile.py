@@ -41,8 +41,15 @@ from workshop3_etl_spark.sources.tables import load_table
 _LI_NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
-def _mean_of(spark: SparkSession, sf_dir: str, table: str, col: str) -> tuple[int, float]:
-    """Pass 1: exact decimal count+sum → engine-independent double mean."""
+def _mean_of(
+    spark: SparkSession, sf_dir: str, table: str, col: str
+) -> tuple[int, float | None]:
+    """Pass 1: exact decimal count+sum → engine-independent double mean.
+
+    Empty table or all-NULL column yields (0/n, None): the NULL mean
+    propagates into downstream aggregates exactly as SQL's AVG would,
+    instead of crashing the profile.
+    """
     row = (
         load_table(spark, sf_dir, table)
         .agg(
@@ -51,6 +58,8 @@ def _mean_of(spark: SparkSession, sf_dir: str, table: str, col: str) -> tuple[in
         )
         .collect()[0]
     )
+    if not row["n"] or row["s"] is None:
+        return row["n"] or 0, None
     return row["n"], float(row["s"]) / float(row["n"])
 
 
@@ -217,12 +226,13 @@ def profile_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ("l_quantity", "l_extendedprice"):
         n, mean = _mean_of(spark, sf_dir, "lineitem", c)
         dev = F.col(c).cast("double") - F.lit(mean)
-        var_pop = float(
-            li.agg(
-                F.sum((dev * dev / F.lit(float(n))).cast("decimal(27,6)"))
-                .cast("double")
-            ).collect()[0][0]
-        )
+        raw_var = li.agg(
+            F.sum((dev * dev / F.lit(float(n or 1))).cast("decimal(27,6)"))
+            .cast("double")
+        ).collect()[0][0]
+        # None on empty/all-NULL input → NULL z-scores → NULL outlier
+        # count, matching SQL null propagation instead of crashing.
+        var_pop = float(raw_var) if raw_var is not None else None
         z = (F.col(c).cast("double") - F.lit(mean)) / F.lit(var_pop) ** 0.5
         frames.append(
             li.agg(

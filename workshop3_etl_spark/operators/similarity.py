@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from workshop3_etl_spark.functions.cache import materialize_and_release
 from workshop3_etl_spark.plans.registry import register
 from workshop3_etl_spark.sources.tables import load_table
 
@@ -325,12 +326,13 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("candidate_id")
     )
-    return (
+    result = (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "rank", "candidate_id", "cosine_sim")
         .orderBy("query_id", "rank")
     )
+    return materialize_and_release(result, sigs)
 
 
 # --------------------------------------------------------------------
@@ -421,9 +423,10 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("candidate_id")
     )
-    return (
+    result = (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "rank", "candidate_id", "cosine_sim")
         .orderBy("query_id", "rank")
     )
+    return materialize_and_release(result, assigned)

@@ -41,7 +41,7 @@ SELECT
   CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens,
   CAST(len(list_distinct({_TOKENS_DUCK})) AS BIGINT) AS n_distinct_tokens,
   CAST(length(replace(text, ' ', '')) AS DOUBLE)
-    / CAST(len({_TOKENS_DUCK}) AS DOUBLE) AS avg_token_len
+    / CAST(NULLIF(len({_TOKENS_DUCK}), 0) AS DOUBLE) AS avg_token_len
 FROM documents
 ORDER BY doc_id
 """
@@ -60,7 +60,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_distinct_tokens"),
         (
             F.length(F.regexp_replace("text", " ", "")).cast("double")
-            / F.expr(f"size({_TOKENS})").cast("double")
+            / F.expr(f"nullif(size({_TOKENS}), 0)").cast("double")
         ).alias("avg_token_len"),
     ).orderBy("doc_id")
 
@@ -77,12 +77,13 @@ SELECT
   doc_id,
   CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens,
   CAST(len(list_filter({_TOKENS_DUCK}, x -> x IN ({_IN_LIST}))) AS DOUBLE)
-    / CAST(len({_TOKENS_DUCK}) AS DOUBLE) AS stopword_ratio,
+    / CAST(NULLIF(len({_TOKENS_DUCK}), 0) AS DOUBLE) AS stopword_ratio,
   CAST(len(list_distinct({_TOKENS_DUCK})) AS DOUBLE)
-    / CAST(len({_TOKENS_DUCK}) AS DOUBLE) AS distinct_ratio,
+    / CAST(NULLIF(len({_TOKENS_DUCK}), 0) AS DOUBLE) AS distinct_ratio,
   CASE WHEN len({_TOKENS_DUCK}) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
     * (0.5 + 0.5 * (CAST(len(list_distinct({_TOKENS_DUCK})) AS DOUBLE)
-                    / CAST(len({_TOKENS_DUCK}) AS DOUBLE))) AS quality_score
+                    / CAST(NULLIF(len({_TOKENS_DUCK}), 0) AS DOUBLE)))
+    AS quality_score
 FROM documents
 ORDER BY doc_id
 """
@@ -94,15 +95,16 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     with stopword ratio as a side feature."""
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.expr(f"size({_TOKENS})")
+    n_tokens_nz = F.expr(f"nullif(size({_TOKENS}), 0)")
     n_distinct = F.expr(f"size(array_distinct({_TOKENS}))")
     stop_arr = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
     n_stop = F.expr(f"size(filter({_TOKENS}, x -> array_contains({stop_arr}, x)))")
-    distinct_ratio = n_distinct.cast("double") / n_tokens.cast("double")
+    distinct_ratio = n_distinct.cast("double") / n_tokens_nz.cast("double")
     length_gate = F.when(n_tokens.between(20, 1000), 1.0).otherwise(0.0)
     return docs.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
-        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        (n_stop.cast("double") / n_tokens_nz.cast("double")).alias("stopword_ratio"),
         distinct_ratio.alias("distinct_ratio"),
         (length_gate * (F.lit(0.5) + F.lit(0.5) * distinct_ratio))
         .alias("quality_score"),
