@@ -226,3 +226,90 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert out[10] == 2
     # the 13:00 window (event 5) finalized in round 3
     assert out[13] == 1
+
+
+def test_partitioned_upsert_matches_driver_path(spark, tmp_path):
+    """The executor-side foreachPartition merge must produce exactly
+    the warehouse state of the driver-side path, including replays."""
+    from workshop3_etl_spark.streaming.upsert import (
+        partitioned_sqlite_upsert_batch,
+    )
+
+    cols = (
+        "country string, year int, gdp double, social double, health double,"
+        " freedom double, corrupt double, y_true double, is_train int,"
+        " is_test int, y_pred double"
+    )
+    rows = [
+        (f"C{i}", 2015 + i % 3, 1.0, 1.0, 1.0, 1.0, 1.0, 5.0 + i, i % 2,
+         1 - i % 2, 5.0 + i)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, cols).repartition(8)
+
+    db_part = str(tmp_path / "part.sqlite")
+    db_drv = str(tmp_path / "drv.sqlite")
+    partitioned_sqlite_upsert_batch(db_part, df)
+    partitioned_sqlite_upsert_batch(db_part, df)  # replay: no dupes
+    sqlite_upsert_batch(db_drv, df)
+
+    def snapshot(db):
+        con = sqlite3.connect(db)
+        out = con.execute(
+            "SELECT country, year, is_train, is_test, y_pred FROM predictions"
+            " ORDER BY country, year, is_train, is_test"
+        ).fetchall()
+        con.close()
+        return out
+
+    assert snapshot(db_part) == snapshot(db_drv)
+    assert len(snapshot(db_part)) == 40
+
+
+def test_staged_merge_idempotent_replay(spark, tmp_path):
+    """Lakehouse MERGE topology: staging append (executor-parallel) +
+    one merge statement; replays update in place, staging drains."""
+    from workshop3_etl_spark.streaming.upsert import staged_merge_batch
+
+    cols = (
+        "country string, year int, gdp double, social double, health double,"
+        " freedom double, corrupt double, y_true double, is_train int,"
+        " is_test int, y_pred double"
+    )
+    b1 = spark.createDataFrame(
+        [("A", 2015, 1.0, 1.0, 1.0, 1.0, 1.0, 5.0, 1, 0, 5.1),
+         ("B", 2015, 1.0, 1.0, 1.0, 1.0, 1.0, 6.0, 0, 1, 5.9)], cols
+    ).repartition(4)
+    b2 = spark.createDataFrame(
+        [("B", 2015, 1.0, 1.0, 1.0, 1.0, 1.0, 6.0, 0, 1, 6.2),
+         ("C", 2016, 1.0, 1.0, 1.0, 1.0, 1.0, 7.0, 1, 0, 6.8)], cols
+    ).repartition(4)
+
+    db = str(tmp_path / "m.sqlite")
+    staged_merge_batch(db, b1)
+    staged_merge_batch(db, b2)
+    staged_merge_batch(db, b2)  # replay
+
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM predictions").fetchone()[0] == 3
+    assert con.execute(
+        "SELECT y_pred FROM predictions WHERE country='B'"
+    ).fetchone()[0] == pytest.approx(6.2)
+    assert con.execute(
+        "SELECT COUNT(*) FROM predictions_staging"
+    ).fetchone()[0] == 0
+    con.close()
+
+
+def test_merge_into_sql_shape():
+    """The real-lakehouse MERGE text carries the reference's key and
+    update-set columns (kafka/consumer.py:77-106 semantics)."""
+    from workshop3_etl_spark.streaming.upsert import merge_into_sql
+
+    sql = merge_into_sql("wh.predictions", "updates")
+    assert "MERGE INTO wh.predictions t" in sql
+    assert "USING updates s" in sql
+    for key in ("country", "year", "is_train", "is_test"):
+        assert f"t.{key} = s.{key}" in sql
+    assert "WHEN MATCHED THEN UPDATE" in sql
+    assert "WHEN NOT MATCHED THEN INSERT" in sql

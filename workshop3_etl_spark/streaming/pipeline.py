@@ -23,7 +23,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from workshop3_etl_spark.schema import WAREHOUSE_COLS
-from workshop3_etl_spark.streaming.upsert import sqlite_upsert_batch
+from workshop3_etl_spark.streaming.upsert import (
+    partitioned_sqlite_upsert_batch,
+    sqlite_upsert_batch,
+    staged_merge_batch,
+)
+
+_SINKS = {
+    "driver": sqlite_upsert_batch,
+    "partitioned": partitioned_sqlite_upsert_batch,
+    "merge": staged_merge_batch,
+}
 
 
 def score_and_upsert_stream(
@@ -32,6 +42,7 @@ def score_and_upsert_stream(
     db_path: str,
     checkpoint_dir: str,
     page_size: int = 100,
+    sink: str = "partitioned",
 ) -> StreamingQuery:
     """Attach scoring + warehouse upsert to a parsed message stream.
 
@@ -40,7 +51,13 @@ def score_and_upsert_stream(
     foreachBatch via ``model.transform`` on the whole micro-batch —
     the vectorized replacement for the reference's one-row predict
     (`kafka/consumer.py:162-165`).
+
+    ``sink`` picks the merge path: "partitioned" (default —
+    executor-side per-partition upsert), "merge" (staged lakehouse
+    MERGE), or "driver" (collect + single connection; single-writer
+    demo only).
     """
+    upsert = _SINKS[sink]
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
         scored = model.transform(batch)
@@ -50,7 +67,7 @@ def score_and_upsert_stream(
             F.col("is_test"),
             F.col("prediction").alias("y_pred"),
         ]
-        sqlite_upsert_batch(db_path, scored.select(*sel), page_size)
+        upsert(db_path, scored.select(*sel), page_size)
 
     return (
         messages.writeStream.foreachBatch(_process)
