@@ -60,6 +60,24 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id) as s", "avg(id) as a").write.format(
         "noop"
     ).mode("overwrite").save()
+    # Warm the streaming engine too (state-store provider, streaming
+    # planner, memory sink): ~4s of one-time class-loading otherwise
+    # lands in the first streaming query's timing.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as _ckpt:
+        (
+            spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+            .groupBy()
+            .count()
+            .writeStream.format("memory")
+            .queryName("_warm_stream")
+            .outputMode("complete")
+            .option("checkpointLocation", _ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     setup_sec = round(time.perf_counter() - t_setup0, 4)
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
