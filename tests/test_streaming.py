@@ -313,3 +313,37 @@ def test_merge_into_sql_shape():
         assert f"t.{key} = s.{key}" in sql
     assert "WHEN MATCHED THEN UPDATE" in sql
     assert "WHEN NOT MATCHED THEN INSERT" in sql
+
+
+def test_peek_tool_reads_warehouse(spark, tmp_path, capsys):
+    """tools/peek.py (the reference's scripts/peek_sqlite.py twin)
+    reports count, test KPIs, per-year KPIs and top-k errors from a
+    warehouse produced by the upsert sink."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    try:
+        from peek import peek
+    finally:
+        _sys.path.pop(0)
+
+    cols = (
+        "country string, year int, gdp double, social double, health double,"
+        " freedom double, corrupt double, y_true double, is_train int,"
+        " is_test int, y_pred double"
+    )
+    rows = [
+        ("A", 2015, 1.0, 1.0, 1.0, 1.0, 1.0, 5.0, 0, 1, 5.5),
+        ("B", 2015, 1.0, 1.0, 1.0, 1.0, 1.0, 6.0, 0, 1, 5.0),
+        ("C", 2016, 1.0, 1.0, 1.0, 1.0, 1.0, 7.0, 1, 0, 6.9),
+    ]
+    db = str(tmp_path / "peek.sqlite")
+    sqlite_upsert_batch(db, spark.createDataFrame(rows, cols))
+    peek(db, k=1)
+    out = capsys.readouterr().out
+    assert "rows: 3" in out
+    # test rows: |5.0-5.5|=0.5, |6.0-5.0|=1.0 → mae 0.75
+    assert "n=2 mae=0.750000" in out
+    assert "2015: n=2" in out
+    assert "top-1 errors:" in out
+    assert "B 2015" in out  # largest abs error first
