@@ -90,5 +90,5 @@ def test_driver_priority_budget():
     assert first50 == list(prio)
     for family in ("sql_", "text_", "sim_", "window_", "stream_",
                    "dedup_", "profile_", "corpus_", "multimodal_",
-                   "q1_", "ml_", "udf_"):
+                   "q1_", "ml_", "udf_", "happiness_"):
         assert any(n.startswith(family) for n in first50), family

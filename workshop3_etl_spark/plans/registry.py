@@ -67,7 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_quality_score",
     "text_lang_id_confusion",
     "text_fingerprint_cardinality",
-    "text_top_tokens",
+    "happiness_unified_profile",
     "text_token_count_bpe",
     "text_tfidf_top_terms_per_lang",
     "sim_cosine_topk_bruteforce",
@@ -143,6 +143,7 @@ def _ensure_loaded() -> None:
     # Imports deferred to avoid circular import at package import time.
     from workshop3_etl_spark import ml  # noqa: F401
     from workshop3_etl_spark.functions import udf_registry  # noqa: F401
+    from workshop3_etl_spark.sources import happiness  # noqa: F401
     from workshop3_etl_spark.operators import (  # noqa: F401
         advanced,
         corpus,

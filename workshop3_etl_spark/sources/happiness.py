@@ -21,14 +21,17 @@ directories and the year literal comes from partition discovery.
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from workshop3_etl_spark.plans.registry import register
 from workshop3_etl_spark.schema import (
     CANONICAL_COLS,
     MODEL_COLS,
+    TARGET,
     YEAR_ALIASES,
 )
 
@@ -72,3 +75,78 @@ def clean(df: DataFrame) -> DataFrame:
     `kafka/producer.py:64`). On the real data this removes exactly the
     UAE-2018 row (782 → 781, BASELINE.md)."""
     return df.na.drop(subset=MODEL_COLS)
+
+
+# --------------------------------------------------------------------
+# Driver-facing query: the reference's HEADLINE behavior (5 divergent
+# CSV schemas → rename/project/coerce/dropna/union) verified against a
+# DuckDB oracle that re-derives the same unification from the same
+# CSVs. The testdata parquet has no CSV tables, so both sides read the
+# repo's fixture CSVs (absolute paths baked at import time).
+# --------------------------------------------------------------------
+
+_FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+    "happiness",
+)
+
+
+def _happiness_oracle() -> str:
+    """Per-year unified selects (all_varchar + TRY_CAST mirrors
+    Spark's inferSchema=false + try_cast), dropna, KPI aggregate."""
+    year_selects = []
+    for year, aliases in sorted(YEAR_ALIASES.items()):
+        cols = [f"CAST(\"{src}\" AS VARCHAR) AS \"{dst}\""
+                if dst == "Country"
+                else f"TRY_CAST(\"{src}\" AS DOUBLE) AS \"{dst}\""
+                for src, dst in aliases.items()]
+        year_selects.append(
+            f"SELECT {', '.join(cols)}, {year} AS Year\n"
+            f"FROM read_csv('{_FIXTURES}/{year}.csv',"
+            " header=true, all_varchar=true)"
+        )
+    unified = "\nUNION ALL BY NAME\n".join(year_selects)
+    not_null = " AND ".join(f'"{c}" IS NOT NULL' for c in MODEL_COLS)
+    return f"""
+WITH unified AS (
+{unified}
+)
+SELECT
+  Year,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT Country) AS BIGINT) AS n_countries,
+  CAST(SUM(CAST("Happiness Score" AS decimal(27,6))) AS DOUBLE) AS sum_score,
+  CAST(SUM(CAST("Happiness Score" AS decimal(27,6))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS mean_score,
+  CAST(SUM(CAST("GDP per capita" AS decimal(27,6))) AS DOUBLE) AS sum_gdp
+FROM unified
+WHERE {not_null}
+GROUP BY Year
+ORDER BY Year
+"""
+
+
+@register("happiness_unified_profile", oracle=_happiness_oracle())
+def happiness_unified_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year KPIs over the CLEANED unified happiness table — the
+    reference ETL end-to-end (S1 scan x5 schemas, P1 rename, P2
+    project, P3 literal year, P4 try_cast/N-A coercion, P5 dropna, U1
+    union), driver-oracle-checked. sf_dir is unused: the CSVs are the
+    repo fixtures, read identically by both engines."""
+    paths = {y: os.path.join(_FIXTURES, f"{y}.csv") for y in YEAR_ALIASES}
+    df = clean(load_unified(spark, paths))
+    score_sum = F.sum(F.col(TARGET).cast("decimal(27,6)")).cast("double")
+    return (
+        df.groupBy("Year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("Country").alias("n_countries"),
+            score_sum.alias("sum_score"),
+            (score_sum / F.count(F.lit(1)).cast("double")).alias("mean_score"),
+            F.sum(F.col("GDP per capita").cast("decimal(27,6)")).cast("double")
+            .alias("sum_gdp"),
+        )
+        .orderBy("Year")
+    )
