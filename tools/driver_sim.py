@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Simulate the round driver's correctness gate locally.
+
+Builds a BARE SparkSession (none of session.py's confs — exactly the
+driver's situation), runs every registry query through the
+__spark_entry__ contract at the given sf_dir, and hash-compares each
+oracled query against DuckDB the way the driver does (columns sorted
+by name, stringified cells, row-order-insensitive).
+
+Round 1 shipped 16 queries that passed pytest but errored in the
+driver's own session (the events.parquet nanos footer); this tool
+exists so that class of bug can't ship again.
+
+Usage: python tools/driver_sim.py [sf_dir] [limit]
+       (default /root/testdata/sf0.01, all queries)
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _canon(v) -> str:
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    limit = int(sys.argv[2]) if len(sys.argv) > 2 else None
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .appName("driver-sim")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    names = list(queries)[:limit] if limit else list(queries)
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        try:
+            sdf = queries[name](spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                n_rowsonly += 1
+                print(f"ROWS {name} rows={len(s_rows)}")
+                continue
+            res = duck.execute(oracles[name])
+            d_cols = [c[0] for c in res.description]
+            d_rows = res.fetchall()
+            so = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            do = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+            sn = sorted(tuple(_canon(r[i]) for i in so) for r in s_rows)
+            dn = sorted(tuple(_canon(r[i]) for i in do) for r in d_rows)
+            if sorted(s_cols) == sorted(d_cols) and sn == dn:
+                n_pass += 1
+                print(f"PASS {name} rows={len(s_rows)}")
+            else:
+                n_fail += 1
+                print(f"FAIL {name} cols={sorted(s_cols) == sorted(d_cols)}"
+                      f" s={len(s_rows)} d={len(d_rows)}")
+        except Exception as ex:  # noqa: BLE001 — report, keep going
+            n_fail += 1
+            print(f"ERR  {name}: {str(ex)[:160]}")
+    print(f"\nTOTAL pass={n_pass} fail={n_fail} rows_only={n_rowsonly}")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
