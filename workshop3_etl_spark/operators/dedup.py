@@ -582,3 +582,113 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("dist") == 0).cast("int")).cast("long").alias("n_identical"),
     )
     return materialize_and_release(result, sigs)
+
+
+# --------------------------------------------------------------------
+# 64-bit weighted SimHash (the production variant of the 16-bit demo
+# above): token weight = term_frequency x token_length (longer tokens
+# are more informative), votes are EXACT INTEGERS so both engines
+# agree bit-for-bit without any float in the pipeline.
+# --------------------------------------------------------------------
+
+_SIMHASH64_BITS = 64
+
+
+def _simhash64_bits_duck() -> str:
+    exprs = []
+    for j in range(_SIMHASH64_BITS):
+        hexpos = j // 4 + 1
+        bit = j % 4
+        digit = f"(strpos('0123456789abcdef', substr(h, {hexpos}, 1)) - 1)"
+        exprs.append(
+            f"SUM(w * (2 * (({digit} // {2 ** bit}) % 2) - 1)) AS v{j}"
+        )
+    return ",\n    ".join(exprs)
+
+
+def _simhash64_oracle() -> str:
+    sig_concat = " || ".join(
+        f"(CASE WHEN v{j} >= 0 THEN '1' ELSE '0' END)"
+        for j in range(_SIMHASH64_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS token
+  FROM documents
+),
+wtok AS (
+  SELECT doc_id, token,
+         CAST(COUNT(*) * length(token) AS BIGINT) AS w,
+         md5(token) AS h
+  FROM tok GROUP BY doc_id, token
+),
+votes AS (
+  SELECT doc_id,
+    {_simhash64_bits_duck()}
+  FROM wtok GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {sig_concat} AS simhash64 FROM votes
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT simhash64) AS BIGINT) AS n_distinct_signatures,
+  CAST(MAX(cnt) AS BIGINT) AS max_bucket_size
+FROM sigs
+JOIN (SELECT simhash64 AS sh, COUNT(*) AS cnt FROM sigs GROUP BY 1) b
+  ON sigs.simhash64 = b.sh
+"""
+
+
+@register("dedup_simhash64_weighted", oracle=_simhash64_oracle())
+def dedup_simhash64_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit weighted SimHash signature distribution.
+
+    Pipeline: tokens → (doc, token) term frequencies (one groupBy,
+    map-side combinable) → 64 integer weighted votes per doc (second
+    groupBy) → signature string → bucket stats. Weights
+    (tf × token_length) and votes are integers end-to-end, so the
+    signature is bit-identical across engines with no float rules
+    needed. At corpus scale both groupBys shuffle only
+    (doc_id, token-hash, weight) — text never rides an exchange, and
+    the 64 vote sums are a single wide partial aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wtok = (
+        docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(
+            (F.count(F.lit(1)) * F.length("token")).cast("long").alias("w")
+        )
+        .select(
+            "doc_id", "w", F.md5(F.col("token").cast("binary")).alias("h")
+        )
+    )
+    vote_aggs = []
+    for j in range(_SIMHASH64_BITS):
+        hexpos = j // 4 + 1
+        bit = j % 4
+        digit = f"(instr('0123456789abcdef', substr(h, {hexpos}, 1)) - 1)"
+        vote_aggs.append(
+            F.sum(F.expr(f"w * (2 * (({digit} div {2 ** bit}) % 2) - 1)"))
+            .alias(f"v{j}")
+        )
+    votes = wtok.groupBy("doc_id").agg(*vote_aggs)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"v{j}") >= 0, "1").otherwise("0")
+            for j in range(_SIMHASH64_BITS)
+        ]
+    ).alias("simhash64")
+    sigs = votes.select("doc_id", sig).persist()
+    sigs.count()
+    buckets = sigs.groupBy("simhash64").agg(F.count(F.lit(1)).alias("cnt"))
+    result = (
+        sigs.join(buckets, "simhash64")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("simhash64").alias("n_distinct_signatures"),
+            F.max("cnt").cast("long").alias("max_bucket_size"),
+        )
+    )
+    return materialize_and_release(result, sigs)
