@@ -44,6 +44,8 @@ def main() -> None:
         "salted_agg_returnflag_revenue",
         "sql_exists_high_value_suppliers",
         "pivot_qty_by_linestatus",
+        "udf_named_functions_docs",
+        "happiness_unified_profile",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]
