@@ -61,3 +61,30 @@ def test_ivf_recall_vs_bruteforce(spark):
     # 4/16 cells probed on weak-structure data: must beat chance (2%)
     # by a wide margin
     assert mean_recall >= 0.3, f"IVF recall collapsed: {recalls}"
+
+
+def test_pq_adc_recall_and_exact_rerank(spark):
+    from workshop3_etl_spark.operators.similarity import sim_ann_pq_adc_topk
+
+    exact_rows = sim_cosine_topk_bruteforce(spark, SF_SMOKE).collect()
+    approx_rows = sim_ann_pq_adc_topk(spark, SF_SMOKE).collect()
+    exact_sets, exact_sims, approx_sets = {}, {}, {}
+    for r in exact_rows:
+        exact_sets.setdefault(r["query_id"], set()).add(r["candidate_id"])
+        exact_sims[(r["query_id"], r["candidate_id"])] = r["cosine_sim"]
+    for r in approx_rows:
+        approx_sets.setdefault(r["query_id"], set()).add(r["candidate_id"])
+        # rerank stage recomputes the TRUE cosine: any overlap with the
+        # brute-force result must carry a bit-identical similarity
+        key = (r["query_id"], r["candidate_id"])
+        if key in exact_sims:
+            assert r["cosine_sim"] == exact_sims[key]
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # 16-code x 8-subspace PQ on weak-structure data, 50-deep rerank:
+    # must beat chance (2%) by a wide margin
+    assert mean_recall >= 0.3, f"PQ-ADC recall collapsed: {recalls}"
