@@ -347,3 +347,21 @@ def test_peek_tool_reads_warehouse(spark, tmp_path, capsys):
     assert "2015: n=2" in out
     assert "top-1 errors:" in out
     assert "B 2015" in out  # largest abs error first
+
+
+def test_tumbling_agg_matches_under_rocksdb_state_store(spark):
+    """The watermarked tumbling aggregate must produce identical
+    results under the RocksDB state-store provider (the off-heap,
+    disk-backed scale choice for state larger than executor heap) as
+    under the default HDFS-backed in-heap provider."""
+    from workshop3_etl_spark.streaming.batch_equivalent import (
+        ROCKSDB_PROVIDER,
+        state_store_provider,
+        stream_tumbling_hourly_counts,
+    )
+
+    default_rows = stream_tumbling_hourly_counts(spark, SF_SMOKE).collect()
+    with state_store_provider(spark, ROCKSDB_PROVIDER):
+        rocks_rows = stream_tumbling_hourly_counts(spark, SF_SMOKE).collect()
+    assert rocks_rows == default_rows
+    assert len(rocks_rows) > 0

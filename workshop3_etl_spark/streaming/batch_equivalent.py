@@ -29,6 +29,39 @@ from pyspark.sql import functions as F
 
 from workshop3_etl_spark.plans.registry import register
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def state_store_provider(spark: SparkSession, provider_class: str):
+    """Run streaming queries under a specific state-store provider.
+
+    The default HDFSBackedStateStoreProvider holds every store's map
+    in JVM heap — fine while state fits in executor memory. At large
+    keyspaces / long windows the scale choice is RocksDB
+    (``ROCKSDB_PROVIDER``, bundled with Spark): off-heap, disk-backed,
+    incremental-checkpointing. The conf is read at query START, so a
+    context manager around ``writeStream.start()`` is sufficient;
+    tests/test_streaming.py asserts result equivalence across
+    providers for the tumbling aggregate.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, provider_class)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 @contextmanager
 def _few_state_partitions(spark: SparkSession, n: int = 8):
     """Streaming state-store instances scale with shuffle partitions;
