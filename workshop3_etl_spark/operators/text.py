@@ -356,3 +356,106 @@ def text_tfidf_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("lang", "rnk", "token", "lang_tf", "doc_freq")
         .orderBy("lang", "rnk")
     )
+
+
+# --------------------------------------------------------------------
+# Repetition filter (Gopher-style quality rule): documents dominated
+# by repeated n-grams or a single token are low-quality training data.
+# --------------------------------------------------------------------
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS t FROM documents
+),
+gram_stats AS (
+  SELECT doc_id,
+    CAST(len(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      AS BIGINT) AS n_2grams,
+    CAST(len(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+       - len(list_distinct(
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+      AS DOUBLE)
+      / CAST(NULLIF(len(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i+1])), 0) AS DOUBLE)
+      AS dup_2gram_ratio
+  FROM toks
+),
+tok_counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+tok_ratio AS (
+  SELECT doc_id,
+    CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS max_token_ratio
+  FROM tok_counts GROUP BY doc_id
+)
+SELECT g.doc_id, g.n_2grams, g.dup_2gram_ratio, r.max_token_ratio,
+  CAST(CASE WHEN COALESCE(g.dup_2gram_ratio > 0.2, FALSE)
+              OR COALESCE(r.max_token_ratio > 0.2, FALSE)
+       THEN 1 ELSE 0 END AS INT) AS is_repetitive
+FROM gram_stats g LEFT JOIN tok_ratio r ON g.doc_id = r.doc_id
+ORDER BY g.doc_id
+"""
+
+# Spark-side 2-gram expression. element_at is 1-indexed (matching
+# DuckDB's t[i]); the size<2 guard matters because Spark's
+# sequence(1, 0) yields a DESCENDING [1, 0], not an empty array.
+_GRAMS2 = (
+    "case when size(toks) < 2 then array()"
+    " else transform(sequence(1, size(toks) - 1),"
+    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) end"
+)
+
+
+@register("text_repetition_filter", oracle=_REPETITION_ORACLE)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rule per document: fraction of
+    duplicate word 2-grams + highest single-token frequency share;
+    flags documents where either exceeds 0.2.
+
+    Shape at scale: the 2-gram stats are pure per-row expression work
+    (map-only); the token-share leg explodes tokens and aggregates
+    twice keyed by doc_id — both aggregations are map-side combinable
+    and the join back is doc_id-to-doc_id (co-partitioned by AQE).
+    Integer-count ratios are single double divisions, so both engines
+    produce bit-identical doubles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    gram_stats = toks.select(
+        "doc_id",
+        F.expr(f"size({_GRAMS2})").cast("long").alias("n_2grams"),
+        (
+            F.expr(f"cast(size({_GRAMS2}) - size(array_distinct({_GRAMS2}))"
+                   f" as double)")
+            / F.expr(f"cast(nullif(size({_GRAMS2}), 0) as double)")
+        ).alias("dup_2gram_ratio"),
+    )
+    tok_counts = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok_ratio = tok_counts.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c").cast("double"))
+        .alias("max_token_ratio")
+    )
+    return (
+        gram_stats.join(tok_ratio, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_2grams",
+            "dup_2gram_ratio",
+            "max_token_ratio",
+            F.when(
+                F.coalesce(F.col("dup_2gram_ratio") > 0.2, F.lit(False))
+                | F.coalesce(F.col("max_token_ratio") > 0.2, F.lit(False)),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
