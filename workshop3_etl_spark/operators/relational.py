@@ -747,3 +747,120 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Q7: cross-nation trade volume (disjunctive nation-pair filter over a
+# 5-way join, grouped by both nations and ship year).
+# --------------------------------------------------------------------
+
+_Q7_ORACLE = """
+SELECT
+  n1.n_name AS supp_nation,
+  n2.n_name AS cust_nation,
+  CAST(year(l.l_shipdate) AS INT) AS ship_year,
+  CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE)
+       * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE)
+    AS volume
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+@register("q7_nation_volume", oracle=_Q7_ORACLE)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade volume between a nation pair by ship year (TPC-H Q7
+    shape).
+
+    Plan shape: both nation dims broadcast; the disjunctive pair
+    predicate is applied AFTER the cheap broadcast joins attach the
+    names, so the fact-fact joins shuffle on their natural keys only
+    once. At scale the nation filter could also be pushed into
+    supplier/customer before the join (semi-join reduction) — at 25
+    dim rows the broadcast form is strictly cheaper.
+    """
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(revenue.cast("decimal(27,4)")).cast("double").alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+# --------------------------------------------------------------------
+# Q13: customer order-count distribution (left outer join + two-level
+# aggregation — the histogram-of-group-sizes physical shape).
+# --------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT
+  c_count,
+  CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_customer_distribution", oracle=_Q13_ORACLE)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of orders-per-customer (TPC-H Q13 shape): left outer
+    join preserves zero-order customers, COUNT(o_orderkey) ignores
+    the null-extended rows, then a second aggregation buckets the
+    counts.
+
+    Scale notes: stage 1 shuffles on c_custkey (high cardinality,
+    well-distributed); stage 2's key space is tiny (distinct order
+    counts) so AQE coalesces it to a handful of partitions. Both
+    aggregations are map-side combinable.
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
