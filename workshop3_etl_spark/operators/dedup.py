@@ -247,14 +247,16 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index artifact, exactly like the LSH ANN signatures.
     sigs = minhash.select("doc_id", *band_cols).persist()
     sigs.count()
-    bands = None
-    for b in range(_N_BANDS):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.col(f"band{b}").alias("band_key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # ONE posexplode scan of the signature frame (a 4-branch union
+    # would rescan it per band). The self-join below stays a shuffle
+    # join on (band_id, band_key) deliberately: the bands frame is
+    # O(corpus), never broadcastable at real scale.
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(_N_BANDS)])
+        ).alias("band_id", "band_key"),
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     pairs = (
@@ -545,15 +547,15 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = agg.select("doc_id", sig).persist()
     sigs.count()
 
-    blocks = None
-    for q in range(4):
-        part = sigs.select(
-            "doc_id",
-            "simhash",
-            F.lit(q).alias("quarter_id"),
-            F.substring("simhash", q * 4 + 1, 4).alias("quarter"),
-        )
-        blocks = part if blocks is None else blocks.unionByName(part)
+    # ONE posexplode scan of the signature frame (vs a 4-branch union
+    # rescanning it per quarter).
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.substring("simhash", q * 4 + 1, 4) for q in range(4)])
+        ).alias("quarter_id", "quarter"),
+    )
     a = blocks.alias("a")
     b = blocks.alias("b")
     cands = (

@@ -256,16 +256,23 @@ def lsh_signatures(df: DataFrame, vec_col: str, dim: int = 64) -> DataFrame:
         )
         bits.append(F.when(dot >= 0, "1").otherwise("0").alias(f"bit{i}"))
     out = out.select("*", *bits)
-    tables = None
-    for t in range(_N_TABLES):
-        bucket = F.concat(
-            *[F.col(f"bit{t * _N_HYPERPLANES + h}") for h in range(_N_HYPERPLANES)]
-        )
-        part = out.select(
-            *df.columns, F.lit(t).alias("table_id"), bucket.alias("bucket")
-        )
-        tables = part if tables is None else tables.unionByName(part)
-    return tables
+    # ONE posexplode scan over the per-table bucket strings (a
+    # _N_TABLES-branch union would re-evaluate the 32 hyperplane
+    # folds once per branch).
+    buckets = F.array(
+        *[
+            F.concat(
+                *[
+                    F.col(f"bit{t * _N_HYPERPLANES + h}")
+                    for h in range(_N_HYPERPLANES)
+                ]
+            )
+            for t in range(_N_TABLES)
+        ]
+    )
+    return out.select(
+        *df.columns, F.posexplode(buckets).alias("table_id", "bucket")
+    )
 
 
 @register("sim_ann_lsh_topk", oracle=None)
