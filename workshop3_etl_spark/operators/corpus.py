@@ -165,3 +165,105 @@ def corpus_decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataF
         [(n_corpus, n_contam, n_bench)],
         "n_corpus_docs long, n_contaminated long, n_benchmark_shingles long",
     )
+
+
+# --------------------------------------------------------------------
+# Stratified mixture sampling: deterministic per-language rates — the
+# corpus-mixing step of a training-data pipeline (downsample dominant
+# languages, keep rare ones).
+# --------------------------------------------------------------------
+
+# Per-language keep rates expressed as 4-hex-digit md5 thresholds
+# (rate = int(threshold, 16) / 16^4). Hex-substring comparison is the
+# repo's portable deterministic-sampling idiom (see ml.py split):
+# fixed-length lowercase hex compares lexicographically == numerically
+# in both engines, and md5 is the one shared hash.
+_MIX_RATES: dict[str, tuple[str, float]] = {
+    "en": ("4000", 0.25),  # dominant language downsampled
+    "fr": ("8000", 0.50),
+    "de": ("8000", 0.50),
+    "es": ("c000", 0.75),
+    "zh": ("e666", 0.8999938964843750),  # rare language kept ~0.9
+}
+_MIX_DEFAULT = ("8000", 0.50)
+_MIX_SALT = "mix1"
+
+
+def _mix_case_duck() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN '{th}'" for lang, (th, _) in _MIX_RATES.items()
+    )
+    return f"CASE {whens} ELSE '{_MIX_DEFAULT[0]}' END"
+
+
+_STRATIFIED_ORACLE = f"""
+WITH flagged AS (
+  SELECT
+    lang,
+    n_chars,
+    CASE WHEN substring(md5(doc_id || ':{_MIX_SALT}'), 1, 4)
+              < ({_mix_case_duck()})
+         THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT
+  lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(keep) AS BIGINT) AS n_sampled,
+  CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS realized_rate,
+  CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+    AS sampled_chars
+FROM flagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("corpus_stratified_sample", oracle=_STRATIFIED_ORACLE)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling summary: each document is
+    kept iff md5(doc_id:salt)'s 4-hex prefix falls under its
+    language's threshold — reproducible across runs, engines, and
+    cluster layouts (no RNG state, no partition sensitivity, unlike
+    ``df.sample``).
+
+    Shape at scale: the keep decision is per-row expression work
+    (map-only); the summary is one map-side-combinable aggregate over
+    5 language keys. The actual sampled corpus is the same filter
+    without the aggregate — zero shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = F.col("lang")
+    expr = None
+    for lang, (th, _) in _MIX_RATES.items():
+        cond = F.when(F.col("lang") == lang, F.lit(th))
+        expr = cond if expr is None else expr.when(F.col("lang") == lang, F.lit(th))
+    threshold = expr.otherwise(F.lit(_MIX_DEFAULT[0]))
+    keep = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(f":{_MIX_SALT}")
+                ).cast("binary")
+            ),
+            1,
+            4,
+        )
+        < threshold
+    ).cast("int")
+    return (
+        docs.select("lang", "n_chars", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_sampled"),
+            (F.sum("keep").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("realized_rate"),
+            F.sum(
+                F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -66,9 +66,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_token_stats",
     "text_quality_score",
     "text_lang_id_confusion",
-    "text_fingerprint_cardinality",
+    "text_repetition_filter",
     "happiness_unified_profile",
-    "text_token_count_bpe",
+    "corpus_stratified_sample",
     "text_tfidf_top_terms_per_lang",
     "sim_cosine_topk_bruteforce",
     "sim_embedding_neardup_blocked",
