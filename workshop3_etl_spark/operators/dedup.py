@@ -163,7 +163,10 @@ def _shingle_sql_duck() -> str:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_cte() -> str:
+    """The shared WITH-body producing the LSH candidate ``pairs``
+    CTE — composed by both the candidate summary oracle and the
+    connected-components oracle."""
     # one md5 per shingle; the k "hash functions" are disjoint 4-hex
     # slices of the digest (independent enough for min-hashing, and
     # 8x fewer digest computations than salted per-function hashes)
@@ -183,8 +186,7 @@ def _minhash_oracle() -> str:
         f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM sigs"
         for b in range(_N_BANDS)
     )
-    return f"""
-WITH shingled AS (
+    return f"""shingled AS (
   SELECT doc_id, unnest({_shingle_sql_duck()}) AS shingle
   FROM documents
 ),
@@ -204,7 +206,12 @@ pairs AS (
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_pairs_cte()}
 SELECT
   CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
   CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_docs_with_candidates
@@ -212,16 +219,12 @@ FROM pairs
 """
 
 
-@register("dedup_minhash_lsh_candidates", oracle=_minhash_oracle())
-def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(8)/LSH(4 bands × 2) near-dup candidate-pair summary.
-
-    Pipeline: shingle(5-char) → one md5 per shingle → per-doc min of
-    k digest slices (ONE map-side-combinable groupBy) → band keys →
-    self-join on (band, key) → distinct pairs. Signatures are
-    lexicographic-min hex strings, so Spark and DuckDB agree
-    bit-for-bit.
-    """
+def _minhash_candidate_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Build the LSH candidate pair frame; returns (pairs, sigs) where
+    ``sigs`` is the persisted signature index the caller must release
+    via materialize_and_release."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     shingled = docs.select(
         "doc_id", F.explode(F.expr(_shingle_sql_spark())).alias("shingle")
@@ -271,11 +274,147 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return pairs, sigs
+
+
+@register("dedup_minhash_lsh_candidates", oracle=_minhash_oracle())
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)/LSH(4 bands × 2) near-dup candidate-pair summary.
+
+    Pipeline: shingle(5-char) → one md5 per shingle → per-doc min of
+    k digest slices (ONE map-side-combinable groupBy) → band keys →
+    self-join on (band, key) → distinct pairs. Signatures are
+    lexicographic-min hex strings, so Spark and DuckDB agree
+    bit-for-bit.
+    """
+    pairs, sigs = _minhash_candidate_pairs(spark, sf_dir)
     result = pairs.agg(
         F.count(F.lit(1)).alias("n_candidate_pairs"),
         F.countDistinct("doc_a").alias("n_docs_with_candidates"),
     )
     return materialize_and_release(result, sigs)
+
+
+# --------------------------------------------------------------------
+# Connected components over the LSH candidate graph: duplicate
+# CLUSTERS, not just pairs — the step that turns near-dup candidates
+# into "keep one representative per group" decisions.
+# --------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, lab) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.doc = e.src
+),
+comps AS (
+  SELECT doc, MIN(lab) AS comp FROM reach GROUP BY doc
+),
+sizes AS (
+  SELECT comp, COUNT(*) AS sz FROM comps GROUP BY comp
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_components,
+  CAST(SUM(sz) AS BIGINT) AS n_clustered_docs,
+  CAST(MAX(sz) AS BIGINT) AS max_component_size,
+  CAST(SUM(sz - 1) AS BIGINT) AS n_removable_duplicates
+FROM sizes
+"""
+
+
+@register("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster summary: connected components of the MinHash/
+    LSH candidate graph via iterative min-label propagation with
+    pointer jumping.
+
+    Each round does (1) neighbor propagation — every node takes the
+    min label over itself and its neighbors — and (2) pointer jumping
+    — label := label(label) — which together converge in O(log
+    diameter) rounds (the hash-to-min / pointer-doubling scheme from
+    the MapReduce connected-components literature). Convergence is
+    detected by the monotone sum(label) invariant: labels only ever
+    decrease, so an unchanged sum IS the fixpoint, checked with one
+    tiny aggregate per round instead of a full old-vs-new join.
+
+    Scale notes: state per round is one (doc, label) frame — ids
+    only, localCheckpoint'ed each round to cut the iterative lineage
+    (classic iterative-Spark failure mode). Each round is two
+    key-partitioned joins + one aggregate; the edge frame is persisted
+    once. The fixpoint is the per-component min doc_id, so the result
+    is deterministic regardless of iteration schedule — which is what
+    lets a recursive-CTE oracle check it.
+
+    Reference parity: the reference has no graph/dedup machinery at
+    all (its dedup is pandas drop_duplicates, SURVEY §2.5); this is
+    north-star scope.
+    """
+    pairs, sigs = _minhash_candidate_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .select("doc", F.col("doc").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+    for _ in range(30):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc)
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer jumping: comp := comp(comp)
+        parent = stepped.select(
+            F.col("doc").alias("pdoc"), F.col("comp").alias("pcomp")
+        )
+        jumped = (
+            stepped.join(parent, stepped.comp == parent.pdoc, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("pcomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = jumped.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+        labels = jumped
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+    result = sizes.agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.sum("sz").cast("long").alias("n_clustered_docs"),
+        F.max("sz").alias("max_component_size"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_removable_duplicates"),
+    )
+    return materialize_and_release(result, sigs, edges)
 
 
 # --------------------------------------------------------------------
