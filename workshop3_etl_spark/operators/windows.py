@@ -348,3 +348,61 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# --------------------------------------------------------------------
+# Time-RANGE frame: trailing 7-day per-user aggregates. The frame key
+# is integer epoch-microseconds in BOTH engines, so boundary
+# semantics are bit-identical (a timestamp-typed RANGE INTERVAL frame
+# would hide each engine's timestamp arithmetic in the comparison).
+# --------------------------------------------------------------------
+
+_7D_US = 7 * 86_400 * 1_000_000
+
+_TRAILING_ORACLE = f"""
+SELECT
+  user_id,
+  event_id,
+  ts,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+  CAST(SUM(CAST(value AS decimal(27,2))) OVER w AS DOUBLE) AS sum_7d
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY epoch_us(ts)
+  RANGE BETWEEN {_7D_US} PRECEDING AND CURRENT ROW
+)
+ORDER BY user_id, ts, event_id
+"""
+
+
+@register("window_trailing_7d_user_value", oracle=_TRAILING_ORACLE)
+def window_trailing_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 7-day count and value sum for the event's
+    user (RANGE frame over epoch-microseconds).
+
+    RANGE frames include every row with an equal ordering key, so the
+    result is deterministic even when a user has simultaneous events
+    — no tie-breaker needed inside the frame, unlike ROWS frames.
+    Scale: partitioned by user_id; one shuffle, sort within
+    partitions, single pass with a sliding frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_7D_US, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_7d"),
+            F.sum(F.col("value").cast("decimal(27,2)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_7d"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
