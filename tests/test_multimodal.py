@@ -53,3 +53,65 @@ def test_decode_features_runs_distributed(spark):
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_media_real()
+
+
+def test_frame_sample_matches_python_recomputation(spark):
+    """The distributed frame-sample summary must equal a pure-Python
+    recomputation over the same payloads — exact, not approximate."""
+    from workshop3_etl_spark.operators.multimodal import (
+        _FRAME_BYTES,
+        _FRAME_STRIDE,
+        _MAX_FRAMES,
+        multimodal_frame_sample,
+    )
+
+    media = media_frame(spark, SF_SMOKE).collect()
+    n_videos = 0
+    n_frames = 0
+    max_idx = -1
+    checksum = 0
+    for r in media:
+        if r["media_type"] != "video/fake":
+            continue
+        payload = bytes(r["payload"])
+        total = (len(payload) + _FRAME_BYTES - 1) // _FRAME_BYTES
+        sampled = list(range(0, total, _FRAME_STRIDE))[:_MAX_FRAMES]
+        if sampled:
+            n_videos += 1
+        for fi in sampled:
+            n_frames += 1
+            max_idx = max(max_idx, fi)
+            chunk = payload[fi * _FRAME_BYTES : (fi + 1) * _FRAME_BYTES]
+            checksum += sum(chunk) % 2_147_483_647
+    row = multimodal_frame_sample(spark, SF_SMOKE).collect()[0]
+    assert row["n_videos"] == n_videos
+    assert row["n_frames_sampled"] == n_frames
+    assert row["max_frame_idx"] == max_idx
+    assert row["sum_frame_checksum"] == checksum
+
+
+def test_resize_matches_python_recomputation(spark):
+    from workshop3_etl_spark.operators.multimodal import (
+        _RESIZE_STRIDE,
+        multimodal_resize_stats,
+    )
+
+    media = media_frame(spark, SF_SMOKE).collect()
+    n_images = 0
+    orig = 0
+    thumb = 0
+    checksum = 0
+    for r in media:
+        if r["media_type"] != "image/fake":
+            continue
+        payload = bytes(r["payload"])
+        t = payload[::_RESIZE_STRIDE]
+        n_images += 1
+        orig += len(payload)
+        thumb += len(t)
+        checksum += sum(t) % 2_147_483_647
+    row = multimodal_resize_stats(spark, SF_SMOKE).collect()[0]
+    assert row["n_images"] == n_images
+    assert row["total_orig_bytes"] == orig
+    assert row["total_thumb_bytes"] == thumb
+    assert row["sum_thumb_checksum"] == checksum

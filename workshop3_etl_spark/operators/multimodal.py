@@ -141,3 +141,130 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# --------------------------------------------------------------------
+# Frame sampling + resize plumbing. Unlike decode, these kernels are
+# NOT stubs: byte-range frame extraction and stride downsampling are
+# real payload operations a pipeline runs BEFORE any codec work
+# (sampling which byte ranges to decode). Deterministic byte math,
+# pinned exactly in tests/test_multimodal.py.
+# --------------------------------------------------------------------
+
+_FRAME_BYTES = 256  # fixed-size frame chunks within a video payload
+_FRAME_STRIDE = 4  # keep every 4th frame
+_MAX_FRAMES = 8  # per-video cap
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_n_bytes", T.IntegerType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def sample_frames_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas fan-out kernel: one input media row -> up to
+    _MAX_FRAMES sampled-frame rows (video payloads only). The Arrow
+    batch contract stays row-count-free: a kernel may emit more rows
+    than it receives."""
+    for pdf in batches:
+        ids: list[int] = []
+        idxs: list[int] = []
+        sizes: list[int] = []
+        sums: list[int] = []
+        for mid, mtype, payload in zip(
+            pdf["media_id"], pdf["media_type"], pdf["payload"]
+        ):
+            if mtype != "video/fake" or payload is None:
+                continue
+            n_frames = (len(payload) + _FRAME_BYTES - 1) // _FRAME_BYTES
+            for k, fi in enumerate(range(0, n_frames, _FRAME_STRIDE)):
+                if k >= _MAX_FRAMES:
+                    break
+                chunk = payload[fi * _FRAME_BYTES : (fi + 1) * _FRAME_BYTES]
+                ids.append(int(mid))
+                idxs.append(int(fi))
+                sizes.append(len(chunk))
+                sums.append(int(sum(chunk) % 2_147_483_647))
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_n_bytes": pd.Series(sizes, dtype="int32"),
+                "frame_checksum": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("thumb_bytes", T.LongType()),
+        T.StructField("thumb_checksum", T.LongType()),
+    ]
+)
+
+_RESIZE_STRIDE = 8  # keep every 8th byte — the stand-in "downscale"
+
+
+def resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas resize kernel for image payloads: stride
+    downsampling of the byte stream (a real pixel resize drops into
+    the same slot — identical signature, batch shape, and schema)."""
+    for pdf in batches:
+        mask = pdf["media_type"] == "image/fake"
+        sub = pdf[mask]
+        thumbs = [bytes(p[::_RESIZE_STRIDE]) for p in sub["payload"]]
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(sub["media_id"], dtype="int64"),
+                "orig_bytes": pd.Series(
+                    [len(p) for p in sub["payload"]], dtype="int64"
+                ).values,
+                "thumb_bytes": pd.Series(
+                    [len(t) for t in thumbs], dtype="int64"
+                ).values,
+                "thumb_checksum": pd.Series(
+                    [int(sum(t) % 2_147_483_647) for t in thumbs],
+                    dtype="int64",
+                ).values,
+            }
+        )
+
+
+@register("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-frame summary over video payloads: Arrow-batched
+    fan-out (mapInPandas emitting up to _MAX_FRAMES rows per video),
+    then a JVM aggregate. Rows-only check; tests/test_multimodal.py
+    pins frame counts/checksums exactly against a pure-Python
+    recomputation."""
+    media = media_frame(spark, sf_dir)
+    frames = media.mapInPandas(sample_frames_kernel, schema=_FRAME_SCHEMA)
+    return frames.agg(
+        F.countDistinct("media_id").alias("n_videos"),
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.max("frame_idx").alias("max_frame_idx"),
+        F.sum("frame_checksum").cast("long").alias("sum_frame_checksum"),
+    )
+
+
+@register("multimodal_resize_stats", oracle=None)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail summary over image payloads (stride-downsample
+    kernel). Rows-only check; exact byte semantics pinned in
+    tests/test_multimodal.py."""
+    media = media_frame(spark, sf_dir)
+    thumbs = media.mapInPandas(resize_kernel, schema=_RESIZE_SCHEMA)
+    return thumbs.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("orig_bytes").cast("long").alias("total_orig_bytes"),
+        F.sum("thumb_bytes").cast("long").alias("total_thumb_bytes"),
+        F.sum("thumb_checksum").cast("long").alias("sum_thumb_checksum"),
+    )
