@@ -141,3 +141,57 @@ def test_salted_join_rejects_right_and_full(spark):
         with _pytest.raises(ValueError):
             salted_join(ldf, rdf, "k", how=how)
     salted_join(ldf, rdf, "k", how="left")  # allowed
+
+
+# --------------------------------------------------------------------
+# Connected components: the distributed min-label loop must agree
+# with a sequential union-find on arbitrary graphs.
+# --------------------------------------------------------------------
+
+_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges_strategy)
+def test_connected_components_match_union_find(spark, edges):
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.dedup import connected_component_labels
+
+    sym = edges + [(b, a) for a, b in edges]
+    edf = spark.createDataFrame(sym, "src long, dst long").persist()
+    got = {
+        r["doc"]: r["comp"]
+        for r in connected_component_labels(edf).collect()
+    }
+    edf.unpersist()
+    want = _union_find_components(edges)
+    assert got == want

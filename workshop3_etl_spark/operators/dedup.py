@@ -301,6 +301,66 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into "keep one representative per group" decisions.
 # --------------------------------------------------------------------
 
+def connected_component_labels(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Min-label propagation with pointer jumping over a SYMMETRIC
+    (src, dst) edge frame; returns (doc, comp) where comp is the min
+    node id of the node's component.
+
+    Each round: (1) neighbor propagation — node takes the min label
+    over itself and its neighbors; (2) pointer jumping — label :=
+    label(label). Converges in O(log diameter) rounds. The monotone
+    sum(label) invariant detects the fixpoint with one tiny aggregate
+    per round (labels only decrease, so an unchanged sum IS the
+    fixpoint). Labels are localCheckpoint'ed per round to cut the
+    iterative lineage — the classic iterative-Spark failure mode.
+
+    Property-tested against a Python union-find on random graphs
+    (tests/test_determinism_properties.py).
+    """
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .select("doc", F.col("doc").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc)
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer jumping: comp := comp(comp)
+        parent = stepped.select(
+            F.col("doc").alias("pdoc"), F.col("comp").alias("pcomp")
+        )
+        jumped = (
+            stepped.join(parent, stepped.comp == parent.pdoc, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("pcomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = jumped.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+        labels = jumped
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
 _CC_ORACLE = f"""
 WITH RECURSIVE {_minhash_pairs_cte()},
 edges AS (
@@ -366,47 +426,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("doc"))
-        .distinct()
-        .select("doc", F.col("doc").alias("comp"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
-    for _ in range(30):
-        nbr = (
-            edges.join(labels, edges.src == labels.doc)
-            .groupBy(F.col("dst").alias("doc"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        stepped = (
-            labels.join(nbr, "doc", "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
-        )
-        # pointer jumping: comp := comp(comp)
-        parent = stepped.select(
-            F.col("doc").alias("pdoc"), F.col("comp").alias("pcomp")
-        )
-        jumped = (
-            stepped.join(parent, stepped.comp == parent.pdoc, "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("pcomp"), F.col("comp"))
-                ).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        new_sum = jumped.agg(F.sum("comp").alias("s")).collect()[0]["s"]
-        labels = jumped
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    labels = connected_component_labels(edges)
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
     result = sizes.agg(
         F.count(F.lit(1)).alias("n_components"),
