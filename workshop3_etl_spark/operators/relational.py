@@ -864,3 +864,61 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+# --------------------------------------------------------------------
+# Q17: small-quantity-order revenue (correlated AVG subquery,
+# decorrelated into a per-part aggregate + join).
+# --------------------------------------------------------------------
+
+_Q17_ORACLE = """
+WITH part_avg AS (
+  SELECT l_partkey AS pk,
+         0.2 * (CAST(SUM(CAST(l_quantity AS decimal(27,2))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) AS qty_threshold
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT
+  CAST(SUM(CAST(l.l_extendedprice AS decimal(27,2))) AS DOUBLE) / 7.0
+    AS avg_yearly,
+  CAST(COUNT(*) AS BIGINT) AS n_small_orders
+FROM lineitem l
+JOIN part_avg pa ON l.l_partkey = pa.pk
+WHERE CAST(l.l_quantity AS DOUBLE) < pa.qty_threshold
+"""
+
+
+@register("q17_small_quantity_revenue", oracle=_Q17_ORACLE)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue locked in small-quantity orders (TPC-H Q17 shape).
+
+    The correlated ``l_quantity < 0.2 * AVG(...) per part`` subquery
+    is decorrelated into one per-part aggregate joined back on
+    l_partkey — both sides shuffle on the same key, so AQE co-
+    partitions them; the per-part frame carries two columns only.
+    Threshold math follows the decimal-boundary rules: exact decimal
+    sums, one double division per side, identical in both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(27,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(part_avg, li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity").cast("double") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
+                .cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_orders"),
+        )
+    )
