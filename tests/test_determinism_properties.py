@@ -195,3 +195,37 @@ def test_connected_components_match_union_find(spark, edges):
     edf.unpersist()
     want = _union_find_components(edges)
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2), money),
+        min_size=1, max_size=40,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4), money),
+        min_size=1, max_size=6,
+    ),
+)
+def test_salted_left_join_equals_plain(spark, left, right):
+    """LEFT joins are in salted_join's allowed set: unmatched left
+    rows must appear exactly once (null-extended), matched rows must
+    form the same multiset as the plain join."""
+    from workshop3_etl_spark.functions.skew import salted_join
+
+    ldf = spark.createDataFrame(left, "k int, x double")
+    rdf = spark.createDataFrame(right, "k int, y double").dropDuplicates(["k"])
+    plain = sorted(
+        (r["k"], r["x"], r["y"])
+        for r in ldf.join(rdf, "k", "left").collect()
+    )
+    salted = sorted(
+        (r["k"], r["x"], r["y"])
+        for r in salted_join(ldf, rdf, "k", n_salts=4, how="left").collect()
+    )
+    assert salted == plain
