@@ -75,7 +75,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_top3_per_supplier",
     "window_running_customer_spend",
     "window_lag_delta_events",
-    "window_rank_supplier_balance",
+    "window_trailing_7d_user_value",
     "window_share_of_customer",
     "sessionize_events_30min",
     "cohort_retention_daily",
@@ -94,7 +94,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ml_ols_qty_price",
     "dedup_exact_documents",
     "dedup_minhash_lsh_candidates",
-    "dedup_simhash_hamming_pairs",
+    "dedup_connected_components",
     "corpus_decontaminate_vs_benchmark",
     "profile_describe_lineitem",
     "multimodal_payload_stats",
