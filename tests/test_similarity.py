@@ -88,3 +88,29 @@ def test_pq_adc_recall_and_exact_rerank(spark):
     # 16-code x 8-subspace PQ on weak-structure data, 50-deep rerank:
     # must beat chance (2%) by a wide margin
     assert mean_recall >= 0.3, f"PQ-ADC recall collapsed: {recalls}"
+
+
+def test_ivfpq_recall_and_exact_rerank(spark):
+    from workshop3_etl_spark.operators.similarity import sim_ann_ivfpq_topk
+
+    exact_rows = sim_cosine_topk_bruteforce(spark, SF_SMOKE).collect()
+    approx_rows = sim_ann_ivfpq_topk(spark, SF_SMOKE).collect()
+    exact_sets, exact_sims, approx_sets = {}, {}, {}
+    for r in exact_rows:
+        exact_sets.setdefault(r["query_id"], set()).add(r["candidate_id"])
+        exact_sims[(r["query_id"], r["candidate_id"])] = r["cosine_sim"]
+    for r in approx_rows:
+        approx_sets.setdefault(r["query_id"], set()).add(r["candidate_id"])
+        key = (r["query_id"], r["candidate_id"])
+        if key in exact_sims:
+            assert r["cosine_sim"] == exact_sims[key]
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # 4/16 probed cells AND 16-code residual PQ compound the recall
+    # loss on weak-structure data; must still beat chance (2%) by a
+    # wide margin
+    assert mean_recall >= 0.25, f"IVF-PQ recall collapsed: {recalls}"

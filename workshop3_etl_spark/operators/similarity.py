@@ -591,3 +591,204 @@ def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "rank")
     )
     return materialize_and_release(result, base, codes)
+
+
+# --------------------------------------------------------------------
+# IVF-PQ: the composed index — coarse cells bound the scan, residual
+# product quantization compresses what's scanned. This is the
+# standard billion-scale ANN layout (inverted lists of PQ codes).
+# --------------------------------------------------------------------
+
+
+@register("sim_ann_ivfpq_topk", oracle=None)
+def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via IVF-PQ.
+
+    Index build: a coarse KMeans quantizer assigns each vector to one
+    of ``_IVF_CLUSTERS`` cells; per-subspace codebooks are trained on
+    the RESIDUALS (vector minus cell centroid — residuals are what PQ
+    can encode accurately), and each vector is stored as (cell, M
+    codes, true norm): the inverted-list-of-codes layout.
+
+    Query: probe the ``_IVF_PROBES`` nearest cells. The approximate
+    inner product decomposes as dot(q, centroid_cell) + sum_m
+    dot(q_m, codebook_m[code_m]) — the first term is one number per
+    (query, probed cell), the second is a (query, subspace, code)
+    lookup table independent of the cell. Both are tiny broadcasts;
+    the scored frame is the code index restricted to probed cells.
+    Exact rerank on the top ``_PQ_RERANK``.
+
+    Rows-only check; recall + exact-rerank tests in
+    tests/test_similarity.py. At corpus scale the ADC scan reads
+    n_probes/n_cells of a 32x-compressed index and raw vectors are
+    touched only for Q x rerank rows — the standard memory-bound ANN
+    trade.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    sub = dim // _PQ_M
+
+    vecs = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("feat"),
+        dot_fold("embedding", "embedding").alias("nrm"),
+    )
+    coarse = KMeans(
+        k=_IVF_CLUSTERS, seed=7, featuresCol="feat", predictionCol="cell"
+    ).fit(vecs)
+    cent_rows = [
+        (int(i), [float(x) for x in c])
+        for i, c in enumerate(coarse.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+
+    # residual encode: r = v - centroid(cell), sliced per subspace
+    assigned = (
+        coarse.transform(vecs)
+        .join(F.broadcast(cent_df), "cell")
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            "cell",
+            F.expr(
+                "zip_with(cast(v as array<double>), centroid, (x, y) -> x - y)"
+            ).alias("resid"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            "cell",
+            *[
+                array_to_vector(
+                    F.slice(F.col("resid"), m * sub + 1, sub)
+                ).alias(f"rfeat{m}")
+                for m in range(_PQ_M)
+            ],
+        )
+        .persist()
+    )
+    assigned.count()
+
+    books = [
+        KMeans(
+            k=_PQ_K, seed=100 + m, featuresCol=f"rfeat{m}", predictionCol=f"code{m}"
+        ).fit(assigned)
+        for m in range(_PQ_M)
+    ]
+    enc = assigned
+    for b in books:
+        enc = b.transform(enc)
+    codes = (
+        enc.select(
+            F.col("vec_id").alias("candidate_id"),
+            "cell",
+            F.col("nrm").alias("cn"),
+            F.posexplode(
+                F.array(*[F.col(f"code{m}") for m in range(_PQ_M)])
+            ).alias("m", "code"),
+        )
+        .persist()
+    )
+    codes.count()
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        dot_fold("embedding", "embedding").alias("qn"),
+    )
+    # probe the nearest cells per query (L2 to centroid)
+    qc = q.crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "qv",
+        "qn",
+        "cell",
+        F.expr(
+            "aggregate(zip_with(cast(qv as array<double>), centroid,"
+            " (x, y) -> (x - y) * (x - y)), cast(0.0 as double),"
+            " (acc, v) -> acc + v)"
+        ).alias("dist2"),
+        F.expr(
+            "aggregate(zip_with(cast(qv as array<double>), centroid,"
+            " (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+        ).alias("base_dot"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    probes = (
+        qc.withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= _IVF_PROBES)
+        .select("query_id", "cell", "base_dot")
+    )
+    # (query, subspace, code) lookup table — cell-independent
+    book_rows = [
+        (m, c, [float(x) for x in books[m].clusterCenters()[c]])
+        for m in range(_PQ_M)
+        for c in range(_PQ_K)
+    ]
+    book_df = spark.createDataFrame(book_rows, "m int, code int, bvec array<double>")
+    lut = q.crossJoin(F.broadcast(book_df)).select(
+        "query_id",
+        "qn",
+        "m",
+        "code",
+        F.expr(
+            f"aggregate(zip_with("
+            f" slice(cast(qv as array<double>), m * {sub} + 1, {sub}), bvec,"
+            f" (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+        ).alias("pdot"),
+    )
+    approx = (
+        codes.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .groupBy("query_id", "candidate_id")
+        .agg(
+            (F.first("base_dot") + F.sum("pdot")).alias("adot"),
+            F.first("qn").alias("qn"),
+            F.first("cn").alias("cn"),
+        )
+        .select(
+            "query_id",
+            "candidate_id",
+            (F.col("adot") / (F.sqrt("qn") * F.sqrt("cn"))).alias("approx_cos"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("candidate_id")
+    )
+    shortlist = (
+        approx.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= _PQ_RERANK)
+        .select("query_id", "candidate_id")
+    )
+    cvec = emb.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("cv"),
+        dot_fold("embedding", "embedding").alias("cn"),
+    )
+    sim = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(cvec, "candidate_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            (dot_fold("qv", "cv") / (F.sqrt("qn") * F.sqrt("cn")))
+            .alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("candidate_id")
+    )
+    result = (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "candidate_id", "cosine_sim")
+        .orderBy("query_id", "rank")
+    )
+    return materialize_and_release(result, assigned, codes)
