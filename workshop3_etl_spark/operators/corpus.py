@@ -267,3 +267,205 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------
+# End-to-end training-data prep: dedup -> quality -> mixture sample ->
+# chunk accounting, composed as ONE declarative plan. The capstone
+# query tying the LLM-pipeline families together; every stage reuses
+# the exact expression semantics of its standalone operator, so the
+# whole funnel is DuckDB-oracle-checkable.
+# --------------------------------------------------------------------
+
+_E2E_GRAMS_DUCK = "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
+
+_E2E_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         {_TOKENS_DUCK} AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    CAST(len({_E2E_GRAMS_DUCK}) - len(list_distinct({_E2E_GRAMS_DUCK}))
+      AS DOUBLE)
+      / CAST(NULLIF(len({_E2E_GRAMS_DUCK}), 0) AS DOUBLE) AS dup_2gram_ratio
+  FROM base
+),
+tok_share AS (
+  SELECT doc_id,
+    CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS max_token_ratio
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+    GROUP BY doc_id, tok
+  )
+  GROUP BY doc_id
+),
+flagged AS (
+  SELECT
+    b.doc_id,
+    b.lang,
+    CAST(len(b.t) AS BIGINT) AS n_tokens,
+    CASE WHEN ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) = 1
+         THEN 1 ELSE 0 END AS is_unique,
+    CASE WHEN len(b.t) >= 5
+           AND NOT (COALESCE(g.dup_2gram_ratio > 0.2, FALSE)
+                    OR COALESCE(ts.max_token_ratio > 0.2, FALSE))
+         THEN 1 ELSE 0 END AS is_quality,
+    CASE WHEN substring(md5(b.doc_id || ':{_MIX_SALT}'), 1, 4)
+              < ({_mix_case_duck().replace("lang", "b.lang")})
+         THEN 1 ELSE 0 END AS in_sample,
+    CASE WHEN len(b.t) = 0 THEN 0
+         ELSE 1 + CAST(greatest(0,
+              ceil((len(b.t) - {_CHUNK_SIZE}) / CAST({_STRIDE} AS DOUBLE)))
+              AS BIGINT) END AS n_chunks
+  FROM base b
+  LEFT JOIN grams g ON b.doc_id = g.doc_id
+  LEFT JOIN tok_share ts ON b.doc_id = ts.doc_id
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_input,
+  CAST(SUM(is_unique) AS BIGINT) AS n_unique,
+  CAST(SUM(is_unique * is_quality) AS BIGINT) AS n_quality,
+  CAST(SUM(is_unique * is_quality * in_sample) AS BIGINT) AS n_sampled,
+  CAST(SUM(is_unique * is_quality * in_sample * n_tokens) AS BIGINT)
+    AS total_tokens_sampled,
+  CAST(SUM(is_unique * is_quality * in_sample * n_chunks) AS BIGINT)
+    AS n_chunks_sampled
+FROM flagged
+"""
+
+_E2E_GRAMS_SPARK = (
+    "case when size(t) < 2 then array()"
+    " else transform(sequence(1, size(t) - 1),"
+    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) end"
+)
+
+
+@register("corpus_e2e_training_prep", oracle=_E2E_ORACLE)
+def corpus_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data funnel in one plan: exact dedup
+    (keep-first by fingerprint) -> quality gate (token floor +
+    repetition rules) -> deterministic per-language mixture sample ->
+    chunk accounting. Output is the funnel summary
+    (input/unique/quality/sampled counts + sampled token and chunk
+    totals).
+
+    Each stage reuses the EXACT semantics of its standalone operator
+    (dedup_exact_documents' fingerprint, text_repetition_filter's
+    rules, corpus_stratified_sample's thresholds,
+    corpus_chunk_documents' window count), so the composition is
+    fully oracle-checked.
+
+    Shape at scale: one token-explode aggregate (max token share),
+    one window shuffle on the 16-byte fingerprint (keep-first), then
+    a single global funnel aggregate — text never rides a shuffle;
+    every flag is computed where the row lives.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.expr("cast(trim(regexp_replace(lower(text), '\\\\s+', ' ')) as binary)")
+        ).alias("fp"),
+        F.expr(_TOKENS).alias("t"),
+    )
+    tok_share = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double"))
+            .alias("max_token_ratio")
+        )
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dup_ratio = (
+        F.expr(
+            f"cast(size({_E2E_GRAMS_SPARK}) -"
+            f" size(array_distinct({_E2E_GRAMS_SPARK})) as double)"
+        )
+        / F.expr(f"cast(nullif(size({_E2E_GRAMS_SPARK}), 0) as double)")
+    )
+    threshold = None
+    for lang, (th, _) in _MIX_RATES.items():
+        cond = F.when(F.col("lang") == lang, F.lit(th))
+        threshold = (
+            cond if threshold is None
+            else threshold.when(F.col("lang") == lang, F.lit(th))
+        )
+    threshold = threshold.otherwise(F.lit(_MIX_DEFAULT[0]))
+    flagged = (
+        base.join(tok_share, "doc_id", "left")
+        .withColumn(
+            "is_unique", (F.row_number().over(w) == 1).cast("int")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("cast(size(t) as bigint)").alias("n_tokens"),
+            "is_unique",
+            F.when(
+                (F.expr("size(t)") >= 5)
+                & ~(
+                    F.coalesce(dup_ratio > 0.2, F.lit(False))
+                    | F.coalesce(F.col("max_token_ratio") > 0.2, F.lit(False))
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_quality"),
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(f":{_MIX_SALT}"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                )
+                < threshold,
+                1,
+            )
+            .otherwise(0)
+            .alias("in_sample"),
+            F.expr(
+                f"case when size(t) = 0 then 0"
+                f" else 1 + cast(greatest(0, ceil((size(t) - {_CHUNK_SIZE})"
+                f" / cast({_STRIDE} as double))) as bigint) end"
+            ).alias("n_chunks"),
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum("is_unique").cast("long").alias("n_unique"),
+        F.sum(F.col("is_unique") * F.col("is_quality")).cast("long")
+        .alias("n_quality"),
+        F.sum(F.col("is_unique") * F.col("is_quality") * F.col("in_sample"))
+        .cast("long")
+        .alias("n_sampled"),
+        F.sum(
+            F.col("is_unique")
+            * F.col("is_quality")
+            * F.col("in_sample")
+            * F.col("n_tokens")
+        )
+        .cast("long")
+        .alias("total_tokens_sampled"),
+        F.sum(
+            F.col("is_unique")
+            * F.col("is_quality")
+            * F.col("in_sample")
+            * F.col("n_chunks")
+        )
+        .cast("long")
+        .alias("n_chunks_sampled"),
+    )

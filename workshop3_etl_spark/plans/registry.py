@@ -92,7 +92,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q5_regional_revenue",
     "q6_forecast_revenue",
     "ml_ols_qty_price",
-    "dedup_exact_documents",
+    "corpus_e2e_training_prep",
     "dedup_minhash_lsh_candidates",
     "dedup_connected_components",
     "corpus_decontaminate_vs_benchmark",
