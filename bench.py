@@ -46,6 +46,7 @@ def main() -> None:
         "pivot_qty_by_linestatus",
         "udf_named_functions_docs",
         "happiness_unified_profile",
+        "corpus_e2e_training_prep",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]
