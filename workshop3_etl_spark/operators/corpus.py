@@ -189,11 +189,42 @@ _MIX_DEFAULT = ("8000", 0.50)
 _MIX_SALT = "mix1"
 
 
-def _mix_case_duck() -> str:
+def _mix_case_duck(col: str = "lang") -> str:
     whens = " ".join(
-        f"WHEN lang = '{lang}' THEN '{th}'" for lang, (th, _) in _MIX_RATES.items()
+        f"WHEN {col} = '{lang}' THEN '{th}'" for lang, (th, _) in _MIX_RATES.items()
     )
     return f"CASE {whens} ELSE '{_MIX_DEFAULT[0]}' END"
+
+
+def _mix_threshold_col(lang_col: str = "lang"):
+    """Spark chained-when mapping a language column to its 4-hex keep
+    threshold — the single source of truth for BOTH the standalone
+    sampler and the e2e funnel."""
+    expr = None
+    for lang, (th, _) in _MIX_RATES.items():
+        expr = (
+            F.when(F.col(lang_col) == lang, F.lit(th))
+            if expr is None
+            else expr.when(F.col(lang_col) == lang, F.lit(th))
+        )
+    return expr.otherwise(F.lit(_MIX_DEFAULT[0]))
+
+
+def _mix_keep_col(id_col: str = "doc_id", lang_col: str = "lang"):
+    """1 iff md5(id:salt)'s 4-hex prefix falls under the language
+    threshold (the portable deterministic-sampling idiom)."""
+    return (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(f":{_MIX_SALT}")
+                ).cast("binary")
+            ),
+            1,
+            4,
+        )
+        < _mix_threshold_col(lang_col)
+    ).cast("int")
 
 
 _STRATIFIED_ORACLE = f"""
@@ -233,26 +264,8 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the aggregate — zero shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    threshold = F.col("lang")
-    expr = None
-    for lang, (th, _) in _MIX_RATES.items():
-        cond = F.when(F.col("lang") == lang, F.lit(th))
-        expr = cond if expr is None else expr.when(F.col("lang") == lang, F.lit(th))
-    threshold = expr.otherwise(F.lit(_MIX_DEFAULT[0]))
-    keep = (
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("doc_id").cast("string"), F.lit(f":{_MIX_SALT}")
-                ).cast("binary")
-            ),
-            1,
-            4,
-        )
-        < threshold
-    ).cast("int")
     return (
-        docs.select("lang", "n_chars", keep.alias("keep"))
+        docs.select("lang", "n_chars", _mix_keep_col().alias("keep"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -315,7 +328,7 @@ flagged AS (
                     OR COALESCE(ts.max_token_ratio > 0.2, FALSE))
          THEN 1 ELSE 0 END AS is_quality,
     CASE WHEN substring(md5(b.doc_id || ':{_MIX_SALT}'), 1, 4)
-              < ({_mix_case_duck().replace("lang", "b.lang")})
+              < ({_mix_case_duck("b.lang")})
          THEN 1 ELSE 0 END AS in_sample,
     CASE WHEN len(b.t) = 0 THEN 0
          ELSE 1 + CAST(greatest(0,
@@ -359,10 +372,13 @@ def corpus_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_chunk_documents' window count), so the composition is
     fully oracle-checked.
 
-    Shape at scale: one token-explode aggregate (max token share),
-    one window shuffle on the 16-byte fingerprint (keep-first), then
-    a single global funnel aggregate — text never rides a shuffle;
-    every flag is computed where the row lives.
+    Shape at scale: one token-explode aggregate (max token share,
+    (doc_id, token) rows only), one window shuffle on the 16-byte
+    fingerprint, then a single global funnel aggregate. Every
+    text-derived scalar (token count, 2-gram ratio, chunk count,
+    sample hash) is computed MAP-SIDE and the token array is
+    projected away before any exchange — only doc_id/fp/scalars ride
+    the shuffles.
     """
     from pyspark.sql import Window
 
@@ -385,7 +401,6 @@ def corpus_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_token_ratio")
         )
     )
-    w = Window.partitionBy("fp").orderBy("doc_id")
     dup_ratio = (
         F.expr(
             f"cast(size({_E2E_GRAMS_SPARK}) -"
@@ -393,55 +408,45 @@ def corpus_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.expr(f"cast(nullif(size({_E2E_GRAMS_SPARK}), 0) as double)")
     )
-    threshold = None
-    for lang, (th, _) in _MIX_RATES.items():
-        cond = F.when(F.col("lang") == lang, F.lit(th))
-        threshold = (
-            cond if threshold is None
-            else threshold.when(F.col("lang") == lang, F.lit(th))
-        )
-    threshold = threshold.otherwise(F.lit(_MIX_DEFAULT[0]))
+    # All per-row scalars computed where the row lives; `t` (the
+    # tokenized document body) is projected away HERE, before the
+    # tok_share join and the fingerprint window exchange rows.
+    scalars = base.select(
+        "doc_id",
+        "lang",
+        "fp",
+        F.expr("cast(size(t) as bigint)").alias("n_tokens"),
+        dup_ratio.alias("dup_2gram_ratio"),
+        _mix_keep_col().alias("in_sample"),
+        F.expr(
+            f"case when size(t) = 0 then 0"
+            f" else 1 + cast(greatest(0, ceil((size(t) - {_CHUNK_SIZE})"
+            f" / cast({_STRIDE} as double))) as bigint) end"
+        ).alias("n_chunks"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
     flagged = (
-        base.join(tok_share, "doc_id", "left")
+        scalars.join(tok_share, "doc_id", "left")
         .withColumn(
             "is_unique", (F.row_number().over(w) == 1).cast("int")
         )
         .select(
             "doc_id",
             "lang",
-            F.expr("cast(size(t) as bigint)").alias("n_tokens"),
+            "n_tokens",
             "is_unique",
             F.when(
-                (F.expr("size(t)") >= 5)
+                (F.col("n_tokens") >= 5)
                 & ~(
-                    F.coalesce(dup_ratio > 0.2, F.lit(False))
+                    F.coalesce(F.col("dup_2gram_ratio") > 0.2, F.lit(False))
                     | F.coalesce(F.col("max_token_ratio") > 0.2, F.lit(False))
                 ),
                 1,
             )
             .otherwise(0)
             .alias("is_quality"),
-            F.when(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("doc_id").cast("string"),
-                            F.lit(f":{_MIX_SALT}"),
-                        ).cast("binary")
-                    ),
-                    1,
-                    4,
-                )
-                < threshold,
-                1,
-            )
-            .otherwise(0)
-            .alias("in_sample"),
-            F.expr(
-                f"case when size(t) = 0 then 0"
-                f" else 1 + cast(greatest(0, ceil((size(t) - {_CHUNK_SIZE})"
-                f" / cast({_STRIDE} as double))) as bigint) end"
-            ).alias("n_chunks"),
+            "in_sample",
+            "n_chunks",
         )
     )
     return flagged.agg(

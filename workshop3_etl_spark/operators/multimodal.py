@@ -218,7 +218,7 @@ def resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     downsampling of the byte stream (a real pixel resize drops into
     the same slot — identical signature, batch shape, and schema)."""
     for pdf in batches:
-        mask = pdf["media_type"] == "image/fake"
+        mask = (pdf["media_type"] == "image/fake") & pdf["payload"].notna()
         sub = pdf[mask]
         thumbs = [bytes(p[::_RESIZE_STRIDE]) for p in sub["payload"]]
         yield pd.DataFrame(
