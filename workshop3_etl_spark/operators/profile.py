@@ -588,3 +588,52 @@ def profile_categorical_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f_ in frames[1:]:
         out = out.unionByName(f_)
     return out.select("column_name", "n", "n_unique", "top_value", "top_freq")
+
+
+# --------------------------------------------------------------------
+# Grouped exact quantiles: per-key percentile profiles (the grouped
+# form of profile_quantiles_lineitem — one hash-aggregate keyed by
+# group instead of one global agg per column).
+# --------------------------------------------------------------------
+
+_GROUPED_Q_ORACLE = """
+SELECT
+  l_returnflag,
+  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS price_q25,
+  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50) AS price_q50,
+  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS price_q75,
+  quantile_cont(CAST(l_quantity AS DOUBLE), 0.50) AS qty_q50,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("profile_quantiles_by_group", oracle=_GROUPED_Q_ORACLE)
+def profile_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` bit-for-bit — the verified parity rule).
+
+    Scale notes: exact grouped percentiles buffer each group's values
+    on the reducer — right for bounded per-group cardinality (here:
+    3 flags); the at-scale swap for unbounded groups is
+    ``percentile_approx`` (t-digest), demonstrated with error bounds
+    in profile_approx_dials.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(cast(l_extendedprice as double), 0.25)")
+            .alias("price_q25"),
+            F.expr("percentile(cast(l_extendedprice as double), 0.50)")
+            .alias("price_q50"),
+            F.expr("percentile(cast(l_extendedprice as double), 0.75)")
+            .alias("price_q75"),
+            F.expr("percentile(cast(l_quantity as double), 0.50)")
+            .alias("qty_q50"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

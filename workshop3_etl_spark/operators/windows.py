@@ -406,3 +406,84 @@ def window_trailing_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+# --------------------------------------------------------------------
+# Ordered funnel conversion: view -> click -> purchase, each stage
+# anchored at the earliest qualifying event of the previous stage —
+# the product-analytics funnel the cohort query doesn't cover.
+# --------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+),
+clicks AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN per_user p ON e.user_id = p.user_id
+  WHERE e.event_type = 'click' AND p.t_view IS NOT NULL
+    AND e.ts >= p.t_view
+  GROUP BY e.user_id
+),
+purchases AS (
+  SELECT e.user_id
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM per_user) AS n_users,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM per_user WHERE t_view IS NOT NULL)
+    AS n_viewed,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM clicks) AS n_clicked_after_view,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM purchases)
+    AS n_purchased_after_click
+"""
+
+
+@register("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage counts for the view -> click -> purchase funnel (clicks
+    count only at-or-after the user's FIRST view; purchases only
+    at-or-after the first qualifying click).
+
+    Scale notes: three aggregates keyed by user_id plus two
+    user_id-equi-joins — every stage frame is one row per user, all
+    exchanges share the user_id key so AQE co-partitions the chain;
+    no window buffers, no event-level self-join.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(per_user.filter(F.col("t_view").isNotNull()), "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        per_user.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("t_view").isNotNull().cast("int")).cast("long")
+            .alias("n_viewed"),
+        )
+        .crossJoin(
+            clicks.agg(F.count(F.lit(1)).alias("n_clicked_after_view"))
+        )
+        .crossJoin(
+            purchases.agg(
+                F.count(F.lit(1)).alias("n_purchased_after_click")
+            )
+        )
+    )
