@@ -702,3 +702,57 @@ def sql_top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape): 4-way join, filtered agg, deterministic top-k."""
     register_views(spark, sf_dir, only=("customer", "orders", "lineitem", "nation"))
     return spark.sql(_RETURNS_SQL)
+
+
+# --------------------------------------------------------------------
+# UNPIVOT (wide -> long): the inverse of the pivot above. Spark's
+# unpivot/melt == SQL UNPIVOT == DuckDB UNPIVOT; long format is the
+# profile-friendly shape (one row per (key, metric)).
+# --------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT l_returnflag, metric,
+  CAST(SUM(CAST(val AS decimal(27,2))) AS DOUBLE) AS total
+FROM (
+  UNPIVOT (
+    SELECT l_returnflag,
+           CAST(l_quantity AS DOUBLE) AS qty,
+           CAST(l_extendedprice AS DOUBLE) AS price,
+           CAST(l_discount AS DOUBLE) AS discount
+    FROM lineitem
+  ) ON qty, price, discount INTO NAME metric VALUE val
+)
+GROUP BY l_returnflag, metric
+ORDER BY l_returnflag, metric
+"""
+
+
+@register("unpivot_lineitem_metrics", oracle=_UNPIVOT_ORACLE)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot of three lineitem measures, then per
+    (flag, metric) decimal-exact totals.
+
+    Scale notes: unpivot is a map-only row expansion (3x rows, 1/3
+    width) feeding a map-side-combinable aggregate — the exchange
+    carries only (flag, metric, partial decimal sum).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(
+            F.sum(F.col("val").cast("decimal(27,2)")).cast("double")
+            .alias("total")
+        )
+        .orderBy("l_returnflag", "metric")
+    )
