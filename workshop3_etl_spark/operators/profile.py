@@ -637,3 +637,71 @@ def profile_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------
+# Robust outliers: median/MAD (median absolute deviation) — the
+# outlier rule that survives heavy tails where mean/std (A10) breaks.
+# Exact medians on both sides (percentile == quantile_cont
+# bit-for-bit), so the whole chain is parity-exact.
+# --------------------------------------------------------------------
+
+_MAD_K = 1.4826  # consistency constant: MAD * k estimates sigma
+
+_MAD_ORACLE = f"""
+WITH m AS (
+  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+  FROM lineitem
+),
+d AS (
+  SELECT quantile_cont(abs(CAST(l.l_extendedprice AS DOUBLE) - m.med), 0.5)
+    AS mad, ANY_VALUE(m.med) AS med
+  FROM lineitem l, m
+)
+SELECT
+  d.med AS median_price,
+  d.mad AS mad_price,
+  CAST(COUNT(*) FILTER (
+    WHERE abs(CAST(l.l_extendedprice AS DOUBLE) - d.med)
+          > 3.0 * {_MAD_K} * d.mad
+  ) AS BIGINT) AS n_outliers_3mad
+FROM lineitem l, d
+GROUP BY d.med, d.mad
+"""
+
+
+@register("profile_mad_outliers", oracle=_MAD_ORACLE)
+def profile_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier count via median/MAD on l_extendedprice.
+
+    Two exact-median passes (median, then median absolute deviation)
+    + one filtered count; the scalar stats ride broadcast joins, so
+    the data column is scanned three times but never shuffled — the
+    same two-pass sufficient-statistics shape as describe/zscore.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    med = li.agg(F.expr("percentile(x, 0.5)").alias("med"))
+    mad = (
+        li.crossJoin(F.broadcast(med))
+        .agg(
+            F.expr("percentile(abs(x - med), 0.5)").alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    return (
+        li.crossJoin(F.broadcast(mad))
+        .agg(
+            F.first("med").alias("median_price"),
+            F.first("mad").alias("mad_price"),
+            F.sum(
+                (
+                    F.abs(F.col("x") - F.col("med"))
+                    > 3.0 * _MAD_K * F.col("mad")
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_outliers_3mad"),
+        )
+    )
