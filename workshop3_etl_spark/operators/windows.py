@@ -487,3 +487,96 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------------------------
+# Argmax aggregate: latest event per user via max_by/arg_max — top-1
+# WITHOUT a window (one map-side-combinable aggregate instead of a
+# sort + row_number buffer; the scale-preferred top-1 form).
+# --------------------------------------------------------------------
+
+# Zero-padded sortable key: identical strings in both engines make
+# max_by/arg_max deterministic (epoch-micros alone can tie; event_id
+# breaks the tie inside the key itself).
+_ORD_KEY_SPARK = (
+    "concat(lpad(cast(unix_micros(ts) as string), 20, '0'),"
+    " lpad(cast(event_id as string), 12, '0'))"
+)
+_ORD_KEY_DUCK = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')"
+    " || lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+_LATEST_ORACLE = f"""
+SELECT
+  user_id,
+  arg_max(event_type, {_ORD_KEY_DUCK}) AS last_event_type,
+  arg_max(CAST(value AS DOUBLE), {_ORD_KEY_DUCK}) AS last_value,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("latest_event_per_user", oracle=_LATEST_ORACLE)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's most recent event (type + value) as ONE argmax
+    aggregate — no sort, no window buffer; partial max_by combines
+    map-side, so the exchange carries one candidate row per
+    (partition, user)."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.expr(_ORD_KEY_SPARK)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(F.col("event_type"), key).alias("last_event_type"),
+            F.max_by(F.col("value").cast("double"), key).alias("last_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------
+# Ordered list aggregation: per-user event-type journey string —
+# deterministic collect via sortable struct keys (Spark) == ordered
+# string_agg (DuckDB).
+# --------------------------------------------------------------------
+
+_JOURNEY_ORACLE = f"""
+SELECT
+  user_id,
+  string_agg(event_type, ',' ORDER BY {_ORD_KEY_DUCK}) AS journey,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("journey_events_per_user", oracle=_JOURNEY_ORACLE)
+def journey_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type journey (comma-joined), built as
+    collect_list of (key, type) structs -> array_sort -> transform ->
+    concat — the deterministic ordered-list-agg idiom (collect_list
+    alone has no ordering guarantee under distributed execution).
+
+    Scale notes: per-user journeys assume bounded per-key cardinality
+    (session/user journeys, not the whole fact table); the aggregate
+    is one shuffle keyed by user, and ordering happens inside the
+    finished array, not via a global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                f"concat_ws(',', transform(array_sort(collect_list("
+                f"struct({_ORD_KEY_SPARK} as k, event_type as t))),"
+                f" s -> s.t))"
+            ).alias("journey"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
