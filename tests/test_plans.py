@@ -92,3 +92,23 @@ def test_driver_priority_budget():
                    "dedup_", "profile_", "corpus_", "multimodal_",
                    "q1_", "ml_", "udf_", "happiness_"):
         assert any(n.startswith(family) for n in first50), family
+
+
+def test_queries_catalog_in_sync():
+    """QUERIES.md is generated from the registry; a count drift means
+    someone added a query without regenerating the catalog
+    (tools/dump_queries.py)."""
+    import re
+
+    from workshop3_etl_spark.plans import registry
+
+    registry._ensure_loaded()
+    n_reg = len(registry._REGISTRY)
+    n_oracle = sum(1 for q in registry._REGISTRY.values() if q.oracle)
+    head = open("QUERIES.md").read(400)
+    m = re.search(r"(\d+) queries; (\d+) with DuckDB oracles", head)
+    assert m, "QUERIES.md header missing the generated counts"
+    assert (int(m.group(1)), int(m.group(2))) == (n_reg, n_oracle), (
+        f"QUERIES.md says {m.groups()}, registry has {(n_reg, n_oracle)} — "
+        "run python tools/dump_queries.py"
+    )
