@@ -105,7 +105,10 @@ def test_queries_catalog_in_sync():
     registry._ensure_loaded()
     n_reg = len(registry._REGISTRY)
     n_oracle = sum(1 for q in registry._REGISTRY.values() if q.oracle)
-    head = open("QUERIES.md").read(400)
+    from pathlib import Path
+
+    catalog = Path(__file__).resolve().parent.parent / "QUERIES.md"
+    head = catalog.read_text()[:400]
     m = re.search(r"(\d+) queries; (\d+) with DuckDB oracles", head)
     assert m, "QUERIES.md header missing the generated counts"
     assert (int(m.group(1)), int(m.group(2))) == (n_reg, n_oracle), (

@@ -663,6 +663,10 @@ SELECT
   d.mad AS mad_price,
   CAST(COUNT(*) FILTER (
     WHERE abs(CAST(l.l_extendedprice AS DOUBLE) - d.med)
+          > 1.0 * {_MAD_K} * d.mad
+  ) AS BIGINT) AS n_beyond_1mad,
+  CAST(COUNT(*) FILTER (
+    WHERE abs(CAST(l.l_extendedprice AS DOUBLE) - d.med)
           > 3.0 * {_MAD_K} * d.mad
   ) AS BIGINT) AS n_outliers_3mad
 FROM lineitem l, d
@@ -675,9 +679,14 @@ def profile_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier count via median/MAD on l_extendedprice.
 
     Two exact-median passes (median, then median absolute deviation)
-    + one filtered count; the scalar stats ride broadcast joins, so
+    + filtered counts; the scalar stats ride broadcast joins, so
     the data column is scanned three times but never shuffled — the
     same two-pass sufficient-statistics shape as describe/zscore.
+
+    The 1-MAD band count exists to make the oracle check
+    DISCRIMINATING: uniform-ish bounded TPC-H prices put zero rows
+    beyond 3 scaled MADs at every SF, so without the 1-MAD column a
+    broken predicate would still hash-match 0.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").cast("double").alias("x")
@@ -695,6 +704,14 @@ def profile_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.first("med").alias("median_price"),
             F.first("mad").alias("mad_price"),
+            F.sum(
+                (
+                    F.abs(F.col("x") - F.col("med"))
+                    > 1.0 * _MAD_K * F.col("mad")
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_beyond_1mad"),
             F.sum(
                 (
                     F.abs(F.col("x") - F.col("med"))

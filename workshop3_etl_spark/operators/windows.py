@@ -424,13 +424,14 @@ clicks AS (
   SELECT e.user_id, MIN(e.ts) AS t_click
   FROM events e JOIN per_user p ON e.user_id = p.user_id
   WHERE e.event_type = 'click' AND p.t_view IS NOT NULL
-    AND e.ts >= p.t_view
+    AND e.ts >= p.t_view AND e.ts <= p.t_view + INTERVAL 1 DAY
   GROUP BY e.user_id
 ),
 purchases AS (
   SELECT e.user_id
   FROM events e JOIN clicks c ON e.user_id = c.user_id
-  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= c.t_click AND e.ts <= c.t_click + INTERVAL 1 DAY
   GROUP BY e.user_id
 )
 SELECT
@@ -445,9 +446,13 @@ SELECT
 
 @register("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE)
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stage counts for the view -> click -> purchase funnel (clicks
-    count only at-or-after the user's FIRST view; purchases only
-    at-or-after the first qualifying click).
+    """Stage counts for the view -> click -> purchase funnel: clicks
+    count only within ONE DAY at-or-after the user's FIRST view;
+    purchases only within one day at-or-after the first qualifying
+    click. The day bounds are what make the stages (and therefore
+    the oracle check) discriminating — with month-long event streams
+    an unbounded 'ever after' funnel converts every user, and a
+    broken ordering predicate would be invisible.
 
     Scale notes: three aggregates keyed by user_id plus two
     user_id-equi-joins — every stage frame is one row per user, all
@@ -458,17 +463,24 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
     )
+    day = F.expr("INTERVAL 1 DAY")
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .join(per_user.filter(F.col("t_view").isNotNull()), "user_id")
-        .filter(F.col("ts") >= F.col("t_view"))
+        .filter(
+            (F.col("ts") >= F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + day)
+        )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .join(clicks, "user_id")
-        .filter(F.col("ts") >= F.col("t_click"))
+        .filter(
+            (F.col("ts") >= F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + day)
+        )
         .select("user_id")
         .distinct()
     )
@@ -524,14 +536,26 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each user's most recent event (type + value) as ONE argmax
     aggregate — no sort, no window buffer; partial max_by combines
     map-side, so the exchange carries one candidate row per
-    (partition, user)."""
+    (partition, user).
+
+    NULL parity: DuckDB's arg_max SKIPS rows whose argument is NULL
+    (returns the latest non-NULL one) while Spark's max_by would
+    return the NULL at the max key — so each argmax nulls its
+    ordering key when its own argument is NULL, reproducing the
+    skip-null semantics exactly (empirically verified; the events
+    schema is nullable even though current fixtures carry no nulls).
+    """
     ev = load_table(spark, sf_dir, "events")
     key = F.expr(_ORD_KEY_SPARK)
+    val = F.col("value").cast("double")
     return (
         ev.groupBy("user_id")
         .agg(
-            F.max_by(F.col("event_type"), key).alias("last_event_type"),
-            F.max_by(F.col("value").cast("double"), key).alias("last_value"),
+            F.max_by(
+                F.col("event_type"),
+                F.when(F.col("event_type").isNotNull(), key),
+            ).alias("last_event_type"),
+            F.max_by(val, F.when(val.isNotNull(), key)).alias("last_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("user_id")
