@@ -756,3 +756,48 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "metric")
     )
+
+
+# --------------------------------------------------------------------
+# Recursive CTE (Spark 4.x WITH RECURSIVE): calendar-spine generation
+# + left join so empty months appear as zero rows — the
+# fill-the-gaps reporting pattern a plain GROUP BY cannot express.
+# --------------------------------------------------------------------
+
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE spine(month_start) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00' AS month_start
+  UNION ALL
+  SELECT month_start + INTERVAL 1 MONTH FROM spine
+  WHERE month_start < TIMESTAMP '2001-12-01 00:00:00'
+),
+monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS decimal(27,2))) AS DOUBLE)
+           AS total_price
+  FROM orders GROUP BY 1
+)
+SELECT
+  s.month_start,
+  COALESCE(m.n_orders, 0) AS n_orders,
+  COALESCE(m.total_price, 0.0) AS total_price
+FROM spine s LEFT JOIN monthly m ON s.month_start = m.m
+ORDER BY s.month_start
+"""
+
+
+@register("sql_recursive_month_spine", oracle=_RECURSIVE_SPINE_SQL)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order counts over a RECURSIVELY generated 84-month
+    calendar spine (1995-01..2001-12) — months with zero orders
+    surface as explicit zero rows.
+
+    Spark 4's WITH RECURSIVE executes the same text DuckDB runs, so
+    the oracle IS the query. Scale notes: the spine is 84 rows
+    (driver-side trivial, broadcast into the join); the fact side
+    aggregates BEFORE the join, so the spine join touches one row per
+    month, not per order.
+    """
+    register_views(spark, sf_dir, only=("orders",))
+    return spark.sql(_RECURSIVE_SPINE_SQL)
