@@ -801,3 +801,39 @@ def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, only=("orders",))
     return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+# --------------------------------------------------------------------
+# LATERAL correlated subquery: per-group top-N where the inner query
+# re-executes per outer row — the SQL-standard alternative to a
+# ranking window when N is small and the outer side is tiny.
+# --------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT s.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = s.c_mktsegment
+  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+) t
+ORDER BY s.c_mktsegment, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+@register("sql_lateral_top_orders_per_segment", oracle=_LATERAL_SQL)
+def sql_lateral_top_orders_per_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-2 orders per market segment via a LATERAL correlated
+    subquery (identical text runs on both engines — the oracle IS the
+    query; unique tie-breaker inside the correlated LIMIT).
+
+    Scale notes: Catalyst decorrelates the lateral into a join +
+    per-group limit; with 5 outer segments the correlated form is
+    fine — at high outer cardinality the ranking-window form
+    (window_top3_per_supplier) is the scale path.
+    """
+    register_views(spark, sf_dir, only=("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)
