@@ -66,13 +66,13 @@ s AS (
     m.n AS n, m.mx AS mx, m.my AS my,
     CAST(SUM(CAST((CAST(l_quantity AS DOUBLE) - m.mx)
                   * (CAST(l_extendedprice AS DOUBLE) - m.my)
-                  / CAST(m.n AS DOUBLE) AS decimal(27,9))) AS DOUBLE) AS cov_xy,
+                  / CAST(m.n AS DOUBLE) AS decimal(27,6))) AS DOUBLE) AS cov_xy,
     CAST(SUM(CAST((CAST(l_quantity AS DOUBLE) - m.mx)
                   * (CAST(l_quantity AS DOUBLE) - m.mx)
-                  / CAST(m.n AS DOUBLE) AS decimal(27,9))) AS DOUBLE) AS var_x,
+                  / CAST(m.n AS DOUBLE) AS decimal(27,6))) AS DOUBLE) AS var_x,
     CAST(SUM(CAST((CAST(l_extendedprice AS DOUBLE) - m.my)
                   * (CAST(l_extendedprice AS DOUBLE) - m.my)
-                  / CAST(m.n AS DOUBLE) AS decimal(27,9))) AS DOUBLE) AS var_y
+                  / CAST(m.n AS DOUBLE) AS decimal(27,6))) AS DOUBLE) AS var_y
   FROM lineitem, m
   GROUP BY m.n, m.mx, m.my
 )
@@ -107,9 +107,9 @@ def ml_ols_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.crossJoin(F.broadcast(m))
         .groupBy("n", "mx", "my")
         .agg(
-            F.sum((dx * dy / nn).cast("decimal(27,9)")).cast("double").alias("cov_xy"),
-            F.sum((dx * dx / nn).cast("decimal(27,9)")).cast("double").alias("var_x"),
-            F.sum((dy * dy / nn).cast("decimal(27,9)")).cast("double").alias("var_y"),
+            F.sum((dx * dy / nn).cast("decimal(27,6)")).cast("double").alias("cov_xy"),
+            F.sum((dx * dx / nn).cast("decimal(27,6)")).cast("double").alias("var_x"),
+            F.sum((dy * dy / nn).cast("decimal(27,6)")).cast("double").alias("var_y"),
         )
     )
     beta = F.col("cov_xy") / F.col("var_x")

@@ -462,7 +462,7 @@ SELECT
     AS n_near_dups_08,
   CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
     AS n_near_dups_05,
-  CAST(SUM(CAST(jaccard AS decimal(18,12))) AS DOUBLE) AS sum_jaccard
+  CAST(SUM(CAST(jaccard AS decimal(27,6))) AS DOUBLE) AS sum_jaccard
 FROM pairs
 """
 
@@ -506,7 +506,7 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_near_dups_08"),
         F.sum((F.col("jaccard") >= 0.5).cast("int")).cast("long")
         .alias("n_near_dups_05"),
-        F.sum(F.col("jaccard").cast("decimal(18,12)")).cast("double")
+        F.sum(F.col("jaccard").cast("decimal(27,6)")).cast("double")
         .alias("sum_jaccard"),
     )
 

@@ -40,6 +40,24 @@ from workshop3_etl_spark.sources.tables import load_table
 
 _LI_NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
+# Magnitude-aware decimal scales for the /n-normalized moment sums.
+# The sums are SF-invariant (≈ var/cov), so the bound to protect is
+# value x 10^scale < 2^53 at ANY scale factor: big-valued columns
+# (price var ~4e8) need a COARSE scale, tiny-valued ones (discount
+# var ~1e-3) need a FINE one or their per-row terms round to zero.
+# Cross-pairs use the midpoint (geometric middle of the magnitudes).
+_MOMENT_SCALE = {
+    "l_quantity": 6,
+    "l_extendedprice": 6,
+    "l_discount": 12,
+    "l_tax": 12,
+}
+
+
+def _pair_scale(a: str, b: str) -> int:
+    return (_MOMENT_SCALE[a] + _MOMENT_SCALE[b]) // 2
+
+
 
 # Pass-1 means are deterministic per (sf_dir, table, column) — the
 # driver/bench run dozens of profile queries against immutable
@@ -101,7 +119,7 @@ SELECT
   '{c}' AS column_name,
   m.n AS n,
   m.mean AS mean,
-  SQRT(CAST(SUM(CAST((CAST(l.{c} AS DOUBLE) - m.mean) * (CAST(l.{c} AS DOUBLE) - m.mean) / CAST(m.n - 1 AS DOUBLE) AS decimal(27,6))) AS DOUBLE)) AS stddev_samp,
+  SQRT(CAST(SUM(CAST((CAST(l.{c} AS DOUBLE) - m.mean) * (CAST(l.{c} AS DOUBLE) - m.mean) / CAST(m.n - 1 AS DOUBLE) AS decimal(27,{_MOMENT_SCALE[c]}))) AS DOUBLE)) AS stddev_samp,
   MIN(CAST(l.{c} AS DOUBLE)) AS min_value,
   MAX(CAST(l.{c} AS DOUBLE)) AS max_value
 FROM lineitem l, ({_oracle_mean_cte('lineitem', c)}) m
@@ -130,7 +148,9 @@ def profile_describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(c).cast("long").alias(f"cnt_{c}"),
                 F.sqrt(
                     F.sum(
-                        (dev * dev / F.lit(float(n - 1))).cast("decimal(27,6)")
+                        (dev * dev / F.lit(float(n - 1))).cast(
+                            f"decimal(27,{_MOMENT_SCALE[c]})"
+                        )
                     ).cast("double")
                 ).alias(f"std_{c}"),
                 F.min(F.col(c).cast("double")).alias(f"min_{c}"),
@@ -239,7 +259,7 @@ SELECT
   ) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM lineitem l,
      ({_oracle_mean_cte('lineitem', c)}) m,
-     (SELECT CAST(SUM(CAST((CAST(l2.{c} AS DOUBLE) - m2.mean) * (CAST(l2.{c} AS DOUBLE) - m2.mean) / CAST(m2.n AS DOUBLE) AS decimal(27,6))) AS DOUBLE) AS var_pop
+     (SELECT CAST(SUM(CAST((CAST(l2.{c} AS DOUBLE) - m2.mean) * (CAST(l2.{c} AS DOUBLE) - m2.mean) / CAST(m2.n AS DOUBLE) AS decimal(27,{_MOMENT_SCALE[c]}))) AS DOUBLE) AS var_pop
       FROM lineitem l2, ({_oracle_mean_cte('lineitem', c)}) m2
       GROUP BY m2.n) s
 GROUP BY m.n""")
@@ -258,7 +278,11 @@ def profile_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, mean = means[c]
         dev = F.col(c).cast("double") - F.lit(mean)
         var_aggs.append(
-            F.sum((dev * dev / F.lit(float(n or 1))).cast("decimal(27,6)"))
+            F.sum(
+                (dev * dev / F.lit(float(n or 1))).cast(
+                    f"decimal(27,{_MOMENT_SCALE[c]})"
+                )
+            )
             .cast("double")
             .alias(f"v_{c}")
         )
@@ -399,14 +423,15 @@ _CORR_PAIRS = [
 def _corr_oracle() -> str:
     parts = []
     for a, b in _CORR_PAIRS:
+        sab, saa, sbb = _pair_scale(a, b), _pair_scale(a, a), _pair_scale(b, b)
         parts.append(f"""
 SELECT
   '{a}' AS col_a,
   '{b}' AS col_b,
-  CAST(SUM(CAST((CAST(l.{a} AS DOUBLE) - ma.mean) * (CAST(l.{b} AS DOUBLE) - mb.mean) / CAST(ma.n AS DOUBLE) AS decimal(27,9))) AS DOUBLE)
+  CAST(SUM(CAST((CAST(l.{a} AS DOUBLE) - ma.mean) * (CAST(l.{b} AS DOUBLE) - mb.mean) / CAST(ma.n AS DOUBLE) AS decimal(27,{sab}))) AS DOUBLE)
   / SQRT(
-      CAST(SUM(CAST((CAST(l.{a} AS DOUBLE) - ma.mean) * (CAST(l.{a} AS DOUBLE) - ma.mean) / CAST(ma.n AS DOUBLE) AS decimal(27,9))) AS DOUBLE)
-      * CAST(SUM(CAST((CAST(l.{b} AS DOUBLE) - mb.mean) * (CAST(l.{b} AS DOUBLE) - mb.mean) / CAST(ma.n AS DOUBLE) AS decimal(27,9))) AS DOUBLE)
+      CAST(SUM(CAST((CAST(l.{a} AS DOUBLE) - ma.mean) * (CAST(l.{a} AS DOUBLE) - ma.mean) / CAST(ma.n AS DOUBLE) AS decimal(27,{saa}))) AS DOUBLE)
+      * CAST(SUM(CAST((CAST(l.{b} AS DOUBLE) - mb.mean) * (CAST(l.{b} AS DOUBLE) - mb.mean) / CAST(ma.n AS DOUBLE) AS decimal(27,{sbb}))) AS DOUBLE)
     ) AS corr_pearson
 FROM lineitem l,
      ({_oracle_mean_cte('lineitem', a)}) ma,
@@ -439,12 +464,15 @@ def profile_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         nn = F.lit(float(n))
         aggs.extend(
             [
-                F.sum((da * db / nn).cast("decimal(27,9)")).cast("double")
-                .alias(f"cov_{i}"),
-                F.sum((da * da / nn).cast("decimal(27,9)")).cast("double")
-                .alias(f"va_{i}"),
-                F.sum((db * db / nn).cast("decimal(27,9)")).cast("double")
-                .alias(f"vb_{i}"),
+                F.sum(
+                    (da * db / nn).cast(f"decimal(27,{_pair_scale(a, b)})")
+                ).cast("double").alias(f"cov_{i}"),
+                F.sum(
+                    (da * da / nn).cast(f"decimal(27,{_pair_scale(a, a)})")
+                ).cast("double").alias(f"va_{i}"),
+                F.sum(
+                    (db * db / nn).cast(f"decimal(27,{_pair_scale(b, b)})")
+                ).cast("double").alias(f"vb_{i}"),
             ]
         )
     wide = li.agg(*aggs)
@@ -475,7 +503,7 @@ WITH q AS (
 )
 SELECT
   CAST(COUNT(*) AS BIGINT) AS n,
-  CAST(SUM(CAST(GREATEST(q.lo, LEAST(q.hi, CAST(o_totalprice AS DOUBLE))) AS decimal(27,6))) AS DOUBLE)
+  CAST(SUM(CAST(GREATEST(q.lo, LEAST(q.hi, CAST(o_totalprice AS DOUBLE))) AS decimal(27,4))) AS DOUBLE)
   / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean,
   q.lo AS clip_lo,
   q.hi AS clip_hi
@@ -501,7 +529,7 @@ def profile_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.count(F.lit(1)).alias("n"),
             (
-                F.sum(clipped.cast("decimal(27,6)")).cast("double")
+                F.sum(clipped.cast("decimal(27,4)")).cast("double")
                 / F.count(F.lit(1)).cast("double")
             ).alias("winsorized_mean"),
             F.first("lo").alias("clip_lo"),
