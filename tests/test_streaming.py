@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
-from workshop3_etl_spark.sources.tables import load_table
+from workshop3_etl_spark.sources.tables import load_table, normalize_event_ts
 from workshop3_etl_spark.streaming.stateful import per_key_online_metrics
 from workshop3_etl_spark.streaming.upsert import sqlite_upsert_batch
 
@@ -20,13 +20,11 @@ def test_stateful_welford_matches_batch(spark, tmp_path):
     stream must equal the batch groupBy aggregates — the A12
     'Welford == var_pop/avg' equivalence SURVEY flags."""
     static = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(static.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF_SMOKE)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .withColumn("abs_err", F.abs(F.col("value") - F.lit(100.0)))
-    )
+    ).withColumn("abs_err", F.abs(F.col("value") - F.lit(100.0)))
     out = per_key_online_metrics(stream)
     sink = "stateful_welford_test"
     (

@@ -72,27 +72,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _load_raw(spark, sf_dir, name)
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-timezone TIMESTAMP at
+    microsecond precision, whatever type the parquet reader produced.
+
+    events.parquet carries TIMESTAMP(NANOS); how Spark surfaces that
+    depends on version and session conf:
+
+    - ``bigint`` — epoch nanos, when ``nanosAsLong`` applied (<=4.0
+      sessions that set the legacy conf at build time);
+    - ``timestamp_ntz`` — Spark 4.1+ reads nanos natively as NTZ,
+      truncated to micros, regardless of the legacy conf;
+    - ``timestamp`` — already normalized (cached frames).
+
+    All three converge to the same instant under the UTC session
+    timezone, matching DuckDB's naive-micros semantics.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        # integer div — float division would lose precision on ns
+        # epochs (~1.7e18 > 2^53).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        # NTZ wall-clock is UTC epoch time; the cast under the UTC
+        # session tz (pinned in _load_raw) preserves the instant.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS), which Spark rejects
-    # unless nanosAsLong is set. The conf is runtime-settable and must
-    # hold in ANY session that loads tables (the correctness driver
-    # builds its own SparkSession without session.py), so set it here
-    # at the single load chokepoint rather than only at session build.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Older Spark rejects TIMESTAMP(NANOS) footers unless this legacy
+    # conf is set; 4.1+ ignores it and reads NTZ natively. Set it
+    # defensively at the single load chokepoint so ANY session (the
+    # correctness driver builds its own, without session.py) can load.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed in some versions — native read handles it
     # Timestamp-derived results (year(), window(), date_trunc) follow
     # the session timezone; the DuckDB oracle is timezone-naive (UTC
     # semantics), so pin it here too, not only in session.py.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is read as a nanos long (conf above). Truncate to micros —
-        # the same conversion DuckDB applies — so downstream timestamp
-        # semantics agree across engines.
-        from pyspark.sql import functions as F
-
-        # integer div — float division would lose precision on ns
-        # epochs (~1.7e18 > 2^53).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_event_ts(df)
     return df
 
 

@@ -91,13 +91,14 @@ ORDER BY window_start, event_type
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (nanos ts normalized
     to micros exactly as sources.tables.load_table does)."""
+    from workshop3_etl_spark.sources.tables import normalize_event_ts
+
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(static.schema)
         # file sources need a directory; glob-filter down to events
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
     return stream
 
