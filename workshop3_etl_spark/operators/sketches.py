@@ -1,0 +1,370 @@
+"""Distinct-count / similarity / quantile SKETCHES — the approximate
+operators a 100 TB profiling pass actually runs (exact COUNT(DISTINCT)
+over billions of keys is a full shuffle of every key; a sketch is a
+few KB per partition and map-side combinable).
+
+Two tiers, mirroring how production engines expose sketches:
+
+1. **Deterministic KMV (K-minimum-values) sketches** built from an
+   explicit universal hash ``((key % p) * a + b) % p`` over the
+   Mersenne prime p = 2^31 - 1. Because the hash is plain 64-bit
+   integer arithmetic, DuckDB reproduces it bit-for-bit, so these
+   queries are full hash-compare oracled — the estimator itself is
+   checked cross-engine, not just "close enough". Intermediates are
+   bounded by (p-1)*a < 2^62, so the arithmetic never overflows
+   BIGINT at any key magnitude (keys are reduced mod p first).
+2. **Native sketches** (Spark HyperLogLog++ `approx_count_distinct`,
+   `approx_percentile`) checked at the *contract* level: each engine
+   runs its own sketch and the query surfaces whether the estimate
+   lands within the documented error bound of the exact answer. The
+   oracle is DuckDB's own approx aggregates under the same bound —
+   both engines independently assert the same semantic contract
+   (booleans hash-compare), since the raw estimates are
+   algorithm-specific and cannot match across engines.
+
+Scale notes (100 TB):
+- The KMV build is `distinct` over a 4-byte hash domain (≤ p values)
+  followed by TakeOrdered(k) — partial dedup map-side, per-partition
+  k-heaps, one narrow shuffle; no payload ever moves.
+- Estimator math happens on a k-row frame (driver-trivial).
+- The union/Jaccard sketch composes by unioning hash sets BEFORE the
+  k-cut, which is exactly how KMV/theta sketches merge on a
+  combiner tree; per-set membership flags ride along as 0/1 ints.
+
+Reference parity: the reference has no sketch surface (pandas
+`nunique()` at `src/eda.py` scale); this family is part of the
+training-data-pipeline extension mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workshop3_etl_spark.plans.registry import register
+from workshop3_etl_spark.sources.tables import load_table
+
+# Universal hash constants. p is the Mersenne prime 2^31-1; a, b are
+# the classic glibc LCG multiplier/increment (public constants). Any
+# (a, b) with 0 < a < p works; fixed values make both engines and
+# every rerun produce identical sketches.
+HASH_P = 2_147_483_647
+HASH_A = 1_103_515_245
+HASH_B = 12_345
+
+# One SQL snippet, used VERBATIM by both the Spark plan (F.expr) and
+# the DuckDB oracle — the cross-engine contract is the text itself.
+def hash_sql(key: str) -> str:
+    return f"((({key} % {HASH_P}) * {HASH_A} + {HASH_B}) % {HASH_P})"
+
+
+KMV_K = 256  # ~1/sqrt(k) ≈ 6% standard error
+
+
+# --------------------------------------------------------------------
+# KMV distinct-count sketch (oracled bit-identical).
+# --------------------------------------------------------------------
+
+_KMV_DISTINCT_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT {hash_sql('l_orderkey')} AS hv FROM lineitem
+),
+kmin AS (
+  SELECT hv FROM h ORDER BY hv LIMIT {KMV_K}
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS kmv_k,
+         CAST(MAX(hv) AS BIGINT) AS kth_min_hash
+  FROM kmin
+),
+e AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+  FROM lineitem
+)
+SELECT
+  e.exact_distinct,
+  s.kmv_k,
+  s.kth_min_hash,
+  CASE WHEN s.kmv_k < {KMV_K} THEN CAST(s.kmv_k AS DOUBLE)
+       ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({HASH_P} AS DOUBLE)
+            / CAST(s.kth_min_hash AS DOUBLE)
+  END AS kmv_estimate,
+  ABS(
+    CASE WHEN s.kmv_k < {KMV_K} THEN CAST(s.kmv_k AS DOUBLE)
+         ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({HASH_P} AS DOUBLE)
+              / CAST(s.kth_min_hash AS DOUBLE)
+    END - CAST(e.exact_distinct AS DOUBLE)
+  ) / CAST(e.exact_distinct AS DOUBLE) AS rel_error
+FROM s, e
+"""
+
+
+@register("sketch_kmv_distinct_orderkeys", oracle=_KMV_DISTINCT_ORACLE)
+def sketch_kmv_distinct_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count estimate of lineitem.l_orderkey vs exact.
+
+    Plan: hash → distinct (narrow int column, map-side partial dedup)
+    → TakeOrdered(k) → single-row estimator math. The exact
+    COUNT(DISTINCT) rides the same scan for the comparison column.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    hv = li.select(F.expr(hash_sql("l_orderkey")).alias("hv")).distinct()
+    kmin = hv.orderBy("hv").limit(KMV_K)
+    s = kmin.agg(
+        F.count(F.lit(1)).alias("kmv_k"),
+        F.max("hv").cast("long").alias("kth_min_hash"),
+    )
+    e = li.agg(F.count_distinct("l_orderkey").alias("exact_distinct"))
+    est = (
+        F.when(
+            F.col("kmv_k") < KMV_K, F.col("kmv_k").cast("double")
+        ).otherwise(
+            F.lit(float(KMV_K - 1))
+            * F.lit(float(HASH_P))
+            / F.col("kth_min_hash").cast("double")
+        )
+    )
+    return s.crossJoin(F.broadcast(e)).select(
+        F.col("exact_distinct"),
+        F.col("kmv_k"),
+        F.col("kth_min_hash"),
+        est.alias("kmv_estimate"),
+        (
+            F.abs(est - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_error"),
+    )
+
+
+# --------------------------------------------------------------------
+# KMV union / intersection / Jaccard between two key sets
+# (theta-sketch-style set algebra, oracled bit-identical).
+# --------------------------------------------------------------------
+
+_KMV_JACCARD_ORACLE = f"""
+WITH o AS (
+  SELECT o_custkey, YEAR(o_orderdate) AS y
+  FROM orders
+  WHERE YEAR(o_orderdate) IN (1995, 1996)
+),
+f AS (
+  SELECT {hash_sql('o_custkey')} AS hv,
+         MAX(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS in_x,
+         MAX(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS in_y
+  FROM o GROUP BY 1
+),
+u AS (
+  SELECT hv, in_x, in_y FROM f ORDER BY hv LIMIT {KMV_K}
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS kmv_k,
+         CAST(MAX(hv) AS BIGINT) AS kth_min_hash,
+         CAST(SUM(in_x * in_y) AS BIGINT) AS kmv_n_both
+  FROM u
+),
+e AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+         CAST(SUM(CASE WHEN hx = 1 AND hy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_intersection
+  FROM (
+    SELECT o_custkey,
+           MAX(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS hx,
+           MAX(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS hy
+    FROM o GROUP BY 1
+  )
+)
+SELECT
+  e.exact_union,
+  e.exact_intersection,
+  CAST(e.exact_intersection AS DOUBLE) / CAST(e.exact_union AS DOUBLE)
+    AS exact_jaccard,
+  s.kmv_k,
+  s.kmv_n_both,
+  CAST(s.kmv_n_both AS DOUBLE) / CAST(s.kmv_k AS DOUBLE) AS kmv_jaccard_est,
+  CASE WHEN s.kmv_k < {KMV_K} THEN CAST(s.kmv_k AS DOUBLE)
+       ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({HASH_P} AS DOUBLE)
+            / CAST(s.kth_min_hash AS DOUBLE)
+  END AS kmv_union_est
+FROM s, e
+"""
+
+
+@register("sketch_kmv_jaccard_custkeys", oracle=_KMV_JACCARD_ORACLE)
+def sketch_kmv_jaccard_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta set algebra: union size, intersection share and
+    Jaccard between the 1995 and 1996 active-customer sets.
+
+    The k smallest hashes of the UNION carry per-set membership flags;
+    Jaccard = share of those flagged in both. This is exactly how KMV
+    sketches merge across partitions/sets at scale — the k-cut happens
+    after the hash-set union, and only (hash, flag) pairs move.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", F.year("o_orderdate").alias("y"))
+        .filter(F.col("y").isin(1995, 1996))
+    )
+    f = o.groupBy(F.expr(hash_sql("o_custkey")).alias("hv")).agg(
+        F.max(F.when(F.col("y") == 1995, 1).otherwise(0)).alias("in_x"),
+        F.max(F.when(F.col("y") == 1996, 1).otherwise(0)).alias("in_y"),
+    )
+    u = f.orderBy("hv").limit(KMV_K)
+    s = u.agg(
+        F.count(F.lit(1)).alias("kmv_k"),
+        F.max("hv").cast("long").alias("kth_min_hash"),
+        F.sum(F.col("in_x") * F.col("in_y")).cast("long").alias("kmv_n_both"),
+    )
+    e = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("y") == 1995, 1).otherwise(0)).alias("hx"),
+            F.max(F.when(F.col("y") == 1996, 1).otherwise(0)).alias("hy"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("exact_union"),
+            F.sum(
+                F.when((F.col("hx") == 1) & (F.col("hy") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+    )
+    return s.crossJoin(F.broadcast(e)).select(
+        "exact_union",
+        "exact_intersection",
+        (
+            F.col("exact_intersection").cast("double")
+            / F.col("exact_union").cast("double")
+        ).alias("exact_jaccard"),
+        "kmv_k",
+        "kmv_n_both",
+        (
+            F.col("kmv_n_both").cast("double") / F.col("kmv_k").cast("double")
+        ).alias("kmv_jaccard_est"),
+        F.when(F.col("kmv_k") < KMV_K, F.col("kmv_k").cast("double"))
+        .otherwise(
+            F.lit(float(KMV_K - 1))
+            * F.lit(float(HASH_P))
+            / F.col("kth_min_hash").cast("double")
+        )
+        .alias("kmv_union_est"),
+    )
+
+
+# --------------------------------------------------------------------
+# Deterministic hash-threshold sample → exact quantiles over the
+# sample (the scale path for quantile profiling: the full-data exact
+# quantile needs a global sort; the sampled one reads ~10% and the
+# sample is REPRODUCIBLE, not rand()-dependent).
+# --------------------------------------------------------------------
+
+# l_linenumber ∈ [1,7] so (l_orderkey * 8 + l_linenumber) is a unique
+# row key in pure integer arithmetic at any SF.
+_ROWKEY = "(l_orderkey * 8 + l_linenumber)"
+_SAMPLE_DEN = 10  # keep hv in the lowest 1/10 of the hash range
+
+_SAMPLED_QUANTILE_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS price
+  FROM lineitem
+  WHERE {hash_sql(_ROWKEY)} * {_SAMPLE_DEN} < {HASH_P}
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS sample_n,
+  quantile_cont(price, 0.25) AS q25,
+  quantile_cont(price, 0.50) AS q50,
+  quantile_cont(price, 0.75) AS q75,
+  quantile_cont(price, 0.95) AS q95
+FROM s
+"""
+
+
+@register("sketch_sampled_quantiles_price", oracle=_SAMPLED_QUANTILE_ORACLE)
+def sketch_sampled_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles over a deterministic ~10% sample.
+
+    The sample predicate is a pure-integer hash threshold on a unique
+    row key — map-only, pushdown-friendly, identical row set in every
+    engine/run (unlike ``TABLESAMPLE``/``rand()``). Spark
+    ``percentile`` == DuckDB ``quantile_cont`` bit-for-bit on the same
+    input set (A8-established parity).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    s = li.filter(
+        F.expr(f"{hash_sql(_ROWKEY)} * {_SAMPLE_DEN} < {HASH_P}")
+    ).select(F.col("l_extendedprice").cast("double").alias("price"))
+    return s.agg(
+        F.count(F.lit(1)).alias("sample_n"),
+        F.expr("percentile(price, 0.25)").alias("q25"),
+        F.expr("percentile(price, 0.50)").alias("q50"),
+        F.expr("percentile(price, 0.75)").alias("q75"),
+        F.expr("percentile(price, 0.95)").alias("q95"),
+    )
+
+
+# --------------------------------------------------------------------
+# Native sketches, contract-level oracle: each engine runs ITS OWN
+# HLL / approx-quantile implementation and asserts the estimate lands
+# inside the documented error bound of the exact answer. The surfaced
+# booleans (plus the exact references) hash-compare; the raw
+# estimates are engine-specific by nature and are not surfaced.
+# --------------------------------------------------------------------
+
+_NATIVE_BOUND_ORACLE = """
+WITH m AS (
+  SELECT
+    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+    approx_count_distinct(l_orderkey) AS approx_d,
+    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS exact_median,
+    approx_quantile(CAST(l_extendedprice AS DOUBLE), 0.5) AS approx_m
+  FROM lineitem
+)
+SELECT
+  exact_distinct,
+  ABS(CAST(approx_d AS DOUBLE) - CAST(exact_distinct AS DOUBLE))
+    / CAST(exact_distinct AS DOUBLE) < 0.05 AS hll_within_5pct,
+  ABS(approx_m - exact_median) / exact_median < 0.05
+    AS median_within_5pct
+FROM m
+"""
+
+
+@register("sketch_native_approx_bounds", oracle=_NATIVE_BOUND_ORACLE)
+def sketch_native_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count and approx-percentile median,
+    asserted against their error contracts (±5% of exact).
+
+    Raw HLL registers differ engine to engine, so the cross-engine
+    check is the CONTRACT: both engines surface `estimate within 5%
+    of exact` booleans plus the exact distinct count. Spark side uses
+    rsd=0.01 (±1% target) and accuracy=10000 — well inside the bound.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count_distinct("l_orderkey").alias("exact_distinct"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_d"),
+        F.expr(
+            "percentile(CAST(l_extendedprice AS DOUBLE), 0.5)"
+        ).alias("exact_median"),
+        F.expr(
+            "approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, 10000)"
+        ).alias("approx_m"),
+    )
+    return m.select(
+        "exact_distinct",
+        (
+            F.abs(
+                F.col("approx_d").cast("double")
+                - F.col("exact_distinct").cast("double")
+            )
+            / F.col("exact_distinct").cast("double")
+            < 0.05
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("approx_m") - F.col("exact_median"))
+            / F.col("exact_median")
+            < 0.05
+        ).alias("median_within_5pct"),
+    )

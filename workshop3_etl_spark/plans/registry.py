@@ -152,6 +152,7 @@ def _ensure_loaded() -> None:
         profile,
         relational,
         similarity,
+        sketches,
         text,
         windows,
     )
