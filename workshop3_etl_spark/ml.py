@@ -121,6 +121,127 @@ def ml_ols_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# Two-regressor OLS via the closed-form normal equations (the next
+# step up from the single-feature fit; still pure SQL — the 2x2
+# normal-equation solve has an explicit determinant formula, so no
+# linear-algebra library is needed and DuckDB can mirror it exactly).
+# --------------------------------------------------------------------
+
+_OLS2_ORACLE = """
+WITH j AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x1,
+         CAST(p_retailprice AS DOUBLE) AS x2,
+         CAST(l_extendedprice AS DOUBLE) AS y,
+         l_quantity, p_retailprice, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+m AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(l_quantity AS decimal(27,2))) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS m1,
+    CAST(SUM(CAST(p_retailprice AS decimal(27,2))) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS m2,
+    CAST(SUM(CAST(l_extendedprice AS decimal(27,2))) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE) AS my
+  FROM j
+),
+s AS (
+  SELECT
+    m.n AS n, m.m1 AS m1, m.m2 AS m2, m.my AS my,
+    CAST(SUM(CAST((x1 - m.m1) * (x1 - m.m1) / CAST(m.n AS DOUBLE)
+                  AS decimal(27,6))) AS DOUBLE) AS s11,
+    CAST(SUM(CAST((x2 - m.m2) * (x2 - m.m2) / CAST(m.n AS DOUBLE)
+                  AS decimal(27,6))) AS DOUBLE) AS s22,
+    CAST(SUM(CAST((x1 - m.m1) * (x2 - m.m2) / CAST(m.n AS DOUBLE)
+                  AS decimal(27,6))) AS DOUBLE) AS s12,
+    CAST(SUM(CAST((x1 - m.m1) * (y - m.my) / CAST(m.n AS DOUBLE)
+                  AS decimal(27,6))) AS DOUBLE) AS s1y,
+    CAST(SUM(CAST((x2 - m.m2) * (y - m.my) / CAST(m.n AS DOUBLE)
+                  AS decimal(27,6))) AS DOUBLE) AS s2y,
+    CAST(SUM(CAST((y - m.my) * (y - m.my) / CAST(m.n AS DOUBLE)
+                  AS decimal(27,6))) AS DOUBLE) AS syy
+  FROM j, m
+  GROUP BY 1, 2, 3, 4
+)
+SELECT
+  n,
+  (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS beta1,
+  (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS beta2,
+  my - (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) * m1
+     - (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) * m2 AS alpha,
+  ((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) * s1y
+   + (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) * s2y) / syy AS r2
+FROM s
+"""
+
+
+@register("ml_ols2_qty_retailprice", oracle=_OLS2_ORACLE)
+def ml_ols2_qty_retailprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS: extendedprice ~ quantity + part retailprice.
+
+    Closed-form 2x2 normal-equation solve over centered second
+    moments; the moment sums are exact decimals scaled by 1/n (so
+    their magnitude is SF-independent) and every post-aggregate op is
+    the same IEEE double expression tree DuckDB evaluates. The join
+    feeds the regression without materializing: one broadcast-or-
+    shuffle join, one mean pass, one moment pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.col("l_quantity").cast("decimal(27,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m1"),
+        (
+            F.sum(F.col("p_retailprice").cast("decimal(27,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m2"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(27,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("my"),
+    )
+    d1 = F.col("l_quantity").cast("double") - F.col("m1")
+    d2 = F.col("p_retailprice").cast("double") - F.col("m2")
+    dy = F.col("l_extendedprice").cast("double") - F.col("my")
+    nn = F.col("n").cast("double")
+
+    def mom(e, alias):
+        return F.sum(e.cast("decimal(27,6)")).cast("double").alias(alias)
+
+    s = (
+        j.crossJoin(F.broadcast(m))
+        .groupBy("n", "m1", "m2", "my")
+        .agg(
+            mom(d1 * d1 / nn, "s11"),
+            mom(d2 * d2 / nn, "s22"),
+            mom(d1 * d2 / nn, "s12"),
+            mom(d1 * dy / nn, "s1y"),
+            mom(d2 * dy / nn, "s2y"),
+            mom(dy * dy / nn, "syy"),
+        )
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det
+    b2 = (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det
+    return s.select(
+        "n",
+        b1.alias("beta1"),
+        b2.alias("beta2"),
+        (F.col("my") - b1 * F.col("m1") - b2 * F.col("m2")).alias("alpha"),
+        ((b1 * F.col("s1y") + b2 * F.col("s2y")) / F.col("syy")).alias("r2"),
+    )
+
+
 def r2(y_true: str, y_pred: str, mean_y: float, alias: str = "r2") -> Column:
     """R² = 1 - SS_res/NULLIF(SS_tot,0) — `Reporte_Tecnico.md:487-503`.
 

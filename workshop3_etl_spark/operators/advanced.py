@@ -837,3 +837,32 @@ def sql_lateral_top_orders_per_segment(
     """
     register_views(spark, sf_dir, only=("customer", "orders"))
     return spark.sql(_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------
+# CUBE: every subtotal combination of (returnflag, linestatus) with
+# explicit grouping markers — the coarse sibling of GROUPING SETS
+# above (rollup is the prefix subset of this cube).
+# --------------------------------------------------------------------
+
+_CUBE_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+    AS grouping_level,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(l_extendedprice AS decimal(27,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY grouping_level, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("sql_cube_revenue", oracle=_CUBE_SQL)
+def sql_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE subtotals via the shared-SQL surface (identical text runs
+    on both engines; Spark expands the cube into partial-agg grouping
+    sets — one scan, map-side combine per set)."""
+    register_views(spark, sf_dir, only=("lineitem",))
+    return spark.sql(_CUBE_SQL)

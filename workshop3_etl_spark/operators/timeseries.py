@@ -1,0 +1,198 @@
+"""Time-series operators: calendar-spine gap fill with LOCF, and
+OHLC-style downsampling — the hypertable/rollup surface a telemetry
+or market-data pipeline expects from the engine.
+
+Spark-first shapes:
+- The hour spine is ``sequence()`` + ``explode`` off the aggregated
+  min/max bounds — generated, never collected; the dense grid is
+  spine × distinct-keys with the (tiny) key side broadcast.
+- LOCF is ``last(value, ignorenulls=True)`` over an
+  UNBOUNDED-PRECEDING row frame per series — Spark's native
+  running-window machinery, no UDF, no sort beyond the window's own.
+- OHLC picks open/close via row_number over (ts, event_id) — a
+  deterministic tie-broken ordering both engines reproduce (min_by /
+  arg_min are NOT used: their tie behavior under equal timestamps is
+  engine-specific).
+
+Scale notes (100 TB): the heavy input collapses to per-(series, hour)
+partials BEFORE any window; the spine join is broadcast (hours ×
+series is tiny relative to raw events); the LOCF window partitions by
+series so state never exceeds one series' hours on one task. Skewed
+series (one hot event_type) would need the series key salted into
+sub-ranges with a carry-forward merge — documented, not needed at
+these SFs.
+
+Reference parity: the reference has no time-series surface; this is
+part of the training-pipeline extension (brief: hypertable rollup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from workshop3_etl_spark.functions import metrics as M
+from workshop3_etl_spark.plans.registry import register
+from workshop3_etl_spark.sources.tables import load_table
+
+_GAPFILL_ORACLE = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS decimal(27,2))) AS DOUBLE) AS tv
+  FROM events
+  GROUP BY 1, 2
+),
+b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM agg),
+spine AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+),
+grid AS (
+  SELECT s.h, t.event_type
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM agg) t
+),
+j AS (
+  SELECT g.h, g.event_type, a.n, a.tv
+  FROM grid g LEFT JOIN agg a ON g.h = a.h AND g.event_type = a.event_type
+)
+SELECT
+  h AS hour_start,
+  event_type,
+  COALESCE(n, CAST(0 AS BIGINT)) AS n_events,
+  CAST(n IS NULL AS BOOLEAN) AS is_gap,
+  last_value(tv IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS locf_total_value
+FROM j
+ORDER BY event_type, hour_start
+"""
+
+
+@register("ts_gapfill_locf_hourly", oracle=_GAPFILL_ORACLE)
+def ts_gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type: calendar-spine gap fill,
+    zero-filled counts, and last-observation-carried-forward totals."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
+    )
+    agg = ev.groupBy("h", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), M.dsum("value", "tv")
+    )
+    bounds = agg.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = agg.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    j = grid.join(agg, ["h", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.select(
+            F.col("h").alias("hour_start"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+            F.last("tv", ignorenulls=True).over(w).alias("locf_total_value"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
+
+
+_OHLC_ORACLE = """
+WITH r AS (
+  SELECT
+    date_trunc('hour', ts) AS h,
+    event_type,
+    value,
+    ROW_NUMBER() OVER (
+      PARTITION BY date_trunc('hour', ts), event_type
+      ORDER BY ts, event_id
+    ) AS rn_a,
+    ROW_NUMBER() OVER (
+      PARTITION BY date_trunc('hour', ts), event_type
+      ORDER BY ts DESC, event_id DESC
+    ) AS rn_d
+  FROM events
+  WHERE value IS NOT NULL
+)
+SELECT
+  h AS hour_start,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_ticks,
+  CAST(SUM(CASE WHEN rn_a = 1 THEN value ELSE 0 END) AS DOUBLE) AS open_value,
+  MAX(value) AS high_value,
+  MIN(value) AS low_value,
+  CAST(SUM(CASE WHEN rn_d = 1 THEN value ELSE 0 END) AS DOUBLE) AS close_value
+FROM r
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+LIMIT 500
+"""
+
+
+@register("ts_ohlc_hourly_downsample", oracle=_OHLC_ORACLE)
+def ts_ohlc_hourly_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) downsample of event values
+    per type, open/close tie-broken by (ts, event_id).
+
+    The open/close extraction is SUM(CASE rn=1) folded into the same
+    grouped aggregate as high/low — one window pass + one aggregate,
+    no self-join. (A single first-row value summed over the group is
+    the value itself; 'ELSE 0' keeps the sum exact in both engines.)
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.date_trunc("hour", "ts").alias("h"),
+            "event_type",
+            "value",
+            "ts",
+            "event_id",
+        )
+    )
+    wa = Window.partitionBy("h", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wd = Window.partitionBy("h", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = ev.select(
+        "h",
+        "event_type",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        r.groupBy("h", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum(F.when(F.col("rn_a") == 1, F.col("value")).otherwise(0.0))
+            .cast("double")
+            .alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.sum(F.when(F.col("rn_d") == 1, F.col("value")).otherwise(0.0))
+            .cast("double")
+            .alias("close_value"),
+        )
+        .select(
+            F.col("h").alias("hour_start"),
+            "event_type",
+            "n_ticks",
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+        )
+        .orderBy("hour_start", "event_type")
+        .limit(500)
+    )

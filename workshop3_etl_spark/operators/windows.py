@@ -604,3 +604,63 @@ def journey_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------
+# Distribution-rank analytics: ntile / percent_rank / cume_dist over
+# per-customer spend. Completes the analytic-function surface next to
+# row_number/rank/lag/lead/frames covered above.
+# --------------------------------------------------------------------
+
+_DECILE_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS decimal(27,2))) AS DOUBLE)
+           AS total_spend
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT
+  o_custkey,
+  total_spend,
+  CAST(NTILE(10) OVER w AS INT) AS decile,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume_dist
+FROM spend
+WINDOW w AS (ORDER BY total_spend DESC, o_custkey)
+ORDER BY total_spend DESC, o_custkey
+LIMIT 300
+"""
+
+
+@register("window_spend_deciles", oracle=_DECILE_ORACLE)
+def window_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend deciles with percent_rank and cume_dist.
+
+    The window is global (ORDER BY over all customers) — fine here
+    because the input is already one-row-per-customer aggregate, i.e.
+    the reduced side of the funnel. percent_rank=(rank-1)/(n-1) and
+    cume_dist=n_le/n are pure integer-ratio doubles, identical in
+    both engines under the unique (spend, custkey) ordering.
+    """
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total_spend")
+        )
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    return (
+        spend.select(
+            "o_custkey",
+            "total_spend",
+            F.ntile(10).over(w).cast("int").alias("decile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume_dist"),
+        )
+        .orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+        .limit(300)
+    )

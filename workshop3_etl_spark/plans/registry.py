@@ -154,6 +154,7 @@ def _ensure_loaded() -> None:
         similarity,
         sketches,
         text,
+        timeseries,
         windows,
     )
     from workshop3_etl_spark.streaming import batch_equivalent  # noqa: F401
