@@ -302,17 +302,25 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 def connected_component_labels(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
-    """Min-label propagation with pointer jumping over a SYMMETRIC
-    (src, dst) edge frame; returns (doc, comp) where comp is the min
-    node id of the node's component.
+    """FRONTIER-based min-label propagation with pointer jumping over
+    a SYMMETRIC (src, dst) edge frame; returns (doc, comp) where comp
+    is the min node id of the node's component.
 
-    Each round: (1) neighbor propagation — node takes the min label
-    over itself and its neighbors; (2) pointer jumping — label :=
-    label(label). Converges in O(log diameter) rounds. The monotone
-    sum(label) invariant detects the fixpoint with one tiny aggregate
-    per round (labels only decrease, so an unchanged sum IS the
-    fixpoint). Labels are localCheckpoint'ed per round to cut the
-    iterative lineage — the classic iterative-Spark failure mode.
+    Each round: (1) neighbor propagation — but only labels that
+    CHANGED last round (the frontier) are joined against the edge
+    table, because an unchanged label was already propagated the round
+    it last changed; (2) pointer jumping — label := label(label) over
+    the full (node-sized, edge-free) label table. Converges in O(log
+    diameter) rounds; an EMPTY frontier is the fixpoint (labels only
+    decrease, so no change this round means no change ever after).
+
+    Why the frontier matters at scale: on LSH candidate graphs most
+    components are pairs/triangles that settle in round 1-2, so from
+    round 2 on the expensive edges-side join carries a tiny fraction
+    of nodes instead of all of them — the per-round cost tracks the
+    still-active subgraph, not the corpus. Labels are
+    localCheckpoint'ed per round to cut the iterative lineage — the
+    classic iterative-Spark failure mode.
 
     Property-tested against a Python union-find on random graphs
     (tests/test_determinism_properties.py).
@@ -323,10 +331,10 @@ def connected_component_labels(edges: DataFrame, max_rounds: int = 30) -> DataFr
         .select("doc", F.col("doc").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+    frontier = labels  # round 1: every node is new
     for _ in range(max_rounds):
         nbr = (
-            edges.join(labels, edges.src == labels.doc)
+            edges.join(frontier, edges.src == frontier.doc)
             .groupBy(F.col("dst").alias("doc"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
@@ -334,6 +342,7 @@ def connected_component_labels(edges: DataFrame, max_rounds: int = 30) -> DataFr
             labels.join(nbr, "doc", "left")
             .select(
                 "doc",
+                F.col("comp").alias("comp0"),
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
@@ -347,17 +356,19 @@ def connected_component_labels(edges: DataFrame, max_rounds: int = 30) -> DataFr
             stepped.join(parent, stepped.comp == parent.pdoc, "left")
             .select(
                 "doc",
+                "comp0",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("pcomp"), F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = jumped.agg(F.sum("comp").alias("s")).collect()[0]["s"]
-        labels = jumped
-        if new_sum == prev_sum:
+        labels = jumped.select("doc", "comp")
+        frontier = jumped.filter(F.col("comp") < F.col("comp0")).select(
+            "doc", "comp"
+        )
+        if frontier.limit(1).count() == 0:
             break
-        prev_sum = new_sum
     return labels
 
 
