@@ -84,3 +84,31 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         )
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+
+
+def test_dynamic_partition_overwrite_touches_only_incoming(spark, tmp_path):
+    """Dynamic overwrite rewrites ONLY the partitions present in the
+    incoming frame; sibling partitions survive byte-for-byte."""
+    from workshop3_etl_spark.sources.lakehouse import (
+        dynamic_partition_overwrite,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "ev")
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    write_partitioned(ev, path, ["event_type"])
+
+    half = ev.filter(
+        (F.col("event_type") == "view") & (F.col("event_id") % 2 == 0)
+    )
+    with dynamic_partition_overwrite(spark):
+        write_partitioned(half, path, ["event_type"])
+
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("event_type") == "view").count() == half.count()
+    assert (
+        after.filter(F.col("event_type") != "view").count()
+        == ev.filter(F.col("event_type") != "view").count()
+    )

@@ -474,3 +474,67 @@ def corpus_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_chunks_sampled"),
     )
+
+
+# --------------------------------------------------------------------
+# Temperature-based mixture weights (the UnifiedQA / multilingual-LM
+# sampling scheme: w_i ∝ n_i^α with α=0.5, upweighting low-resource
+# slices). Pure arithmetic over per-slice counts — sqrt is IEEE
+# correctly-rounded in both engines, and the weight denominator is an
+# exact decimal sum of rounded sqrt terms, so shares are
+# bit-reproducible.
+# --------------------------------------------------------------------
+
+_MIXTURE_ORACLE = """
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+t AS (
+  SELECT CAST(SUM(CAST(SQRT(CAST(n_docs AS DOUBLE)) AS decimal(27,6)))
+              AS DOUBLE) AS denom,
+         CAST(SUM(n_docs) AS BIGINT) AS total_docs
+  FROM c
+)
+SELECT
+  c.lang,
+  c.n_docs,
+  SQRT(CAST(c.n_docs AS DOUBLE)) AS sqrt_weight,
+  SQRT(CAST(c.n_docs AS DOUBLE)) / t.denom AS mixture_share,
+  SQRT(CAST(c.n_docs AS DOUBLE)) / t.denom
+    / (CAST(c.n_docs AS DOUBLE) / CAST(t.total_docs AS DOUBLE))
+    AS oversample_factor
+FROM c, t
+ORDER BY c.lang
+"""
+
+
+@register("corpus_mixture_weights_sqrt", oracle=_MIXTURE_ORACLE)
+def corpus_mixture_weights_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language α=0.5 temperature sampling weights and the
+    oversample factor vs natural frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    t = c.agg(
+        F.sum(F.sqrt(F.col("n_docs").cast("double")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("denom"),
+        F.sum("n_docs").cast("long").alias("total_docs"),
+    )
+    sw = F.sqrt(F.col("n_docs").cast("double"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            sw.alias("sqrt_weight"),
+            (sw / F.col("denom")).alias("mixture_share"),
+            (
+                (sw / F.col("denom"))
+                / (
+                    F.col("n_docs").cast("double")
+                    / F.col("total_docs").cast("double")
+                )
+            ).alias("oversample_factor"),
+        )
+        .orderBy("lang")
+    )

@@ -635,13 +635,20 @@ LIMIT 300
 
 @register("window_spend_deciles", oracle=_DECILE_ORACLE)
 def window_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer spend deciles with percent_rank and cume_dist.
+    """Customer spend deciles with percent_rank and cume_dist —
+    WITHOUT the single-partition global window a naive
+    ``Window.orderBy`` compiles to.
 
-    The window is global (ORDER BY over all customers) — fine here
-    because the input is already one-row-per-customer aggregate, i.e.
-    the reduced side of the funnel. percent_rank=(rank-1)/(n-1) and
-    cume_dist=n_le/n are pure integer-ratio doubles, identical in
-    both engines under the unique (spend, custkey) ordering.
+    Distributed exact global rank via bucket offsets: rows bucket by
+    a spend range; per-bucket ranks come from a PARTITIONED window;
+    the only unpartitioned window runs over the bucket-count spine —
+    a dimension-tiny aggregate (thousands of rows at any SF), i.e.
+    the reduced side this module's header demands. global_rank =
+    bucket offset + in-bucket rank. Under the unique
+    (spend desc, custkey) ordering: percent_rank = (rn-1)/(n-1),
+    cume_dist = rn/n, and NTILE follows its first-(n%b)-tiles-larger
+    contract — all reproduced as explicit integer/double arithmetic,
+    bit-identical to the oracle's native window functions.
     """
     spend = (
         load_table(spark, sf_dir, "orders")
@@ -651,15 +658,51 @@ def window_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_spend")
         )
+        .withColumn("bucket", F.floor(F.col("total_spend") / F.lit(50_000.0)))
     )
-    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
-    return (
-        spend.select(
+    # tiny spine: rows per bucket -> exclusive offset in DESC order
+    wb = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        spend.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("off"),
+        )
+    )
+    wr = Window.partitionBy("bucket").orderBy(
+        F.desc("total_spend"), F.asc("o_custkey")
+    )
+    ranked = (
+        spend.join(F.broadcast(offsets), "bucket")
+        .select(
             "o_custkey",
             "total_spend",
-            F.ntile(10).over(w).cast("int").alias("decile"),
-            F.percent_rank().over(w).alias("pct_rank"),
-            F.cume_dist().over(w).alias("cume_dist"),
+            (F.row_number().over(wr) + F.col("off")).alias("rn"),
+        )
+    )
+    n_row = spend.agg(F.count(F.lit(1)).alias("n"))
+    rn = F.col("rn")
+    n = F.col("n")
+    q = (n / 10).cast("long")  # ANSI: integer div via cast
+    r = n % 10
+    cut = r * (q + 1)
+    ntile = F.when(rn <= cut, ((rn - 1) / (q + 1)).cast("long") + 1).otherwise(
+        r + ((rn - cut - 1) / q).cast("long") + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            "o_custkey",
+            "total_spend",
+            ntile.cast("int").alias("decile"),
+            (
+                (rn - 1).cast("double") / (n - 1).cast("double")
+            ).alias("pct_rank"),
+            (rn.cast("double") / n.cast("double")).alias("cume_dist"),
         )
         .orderBy(F.desc("total_spend"), F.asc("o_custkey"))
         .limit(300)

@@ -45,23 +45,36 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # not listed follows in registration order. A plan test asserts the
 # list stays registered, oracled, and exactly 50 long.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # r01 driver-ERR (events.parquet nanos footer) — prove fixed.
-    "sql_exists_high_value_suppliers",
-    "sql_in_subquery_segments",
-    "sql_setops_nations",
-    "sql_grouping_sets_lineitem",
-    "sql_correlated_min_unit_price",
-    "sql_top_revenue_supplier",
-    "sql_large_quantity_orders",
-    "sql_disjunctive_join_revenue",
-    "sql_sole_late_shipper",
-    "sql_wealthy_inactive_customers",
-    "sql_nation_market_share",
-    "sql_top_return_customers",
+    # r02 driver-ERR (pyspark 4.1 native nanos->TIMESTAMP_NTZ read) —
+    # prove the dtype-driven normalize_event_ts fix in the driver's
+    # own session.
     "asof_join_view_before_purchase",
     "range_join_orders_events_7d",
     "json_props_extract_stats",
     "profile_null_counts_events",
+    "window_lag_delta_events",
+    "window_trailing_7d_user_value",
+    "sessionize_events_30min",
+    "cohort_retention_daily",
+    "stream_tumbling_hourly_counts",
+    "stream_stateful_user_metrics",
+    "stream_stream_join_view_purchase",
+    "stream_session_window_counts",
+    # Round-3 additions — each needs its first driver verification.
+    "sketch_kmv_distinct_orderkeys",
+    "sketch_kmv_jaccard_custkeys",
+    "ts_gapfill_locf_hourly",
+    "ts_ohlc_hourly_downsample",
+    "ml_ols2_qty_retailprice",
+    "corpus_mixture_weights_sqrt",
+    "stream_dedup_documents",
+    "window_spend_deciles",
+    # SQL-surface representatives (the other nine sql_* passed the
+    # r02 driver gate and rotate out to fund the slots above).
+    "sql_exists_high_value_suppliers",
+    "sql_in_subquery_segments",
+    "sql_grouping_sets_lineitem",
+    "sql_cube_revenue",
     # Families the r01 driver budget never reached.
     "text_token_stats",
     "text_quality_score",
@@ -74,15 +87,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_embedding_neardup_blocked",
     "window_top3_per_supplier",
     "window_running_customer_spend",
-    "window_lag_delta_events",
-    "window_trailing_7d_user_value",
     "window_share_of_customer",
-    "sessionize_events_30min",
-    "cohort_retention_daily",
-    "stream_tumbling_hourly_counts",
-    "stream_stateful_user_metrics",
-    "stream_stream_join_view_purchase",
-    "stream_session_window_counts",
     "salted_agg_returnflag_revenue",
     "split_train_test_counts",
     "udf_named_functions_docs",

@@ -14,6 +14,8 @@ fact-fact join into a zip of co-located buckets.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,3 +65,18 @@ def lineitem_partitioned_by_year(
     )
     write_partitioned(li, out_path, ["ship_year"])
     return spark.read.parquet(out_path)
+
+
+@contextmanager
+def dynamic_partition_overwrite(spark: SparkSession):
+    """Scope ``partitionOverwriteMode=dynamic``: INSERT OVERWRITE then
+    replaces ONLY the partitions present in the incoming frame — the
+    idempotent backfill shape (rewrite one day/type without touching
+    siblings)."""
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf, "static")
+    spark.conf.set(conf, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(conf, prev)

@@ -348,3 +348,58 @@ def stream_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "session_start")
             .localCheckpoint(eager=True)
         )
+
+
+# --------------------------------------------------------------------
+# Streaming exact dedup: dropDuplicates over a keyed state store —
+# the streaming leg of the dedup family (a training-data ingest
+# pipeline dedups IN FLIGHT, not in a nightly batch).
+# --------------------------------------------------------------------
+
+_STREAM_DEDUP_ORACLE = """
+SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("stream_dedup_documents", oracle=_STREAM_DEDUP_ORACLE)
+def stream_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (lang, source), then per-lang
+    counts of the deduped stream.
+
+    The dedup is a real keyed state-store operator (first-seen wins —
+    WHICH row survives is arrival-order-dependent, so only the
+    deduplicated KEY SET is surfaced, which is deterministic and
+    equals batch COUNT(DISTINCT source) per lang). Unbounded key
+    state here; production bounds it with
+    ``dropDuplicatesWithinWatermark`` once keys carry event time.
+    """
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("lang", "source")
+        .dropDuplicates(["lang", "source"])
+    )
+    sink = f"stream_dedup_{abs(hash(sf_dir)) % 10_000_000}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        with _few_state_partitions(spark):
+            (
+                stream.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        return (
+            spark.table(sink)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
+            .orderBy("lang")
+            .localCheckpoint(eager=True)
+        )
