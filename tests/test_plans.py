@@ -115,3 +115,42 @@ def test_queries_catalog_in_sync():
         f"QUERIES.md says {m.groups()}, registry has {(n_reg, n_oracle)} — "
         "run python tools/dump_queries.py"
     )
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """AQE/runtime-filter hygiene: a selective build side injects a
+    bloom filter onto the probe-side scan (semi-join reduction — at
+    100 TB this is the difference between shuffling all of lineitem
+    and shuffling the ~2% that can match)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # testdata is tiny; drop the size gates so injection triggers
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = (
+            load_table(spark, SF_SMOKE, "orders")
+            .filter(F.col("o_totalprice") > 400_000)  # selective build
+            .select("o_orderkey")
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan or "bloom" in plan.lower(), plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -866,3 +866,82 @@ def sql_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets — one scan, map-side combine per set)."""
     register_views(spark, sf_dir, only=("lineitem",))
     return spark.sql(_CUBE_SQL)
+
+
+# --------------------------------------------------------------------
+# Generic as-of join API (the reusable form of
+# asof_join_view_before_purchase above, for two DIFFERENT tables).
+# --------------------------------------------------------------------
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    direction: str = "backward",
+    allow_exact: bool = True,
+) -> DataFrame:
+    """Point-in-time join: for each left row, attach the payload of
+    the latest right row with right_ts <= left_ts (direction
+    'backward'; 'forward' = earliest right row >= left_ts), equi-keyed
+    on ``on``.
+
+    Spark-first shape — the union + carry-forward pattern: tag the two
+    sides, union them, ONE shuffle on the key, and a running
+    last(payload, ignorenulls) over the (ts, side) ordering. No range
+    join, no per-row probe, no pairwise explosion; cost is a single
+    sort-shuffle like any window, whatever the timestamp skew.
+    pandas ``merge_asof`` equivalence is property-tested in
+    tests/test_asof_api.py.
+
+    Determinism contract: (on, right_ts) pairs must be unique on the
+    right side — with several right rows at the same key+timestamp,
+    WHICH payload wins is ordering-dependent in every engine
+    (pandas included); dedupe first.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(
+            right.select(payload.alias("p")).schema["p"].dataType
+        ).alias("_p"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_row"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        payload.alias("_p"),
+        F.lit(None)
+        .cast(l_tagged.schema["_row"].dataType)
+        .alias("_row"),
+    )
+    # equal timestamps: with allow_exact the right row must be visible
+    # to a same-ts left row -> right sorts first (side 0 < 1) and the
+    # frame reaches the current row; without, right sorts after and
+    # only strictly-earlier rows are in frame.
+    if direction == "backward":
+        order = [F.asc("_ts"), F.asc("_side") if allow_exact else F.desc("_side")]
+    else:
+        order = [F.desc("_ts"), F.asc("_side") if allow_exact else F.desc("_side")]
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0 if allow_exact else -1)
+    )
+    matched = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_match", F.last("_p", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out_cols = [F.col(f"_row.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"_match.{c}").alias(f"asof_{c}") for c in payload_cols
+    ]
+    return matched.select(*out_cols)

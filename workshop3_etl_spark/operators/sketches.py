@@ -38,7 +38,7 @@ training-data-pipeline extension mandated by the build brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from workshop3_etl_spark.plans.registry import register
@@ -367,4 +367,93 @@ def sketch_native_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_median")
             < 0.05
         ).alias("median_within_5pct"),
+    )
+
+
+# --------------------------------------------------------------------
+# GROUPED KMV: one sketch per group in a single pass — how a sketch
+# actually deploys in a profiling job (distinct customers per year
+# without one exact COUNT(DISTINCT) shuffle per group).
+# --------------------------------------------------------------------
+
+_KMV_BY_YEAR_K = 64
+
+_KMV_BY_YEAR_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT YEAR(o_orderdate) AS y,
+         {hash_sql('o_custkey')} AS hv
+  FROM orders
+),
+r AS (
+  SELECT y, hv,
+         ROW_NUMBER() OVER (PARTITION BY y ORDER BY hv) AS rn
+  FROM h
+),
+s AS (
+  SELECT y,
+         CAST(COUNT(*) AS BIGINT) AS kmv_k,
+         CAST(MAX(hv) AS BIGINT) AS kth_min_hash
+  FROM r WHERE rn <= {_KMV_BY_YEAR_K}
+  GROUP BY y
+),
+e AS (
+  SELECT YEAR(o_orderdate) AS y,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders GROUP BY 1
+)
+SELECT
+  s.y AS order_year,
+  e.exact_distinct,
+  s.kmv_k,
+  CASE WHEN s.kmv_k < {_KMV_BY_YEAR_K} THEN CAST(s.kmv_k AS DOUBLE)
+       ELSE CAST({_KMV_BY_YEAR_K - 1} AS DOUBLE) * CAST({HASH_P} AS DOUBLE)
+            / CAST(s.kth_min_hash AS DOUBLE)
+  END AS kmv_estimate
+FROM s JOIN e ON s.y = e.y
+ORDER BY order_year
+"""
+
+
+@register("sketch_kmv_distinct_by_year", oracle=_KMV_BY_YEAR_ORACLE)
+def sketch_kmv_distinct_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year KMV distinct-customer estimates vs exact, one pass.
+
+    The k-cut per group is a PARTITIONED row_number over the deduped
+    (group, hash) pairs — every window and shuffle is keyed by the
+    group, so adding groups adds no coordination. The exact counts
+    ride along for the comparison column only.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"), "o_custkey"
+    )
+    h = o.select("y", F.expr(hash_sql("o_custkey")).alias("hv")).distinct()
+    wk = Window.partitionBy("y").orderBy("hv")
+    s = (
+        h.select("y", "hv", F.row_number().over(wk).alias("rn"))
+        .filter(F.col("rn") <= _KMV_BY_YEAR_K)
+        .groupBy("y")
+        .agg(
+            F.count(F.lit(1)).alias("kmv_k"),
+            F.max("hv").cast("long").alias("kth_min_hash"),
+        )
+    )
+    e = o.groupBy("y").agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("kmv_k") < _KMV_BY_YEAR_K, F.col("kmv_k").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_BY_YEAR_K - 1))
+        * F.lit(float(HASH_P))
+        / F.col("kth_min_hash").cast("double")
+    )
+    return (
+        s.join(e, "y")
+        .select(
+            F.col("y").alias("order_year"),
+            "exact_distinct",
+            "kmv_k",
+            est.alias("kmv_estimate"),
+        )
+        .orderBy("order_year")
     )

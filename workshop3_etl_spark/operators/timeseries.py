@@ -73,11 +73,17 @@ ORDER BY event_type, hour_start
 def ts_gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly series per event_type: calendar-spine gap fill,
     zero-filled counts, and last-observation-carried-forward totals."""
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
     ev = load_table(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
     )
-    agg = ev.groupBy("h", "event_type").agg(
-        F.count(F.lit(1)).alias("n"), M.dsum("value", "tv")
+    agg = (
+        ev.groupBy("h", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), M.dsum("value", "tv"))
+        # referenced three times (bounds, key set, grid join); persist
+        # so events is scanned once, released before return
+        .persist()
     )
     bounds = agg.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
     spine = bounds.select(
@@ -93,16 +99,14 @@ def ts_gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        j.select(
-            F.col("h").alias("hour_start"),
-            "event_type",
-            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"),
-            F.col("n").isNull().alias("is_gap"),
-            F.last("tv", ignorenulls=True).over(w).alias("locf_total_value"),
-        )
-        .orderBy("event_type", "hour_start")
-    )
+    result = j.select(
+        F.col("h").alias("hour_start"),
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+        F.last("tv", ignorenulls=True).over(w).alias("locf_total_value"),
+    ).orderBy("event_type", "hour_start")
+    return materialize_and_release(result, agg)
 
 
 _OHLC_ORACLE = """
@@ -196,3 +200,132 @@ def ts_ohlc_hourly_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_start", "event_type")
         .limit(500)
     )
+
+
+# --------------------------------------------------------------------
+# Linear-interpolation gap fill — the two-sided sibling of LOCF:
+# missing hours take the line between the previous and next
+# observation; leading/trailing gaps (no bracketing pair) stay NULL.
+# --------------------------------------------------------------------
+
+_INTERP_ORACLE = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS decimal(27,2))) AS DOUBLE) AS tv
+  FROM events
+  GROUP BY 1, 2
+),
+b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM agg),
+spine AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+),
+grid AS (
+  SELECT s.h, t.event_type
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM agg) t
+),
+j AS (
+  SELECT g.h, g.event_type, a.tv,
+         CAST(epoch(g.h) AS BIGINT) / 3600 AS hi
+  FROM grid g LEFT JOIN agg a ON g.h = a.h AND g.event_type = a.event_type
+),
+w AS (
+  SELECT h, event_type, tv, hi,
+    last_value(tv IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hi
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN tv IS NOT NULL THEN hi END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hi
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    first_value(tv IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hi
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN tv IS NOT NULL THEN hi END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hi
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM j
+)
+SELECT
+  h AS hour_start,
+  event_type,
+  CAST(tv IS NULL AS BOOLEAN) AS is_gap,
+  CASE
+    WHEN tv IS NOT NULL THEN tv
+    WHEN pv IS NULL OR nv IS NULL THEN NULL
+    ELSE pv + (nv - pv) * (CAST(hi - ph AS DOUBLE)
+                           / CAST(nh - ph AS DOUBLE))
+  END AS interp_total_value
+FROM w
+ORDER BY event_type, hour_start
+"""
+
+
+@register("ts_gapfill_interp_hourly", oracle=_INTERP_ORACLE)
+def ts_gapfill_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across hourly gaps per series.
+
+    Same spine/grid as the LOCF variant; the interpolation pulls
+    (prev value, prev hour) from an UNBOUNDED-PRECEDING frame and
+    (next value, next hour) from a CURRENT-TO-FOLLOWING frame — both
+    per-series partitioned. Hour indexes are integer epoch-hours so
+    the gap ratio is an exact small-integer division in both engines.
+    """
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
+    )
+    agg = (
+        ev.groupBy("h", "event_type")
+        .agg(M.dsum("value", "tv"))
+        .persist()
+    )
+    bounds = agg.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = agg.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    j = grid.join(agg, ["h", "event_type"], "left").withColumn(
+        "hi", (F.unix_micros("h") / F.lit(3_600_000_000)).cast("long")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hi")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hi = F.when(F.col("tv").isNotNull(), F.col("hi"))
+    w = j.select(
+        "h",
+        "event_type",
+        "tv",
+        "hi",
+        F.last("tv", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_hi, ignorenulls=True).over(wp).alias("ph"),
+        F.first("tv", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_hi, ignorenulls=True).over(wn).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("tv").isNotNull(), F.col("tv"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("hi") - F.col("ph")).cast("double")
+                / (F.col("nh") - F.col("ph")).cast("double")
+            )
+        )
+    )
+    result = w.select(
+        F.col("h").alias("hour_start"),
+        "event_type",
+        F.col("tv").isNull().alias("is_gap"),
+        interp.alias("interp_total_value"),
+    ).orderBy("event_type", "hour_start")
+    return materialize_and_release(result, agg)

@@ -650,6 +650,8 @@ def window_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract — all reproduced as explicit integer/double arithmetic,
     bit-identical to the oracle's native window functions.
     """
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -659,6 +661,9 @@ def window_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_spend")
         )
         .withColumn("bucket", F.floor(F.col("total_spend") / F.lit(50_000.0)))
+        # referenced three times below (offsets spine, rank join, n);
+        # persist so orders is scanned ONCE, released before return
+        .persist()
     )
     # tiny spine: rows per bucket -> exclusive offset in DESC order
     wb = (
@@ -693,7 +698,7 @@ def window_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile = F.when(rn <= cut, ((rn - 1) / (q + 1)).cast("long") + 1).otherwise(
         r + ((rn - cut - 1) / q).cast("long") + 1
     )
-    return (
+    result = (
         ranked.crossJoin(F.broadcast(n_row))
         .select(
             "o_custkey",
@@ -707,3 +712,4 @@ def window_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_spend"), F.asc("o_custkey"))
         .limit(300)
     )
+    return materialize_and_release(result, spend)
