@@ -713,3 +713,129 @@ def window_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(300)
     )
     return materialize_and_release(result, spend)
+
+
+# --------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-active-day streak per user.
+# The island key is day_index - row_number — constant within a
+# consecutive run, strictly decreasing across gaps.
+# --------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+g AS (
+  SELECT user_id, d,
+         date_diff('day', DATE '2024-01-01', d)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM d
+),
+s AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_days
+  FROM g GROUP BY user_id, grp
+)
+SELECT
+  user_id,
+  CAST(MAX(streak_days) AS BIGINT) AS longest_streak_days,
+  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+  CAST(SUM(streak_days) AS BIGINT) AS total_active_days
+FROM s
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("streaks_user_active_days", oracle=_STREAK_ORACLE)
+def streaks_user_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user
+    (gaps-and-islands via the day_index - row_number island key; all
+    windows partitioned by user)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wk = Window.partitionBy("user_id").orderBy("d")
+    g = d.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(wk)
+        ).alias("grp"),
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_days")
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("streak_days").cast("long").alias("longest_streak_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.sum("streak_days").cast("long").alias("total_active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------
+# SCD Type-2 history build: collapse the per-user event stream into
+# validity intervals of the (changing) event_type attribute — the
+# standard dimension-history shape (valid_from / valid_to / is_current).
+# --------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+ch AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM c
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT
+  user_id,
+  event_type,
+  ts AS valid_from,
+  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+  CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       AS BOOLEAN) AS is_current
+FROM ch
+ORDER BY user_id, valid_from, event_id
+LIMIT 2000
+"""
+
+
+@register("scd2_user_type_history", oracle=_SCD2_ORACLE)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals for each user's event_type
+    attribute: change rows detected via lag, intervals closed via
+    lead, open-ended rows flagged current. One shuffle on user_id;
+    both window passes share the partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(wo).alias("prev_type"),
+    )
+    ch = c.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    return (
+        ch.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wo).alias("valid_to"),
+            F.lead("ts").over(wo).isNull().alias("is_current"),
+            "event_id",
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+        .limit(2000)
+        .drop("event_id")
+    )
