@@ -864,3 +864,78 @@ def dedup_simhash64_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return materialize_and_release(result, sigs)
+
+
+# --------------------------------------------------------------------
+# Fuzzy near-dup via edit distance on BLOCKED candidates — the
+# entity-resolution flavor of dedup (catches typo-level variants that
+# shingle/minhash treats as distinct). Pairwise cost is gated by the
+# (lang, length-bucket) block, never all-pairs.
+# --------------------------------------------------------------------
+
+_LEV_PREFIX = 60
+_LEV_MAX = 20
+
+_LEV_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars // 100 AS lb,
+         substring(text, 1, {_LEV_PREFIX}) AS head
+  FROM documents
+),
+pairs AS (
+  SELECT a.lang,
+         a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.head, b.head) AS dist
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+)
+SELECT
+  lang,
+  CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+  CAST(SUM(CASE WHEN dist <= {_LEV_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_neardup_pairs,
+  CAST(MIN(dist) AS BIGINT) AS min_dist
+FROM pairs
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("dedup_levenshtein_blocked", oracle=_LEV_ORACLE)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup candidates within (lang, length-bucket)
+    blocks, summarized per language.
+
+    Levenshtein runs JVM-side on fixed {_LEV_PREFIX}-char prefixes, so
+    per-pair cost is bounded; the block join carries (id, head) only.
+    At corpus scale the length-bucket block is replaced by LSH buckets
+    (dedup_minhash_lsh_candidates) feeding this as the verifier stage.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("lb"),
+        F.substring("text", 1, _LEV_PREFIX).alias("head"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.lang").alias("lang"),
+        F.levenshtein(F.col("a.head"), F.col("b.head")).alias("dist"),
+    )
+    return (
+        pairs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_pairs"),
+            F.sum(F.when(F.col("dist") <= _LEV_MAX, 1).otherwise(0))
+            .cast("long")
+            .alias("n_neardup_pairs"),
+            F.min("dist").cast("long").alias("min_dist"),
+        )
+        .orderBy("lang")
+    )

@@ -750,3 +750,78 @@ def profile_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers_3mad"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Equal-width histogram (the profiling primitive behind every
+# distribution plot; two passes — one tiny min/max agg broadcast into
+# a map-only binning pass + one shuffle on the 20-value bin key).
+# --------------------------------------------------------------------
+
+_HIST_BINS = 20
+
+_HIST_ORACLE = f"""
+WITH b AS (
+  SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+         MAX(CAST(l_extendedprice AS DOUBLE)) AS mx
+  FROM lineitem
+),
+binned AS (
+  SELECT
+    LEAST(CAST(FLOOR(((CAST(l_extendedprice AS DOUBLE) - b.mn)
+                      / (b.mx - b.mn)) * {_HIST_BINS}.0) AS BIGINT),
+          {_HIST_BINS - 1}) AS bin_id,
+    b.mn AS mn, b.mx AS mx
+  FROM lineitem, b
+)
+SELECT
+  bin_id,
+  mn + CAST(bin_id AS DOUBLE) * ((mx - mn) / {_HIST_BINS}.0) AS bin_lo,
+  mn + CAST(bin_id + 1 AS DOUBLE) * ((mx - mn) / {_HIST_BINS}.0) AS bin_hi,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM binned
+GROUP BY bin_id, mn, mx
+ORDER BY bin_id
+"""
+
+
+@register("profile_histogram_price", oracle=_HIST_ORACLE)
+def profile_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equal-width histogram of lineitem.l_extendedprice.
+
+    Bin assignment is the identical IEEE expression tree in both
+    engines — ((x-mn)/(mx-mn))*B floored, max value clamped into the
+    last bin. Bounds derive from bin_id arithmetic (not per-row
+    state), so the output is a tiny (B)-row frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    b = li.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    binned = li.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                ((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                * float(_HIST_BINS)
+            ).cast("long"),
+            F.lit(_HIST_BINS - 1).cast("long"),
+        ).alias("bin_id"),
+        "mn",
+        "mx",
+    )
+    width = (F.col("mx") - F.col("mn")) / float(_HIST_BINS)
+    return (
+        binned.groupBy("bin_id", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "bin_id",
+            (F.col("mn") + F.col("bin_id").cast("double") * width).alias(
+                "bin_lo"
+            ),
+            (
+                F.col("mn") + (F.col("bin_id") + 1).cast("double") * width
+            ).alias("bin_hi"),
+            "n_items",
+        )
+        .orderBy("bin_id")
+    )

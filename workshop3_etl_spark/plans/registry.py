@@ -69,10 +69,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_mixture_weights_sqrt",
     "stream_dedup_documents",
     "window_spend_deciles",
-    # SQL-surface representatives (the other nine sql_* passed the
-    # r02 driver gate and rotate out to fund the slots above).
+    "streaks_user_active_days",
+    "scd2_user_type_history",
+    "profile_histogram_price",
+    "dedup_levenshtein_blocked",
+    # SQL-surface representatives (the other sql_* passed the r02
+    # driver gate and rotate out to fund the slots above).
     "sql_exists_high_value_suppliers",
-    "sql_in_subquery_segments",
     "sql_grouping_sets_lineitem",
     "sql_cube_revenue",
     # Families the r01 driver budget never reached.
@@ -81,12 +84,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_lang_id_confusion",
     "text_repetition_filter",
     "happiness_unified_profile",
-    "corpus_stratified_sample",
     "text_tfidf_top_terms_per_lang",
     "sim_cosine_topk_bruteforce",
-    "sim_embedding_neardup_blocked",
     "window_top3_per_supplier",
-    "window_running_customer_spend",
     "window_share_of_customer",
     "salted_agg_returnflag_revenue",
     "split_train_test_counts",
