@@ -31,7 +31,7 @@ exposed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from workshop3_etl_spark.functions import metrics as M
@@ -824,4 +824,51 @@ def profile_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
         .orderBy("bin_id")
+    )
+
+
+# --------------------------------------------------------------------
+# Mode (most frequent value) per group, deterministic tie-break.
+# --------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+r AS (
+  SELECT l_returnflag, l_quantity, cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity
+         ) AS rn
+  FROM c
+)
+SELECT l_returnflag, l_quantity AS modal_quantity, cnt AS modal_count
+FROM r WHERE rn = 1
+ORDER BY l_returnflag
+"""
+
+
+@register("profile_mode_quantity_by_flag", oracle=_MODE_ORACLE)
+def profile_mode_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag modal quantity (ties broken toward the smaller
+    value — engines' native mode() tie behavior differs, so the mode
+    is built from count + partitioned row_number, which both engines
+    define identically)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("l_quantity")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("modal_quantity"),
+            F.col("cnt").alias("modal_count"),
+        )
+        .orderBy("l_returnflag")
     )

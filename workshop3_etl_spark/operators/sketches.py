@@ -457,3 +457,110 @@ def sketch_kmv_distinct_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# --------------------------------------------------------------------
+# ROLLING sketch merge: trailing-7-day distinct users per day, via
+# per-day KMV sketches unioned over a window — the mergeability
+# property (min-k of a union ⊆ union of per-set min-ks) is what makes
+# KMV composable across arbitrary frames, which no exact
+# COUNT(DISTINCT) OVER (...) can do distributed (neither Spark nor
+# DuckDB even supports it).
+# --------------------------------------------------------------------
+
+_ROLL_K = 64
+
+_KMV_ROLLING_ORACLE = f"""
+WITH dh AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d,
+         {hash_sql('user_id')} AS hv
+  FROM events
+),
+r AS (
+  SELECT d, hv, ROW_NUMBER() OVER (PARTITION BY d ORDER BY hv) AS rn
+  FROM dh
+),
+ka AS (
+  SELECT d, list_sort(list(hv)) AS karr FROM r WHERE rn <= {_ROLL_K}
+  GROUP BY d
+),
+fa AS (
+  SELECT d, list_sort(list(hv)) AS farr FROM dh GROUP BY d
+),
+day AS (SELECT ka.d AS d, ka.karr, fa.farr FROM ka JOIN fa ON ka.d = fa.d),
+roll AS (
+  SELECT d,
+         flatten(list(karr) OVER w) AS uk_raw,
+         flatten(list(farr) OVER w) AS uf_raw
+  FROM day
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT d,
+         list_sort(list_distinct(uk_raw)) AS uk,
+         CAST(len(list_distinct(uf_raw)) AS BIGINT) AS exact_trailing
+  FROM roll
+)
+SELECT
+  d AS day,
+  exact_trailing,
+  CASE WHEN len(uk) < {_ROLL_K} THEN CAST(len(uk) AS DOUBLE)
+       ELSE (CAST({_ROLL_K - 1} AS DOUBLE) * CAST({HASH_P} AS DOUBLE))
+            / CAST(uk[{_ROLL_K}] AS DOUBLE)
+  END AS kmv_trailing_est
+FROM s
+ORDER BY day
+"""
+
+
+@register("sketch_kmv_rolling_users_7d", oracle=_KMV_ROLLING_ORACLE)
+def sketch_kmv_rolling_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct-user estimate per day by merging
+    per-day KMV sketches over a rolling window.
+
+    Scale shape: the fact table reduces to one ≤k-element sorted hash
+    array per day (partitioned k-cut, map-side distinct); the rolling
+    union then runs on the day spine — tiny regardless of corpus
+    size — so the only unpartitioned window is over ~n_days rows.
+    The exact_trailing column flattens FULL per-day user sets for the
+    comparison; that column is test-scale instrumentation — the
+    production artifact is the sketch path, which is why this exists.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dh = ev.select(
+        F.to_date("ts").alias("d"),
+        F.expr(hash_sql("user_id")).alias("hv"),
+    ).distinct()
+    wd = Window.partitionBy("d").orderBy("hv")
+    ka = (
+        dh.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= _ROLL_K)
+        .groupBy("d")
+        .agg(F.sort_array(F.collect_list("hv")).alias("karr"))
+    )
+    fa = dh.groupBy("d").agg(
+        F.sort_array(F.collect_list("hv")).alias("farr")
+    )
+    day = ka.join(fa, "d")
+    wr = Window.orderBy("d").rowsBetween(-6, 0)  # day spine: tiny
+    roll = day.select(
+        "d",
+        F.flatten(F.collect_list("karr").over(wr)).alias("uk_raw"),
+        F.flatten(F.collect_list("farr").over(wr)).alias("uf_raw"),
+    )
+    s = roll.select(
+        "d",
+        F.array_sort(F.array_distinct("uk_raw")).alias("uk"),
+        F.size(F.array_distinct("uf_raw")).cast("long").alias("exact_trailing"),
+    )
+    est = F.when(
+        F.size("uk") < _ROLL_K, F.size("uk").cast("double")
+    ).otherwise(
+        (F.lit(float(_ROLL_K - 1)) * F.lit(float(HASH_P)))
+        / F.element_at("uk", _ROLL_K).cast("double")
+    )
+    return s.select(
+        F.col("d").alias("day"),
+        "exact_trailing",
+        est.alias("kmv_trailing_est"),
+    ).orderBy("day")
