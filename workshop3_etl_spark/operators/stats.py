@@ -1,0 +1,550 @@
+"""Statistical testing & data-quality operators: Welch's t-test,
+chi-square independence, train/test distribution drift, and a
+great-expectations-style constraint report.
+
+These are the validation layer of a training-data pipeline: before a
+100 TB corpus feeds a training run you want (a) split comparability
+(did the hash split bias any feature?), (b) categorical independence
+checks, (c) per-bin drift between snapshots, (d) hard constraint
+violations surfaced as a report, not a crash.
+
+Spark-first shapes:
+- Every test statistic is built from distributive aggregates (counts,
+  decimal sums) so partial aggregation happens map-side; no window,
+  no UDF, no collect.
+- Two-pass moment discipline (as in profile.py): means from exact
+  decimal sums, then squared deviations cast to decimal BEFORE the
+  sum so addition is order-independent — bit-identical across
+  engines and across partitionings.
+- Log-free outputs: PSI/PMI-style quantities are surfaced as exact
+  ratios / total-variation distances, never ln() (libm log is not
+  guaranteed bit-identical across engines; see text.py TF-IDF note).
+- The DQ report fuses every per-table check into ONE scan per table
+  (conditional-count aggregate), then unpivots via stack() — 6 tiny
+  jobs total regardless of check count.
+
+Scale notes (100 TB): all outputs are O(groups) or O(bins) rows; the
+only shuffles are single-row or few-row aggregations. The drift
+binning is the histogram primitive (map-only bin assignment against
+broadcast bounds). The FK check is a null-producing broadcast-able
+left join aggregated to one row.
+
+Reference parity: the reference validates with pandas `.describe()` +
+manual assertions (src/etl.py); this generalizes that into first-class
+test-statistic queries. The split protocol matches ml.with_split_flags
+(salted md5, reference M1/P6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workshop3_etl_spark.plans.registry import register
+from workshop3_etl_spark.sources.tables import load_table
+
+# Shared split predicate (identical to ml.with_split_flags /
+# relational.split_train_test_counts): salted md5 of the row key,
+# first hex byte < 0xb3 => train (~70%).
+_SPLIT_SQL = (
+    "CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR) || ':42'), 1, 2)"
+    " < 'b3' THEN 1 ELSE 0 END"
+)
+
+
+def _split_col() -> F.Column:
+    return (
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":42"))), 1, 2
+        )
+        < "b3"
+    ).cast("int")
+
+
+# --------------------------------------------------------------------
+# Welch's unequal-variance t-test between the train and test splits on
+# orders.o_totalprice. A biased split shows up here as |t| >> 2.
+# --------------------------------------------------------------------
+
+_WELCH_ORACLE = f"""
+WITH f AS (
+  SELECT CAST(CAST(o_totalprice AS decimal(27,2)) * 100 AS BIGINT) AS xc,
+         {_SPLIT_SQL} AS g
+  FROM orders
+),
+mo AS (
+  SELECT g,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xc) AS BIGINT) AS s,
+         SUM(CAST(xc AS decimal(38,0)) * xc) AS q
+  FROM f GROUP BY g
+),
+v AS (
+  SELECT g, n,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+         (CAST(q AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / CAST(n - 1 AS DOUBLE) / 10000.0 AS var_samp
+  FROM mo
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN g = 1 THEN n END) AS n_train,
+    MAX(CASE WHEN g = 0 THEN n END) AS n_test,
+    MAX(CASE WHEN g = 1 THEN mean END) AS mean_train,
+    MAX(CASE WHEN g = 0 THEN mean END) AS mean_test,
+    MAX(CASE WHEN g = 1 THEN var_samp END) AS var_train,
+    MAX(CASE WHEN g = 0 THEN var_samp END) AS var_test
+  FROM v
+)
+SELECT
+  n_train, n_test, mean_train, mean_test, var_train, var_test,
+  (mean_train - mean_test)
+    / SQRT(var_train / CAST(n_train AS DOUBLE)
+           + var_test / CAST(n_test AS DOUBLE)) AS t_stat,
+  ((var_train / CAST(n_train AS DOUBLE)
+    + var_test / CAST(n_test AS DOUBLE))
+   * (var_train / CAST(n_train AS DOUBLE)
+      + var_test / CAST(n_test AS DOUBLE)))
+  / ((var_train / CAST(n_train AS DOUBLE))
+       * (var_train / CAST(n_train AS DOUBLE))
+       / CAST(n_train - 1 AS DOUBLE)
+     + (var_test / CAST(n_test AS DOUBLE))
+         * (var_test / CAST(n_test AS DOUBLE))
+         / CAST(n_test - 1 AS DOUBLE)) AS welch_dof
+FROM w
+"""
+
+
+@register("stats_welch_ttest_split_price", oracle=_WELCH_ORACLE)
+def stats_welch_ttest_split_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between the deterministic train/test splits on order
+    totals: one row with group moments, t statistic and
+    Welch–Satterthwaite dof.
+
+    ONE scan: integer-cents raw moments (sum, sum-of-squares) per
+    group, exact in bigint/decimal(38,0). No double value is ever
+    cast to decimal — the only roundings are exact-integer→double
+    conversions (correctly rounded in both engines) followed by
+    identical IEEE expression trees. This sidesteps the double→
+    decimal tie-rounding divergence the centered-moment form is
+    exposed to at unlucky magnitudes.
+    """
+    f = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(27,2)") * 100)
+        .cast("long")
+        .alias("xc"),
+        _split_col().alias("g"),
+    )
+    mo = f.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").cast("long").alias("s"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc")).alias("q"),
+    )
+    v = mo.select(
+        "g",
+        "n",
+        (F.col("s").cast("double") / F.col("n").cast("double") / 100.0).alias(
+            "mean"
+        ),
+        (
+            (
+                F.col("q").cast("double")
+                - F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("n").cast("double")
+            )
+            / (F.col("n") - 1).cast("double")
+            / 10000.0
+        ).alias("var_samp"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("g") == 1, F.col("n"))).alias("n_train"),
+        F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n_test"),
+        F.max(F.when(F.col("g") == 1, F.col("mean"))).alias("mean_train"),
+        F.max(F.when(F.col("g") == 0, F.col("mean"))).alias("mean_test"),
+        F.max(F.when(F.col("g") == 1, F.col("var_samp"))).alias("var_train"),
+        F.max(F.when(F.col("g") == 0, F.col("var_samp"))).alias("var_test"),
+    )
+    se2_tr = F.col("var_train") / F.col("n_train").cast("double")
+    se2_te = F.col("var_test") / F.col("n_test").cast("double")
+    return w.select(
+        "n_train",
+        "n_test",
+        "mean_train",
+        "mean_test",
+        "var_train",
+        "var_test",
+        ((F.col("mean_train") - F.col("mean_test")) / F.sqrt(se2_tr + se2_te)).alias(
+            "t_stat"
+        ),
+        (
+            ((se2_tr + se2_te) * (se2_tr + se2_te))
+            / (
+                se2_tr * se2_tr / (F.col("n_train") - 1).cast("double")
+                + se2_te * se2_te / (F.col("n_test") - 1).cast("double")
+            )
+        ).alias("welch_dof"),
+    )
+
+
+# --------------------------------------------------------------------
+# Chi-square test of independence: documents.lang × documents.source.
+# --------------------------------------------------------------------
+
+_CHISQ_ORACLE = """
+WITH obs AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+),
+rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rl FROM obs GROUP BY lang),
+ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS cl FROM obs GROUP BY source),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT obs.o,
+         CAST(rt.rl AS DOUBLE) * CAST(ct.cl AS DOUBLE)
+           / CAST(tot.n AS DOUBLE) AS e
+  FROM obs JOIN rt ON obs.lang = rt.lang
+           JOIN ct ON obs.source = ct.source
+           CROSS JOIN tot
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+    * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
+  CAST(SUM(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                AS decimal(27,9))) AS DOUBLE) AS chi2
+FROM cells
+"""
+
+
+@register("stats_chisq_lang_source", oracle=_CHISQ_ORACLE)
+def stats_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for lang × source over the
+    document corpus (one row: cell count, dof, chi2).
+
+    Observed cells are one groupBy; marginals re-aggregate the tiny
+    cell frame (not the corpus); expected counts and contributions
+    are identical IEEE trees, decimal-cast before the cross-cell sum.
+    """
+    obs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .persist()
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("cl"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    n_r = rt.count()
+    n_c = ct.count()
+    e = (
+        F.col("rl").cast("double")
+        * F.col("cl").cast("double")
+        / F.col("n").cast("double")
+    )
+    cells = (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("o", e.alias("e"))
+    )
+    dev = F.col("o").cast("double") - F.col("e")
+    result = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.lit((n_r - 1) * (n_c - 1)).cast("long").alias("dof"),
+        F.sum((dev * dev / F.col("e")).cast("decimal(27,9)"))
+        .cast("double")
+        .alias("chi2"),
+    )
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
+    return materialize_and_release(result, obs)
+
+
+# --------------------------------------------------------------------
+# Train/test distribution drift on order totals: 10 equal-width bins,
+# per-bin split proportions, |Δp| per bin. The PSI shape without its
+# ln() term — cross-engine exactness beats the textbook constant.
+# --------------------------------------------------------------------
+
+_DRIFT_BINS = 10
+
+_DRIFT_ORACLE = f"""
+WITH f AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x, {_SPLIT_SQL} AS g
+  FROM orders
+),
+b AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM f),
+binned AS (
+  SELECT
+    CAST(LEAST(CAST(FLOOR(((f.x - b.mn) / (b.mx - b.mn))
+                          * {_DRIFT_BINS}.0) AS BIGINT),
+               {_DRIFT_BINS - 1}) AS BIGINT) AS bin_id,
+    f.g
+  FROM f CROSS JOIN b
+),
+counts AS (
+  SELECT bin_id,
+         CAST(SUM(g) AS BIGINT) AS n_train,
+         CAST(COUNT(*) - SUM(g) AS BIGINT) AS n_test
+  FROM binned GROUP BY bin_id
+),
+tots AS (
+  SELECT CAST(SUM(n_train) AS BIGINT) AS t_train,
+         CAST(SUM(n_test) AS BIGINT) AS t_test
+  FROM counts
+),
+spine AS (SELECT unnest(range({_DRIFT_BINS})) AS bin_id)
+SELECT
+  s.bin_id,
+  b.mn + CAST(s.bin_id AS DOUBLE) * ((b.mx - b.mn) / {_DRIFT_BINS}.0)
+    AS lo_edge,
+  COALESCE(c.n_train, CAST(0 AS BIGINT)) AS n_train,
+  COALESCE(c.n_test, CAST(0 AS BIGINT)) AS n_test,
+  CAST(COALESCE(c.n_train, 0) AS DOUBLE) / CAST(t.t_train AS DOUBLE)
+    AS p_train,
+  CAST(COALESCE(c.n_test, 0) AS DOUBLE) / CAST(t.t_test AS DOUBLE)
+    AS p_test,
+  ABS(CAST(COALESCE(c.n_train, 0) AS DOUBLE) / CAST(t.t_train AS DOUBLE)
+      - CAST(COALESCE(c.n_test, 0) AS DOUBLE) / CAST(t.t_test AS DOUBLE))
+    AS abs_dp
+FROM spine s
+LEFT JOIN counts c ON s.bin_id = c.bin_id
+CROSS JOIN tots t CROSS JOIN b
+ORDER BY s.bin_id
+"""
+
+
+@register("stats_drift_price_train_test", oracle=_DRIFT_ORACLE)
+def stats_drift_price_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin train-vs-test distribution comparison of order totals
+    (equal-width bins, split proportions, |Δp|). Sum of abs_dp / 2 is
+    the total-variation distance — the log-free drift index.
+
+    One histogram pass (map-only binning against broadcast bounds),
+    then all arithmetic on the B-row bin frame. The bin spine is
+    generated (spark.range), so empty bins still appear.
+    """
+    f = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("x"),
+        _split_col().alias("g"),
+    )
+    b = f.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    binned = f.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                ((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                * float(_DRIFT_BINS)
+            ).cast("long"),
+            F.lit(_DRIFT_BINS - 1).cast("long"),
+        ).alias("bin_id"),
+        "g",
+    )
+    counts = binned.groupBy("bin_id").agg(
+        F.sum("g").cast("long").alias("n_train"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("n_test"),
+    )
+    tots = counts.agg(
+        F.sum("n_train").cast("long").alias("t_train"),
+        F.sum("n_test").cast("long").alias("t_test"),
+    )
+    spine = spark.range(_DRIFT_BINS).select(F.col("id").alias("bin_id"))
+    p_train = F.coalesce(F.col("n_train"), F.lit(0)).cast("double") / F.col(
+        "t_train"
+    ).cast("double")
+    p_test = F.coalesce(F.col("n_test"), F.lit(0)).cast("double") / F.col(
+        "t_test"
+    ).cast("double")
+    return (
+        spine.join(F.broadcast(counts), "bin_id", "left")
+        .crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "bin_id",
+            (
+                F.col("mn")
+                + F.col("bin_id").cast("double")
+                * ((F.col("mx") - F.col("mn")) / float(_DRIFT_BINS))
+            ).alias("lo_edge"),
+            F.coalesce(F.col("n_train"), F.lit(0).cast("long")).alias("n_train"),
+            F.coalesce(F.col("n_test"), F.lit(0).cast("long")).alias("n_test"),
+            p_train.alias("p_train"),
+            p_test.alias("p_test"),
+            F.abs(p_train - p_test).alias("abs_dp"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+# --------------------------------------------------------------------
+# Data-quality expectations report. One conditional-count scan per
+# table, unpivoted to (table, expectation, n_rows, n_violations,
+# passed) rows. Bounds chosen so the report exercises BOTH outcomes
+# against the driver testdata (orderdate_before_2001 and
+# discount_le_5pct genuinely fail).
+# --------------------------------------------------------------------
+
+_DQ_ORACLE = """
+WITH o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL
+                               OR o_totalprice <= 0) AS BIGINT) AS v_price,
+         CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL
+                               OR o_orderdate >= TIMESTAMP '2001-01-01')
+              AS BIGINT) AS v_date
+  FROM orders
+),
+l AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE l_discount IS NULL
+                               OR l_discount < 0 OR l_discount > 1)
+              AS BIGINT) AS v_disc,
+         CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+           AS v_disc5,
+         CAST(COUNT(*) FILTER (WHERE l_quantity IS NULL OR l_quantity <= 0)
+              AS BIGINT) AS v_qty
+  FROM lineitem
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS v_uniq
+  FROM customer
+),
+d AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE n_chars IS NULL
+                               OR n_chars <> LENGTH(text)) AS BIGINT)
+           AS v_len
+  FROM documents
+),
+e AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS v_uid
+  FROM events
+),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+           AS v_fk
+  FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey
+)
+SELECT * FROM (
+  SELECT 'orders' AS table_name, 'totalprice_positive' AS expectation,
+         n AS n_rows, v_price AS n_violations, v_price = 0 AS passed FROM o
+  UNION ALL
+  SELECT 'orders', 'orderdate_before_2001', n, v_date, v_date = 0 FROM o
+  UNION ALL
+  SELECT 'lineitem', 'discount_in_unit_interval', n, v_disc,
+         v_disc = 0 FROM l
+  UNION ALL
+  SELECT 'lineitem', 'discount_le_5pct', n, v_disc5, v_disc5 = 0 FROM l
+  UNION ALL
+  SELECT 'lineitem', 'quantity_positive', n, v_qty, v_qty = 0 FROM l
+  UNION ALL
+  SELECT 'customer', 'custkey_unique', n, v_uniq, v_uniq = 0 FROM c
+  UNION ALL
+  SELECT 'documents', 'n_chars_matches_text', n, v_len, v_len = 0 FROM d
+  UNION ALL
+  SELECT 'events', 'user_id_not_null', n, v_uid, v_uid = 0 FROM e
+  UNION ALL
+  SELECT 'lineitem', 'orderkey_fk_orders', n, v_fk, v_fk = 0 FROM fk
+)
+ORDER BY table_name, expectation
+"""
+
+
+def _cnt_if(cond: F.Column) -> F.Column:
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+
+@register("dq_expectations_report", oracle=_DQ_ORACLE)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-violation report over five tables: null/range/
+    uniqueness/consistency/FK expectations, one row each.
+
+    Each table contributes ONE conditional-count aggregate scan
+    (however many checks it carries); the FK check is a single left
+    join aggregated to one row. At 100 TB every check stays a
+    map-side partial count — the report is O(#checks) rows.
+    """
+    o = load_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n"),
+        _cnt_if(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        ).alias("v_price"),
+        _cnt_if(
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        ).alias("v_date"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n"),
+        _cnt_if(
+            F.col("l_discount").isNull()
+            | (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1)
+        ).alias("v_disc"),
+        _cnt_if(F.col("l_discount") > 0.05).alias("v_disc5"),
+        _cnt_if(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)).alias(
+            "v_qty"
+        ),
+    )
+    c = load_table(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).cast("long").alias(
+            "v_uniq"
+        ),
+    )
+    d = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n"),
+        _cnt_if(
+            F.col("n_chars").isNull() | (F.col("n_chars") != F.length("text"))
+        ).alias("v_len"),
+    )
+    ev = load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("n"),
+        _cnt_if(F.col("user_id").isNull()).alias("v_uid"),
+    )
+    fk = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .join(
+            load_table(spark, sf_dir, "orders").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _cnt_if(F.col("o_orderkey").isNull()).alias("v_fk"),
+        )
+    )
+
+    def rows(df: DataFrame, table: str, checks: list[tuple[str, str]]) -> DataFrame:
+        stack_args = ", ".join(f"'{name}', {col}" for name, col in checks)
+        return df.selectExpr(
+            f"'{table}' AS table_name",
+            "n",
+            f"stack({len(checks)}, {stack_args}) AS (expectation, n_violations)",
+        ).select(
+            "table_name",
+            F.col("expectation"),
+            F.col("n").alias("n_rows"),
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+
+    report = (
+        rows(o, "orders", [("totalprice_positive", "v_price"),
+                           ("orderdate_before_2001", "v_date")])
+        .unionByName(
+            rows(li, "lineitem", [("discount_in_unit_interval", "v_disc"),
+                                  ("discount_le_5pct", "v_disc5"),
+                                  ("quantity_positive", "v_qty")])
+        )
+        .unionByName(rows(c, "customer", [("custkey_unique", "v_uniq")]))
+        .unionByName(rows(d, "documents", [("n_chars_matches_text", "v_len")]))
+        .unionByName(rows(ev, "events", [("user_id_not_null", "v_uid")]))
+        .unionByName(rows(fk, "lineitem", [("orderkey_fk_orders", "v_fk")]))
+    )
+    return report.orderBy("table_name", "expectation")

@@ -158,6 +158,7 @@ def _ensure_loaded() -> None:
         relational,
         similarity,
         sketches,
+        stats,
         text,
         timeseries,
         windows,
