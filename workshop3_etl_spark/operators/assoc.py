@@ -1,0 +1,232 @@
+"""Association mining: market-basket pair lift over order contents
+and bigram collocation strength (PMI) over the document corpus.
+
+Spark-first shapes:
+- Basket pairs: the per-order item set is deduped FIRST (one shuffle
+  on the order key), then the pair join is a self-equi-join on that
+  key — co-partitioned, so Spark reuses the exchange instead of
+  reshuffling; the quadratic blowup is bounded per order (basket
+  sizes are small and a hard cap guards the degenerate order).
+- Collocations: tokens are exploded once with positions; the "next
+  token" is a lead() window per document (one shuffle on doc_id) —
+  bigram AND unigram statistics both derive from that single exploded
+  frame, which is scanned twice but materialized once.
+- PMI is surfaced as the exact probability ratio
+  p(xy) / (p(x)p(y)) rather than its logarithm — libm log() is not
+  guaranteed bit-identical across engines (see text.py TF-IDF note);
+  the ratio carries the same ordering and is exact IEEE arithmetic.
+
+Scale notes (100 TB): pair generation never leaves the basket/doc
+key's partitioning; all global counts are distributive aggregates;
+outputs are top-k. Hot items (a part in every order) do not skew the
+JOIN (keyed on order, not item) — only the final per-pair groupBy,
+where AQE skew handling applies.
+
+Reference parity: no association surface exists in the reference;
+this belongs to the training-pipeline extension (co-occurrence
+statistics for tokenizer/vocab work and recommendation features).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from workshop3_etl_spark.functions.cache import materialize_and_release
+from workshop3_etl_spark.plans.registry import register
+from workshop3_etl_spark.sources.tables import load_table
+
+# Degenerate-basket guard: an order with more items than this is
+# excluded from pair mining (quadratic per-basket cost). The driver
+# testdata never hits it; at 100 TB it bounds the worst basket.
+_MAX_BASKET = 1000
+
+_BASKET_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+sized AS (
+  SELECT l_orderkey FROM items GROUP BY l_orderkey
+  HAVING COUNT(*) <= {_MAX_BASKET}
+),
+it AS (
+  SELECT i.l_orderkey, i.l_partkey FROM items i
+  JOIN sized s ON i.l_orderkey = s.l_orderkey
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM it),
+item_n AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+  FROM it GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part1, b.l_partkey AS part2,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT
+  p.part1, p.part2, p.n_pair,
+  na.n_item AS n_part1, nb.n_item AS n_part2,
+  CAST(p.n_pair AS DOUBLE) * CAST(t.n AS DOUBLE)
+    / (CAST(na.n_item AS DOUBLE) * CAST(nb.n_item AS DOUBLE)) AS lift
+FROM pairs p
+JOIN item_n na ON p.part1 = na.l_partkey
+JOIN item_n nb ON p.part2 = nb.l_partkey
+CROSS JOIN n_orders t
+ORDER BY p.n_pair DESC, p.part1, p.part2
+LIMIT 100
+"""
+
+
+@register("basket_part_pairs_lift", oracle=_BASKET_ORACLE)
+def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchased part pairs with lift: how much more often two
+    parts share an order than independence predicts.
+
+    One dedup shuffle on (orderkey, partkey), a co-partitioned
+    self-join keyed on the order, a per-pair count, and two broadcast
+    joins against the item-frequency frame. lift > 1 ⇒ genuine
+    co-purchase signal.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    sized = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("basket_n"))
+        .filter(F.col("basket_n") <= _MAX_BASKET)
+        .select("l_orderkey")
+    )
+    it = items.join(sized, "l_orderkey").persist()
+    n_orders = it.select("l_orderkey").distinct().count()
+    item_n = it.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = it.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part1")
+    )
+    b = it.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part2")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part1") < F.col("part2"))
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    na = item_n.select(
+        F.col("l_partkey").alias("part1"), F.col("n_item").alias("n_part1")
+    )
+    nb = item_n.select(
+        F.col("l_partkey").alias("part2"), F.col("n_item").alias("n_part2")
+    )
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.lit(float(n_orders))
+        / (F.col("n_part1").cast("double") * F.col("n_part2").cast("double"))
+    )
+    result = (
+        pairs.join(F.broadcast(na), "part1")
+        .join(F.broadcast(nb), "part2")
+        .select("part1", "part2", "n_pair", "n_part1", "n_part2", lift.alias("lift"))
+        .orderBy(F.desc("n_pair"), "part1", "part2")
+        .limit(100)
+    )
+    return materialize_and_release(result, items, it)
+
+
+_MIN_PAIR = 5
+
+_PMI_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS w1
+  FROM tk
+),
+bi AS (
+  SELECT w1,
+         lead(w1) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+  FROM pos
+),
+uni AS (
+  SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS n_w FROM pos GROUP BY w1
+),
+nu AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n FROM uni),
+pairs AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM bi WHERE w2 IS NOT NULL
+  GROUP BY w1, w2
+),
+nb AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n FROM pairs)
+SELECT
+  p.w1, p.w2, p.n_pair,
+  (CAST(p.n_pair AS DOUBLE) / CAST(nb.n AS DOUBLE))
+    / ((CAST(u1.n_w AS DOUBLE) / CAST(nu.n AS DOUBLE))
+       * (CAST(u2.n_w AS DOUBLE) / CAST(nu.n AS DOUBLE))) AS pmi_ratio
+FROM pairs p
+JOIN uni u1 ON p.w1 = u1.w
+JOIN uni u2 ON p.w2 = u2.w
+CROSS JOIN nu CROSS JOIN nb
+WHERE p.n_pair >= {_MIN_PAIR}
+ORDER BY pmi_ratio DESC, p.w1, p.w2
+LIMIT 50
+"""
+
+
+@register("text_bigram_pmi", oracle=_PMI_ORACLE)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by PMI ratio p(xy)/(p(x)p(y)) with a
+    minimum-count support filter.
+
+    Tokens are exploded once with positions; the bigram partner is a
+    lead() window per document (the same one-shuffle pattern as the
+    PIT features); unigram and bigram counts aggregate the SAME
+    exploded frame. The PMI ratio is exact IEEE division — log-free
+    by design.
+    """
+    tk = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
+    )
+    pos = tk.select(
+        "doc_id", F.posexplode("toks").alias("p", "w1")
+    ).persist()
+    w = Window.partitionBy("doc_id").orderBy("p")
+    bi = pos.select("w1", F.lead("w1").over(w).alias("w2"))
+    uni = pos.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_w")
+    )
+    n_uni = pos.count()
+    pairs = (
+        bi.filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _MIN_PAIR)
+        .persist()
+    )
+    # total bigram count = sum over ALL pairs (pre-filter) — recompute
+    # from the unfiltered frame to match the oracle exactly.
+    n_bi = bi.filter(F.col("w2").isNotNull()).count()
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    pmi = (
+        (F.col("n_pair").cast("double") / F.lit(float(n_bi)))
+        / (
+            (F.col("n_w1").cast("double") / F.lit(float(n_uni)))
+            * (F.col("n_w2").cast("double") / F.lit(float(n_uni)))
+        )
+    )
+    result = (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select("w1", "w2", "n_pair", pmi.alias("pmi_ratio"))
+        .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .limit(50)
+    )
+    return materialize_and_release(result, pos, pairs)

@@ -1,0 +1,285 @@
+"""Feature-store operators: point-in-time (PIT) feature assembly and
+marketing-style attribution — the label-join layer of a training-data
+pipeline.
+
+PIT correctness is THE feature-store invariant: a training example
+labeled at time t may only see feature values computed from data
+strictly before t (no leakage from the future). The classic
+implementation is an as-of join per feature group; Spark-first we
+fold every feature group into ONE window pass over the per-entity
+event timeline:
+
+- one shuffle on the entity key (user_id), one sort by (ts, id);
+- each feature is a frame-bounded aggregate over that ordering
+  (running count, RANGE-framed trailing count, carry-forward
+  last-observation) — all ending at "-1 row" / "-1 microsecond" so
+  the label row itself and anything after it is invisible;
+- the label filter happens AFTER feature computation, so features
+  see the full prior timeline, labels only survive for purchases.
+
+At 100 TB this is the cheapest possible shape: no per-feature-group
+join fan-out (k feature groups = k window expressions sharing one
+sort, not k shuffles), no range-join explosion, state bounded per
+entity. Skewed entities (bot users) would need the same salting
+escape hatch as sessionize — documented there.
+
+Attribution reuses the identical machinery: the "feature" is the
+latest preceding touch (non-purchase event), the "label" is purchase
+value, and the report aggregates attributed revenue per channel under
+last-touch and first-touch models simultaneously.
+
+Reference parity: the reference joins features with pandas merges at
+train time (src/etl.py's merge of model inputs); PIT discipline is
+this engine's generalization. Tie-break/dedup contract follows
+operators/advanced.asof_join (tests/test_asof_api.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from workshop3_etl_spark.functions import metrics as M
+from workshop3_etl_spark.plans.registry import register
+from workshop3_etl_spark.sources.tables import load_table
+
+_US_7D = 7 * 86_400_000_000  # seven days in microseconds
+
+# ------------------------------------------------------------------
+# PIT feature assembly: for every purchase, the features a model
+# would be allowed to see at purchase time.
+# ------------------------------------------------------------------
+
+_PIT_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events
+),
+feat AS (
+  SELECT
+    user_id, event_id, event_type, value, us,
+    COUNT(*) OVER (
+      PARTITION BY user_id ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS lifetime_n,
+    COUNT(*) OVER (
+      PARTITION BY user_id ORDER BY us
+      RANGE BETWEEN {_US_7D} PRECEDING AND 1 PRECEDING
+    ) AS trailing_7d_n,
+    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+      OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ) AS last_view_value,
+    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+      OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ) AS last_view_us
+  FROM t
+)
+SELECT
+  user_id,
+  event_id AS purchase_event_id,
+  us AS purchase_us,
+  CAST(lifetime_n AS BIGINT) AS lifetime_n,
+  CAST(trailing_7d_n AS BIGINT) AS trailing_7d_n,
+  last_view_value,
+  us - last_view_us AS view_age_us,
+  value AS label_value
+FROM feat
+WHERE event_type = 'purchase'
+ORDER BY user_id, purchase_event_id
+"""
+
+
+@register("pit_features_purchase", oracle=_PIT_ORACLE)
+def pit_features_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training table: per purchase, leakage-free
+    features (lifetime activity, trailing-7d activity, latest prior
+    view value/age) plus the label, from ONE window pass.
+
+    Every frame ends strictly before the label row (ROWS ... 1
+    PRECEDING, RANGE ... 1 [microsecond] PRECEDING), which is the PIT
+    guarantee. The RANGE frame orders by the integer microsecond key
+    so boundary semantics are bit-identical across engines.
+    """
+    t = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_US_7D, -1)
+    )
+    view_value = F.when(F.col("event_type") == "view", F.col("value"))
+    view_us = F.when(F.col("event_type") == "view", F.col("us"))
+    feat = t.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "us",
+        F.count(F.lit(1)).over(w_rows).cast("long").alias("lifetime_n"),
+        F.count(F.lit(1)).over(w_range).cast("long").alias("trailing_7d_n"),
+        F.last(view_value, ignorenulls=True).over(w_rows).alias("last_view_value"),
+        F.last(view_us, ignorenulls=True).over(w_rows).alias("last_view_us"),
+    )
+    return (
+        feat.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("us").alias("purchase_us"),
+            "lifetime_n",
+            "trailing_7d_n",
+            "last_view_value",
+            (F.col("us") - F.col("last_view_us")).alias("view_age_us"),
+            F.col("value").alias("label_value"),
+        )
+        .orderBy("user_id", "purchase_event_id")
+    )
+
+
+# ------------------------------------------------------------------
+# Revenue attribution: purchase value credited to the preceding touch
+# under last-touch (within a 7-day lookback; else 'direct') and
+# first-touch (first touch ever; else 'direct') models, reported per
+# channel side by side.
+# ------------------------------------------------------------------
+
+_ATTR_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events
+),
+touched AS (
+  SELECT
+    user_id, event_id, event_type, value, us,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS lt_channel,
+    last_value(CASE WHEN event_type <> 'purchase' THEN us END
+               IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS lt_us,
+    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS ft_channel
+  FROM t
+),
+p AS (
+  SELECT
+    CASE WHEN lt_channel IS NULL OR us - lt_us > {_US_7D}
+         THEN 'direct' ELSE lt_channel END AS last_touch,
+    CASE WHEN ft_channel IS NULL THEN 'direct' ELSE ft_channel END
+      AS first_touch,
+    value
+  FROM touched WHERE event_type = 'purchase'
+),
+lt AS (
+  SELECT last_touch AS channel,
+         CAST(COUNT(*) AS BIGINT) AS n_last,
+         {M.oracle_dsum('value', 'revenue_last')}
+  FROM p GROUP BY last_touch
+),
+ft AS (
+  SELECT first_touch AS channel,
+         CAST(COUNT(*) AS BIGINT) AS n_first,
+         {M.oracle_dsum('value', 'revenue_first')}
+  FROM p GROUP BY first_touch
+)
+SELECT
+  COALESCE(lt.channel, ft.channel) AS channel,
+  COALESCE(lt.n_last, CAST(0 AS BIGINT)) AS n_last,
+  COALESCE(lt.revenue_last, 0.0) AS revenue_last,
+  COALESCE(ft.n_first, CAST(0 AS BIGINT)) AS n_first,
+  COALESCE(ft.revenue_first, 0.0) AS revenue_first
+FROM lt FULL OUTER JOIN ft ON lt.channel = ft.channel
+ORDER BY channel
+"""
+
+
+@register("attribution_touch_revenue", oracle=_ATTR_ORACLE)
+def attribution_touch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch (7-day lookback, else 'direct') and first-touch
+    purchase-revenue attribution per channel, one row per channel.
+
+    Same single window pass as the PIT table (the touch channel IS a
+    PIT feature); the two attribution models then aggregate the tiny
+    purchase frame twice and full-outer-join per channel — both aggs
+    reuse one shuffled intermediate, never the raw events.
+    """
+    t = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_ch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_us = F.when(F.col("event_type") != "purchase", F.col("us"))
+    touched = t.select(
+        "event_type",
+        "value",
+        "us",
+        F.last(touch_ch, ignorenulls=True).over(w).alias("lt_channel"),
+        F.last(touch_us, ignorenulls=True).over(w).alias("lt_us"),
+        F.first(touch_ch, ignorenulls=True).over(w).alias("ft_channel"),
+    )
+    p = (
+        touched.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("lt_channel").isNull()
+                | ((F.col("us") - F.col("lt_us")) > _US_7D),
+                F.lit("direct"),
+            )
+            .otherwise(F.col("lt_channel"))
+            .alias("last_touch"),
+            F.coalesce(F.col("ft_channel"), F.lit("direct")).alias("first_touch"),
+            "value",
+        )
+        .persist()
+    )
+    lt = p.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_last"), M.dsum("value", "revenue_last")
+    )
+    ft = p.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_first"), M.dsum("value", "revenue_first")
+    )
+    result = (
+        lt.join(ft, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce(F.col("n_last"), F.lit(0).cast("long")).alias("n_last"),
+            F.coalesce(F.col("revenue_last"), F.lit(0.0)).alias("revenue_last"),
+            F.coalesce(F.col("n_first"), F.lit(0).cast("long")).alias("n_first"),
+            F.coalesce(F.col("revenue_first"), F.lit(0.0)).alias("revenue_first"),
+        )
+        .orderBy("channel")
+    )
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
+    return materialize_and_release(result, p)

@@ -459,3 +459,59 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------
+# Inverted index (search-engine posting lists): term -> document
+# frequency, collection frequency, and the sorted posting list
+# itself. The postings are surfaced as a comma-joined string so both
+# engines stringify the array identically for the value hash.
+# --------------------------------------------------------------------
+
+_INVERTED_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS w FROM documents
+),
+agg AS (
+  SELECT w AS term,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+         CAST(COUNT(*) AS BIGINT) AS coll_freq,
+         array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+  FROM pos GROUP BY w
+)
+SELECT term, doc_freq, coll_freq, postings
+FROM agg
+ORDER BY doc_freq DESC, term
+LIMIT 50
+"""
+
+
+@register("search_inverted_index_postings", oracle=_INVERTED_ORACLE)
+def search_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 terms of an inverted index: document frequency,
+    collection frequency, sorted posting list per term.
+
+    One explode + one groupBy on the term — the index build IS a
+    distributive aggregate (collect_set is bounded by doc_freq; at
+    corpus scale the posting list column would be bucketed by term
+    and stored, not returned — the LIMIT here is the query surface).
+    """
+    pos = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("w")
+    )
+    return (
+        pos.groupBy(F.col("w").alias("term"))
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+            F.count(F.lit(1)).cast("long").alias("coll_freq"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(50)
+    )

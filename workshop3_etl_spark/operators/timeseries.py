@@ -329,3 +329,76 @@ def ts_gapfill_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("interp_total_value"),
     ).orderBy("event_type", "hour_start")
     return materialize_and_release(result, agg)
+
+
+# --------------------------------------------------------------------
+# EWMA smoothing over a bounded 24-hour window. Weight for a lag of k
+# hours is 2^-k (a 1-hour half-life): every weight is an exact dyadic
+# double, so the weighted products and the fixed left-associated
+# summation tree are identical IEEE sequences in both engines —
+# a fractional half-life (0.5^(k/6)) would put irrational libm pow()
+# values in the hashed output.
+# --------------------------------------------------------------------
+
+_EWMA_LAGS = 24
+
+
+def _ewma_oracle() -> str:
+    num_terms = []
+    den_terms = []
+    for k in range(_EWMA_LAGS):
+        w = 0.5**k  # exact dyadic constant, prints exactly
+        lagk = f"lag(xv, {k}) OVER (PARTITION BY event_type ORDER BY h)"
+        num_terms.append(f"COALESCE({lagk}, 0.0) * {w!r}")
+        den_terms.append(f"(CASE WHEN {lagk} IS NULL THEN 0.0 ELSE {w!r} END)")
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(SUM(CAST(value AS decimal(27,2))) AS DOUBLE) AS xv
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT h AS hour_start, event_type, xv AS raw_value,
+       ({num}) / ({den}) AS ewma_value
+FROM agg
+ORDER BY event_type, hour_start
+"""
+
+
+@register("ts_ewma_hourly_value", oracle=_ewma_oracle())
+def ts_ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event value per
+    type: 24-lag bounded window, weights 2^-k (1-hour half-life).
+
+    The EWMA is a lag-chain — 24 lag() expressions sharing ONE window
+    sort — rather than a recursive state op: dyadic weights and a
+    fixed left-associated summation tree make the result bit-identical
+    across engines, and the whole expression stays inside Spark's
+    window codegen (no UDF, no recursion). The hourly pre-aggregate
+    collapses the corpus before the window, so the windowed frame is
+    O(series × hours) however big the raw events are.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
+    )
+    agg = ev.groupBy("h", "event_type").agg(
+        M.dsum("value", "xv")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    num = F.lit(None).cast("double")
+    den = F.lit(None).cast("double")
+    for k in range(_EWMA_LAGS):
+        wk = 0.5**k
+        lagk = F.lag("xv", k).over(w)
+        num_k = F.coalesce(lagk, F.lit(0.0)) * F.lit(wk)
+        den_k = F.when(lagk.isNull(), F.lit(0.0)).otherwise(F.lit(wk))
+        num = num_k if k == 0 else num + num_k
+        den = den_k if k == 0 else den + den_k
+    return agg.select(
+        F.col("h").alias("hour_start"),
+        "event_type",
+        F.col("xv").alias("raw_value"),
+        (num / den).alias("ewma_value"),
+    ).orderBy("event_type", "hour_start")

@@ -73,34 +73,36 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scd2_user_type_history",
     "profile_histogram_price",
     "dedup_levenshtein_blocked",
+    # Round-3 second-session additions — stats/feature-store/assoc
+    # families, each needing their first driver verification.
+    "stats_welch_ttest_split_price",
+    "stats_chisq_lang_source",
+    "stats_drift_price_train_test",
+    "dq_expectations_report",
+    "pit_features_purchase",
+    "attribution_touch_revenue",
+    "basket_part_pairs_lift",
+    "text_bigram_pmi",
+    "ts_ewma_hourly_value",
     # SQL-surface representatives (the other sql_* passed the r02
     # driver gate and rotate out to fund the slots above).
-    "sql_exists_high_value_suppliers",
-    "sql_grouping_sets_lineitem",
     "sql_cube_revenue",
     # Families the r01 driver budget never reached.
-    "text_token_stats",
     "text_quality_score",
-    "text_lang_id_confusion",
     "text_repetition_filter",
     "happiness_unified_profile",
     "text_tfidf_top_terms_per_lang",
     "sim_cosine_topk_bruteforce",
-    "window_top3_per_supplier",
-    "window_share_of_customer",
-    "salted_agg_returnflag_revenue",
     "split_train_test_counts",
     "udf_named_functions_docs",
     # Per-family flagships that stay inside the driver budget.
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
-    "q6_forecast_revenue",
     "ml_ols_qty_price",
     "corpus_e2e_training_prep",
     "dedup_minhash_lsh_candidates",
     "dedup_connected_components",
-    "corpus_decontaminate_vs_benchmark",
     "profile_describe_lineitem",
     "multimodal_payload_stats",
 )
@@ -148,11 +150,13 @@ def _ensure_loaded() -> None:
     # Imports deferred to avoid circular import at package import time.
     from workshop3_etl_spark import ml  # noqa: F401
     from workshop3_etl_spark.functions import udf_registry  # noqa: F401
-    from workshop3_etl_spark.sources import happiness  # noqa: F401
+    from workshop3_etl_spark.sources import happiness, lakehouse  # noqa: F401
     from workshop3_etl_spark.operators import (  # noqa: F401
         advanced,
+        assoc,
         corpus,
         dedup,
+        features,
         multimodal,
         profile,
         relational,

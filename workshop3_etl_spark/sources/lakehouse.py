@@ -80,3 +80,98 @@ def dynamic_partition_overwrite(spark: SparkSession):
         yield
     finally:
         spark.conf.set(conf, prev)
+
+
+# --------------------------------------------------------------------
+# Z-order (Morton) layout keys: interleave the bits of two columns so
+# rows close in BOTH dimensions land close in the sort order. Sorting
+# a table by z-key before writing gives every file a tight min/max
+# range on both columns — data-skipping (file pruning) then works for
+# predicates on either column, which a single-column sort can't do.
+# Pure integer bit arithmetic: identical in any engine.
+# --------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def zorder_key(x: F.Column, y: F.Column, bits: int = _Z_BITS) -> F.Column:
+    """Morton-interleave the low ``bits`` of two non-negative integer
+    columns: x occupies even bit positions, y odd ones."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _zorder_oracle_expr(x: str, y: str, bits: int = _Z_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH k AS (
+  SELECT
+    o_orderkey,
+    o_custkey & {(1 << _Z_BITS) - 1} AS xk,
+    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+         AS BIGINT) & {(1 << _Z_BITS) - 1} AS yk
+  FROM orders
+)
+SELECT
+  o_orderkey, xk, yk,
+  {_zorder_oracle_expr('xk', 'yk')} AS zkey
+FROM k
+ORDER BY zkey, o_orderkey
+LIMIT 200
+"""
+
+
+def _register_zorder() -> None:
+    from workshop3_etl_spark.plans.registry import register
+    from workshop3_etl_spark.sources.tables import load_table
+
+    @register("layout_zorder_orders_key", oracle=_ZORDER_ORACLE)
+    def layout_zorder_orders_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Morton z-order key over (custkey, order-day): the sort key a
+        lakehouse writer would use so file-level min/max statistics
+        prune on BOTH customer and date predicates.
+
+        The key is 2x16 interleaved bits built from shift/and/shift
+        adds — whole-stage-codegen'd integer expressions, no UDF. The
+        query surfaces the first 200 rows of the z-sorted order; the
+        write path applies the same key via ``df.sort(zorder_key(...))
+        .write`` (see write_partitioned).
+        """
+        day = F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("long")
+        mask = (1 << _Z_BITS) - 1
+        k = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_custkey").bitwiseAND(F.lit(mask)).alias("xk"),
+            day.bitwiseAND(F.lit(mask)).alias("yk"),
+        )
+        return (
+            k.select(
+                "o_orderkey",
+                "xk",
+                "yk",
+                zorder_key(F.col("xk"), F.col("yk")).alias("zkey"),
+            )
+            .orderBy("zkey", "o_orderkey")
+            .limit(200)
+        )
+
+
+_register_zorder()

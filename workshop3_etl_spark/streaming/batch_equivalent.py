@@ -403,3 +403,81 @@ def stream_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang")
             .localCheckpoint(eager=True)
         )
+
+
+# --------------------------------------------------------------------
+# Sliding (hopping) windows: 1-hour windows every 30 minutes — each
+# event lands in exactly two windows. The overlap is what tumbling
+# can't express; state doubles (O(windows/slide) per key) and the
+# watermark still closes windows, so finite input == batch.
+# --------------------------------------------------------------------
+
+_US_30MIN = 1_800_000_000
+
+_SLIDING_ORACLE = f"""
+WITH x AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT)
+           - CAST(epoch_us(ts) AS BIGINT) % {_US_30MIN} AS b,
+         event_type, value
+  FROM events
+),
+u AS (
+  SELECT unnest([b, b - {_US_30MIN}]) AS ws, event_type, value FROM x
+)
+SELECT
+  make_timestamp(ws) AS window_start,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS decimal(27,2))) AS DOUBLE) AS total_value
+FROM u
+GROUP BY ws, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@register("stream_sliding_hourly_30m_counts", oracle=_SLIDING_ORACLE)
+def stream_sliding_hourly_30m_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding-window (1h size, 30m slide) counts as a real
+    streaming query; every event contributes to exactly two windows.
+
+    The oracle replays the window-assignment arithmetic in integer
+    microseconds (each event's 30-minute bucket and the one before
+    it), so the equality proven is stream(finite) == batch == explicit
+    window algebra — all three agree bit-identically.
+    """
+    sink = f"stream_sliding_{abs(hash(sf_dir)) % 10_000_000}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        with _few_state_partitions(spark):
+            (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        return (
+            spark.table(sink)
+            .orderBy("window_start", "event_type")
+            .localCheckpoint(eager=True)
+        )
