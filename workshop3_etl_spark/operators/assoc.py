@@ -230,3 +230,121 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
     )
     return materialize_and_release(result, pos, pairs)
+
+
+# --------------------------------------------------------------------
+# Graph analytics over the co-purchase graph: nodes are parts, an
+# edge joins two parts ordered in >= _MIN_EDGE_SUPPORT common orders
+# (the support filter keeps the graph sparse — raw single-co-occurrence
+# pairs are mostly noise AND mostly of the quadratic bulk).
+# --------------------------------------------------------------------
+
+_MIN_EDGE_SUPPORT = 2
+
+_EDGES_SQL = f"""
+  WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  )
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_MIN_EDGE_SUPPORT}
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-filtered co-purchase edge list, canonical p1 < p2."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _MIN_EDGE_SUPPORT)
+        .select("p1", "p2")
+    )
+
+
+_TRIANGLE_ORACLE = f"""
+WITH e AS ({_EDGES_SQL})
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+  CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.p1 = e1.p2
+JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+"""
+
+
+@register("graph_triangle_count_copurchase", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-purchase graph (one row: edges,
+    triangles).
+
+    Edges are stored once in canonical (p1 < p2) orientation, so each
+    triangle a<b<c is found exactly once as (a,b)+(b,c) closed by
+    (a,c) — the standard wedge-close join, no post-dedup. At real
+    scale the refinement is degree-ordered orientation (point each
+    edge at the higher-degree endpoint) so wedge counts are bounded
+    by arboricity, plus a broadcast of the (small) high-degree core;
+    the support filter already removes the quadratic noise floor.
+    """
+    e = _copurchase_edges(spark, sf_dir).persist()
+    e1 = e.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+    e2 = e.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
+    e3 = e.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(e3, ["a", "c"])
+    n_edges = e.count()
+    result = tri.agg(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.count(F.lit(1)).alias("n_triangles"),
+    )
+    return materialize_and_release(result, e)
+
+
+_DEGREE_ORACLE = f"""
+WITH e AS ({_EDGES_SQL}),
+deg AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (
+    SELECT p1 AS p FROM e
+    UNION ALL
+    SELECT p2 AS p FROM e
+  )
+  GROUP BY p
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg
+GROUP BY degree
+ORDER BY degree
+"""
+
+
+@register("graph_degree_distribution_copurchase", oracle=_DEGREE_ORACLE)
+def graph_degree_distribution_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the skew
+    diagnostic that tells you whether the triangle join (or any
+    neighborhood expansion) needs the high-degree-core escape hatch.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("p1").alias("p"))
+        .unionAll(e.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )

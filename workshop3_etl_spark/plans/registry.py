@@ -76,7 +76,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Round-3 second-session additions — stats/feature-store/assoc
     # families, each needing their first driver verification.
     "stats_welch_ttest_split_price",
-    "stats_chisq_lang_source",
+    "happiness_unified_profile",
     "stats_drift_price_train_test",
     "dq_expectations_report",
     "pit_features_purchase",
@@ -90,11 +90,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Families the r01 driver budget never reached.
     "text_quality_score",
     "text_repetition_filter",
-    "happiness_unified_profile",
-    "text_tfidf_top_terms_per_lang",
+    "search_inverted_index_postings",
+    "graph_triangle_count_copurchase",
     "sim_cosine_topk_bruteforce",
-    "split_train_test_counts",
-    "udf_named_functions_docs",
+    "layout_zorder_orders_key",
+    "stream_sliding_hourly_30m_counts",
     # Per-family flagships that stay inside the driver budget.
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -103,7 +103,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_e2e_training_prep",
     "dedup_minhash_lsh_candidates",
     "dedup_connected_components",
-    "profile_describe_lineitem",
+    "udf_named_functions_docs",
     "multimodal_payload_stats",
 )
 
