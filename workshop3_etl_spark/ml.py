@@ -425,3 +425,190 @@ def compare_outlier_treatments(
     return spark.createDataFrame(
         rows, "variant string, n_test long, r2 double, mae double, rmse double"
     )
+
+
+# --------------------------------------------------------------------
+# M5/M6 as ORACLED queries. build_scaler/build_one_hot (above) are the
+# MLlib vector pipelines; their outputs are vector-typed and thus not
+# SQL-comparable. These queries express the SAME math relationally so
+# the driver's DuckDB gate verifies the scaling/encoding semantics
+# bit-for-bit.
+# --------------------------------------------------------------------
+
+_SCALING_ORACLE = """
+WITH f AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DOUBLE) AS x,
+         CAST(CAST(l_extendedprice AS decimal(27,2)) * 100 AS BIGINT) AS xc
+  FROM lineitem
+),
+g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         MIN(x) AS mn, MAX(x) AS mx,
+         CAST(SUM(xc) AS BIGINT) AS s,
+         SUM(CAST(xc AS decimal(38,0)) * xc) AS q
+  FROM f GROUP BY l_returnflag
+),
+p AS (
+  SELECT l_returnflag, mn, mx,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+         SQRT((CAST(q AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n AS DOUBLE) / 10000.0) AS std_pop
+  FROM g
+),
+r AS (
+  SELECT f.*, ROW_NUMBER() OVER (
+    PARTITION BY f.l_returnflag ORDER BY f.l_orderkey, f.l_linenumber
+  ) AS rn
+  FROM f
+)
+SELECT
+  r.l_returnflag, r.l_orderkey, r.l_linenumber, r.x,
+  (r.x - p.mn) / (p.mx - p.mn) AS x_minmax,
+  (r.x - p.mean) / p.std_pop AS x_zscore
+FROM r JOIN p ON r.l_returnflag = p.l_returnflag
+WHERE r.rn <= 5
+ORDER BY r.l_returnflag, r.l_orderkey, r.l_linenumber
+"""
+
+
+@register("ml_scaling_minmax_zscore", oracle=_SCALING_ORACLE)
+def ml_scaling_minmax_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 relationally: per-returnflag min-max and z-score scaling
+    parameters fitted in one aggregate (integer-cents moments, exact),
+    applied to a deterministic 5-row sample per group.
+
+    Mirrors build_scaler's StandardScaler(withMean)/MinMaxScaler math
+    without the vector type, so the driver gate checks it. Fit is one
+    scan; apply is map-only against the broadcast parameter frame —
+    the 100 TB shape (parameters are O(groups), never collected).
+    """
+    from pyspark.sql import Window
+
+    f = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(27,2)") * 100)
+        .cast("long")
+        .alias("xc"),
+    )
+    g = f.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.sum("xc").cast("long").alias("s"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc")).alias("q"),
+    )
+    p = g.select(
+        "l_returnflag",
+        "mn",
+        "mx",
+        (F.col("s").cast("double") / F.col("n").cast("double") / 100.0).alias(
+            "mean"
+        ),
+        F.sqrt(
+            (
+                F.col("q").cast("double")
+                - F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("n").cast("double")
+            )
+            / F.col("n").cast("double")
+            / 10000.0
+        ).alias("std_pop"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    r = f.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return (
+        r.join(F.broadcast(p), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "x",
+            ((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias(
+                "x_minmax"
+            ),
+            ((F.col("x") - F.col("mean")) / F.col("std_pop")).alias("x_zscore"),
+        )
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    )
+
+
+_ONEHOT_ORACLE = """
+WITH c AS (
+  SELECT c_mktsegment AS category, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM customer GROUP BY c_mktsegment
+),
+ranked AS (
+  SELECT a.category, a.n_rows,
+         CAST((SELECT COUNT(*) FROM c b
+               WHERE b.n_rows > a.n_rows
+                  OR (b.n_rows = a.n_rows AND b.category < a.category))
+              AS BIGINT) AS idx
+  FROM c a
+)
+SELECT category, idx, n_rows,
+       idx = (SELECT MAX(idx) FROM ranked) AS is_dropped
+FROM ranked
+ORDER BY idx
+"""
+
+
+@register("ml_onehot_mktsegment_table", oracle=_ONEHOT_ORACLE)
+def ml_onehot_mktsegment_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 relationally: the StringIndexer+OneHotEncoder(dropLast)
+    category table — frequency-descending index (ties alphabetical,
+    matching StringIndexer's frequencyDesc), least-frequent category
+    dropped, per-category row counts.
+
+    The index is computed by a broadcast self-join count on the tiny
+    category frame (no global window); summing the encoded dummy
+    columns over the data would reproduce exactly n_rows per
+    undropped category, which is what this table asserts.
+    """
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("category"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .persist()
+    )
+    b = c.select(
+        F.col("category").alias("b_cat"), F.col("n_rows").alias("b_n")
+    )
+    ranked = (
+        c.crossJoin(F.broadcast(b))
+        .groupBy("category", "n_rows")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("b_n") > F.col("n_rows"))
+                    | (
+                        (F.col("b_n") == F.col("n_rows"))
+                        & (F.col("b_cat") < F.col("category"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("idx")
+        )
+    )
+    max_idx = ranked.agg(F.max("idx").alias("mi"))
+    result = (
+        ranked.crossJoin(F.broadcast(max_idx))
+        .select(
+            "category",
+            "idx",
+            "n_rows",
+            (F.col("idx") == F.col("mi")).alias("is_dropped"),
+        )
+        .orderBy("idx")
+    )
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
+    return materialize_and_release(result, c)

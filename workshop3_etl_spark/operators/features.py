@@ -283,3 +283,138 @@ def attribution_touch_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from workshop3_etl_spark.functions.cache import materialize_and_release
 
     return materialize_and_release(result, p)
+
+
+# ------------------------------------------------------------------
+# RFM segmentation: quartile scores on recency / frequency / monetary
+# per customer, composed into a segment label. Boundaries use exact
+# percentile() (bit-identical to DuckDB quantile_cont — the A8
+# contract) at dyadic-exact probabilities .25/.5/.75.
+# ------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d FROM orders),
+cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                        (SELECT d FROM mx)) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS decimal(27,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+b AS (
+  SELECT
+    quantile_cont(CAST(recency_days AS DOUBLE), 0.25) AS r25,
+    quantile_cont(CAST(recency_days AS DOUBLE), 0.5) AS r50,
+    quantile_cont(CAST(recency_days AS DOUBLE), 0.75) AS r75,
+    quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f25,
+    quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS f50,
+    quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f75,
+    quantile_cont(monetary, 0.25) AS m25,
+    quantile_cont(monetary, 0.5) AS m50,
+    quantile_cont(monetary, 0.75) AS m75
+  FROM cust
+),
+scored AS (
+  SELECT
+    4 - (CAST(CAST(recency_days AS DOUBLE) > b.r25 AS INT)
+         + CAST(CAST(recency_days AS DOUBLE) > b.r50 AS INT)
+         + CAST(CAST(recency_days AS DOUBLE) > b.r75 AS INT)) AS r_score,
+    1 + CAST(CAST(frequency AS DOUBLE) > b.f25 AS INT)
+      + CAST(CAST(frequency AS DOUBLE) > b.f50 AS INT)
+      + CAST(CAST(frequency AS DOUBLE) > b.f75 AS INT) AS f_score,
+    1 + CAST(monetary > b.m25 AS INT)
+      + CAST(monetary > b.m50 AS INT)
+      + CAST(monetary > b.m75 AS INT) AS m_score,
+    monetary
+  FROM cust CROSS JOIN b
+)
+SELECT
+  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+    || CAST(m_score AS VARCHAR) AS segment,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(CAST(monetary AS decimal(27,2))) AS DOUBLE) AS total_monetary
+FROM scored
+GROUP BY 1
+ORDER BY segment
+"""
+
+
+@register("rfm_customer_segments", oracle=_RFM_ORACLE)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quartile segmentation of
+    customers by order history, reported as segment label ->
+    customer count and total spend.
+
+    One groupBy collapses orders to per-customer metrics; quartile
+    boundaries are ONE exact-percentile aggregate over that (much
+    smaller) frame, broadcast back; scoring is map-only comparisons.
+    At 100 TB the exact percentile swaps for percentile_approx —
+    the documented A8 trade — with everything else unchanged.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("d"))
+    cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.first("d"), F.max(F.col("o_orderdate").cast("date"))
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .persist()
+    )
+    b = cust.agg(
+        F.expr("percentile(cast(recency_days as double), 0.25)").alias("r25"),
+        F.expr("percentile(cast(recency_days as double), 0.5)").alias("r50"),
+        F.expr("percentile(cast(recency_days as double), 0.75)").alias("r75"),
+        F.expr("percentile(cast(frequency as double), 0.25)").alias("f25"),
+        F.expr("percentile(cast(frequency as double), 0.5)").alias("f50"),
+        F.expr("percentile(cast(frequency as double), 0.75)").alias("f75"),
+        F.expr("percentile(monetary, 0.25)").alias("m25"),
+        F.expr("percentile(monetary, 0.5)").alias("m50"),
+        F.expr("percentile(monetary, 0.75)").alias("m75"),
+    )
+
+    def score_up(col: str, lo: str, mid: str, hi: str) -> F.Column:
+        c = F.col(col).cast("double")
+        return (
+            F.lit(1)
+            + (c > F.col(lo)).cast("int")
+            + (c > F.col(mid)).cast("int")
+            + (c > F.col(hi)).cast("int")
+        )
+
+    scored = cust.crossJoin(F.broadcast(b)).select(
+        (F.lit(4) - (score_up("recency_days", "r25", "r50", "r75") - 1)).alias(
+            "r_score"
+        ),
+        score_up("frequency", "f25", "f50", "f75").alias("f_score"),
+        score_up("monetary", "m25", "m50", "m75").alias("m_score"),
+        "monetary",
+    )
+    result = (
+        scored.groupBy(
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total_monetary"),
+        )
+        .orderBy("segment")
+    )
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
+    return materialize_and_release(result, cust)

@@ -98,11 +98,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Per-family flagships that stay inside the driver budget.
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_regional_revenue",
+    "ml_onehot_mktsegment_table",
     "ml_ols_qty_price",
     "corpus_e2e_training_prep",
     "dedup_minhash_lsh_candidates",
-    "dedup_connected_components",
+    "ml_scaling_minmax_zscore",
     "udf_named_functions_docs",
     "multimodal_payload_stats",
 )
