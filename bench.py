@@ -47,6 +47,13 @@ def main() -> None:
         "udf_named_functions_docs",
         "happiness_unified_profile",
         "corpus_e2e_training_prep",
+        # round-3 second-session families
+        "pit_features_purchase",
+        "stats_welch_ttest_split_price",
+        "basket_part_pairs_lift",
+        "graph_triangle_count_copurchase",
+        "layout_zorder_orders_key",
+        "stream_append_closed_windows",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

@@ -84,36 +84,32 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top co-purchased part pairs with lift: how much more often two
     parts share an order than independence predicts.
 
-    One dedup shuffle on (orderkey, partkey), a co-partitioned
-    self-join keyed on the order, a per-pair count, and two broadcast
-    joins against the item-frequency frame. lift > 1 ⇒ genuine
-    co-purchase signal.
+    ONE shuffle builds the per-order item set (collect_set); the
+    basket-size cap, the pair expansion (sorted-array index
+    combinations via transform/slice — no self-join), and the lift
+    arithmetic are all map-only; two more small shuffles count pairs
+    and items. lift > 1 ⇒ genuine co-purchase signal.
     """
-    items = (
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
+        .filter(F.size("arr") <= _MAX_BASKET)
         .persist()
     )
-    sized = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("basket_n"))
-        .filter(F.col("basket_n") <= _MAX_BASKET)
-        .select("l_orderkey")
-    )
-    it = items.join(sized, "l_orderkey").persist()
-    n_orders = it.select("l_orderkey").distinct().count()
-    item_n = it.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    a = it.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part1")
-    )
-    b = it.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part2")
+    n_orders = baskets.count()
+    item_n = baskets.select(F.explode("arr").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("n_item"))
+    pair_structs = F.expr(
+        "flatten(transform(arr, (x, i) -> "
+        "transform(slice(arr, i + 2, size(arr)), y -> struct(x AS p1, y AS p2))))"
     )
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("part1") < F.col("part2"))
-        .groupBy("part1", "part2")
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(
+            F.col("pr.p1").alias("part1"), F.col("pr.p2").alias("part2")
+        )
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )
     na = item_n.select(
@@ -134,7 +130,7 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pair"), "part1", "part2")
         .limit(100)
     )
-    return materialize_and_release(result, items, it)
+    return materialize_and_release(result, baskets)
 
 
 _MIN_PAIR = 5
@@ -254,18 +250,24 @@ _EDGES_SQL = f"""
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Support-filtered co-purchase edge list, canonical p1 < p2."""
-    items = (
+    """Support-filtered co-purchase edge list, canonical p1 < p2.
+
+    Same basket-local pair expansion as basket_part_pairs_lift: one
+    collect_set shuffle, map-only combination generation, one pair
+    count — no row-level self-join.
+    """
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
     )
-    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1"))
-    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2"))
+    pair_structs = F.expr(
+        "flatten(transform(arr, (x, i) -> "
+        "transform(slice(arr, i + 2, size(arr)), y -> struct(x AS p1, y AS p2))))"
+    )
     return (
-        a.join(b, "k")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= _MIN_EDGE_SUPPORT)
         .select("p1", "p2")

@@ -481,3 +481,73 @@ def stream_sliding_hourly_30m_counts(spark: SparkSession, sf_dir: str) -> DataFr
             .orderBy("window_start", "event_type")
             .localCheckpoint(eager=True)
         )
+
+
+# --------------------------------------------------------------------
+# APPEND output mode: the production sink mode (complete mode re-emits
+# the whole result every trigger — a driver/sink memory bound at
+# scale). Append emits each window exactly once, when the watermark
+# passes its end; with finite input the emitted set is exactly the
+# windows whose end <= max(event_time) - delay — which the oracle
+# states in SQL. The trailing (still-open) windows are the
+# DELIBERATE difference from the complete-mode query above.
+# --------------------------------------------------------------------
+
+_APPEND_ORACLE = """
+WITH mx AS (SELECT MAX(ts) AS m FROM events)
+SELECT
+  date_trunc('hour', ts) AS window_start,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS decimal(27,2))) AS DOUBLE) AS total_value
+FROM events CROSS JOIN mx
+WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR <= mx.m
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@register("stream_append_closed_windows", oracle=_APPEND_ORACLE)
+def stream_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregate in APPEND mode: only windows the
+    1-hour watermark has closed are emitted (exactly once each).
+
+    The oracle encodes the close rule — window_end (= start + 1h)
+    <= max event time - 1h delay — so the check verifies Spark's
+    watermark/finalization semantics themselves, not just the
+    arithmetic. State for emitted windows is evicted, which is why
+    append + watermark is the unbounded-runtime configuration.
+    """
+    sink = f"stream_append_{abs(hash(sf_dir)) % 10_000_000}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,2)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        with _few_state_partitions(spark):
+            (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        return (
+            spark.table(sink)
+            .orderBy("window_start", "event_type")
+            .localCheckpoint(eager=True)
+        )
