@@ -872,3 +872,70 @@ def profile_mode_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------
+# Equi-depth (equal-frequency) deciles — the complement of the
+# equal-width histogram above: boundaries from ONE exact-percentile
+# aggregate, bucket assignment as a map-only comparison sum.
+# --------------------------------------------------------------------
+
+_EQUIDEPTH_PROBS = [i / 10 for i in range(1, 10)]  # 0.1 .. 0.9
+
+_EQUIDEPTH_ORACLE = f"""
+WITH b AS (
+  SELECT
+    {", ".join(
+        f"quantile_cont(CAST(l_extendedprice AS DOUBLE), {p}) AS b{i}"
+        for i, p in enumerate(_EQUIDEPTH_PROBS, start=1)
+    )}
+  FROM lineitem
+)
+SELECT
+  ({" + ".join(
+      f"CAST(CAST(l_extendedprice AS DOUBLE) > b.b{i} AS INT)"
+      for i in range(1, 10)
+  )}) AS bucket_id,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+  MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+FROM lineitem CROSS JOIN b
+GROUP BY 1
+ORDER BY bucket_id
+"""
+
+
+@register("profile_equidepth_deciles_price", oracle=_EQUIDEPTH_ORACLE)
+def profile_equidepth_deciles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile buckets of l_extendedprice: ~10% of rows
+    per bucket, with observed bucket bounds.
+
+    Boundaries are one exact-percentile aggregate (bit-identical to
+    quantile_cont — the A8 contract) broadcast into a map-only
+    greater-than-comparison sum; one shuffle on the 10-value bucket
+    key. At 100 TB the boundary pass swaps to percentile_approx, the
+    shape is unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    b = li.agg(
+        *[
+            F.expr(f"percentile(x, {p})").alias(f"b{i}")
+            for i, p in enumerate(_EQUIDEPTH_PROBS, start=1)
+        ]
+    )
+    bucket = None
+    for i in range(1, 10):
+        t = (F.col("x") > F.col(f"b{i}")).cast("int")
+        bucket = t if bucket is None else bucket + t
+    return (
+        li.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+        .orderBy("bucket_id")
+    )

@@ -548,3 +548,97 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rows(fk, "lineitem", [("orderkey_fk_orders", "v_fk")]))
     )
     return report.orderBy("table_name", "expectation")
+
+
+# --------------------------------------------------------------------
+# Order-independent table checksums — the migration/replication
+# validation primitive: two systems holding "the same" table compare
+# one row each. Row identity = md5 of a canonical projection; the
+# aggregate is an exact decimal SUM of 60-bit hash prefixes, so it is
+# associative/commutative (partition- and order-independent) and
+# overflow-free. The hex→int step differs textually per engine
+# (Spark conv(), DuckDB 0x-cast) but yields the same integer.
+# --------------------------------------------------------------------
+
+def _orders_canon_spark() -> str:
+    return (
+        "concat_ws('|', cast(o_orderkey as string), cast(o_custkey as string),"
+        " o_orderstatus, cast(cast(o_totalprice as decimal(27,2)) as string),"
+        " cast(o_orderdate as string), o_orderpriority)"
+    )
+
+
+def _orders_canon_duck() -> str:
+    return (
+        "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),"
+        " o_orderstatus, CAST(CAST(o_totalprice AS decimal(27,2)) AS VARCHAR),"
+        " CAST(o_orderdate AS VARCHAR), o_orderpriority)"
+    )
+
+
+def _li_canon_spark() -> str:
+    return (
+        "concat_ws('|', cast(l_orderkey as string), cast(l_linenumber as string),"
+        " cast(l_partkey as string), cast(l_suppkey as string),"
+        " cast(cast(l_quantity as decimal(27,2)) as string),"
+        " cast(cast(l_extendedprice as decimal(27,2)) as string),"
+        " l_returnflag, l_linestatus)"
+    )
+
+
+def _li_canon_duck() -> str:
+    return (
+        "concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),"
+        " CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),"
+        " CAST(CAST(l_quantity AS decimal(27,2)) AS VARCHAR),"
+        " CAST(CAST(l_extendedprice AS decimal(27,2)) AS VARCHAR),"
+        " l_returnflag, l_linestatus)"
+    )
+
+
+_CHECKSUM_ORACLE = f"""
+SELECT 'orders' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       SUM(CAST(CAST('0x' || substring(md5({_orders_canon_duck()}), 1, 15)
+                     AS BIGINT) AS decimal(38,0))) AS checksum
+FROM orders
+UNION ALL
+SELECT 'lineitem',
+       CAST(COUNT(*) AS BIGINT),
+       SUM(CAST(CAST('0x' || substring(md5({_li_canon_duck()}), 1, 15)
+                     AS BIGINT) AS decimal(38,0)))
+FROM lineitem
+ORDER BY table_name
+"""
+
+
+@register("dq_table_checksums", oracle=_CHECKSUM_ORACLE)
+def dq_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksums of orders and lineitem —
+    the cross-system "did the migration copy every row byte-for-byte"
+    check, one row per table.
+
+    Map-only hashing + a commutative exact-decimal sum per table: at
+    100 TB this is the cheapest possible full-content comparison (one
+    scan, no shuffle beyond a 1-row aggregate), and any single-row
+    difference changes the checksum.
+    """
+    def one(table: str, canon: str) -> DataFrame:
+        return (
+            load_table(spark, sf_dir, table)
+            .selectExpr(
+                f"cast(conv(substring(md5({canon}), 1, 15), 16, 10) as bigint)"
+                " as h"
+            )
+            .agg(
+                F.lit(table).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"),
+            )
+        )
+
+    return (
+        one("orders", _orders_canon_spark())
+        .unionByName(one("lineitem", _li_canon_spark()))
+        .orderBy("table_name")
+    )

@@ -839,3 +839,95 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(2000)
         .drop("event_id")
     )
+
+
+# --------------------------------------------------------------------
+# DAU/WAU stickiness: daily actives over trailing-7-day actives. The
+# trailing distinct is computed by fanning each (user, day) out to the
+# 7 report days it supports — map-only explode on the ALREADY-DEDUPED
+# user-day frame, then one distinct count per report day. No range
+# join, no per-day re-scan of raw events.
+# --------------------------------------------------------------------
+
+_STICKINESS_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+mx AS (SELECT MAX(d) AS md FROM ud),
+dau AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+),
+fan AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS rd
+  FROM ud
+),
+wau AS (
+  SELECT rd AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM fan CROSS JOIN mx
+  WHERE rd <= mx.md
+  GROUP BY rd
+)
+SELECT
+  dau.d AS day,
+  dau.dau AS dau,
+  wau.wau AS wau,
+  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+ORDER BY day
+"""
+
+
+@register("stickiness_dau_wau_daily", oracle=_STICKINESS_ORACLE)
+def stickiness_dau_wau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day WAU and the DAU/WAU stickiness ratio per
+    day.
+
+    The user-day dedup happens FIRST (one shuffle collapses the raw
+    events); the 7x fan-out rides that small frame, so the cost at
+    100 TB is O(active user-days), not O(events). The trailing
+    distinct needs no windowed COUNT(DISTINCT) (which no engine
+    supports) — membership fan-out + plain distinct count is the
+    equivalent distributed form.
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .distinct()
+        .persist()
+    )
+    mx = ud.agg(F.max("d").alias("md"))
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("rd"),
+    )
+    wau = (
+        fan.crossJoin(F.broadcast(mx))
+        .filter(F.col("rd") <= F.col("md"))
+        .groupBy(F.col("rd").alias("d"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    result = (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
+    return materialize_and_release(result, ud)
