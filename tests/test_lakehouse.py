@@ -112,3 +112,27 @@ def test_dynamic_partition_overwrite_touches_only_incoming(spark, tmp_path):
         after.filter(F.col("event_type") != "view").count()
         == ev.filter(F.col("event_type") != "view").count()
     )
+
+
+def test_zorder_key_roundtrip_and_locality(spark):
+    """Morton key property: deinterleaving the key recovers both
+    inputs exactly (bijectivity on 16-bit pairs)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.sources.lakehouse import _Z_BITS, zorder_key
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(1 << _Z_BITS), rng.randrange(1 << _Z_BITS))
+           for _ in range(500)]
+    df = spark.createDataFrame(pts, "x long, y long").select(
+        "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+    )
+    # reconstruct x (even bits) and y (odd bits) in plain Python
+    for row in df.collect():
+        x = y = 0
+        for i in range(_Z_BITS):
+            x |= ((row["z"] >> (2 * i)) & 1) << i
+            y |= ((row["z"] >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (row["x"], row["y"])
