@@ -1,12 +1,13 @@
-"""Association mining: market-basket pair lift over order contents
-and bigram collocation strength (PMI) over the document corpus.
+"""Association mining & graph analytics: market-basket pair lift,
+bigram collocation strength (PMI), and the co-purchase graph
+(triangles, degree distribution, BFS hops, Markov transitions).
 
 Spark-first shapes:
-- Basket pairs: the per-order item set is deduped FIRST (one shuffle
-  on the order key), then the pair join is a self-equi-join on that
-  key — co-partitioned, so Spark reuses the exchange instead of
-  reshuffling; the quadratic blowup is bounded per order (basket
-  sizes are small and a hard cap guards the degenerate order).
+- Basket pairs: ONE collect_set shuffle builds each order's item set;
+  pair generation is a MAP-ONLY indexed-combination expansion
+  (transform/slice over the sorted array) — never a row-level
+  self-join. The quadratic blowup is bounded per basket and a hard
+  cap guards the degenerate order.
 - Collocations: tokens are exploded once with positions; the "next
   token" is a lead() window per document (one shuffle on doc_id) —
   bigram AND unigram statistics both derive from that single exploded
@@ -15,11 +16,14 @@ Spark-first shapes:
   p(xy) / (p(x)p(y)) rather than its logarithm — libm log() is not
   guaranteed bit-identical across engines (see text.py TF-IDF note);
   the ratio carries the same ordering and is exact IEEE arithmetic.
+- Graph queries share one support-filtered canonical edge list;
+  iterative traversal (BFS) joins only the frontier per round and
+  localCheckpoints to cut lineage.
 
 Scale notes (100 TB): pair generation never leaves the basket/doc
 key's partitioning; all global counts are distributive aggregates;
-outputs are top-k. Hot items (a part in every order) do not skew the
-JOIN (keyed on order, not item) — only the final per-pair groupBy,
+outputs are top-k or O(levels/types) rows. Hot items don't skew pair
+generation (it's basket-local) — only the final per-pair groupBy,
 where AQE skew handling applies.
 
 Reference parity: no association surface exists in the reference;
@@ -349,4 +353,156 @@ def graph_degree_distribution_copurchase(
         deg.groupBy("degree")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("degree")
+    )
+
+
+# --------------------------------------------------------------------
+# BFS hop distances from a deterministic source over the co-purchase
+# graph — level-synchronous frontier expansion (the iterative-Spark
+# sibling of dedup.connected_component_labels), checked against a
+# recursive-CTE oracle.
+# --------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 10
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE base AS ({_EDGES_SQL}),
+e AS (
+  SELECT p1 AS src, p2 AS dst FROM base
+  UNION ALL
+  SELECT p2 AS src, p1 AS dst FROM base
+),
+s AS (SELECT MIN(p1) AS v FROM base),
+reach(node, hop) AS (
+  SELECT v, 0 FROM s
+  UNION
+  SELECT e.dst, r.hop + 1
+  FROM reach r JOIN e ON e.src = r.node
+  WHERE r.hop < {_BFS_MAX_HOPS}
+),
+d AS (SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM reach GROUP BY node)
+SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM d GROUP BY hop ORDER BY hop
+"""
+
+
+@register("graph_bfs_hops_copurchase", oracle=_BFS_ORACLE)
+def graph_bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distances from the smallest part id in the
+    co-purchase graph: nodes reachable at each hop (≤ 10), i.e. the
+    neighborhood growth profile of that component.
+
+    Level-synchronous BFS: each round joins only the FRONTIER (nodes
+    discovered last round) against the edge list, anti-joins already-
+    visited nodes, and localCheckpoints to cut iterative lineage —
+    per-round cost tracks the frontier, not the graph. The oracle is
+    a recursive CTE computing min-hop per node.
+    """
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
+    edges = _copurchase_edges(spark, sf_dir)
+    e = (
+        edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionAll(edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        .persist()
+    )
+    src_row = edges.agg(F.min("p1").alias("v")).collect()[0]
+    dist = (
+        spark.createDataFrame([(int(src_row["v"]), 0)], "node long, hop int")
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for h in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    result = (
+        dist.groupBy(F.col("hop").cast("long").alias("hop"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("hop")
+    )
+    return materialize_and_release(result, e)
+
+
+# --------------------------------------------------------------------
+# Markov next-event transition matrix: P(next event type | current)
+# per user timeline — journey statistics for behavioral features and
+# synthetic-session generation.
+# --------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+  FROM events
+),
+nx AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY us, event_id) AS to_type
+  FROM t
+),
+c AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM nx WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+tot AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n,
+       CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+FROM c JOIN tot t ON c.from_type = t.from_type
+ORDER BY c.from_type, c.to_type
+"""
+
+
+@register("markov_event_transitions", oracle=_MARKOV_ORACLE)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and conditional probabilities for each
+    (current → next) event-type pair.
+
+    One shuffle on user_id for the lead() window; the matrix itself
+    aggregates the (tiny) typed-pair frame; probabilities are exact
+    IEEE divisions of counts. At 100 TB the window rides the same
+    single entity-key partitioning as the PIT/attribution queries.
+    """
+    t = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    nx = t.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    c = (
+        nx.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    return (
+        c.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+                "p"
+            ),
+        )
+        .orderBy("from_type", "to_type")
     )
