@@ -45,18 +45,43 @@ from workshop3_etl_spark.sources.tables import load_table
 # testdata never hits it; at 100 TB it bounds the worst basket.
 _MAX_BASKET = 1000
 
+# SQL twin of _baskets/_basket_pairs below (shared by the lift query
+# and every co-purchase graph oracle).
+_SIZED_ITEMS_SQL = f"""
+  WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  ),
+  sized AS (
+    SELECT l_orderkey FROM items GROUP BY l_orderkey
+    HAVING COUNT(*) <= {_MAX_BASKET}
+  ),
+  it AS (
+    SELECT i.l_orderkey, i.l_partkey FROM items i
+    JOIN sized s ON i.l_orderkey = s.l_orderkey
+  )
+"""
+
+
+def _baskets(df: DataFrame) -> DataFrame:
+    """Per-order sorted distinct item arrays, degenerate baskets
+    dropped (ONE shuffle; the cap is map-only)."""
+    return (
+        df.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
+        .filter(F.size("arr") <= _MAX_BASKET)
+    )
+
+
+# Map-only combination expansion over the sorted basket array — the
+# shared pair generator (i is 0-based, slice() is 1-based, so i+2
+# starts just past x).
+_PAIR_SQL = (
+    "flatten(transform(arr, (x, i) -> "
+    "transform(slice(arr, i + 2, size(arr)), y -> struct(x AS p1, y AS p2))))"
+)
+
 _BASKET_ORACLE = f"""
-WITH items AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-sized AS (
-  SELECT l_orderkey FROM items GROUP BY l_orderkey
-  HAVING COUNT(*) <= {_MAX_BASKET}
-),
-it AS (
-  SELECT i.l_orderkey, i.l_partkey FROM items i
-  JOIN sized s ON i.l_orderkey = s.l_orderkey
-),
+{_SIZED_ITEMS_SQL},
 n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM it),
 item_n AS (
   SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
@@ -94,23 +119,13 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic are all map-only; two more small shuffles count pairs
     and items. lift > 1 ⇒ genuine co-purchase signal.
     """
-    baskets = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
-        .filter(F.size("arr") <= _MAX_BASKET)
-        .persist()
-    )
+    baskets = _baskets(load_table(spark, sf_dir, "lineitem")).persist()
     n_orders = baskets.count()
     item_n = baskets.select(F.explode("arr").alias("l_partkey")).groupBy(
         "l_partkey"
     ).agg(F.count(F.lit(1)).alias("n_item"))
-    pair_structs = F.expr(
-        "flatten(transform(arr, (x, i) -> "
-        "transform(slice(arr, i + 2, size(arr)), y -> struct(x AS p1, y AS p2))))"
-    )
     pairs = (
-        baskets.select(F.explode(pair_structs).alias("pr"))
+        baskets.select(F.explode(F.expr(_PAIR_SQL)).alias("pr"))
         .groupBy(
             F.col("pr.p1").alias("part1"), F.col("pr.p2").alias("part2")
         )
@@ -242,11 +257,9 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIN_EDGE_SUPPORT = 2
 
 _EDGES_SQL = f"""
-  WITH items AS (
-    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-  )
+  {_SIZED_ITEMS_SQL}
   SELECT a.l_partkey AS p1, b.l_partkey AS p2
-  FROM items a JOIN items b
+  FROM it a JOIN it b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY a.l_partkey, b.l_partkey
   HAVING COUNT(*) >= {_MIN_EDGE_SUPPORT}
@@ -260,17 +273,9 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set shuffle, map-only combination generation, one pair
     count — no row-level self-join.
     """
-    baskets = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("arr"))
-    )
-    pair_structs = F.expr(
-        "flatten(transform(arr, (x, i) -> "
-        "transform(slice(arr, i + 2, size(arr)), y -> struct(x AS p1, y AS p2))))"
-    )
     return (
-        baskets.select(F.explode(pair_structs).alias("pr"))
+        _baskets(load_table(spark, sf_dir, "lineitem"))
+        .select(F.explode(F.expr(_PAIR_SQL)).alias("pr"))
         .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= _MIN_EDGE_SUPPORT)
@@ -398,15 +403,19 @@ def graph_bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round cost tracks the frontier, not the graph. The oracle is
     a recursive CTE computing min-hop per node.
     """
-    from workshop3_etl_spark.functions.cache import materialize_and_release
-
     edges = _copurchase_edges(spark, sf_dir)
     e = (
         edges.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .unionAll(edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
         .persist()
     )
-    src_row = edges.agg(F.min("p1").alias("v")).collect()[0]
+    # min over the persisted symmetric frame == min p1 (p1 < p2 per
+    # edge) — reuses the materialization instead of re-running the
+    # whole edge build for one scalar.
+    src_row = e.agg(F.min("src").alias("v")).collect()[0]
+    if src_row["v"] is None:  # no edge reached the support threshold
+        e.unpersist()
+        return spark.createDataFrame([], "hop long, n_nodes long")
     dist = (
         spark.createDataFrame([(int(src_row["v"]), 0)], "node long, hop int")
         .localCheckpoint(eager=True)

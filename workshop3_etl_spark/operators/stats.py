@@ -43,22 +43,22 @@ from pyspark.sql import functions as F
 from workshop3_etl_spark.plans.registry import register
 from workshop3_etl_spark.sources.tables import load_table
 
-# Shared split predicate (identical to ml.with_split_flags /
-# relational.split_train_test_counts): salted md5 of the row key,
-# first hex byte < 0xb3 => train (~70%).
+# SQL twin of ml.with_split_flags (salted md5 of the row key, first
+# hex byte < 0xb3 => train ~70%); the Spark side reuses
+# with_split_flags itself so the Python predicate lives in ONE place.
 _SPLIT_SQL = (
     "CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR) || ':42'), 1, 2)"
     " < 'b3' THEN 1 ELSE 0 END"
 )
 
 
-def _split_col() -> F.Column:
-    return (
-        F.substring(
-            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":42"))), 1, 2
-        )
-        < "b3"
-    ).cast("int")
+def _with_split(df: DataFrame) -> DataFrame:
+    """orders frame + the reference split flag as column ``g``."""
+    from workshop3_etl_spark.ml import with_split_flags
+
+    return with_split_flags(df, ["o_orderkey"]).withColumnRenamed(
+        "is_train", "g"
+    )
 
 
 # --------------------------------------------------------------------
@@ -130,11 +130,11 @@ def stats_welch_ttest_split_price(spark: SparkSession, sf_dir: str) -> DataFrame
     decimal tie-rounding divergence the centered-moment form is
     exposed to at unlucky magnitudes.
     """
-    f = load_table(spark, sf_dir, "orders").select(
+    f = _with_split(load_table(spark, sf_dir, "orders")).select(
         (F.col("o_totalprice").cast("decimal(27,2)") * 100)
         .cast("long")
         .alias("xc"),
-        _split_col().alias("g"),
+        "g",
     )
     mo = f.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"),
@@ -326,9 +326,9 @@ def stats_drift_price_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     then all arithmetic on the B-row bin frame. The bin spine is
     generated (spark.range), so empty bins still appear.
     """
-    f = load_table(spark, sf_dir, "orders").select(
+    f = _with_split(load_table(spark, sf_dir, "orders")).select(
         F.col("o_totalprice").cast("double").alias("x"),
-        _split_col().alias("g"),
+        "g",
     )
     b = f.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
     binned = f.crossJoin(F.broadcast(b)).select(

@@ -387,15 +387,14 @@ def ts_ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.dsum("value", "xv")
     )
     w = Window.partitionBy("event_type").orderBy("h")
-    num = F.lit(None).cast("double")
-    den = F.lit(None).cast("double")
+    num = den = None
     for k in range(_EWMA_LAGS):
         wk = 0.5**k
         lagk = F.lag("xv", k).over(w)
         num_k = F.coalesce(lagk, F.lit(0.0)) * F.lit(wk)
         den_k = F.when(lagk.isNull(), F.lit(0.0)).otherwise(F.lit(wk))
-        num = num_k if k == 0 else num + num_k
-        den = den_k if k == 0 else den + den_k
+        num = num_k if num is None else num + num_k
+        den = den_k if den is None else den + den_k
     return agg.select(
         F.col("h").alias("hour_start"),
         "event_type",
