@@ -612,3 +612,164 @@ def ml_onehot_mktsegment_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from workshop3_etl_spark.functions.cache import materialize_and_release
 
     return materialize_and_release(result, c)
+
+
+_TARGET_ENC_SMOOTHING = 20  # pseudo-observations of the global mean
+
+_TARGET_ENC_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(CAST(c_acctbal AS decimal(27,2))) AS DOUBLE) AS s_all
+  FROM customer
+),
+c AS (
+  SELECT c_mktsegment AS category,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(c_acctbal AS decimal(27,2))) AS DOUBLE) AS s_cat
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT
+  c.category,
+  c.n_rows,
+  c.s_cat / CAST(c.n_rows AS DOUBLE) AS raw_mean,
+  (c.s_cat + {_TARGET_ENC_SMOOTHING}.0
+             * (g.s_all / CAST(g.n_all AS DOUBLE)))
+    / (CAST(c.n_rows AS DOUBLE) + {_TARGET_ENC_SMOOTHING}.0)
+    AS encoded_value
+FROM c CROSS JOIN g
+ORDER BY c.category
+"""
+
+
+@register("ml_target_encode_mktsegment", oracle=_TARGET_ENC_ORACLE)
+def ml_target_encode_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of c_mktsegment against account
+    balance: (sum_cat + m·global_mean) / (n_cat + m) with m pseudo-
+    observations — the high-cardinality-categorical alternative to
+    one-hot (M6) that stays a single aggregate at any cardinality.
+
+    Two tiny aggregates (global + per-category exact decimal sums)
+    and identical IEEE division trees; applying the encoding to rows
+    is then a broadcast map-only join. Unseen categories at serve
+    time fall back to the global mean by construction.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.col("c_acctbal").cast("decimal(27,2)")).cast("double").alias(
+            "s_all"
+        ),
+    )
+    c = cust.groupBy(F.col("c_mktsegment").alias("category")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(27,2)")).cast("double").alias(
+            "s_cat"
+        ),
+    )
+    m = float(_TARGET_ENC_SMOOTHING)
+    return (
+        c.crossJoin(F.broadcast(g))
+        .select(
+            "category",
+            "n_rows",
+            (F.col("s_cat") / F.col("n_rows").cast("double")).alias("raw_mean"),
+            (
+                (
+                    F.col("s_cat")
+                    + F.lit(m) * (F.col("s_all") / F.col("n_all").cast("double"))
+                )
+                / (F.col("n_rows").cast("double") + F.lit(m))
+            ).alias("encoded_value"),
+        )
+        .orderBy("category")
+    )
+
+
+_CALIB_ORACLE = f"""
+WITH coef AS ({_OLS2_ORACLE}),
+scored AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+         l_extendedprice,
+         coef.alpha + coef.beta1 * CAST(l_quantity AS DOUBLE)
+                    + coef.beta2 * CAST(p_retailprice AS DOUBLE) AS pred
+  FROM lineitem JOIN part ON l_partkey = p_partkey CROSS JOIN coef
+),
+b AS (
+  SELECT
+    {", ".join(
+        f"quantile_cont(pred, {i / 10}) AS b{i}" for i in range(1, 10)
+    )}
+  FROM scored
+)
+SELECT
+  ({" + ".join(f"CAST(pred > b.b{i} AS INT)" for i in range(1, 10))})
+    AS bucket_id,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(l_extendedprice AS decimal(27,2))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS avg_y,
+  MIN(pred) AS lo_pred,
+  MAX(pred) AS hi_pred
+FROM scored CROSS JOIN b
+GROUP BY 1
+ORDER BY bucket_id
+"""
+
+
+@register("ml_calibration_deciles_ols2", oracle=_CALIB_ORACLE)
+def ml_calibration_deciles_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model calibration table: score every row with the closed-form
+    two-feature OLS, bucket by prediction decile, report actual mean
+    label and the prediction range per bucket — a monotone avg_y
+    staircase is the 'model ranks correctly' check.
+
+    The coefficient frame (1 row) broadcasts into a map-only scoring
+    pass; decile boundaries are one exact-percentile aggregate over
+    the scored frame (persisted — scored twice, computed once); avg_y
+    uses the exact-decimal sum, and the prediction column is only ever
+    MIN/MAX'd (selection, not summation), keeping every output value
+    bit-identical.
+    """
+    coef = ml_ols2_qty_retailprice(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    )
+    pred = (
+        F.col("alpha")
+        + F.col("beta1") * F.col("l_quantity").cast("double")
+        + F.col("beta2") * F.col("p_retailprice").cast("double")
+    )
+    scored = (
+        j.crossJoin(F.broadcast(coef))
+        .select("l_extendedprice", pred.alias("pred"))
+        .persist()
+    )
+    b = scored.agg(
+        *[
+            F.expr(f"percentile(pred, {i / 10})").alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bucket = None
+    for i in range(1, 10):
+        t = (F.col("pred") > F.col(f"b{i}")).cast("int")
+        bucket = t if bucket is None else bucket + t
+    result = (
+        scored.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_y"),
+            F.min("pred").alias("lo_pred"),
+            F.max("pred").alias("hi_pred"),
+        )
+        .orderBy("bucket_id")
+    )
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
+    return materialize_and_release(result, scored)
