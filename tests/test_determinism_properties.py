@@ -229,3 +229,54 @@ def test_salted_left_join_equals_plain(spark, left, right):
         for r in salted_join(ldf, rdf, "k", n_salts=4, how="left").collect()
     )
     assert salted == plain
+
+
+# --------------------------------------------------------------------
+# k-core: the bounded-round distributed peel (run to fixpoint) must
+# agree with a sequential peel on arbitrary graphs.
+# --------------------------------------------------------------------
+
+
+def _py_kcore(edges, k=2):
+    es = {tuple(sorted(e)) for e in edges}
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        es2 = {e for e in es if e[0] in keep and e[1] in keep}
+        if es2 == es:
+            return es
+        es = es2
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges_strategy)
+def test_kcore_matches_sequential_peel(spark, edges):
+    from workshop3_etl_spark.operators.assoc import kcore_edges
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges}
+    edf = spark.createDataFrame(sorted(canon), "p1 long, p2 long")
+    # max_rounds > any peel depth reachable from 60 edges, so the
+    # loop's early-exit is the thing under test, not the bound.
+    got = {
+        (r["p1"], r["p2"])
+        for r in kcore_edges(edf, k=2, max_rounds=64).collect()
+    }
+    assert got == _py_kcore(edges, k=2)
+
+
+def test_kcore_peels_tail_keeps_triangle(spark):
+    from workshop3_etl_spark.operators.assoc import kcore_edges
+
+    # triangle 1-2-3 with a path tail 3-4-5-6: the 2-core is exactly
+    # the triangle, found within 2 peel rounds.
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6)]
+    edf = spark.createDataFrame(edges, "p1 long, p2 long")
+    got = {(r["p1"], r["p2"]) for r in kcore_edges(edf).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}

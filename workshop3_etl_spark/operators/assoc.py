@@ -443,6 +443,116 @@ def graph_bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# k-core decomposition (bounded-round peel): iteratively drop nodes
+# whose degree falls below k until fixpoint — the standard dense-
+# subgraph extraction (spam/bot rings, community cores). Like BFS and
+# connected components, it's an iterative Spark loop; the oracle
+# unrolls the SAME bounded round count as chained CTEs, and peeling is
+# monotone, so early convergence on either side cannot diverge.
+# --------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    # Every CTE is MATERIALIZED: each round references the previous
+    # one several times, and DuckDB's default CTE inlining would
+    # re-expand the whole chain exponentially (observed as an
+    # fd-exhaustion blowup at 8 rounds).
+    parts = [f"WITH e0 AS MATERIALIZED ({_EDGES_SQL})"]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (
+  SELECT p FROM (
+    SELECT p1 AS p FROM e{i - 1}
+    UNION ALL
+    SELECT p2 AS p FROM e{i - 1}
+  ) GROUP BY p HAVING COUNT(*) >= {_KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.p1, e.p2 FROM e{i - 1} e
+  JOIN d{i} a ON e.p1 = a.p
+  JOIN d{i} b ON e.p2 = b.p
+)"""
+        )
+    parts.append(
+        f"""
+SELECT p AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM (
+  SELECT p1 AS p FROM e{_KCORE_ROUNDS}
+  UNION ALL
+  SELECT p2 AS p FROM e{_KCORE_ROUNDS}
+)
+GROUP BY p
+ORDER BY degree DESC, node
+LIMIT 500"""
+    )
+    return "".join(parts)
+
+
+def kcore_edges(
+    edges: DataFrame, k: int = _KCORE_K, max_rounds: int = _KCORE_ROUNDS
+) -> DataFrame:
+    """Peel a canonical (p1 < p2) edge list down to its k-core
+    (bounded at ``max_rounds`` peel rounds; early-exits at fixpoint).
+
+    Each round is one degree aggregate over the surviving edge list +
+    two semi-joins (both endpoints must survive), localCheckpointed to
+    cut iterative lineage. Peeling is monotone, so stopping early at
+    fixpoint equals any larger round bound. Per-round cost tracks the
+    SURVIVING edge set, which only shrinks; at 100 TB the round count
+    is O(peel depth), not O(nodes), and each round is a plain
+    shuffle-on-node-id aggregate — no all-pairs stage anywhere.
+    """
+    e = edges.select("p1", "p2").localCheckpoint(eager=True)
+    n_prev = e.count()
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            break
+        deg = (
+            e.select(F.col("p1").alias("p"))
+            .unionAll(e.select(F.col("p2").alias("p")))
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= k)
+            .select("p")
+        )
+        e2 = (
+            e.join(deg.withColumnRenamed("p", "p1"), "p1", "left_semi")
+            .join(deg.withColumnRenamed("p", "p2"), "p2", "left_semi")
+            .select("p1", "p2")
+            .localCheckpoint(eager=True)
+        )
+        n_cur = e2.count()
+        e = e2
+        if n_cur == n_prev:  # no edge dropped => fixpoint reached
+            break
+        n_prev = n_cur
+    return e
+
+
+@register("graph_kcore_copurchase", oracle=_kcore_oracle())
+def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes of the co-purchase graph's k-core (k = 2) with their
+    in-core degrees: iterative peel of degree-below-k nodes (see
+    ``kcore_edges``), matched against an unrolled-8-round chained-CTE
+    oracle (same bound, same early-convergence argument).
+    """
+    e = kcore_edges(_copurchase_edges(spark, sf_dir))
+    return (
+        e.select(F.col("p1").alias("p"))
+        .unionAll(e.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("p").alias("node"), "degree")
+        .orderBy(F.desc("degree"), "node")
+        .limit(500)
+    )
+
+
+# --------------------------------------------------------------------
 # Markov next-event transition matrix: P(next event type | current)
 # per user timeline — journey statistics for behavioral features and
 # synthetic-session generation.

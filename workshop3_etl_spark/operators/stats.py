@@ -642,3 +642,102 @@ def dq_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lineitem", _li_canon_spark()))
         .orderBy("table_name")
     )
+
+
+# --------------------------------------------------------------------
+# Referential-integrity audit: orphan counts for every FK edge of the
+# star schema (and the events->customer entity link). The lakehouse
+# has no FOREIGN KEY enforcement — this query IS the constraint, run
+# as a batch audit before a corpus snapshot is blessed for training.
+# --------------------------------------------------------------------
+
+# (fk_name, child table, child key, parent table, parent key,
+#  parent is broadcast-small at any scale?)
+_FK_EDGES: tuple[tuple[str, str, str, str, str, bool], ...] = (
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey", True),
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey", False),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey", False),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey", False),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey", False),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey", True),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey", False),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey", True),
+)
+
+
+def _orphans_oracle() -> str:
+    legs = []
+    for fk, child, ckey, parent, pkey, _ in _FK_EDGES:
+        legs.append(f"""
+  SELECT '{fk}' AS fk_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN c.{ckey} IS NOT NULL AND p.{pkey} IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+  FROM {child} c LEFT JOIN {parent} p ON c.{ckey} = p.{pkey}""")
+    body = "\n  UNION ALL".join(legs)
+    return f"""
+WITH legs AS ({body}
+)
+SELECT fk_name, n_rows, n_orphans,
+       CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE) AS orphan_rate
+FROM legs
+ORDER BY fk_name
+"""
+
+
+@register("dq_referential_orphans", oracle=_orphans_oracle())
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphaned-foreign-key audit: one row per FK edge with child row
+    count, orphan count (child key set, parent row absent) and the
+    orphan rate.
+
+    Each leg scans ONLY the child's key column (pruned parquet read)
+    and left-joins the parent's key column; genuinely small dims
+    (nation, region — fixed cardinality at any SF) are broadcast,
+    data-scaled parents go through a shuffled join where AQE picks
+    the strategy. NULL child keys are not orphans (SQL FK semantics).
+    Every leg reduces to a single row before the union, so the result
+    exchange is 8 rows regardless of scale.
+    """
+    legs = []
+    for fk, child, ckey, parent, pkey, small in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(
+            F.col(ckey).alias("__ck")
+        )
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pkey).alias("__pk")
+        )
+        if small:
+            p = F.broadcast(p)
+        j = c.join(p, F.col("__ck") == F.col("__pk"), "left")
+        legs.append(
+            j.agg(
+                F.lit(fk).alias("fk_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(
+                        F.col("__ck").isNotNull() & F.col("__pk").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_orphans"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.select(
+        "fk_name",
+        "n_rows",
+        "n_orphans",
+        (F.col("n_orphans").cast("double") / F.col("n_rows").cast("double"))
+        .alias("orphan_rate"),
+    ).orderBy("fk_name")

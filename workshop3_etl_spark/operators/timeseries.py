@@ -401,3 +401,87 @@ def ts_ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xv").alias("raw_value"),
         (num / den).alias("ewma_value"),
     ).orderBy("event_type", "hour_start")
+
+
+# --------------------------------------------------------------------
+# Seasonal-naive forecast error: predict each hour's total value by
+# the SAME hour one day earlier (period = 24h) and score the MAE per
+# series — the standard baseline every real forecasting model must
+# beat, and a drift alarm when the error jumps.
+# --------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         SUM(CAST(value AS decimal(27,2))) AS tv
+  FROM events
+  GROUP BY 1, 2
+),
+ix AS (
+  SELECT event_type,
+         CAST(epoch(h) AS BIGINT) // 3600 AS hi,
+         tv
+  FROM agg
+),
+j AS (
+  SELECT c.event_type, ABS(c.tv - p.tv) AS abs_err
+  FROM ix c JOIN ix p
+    ON p.event_type = c.event_type AND p.hi = c.hi - 24
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(abs_err) AS DOUBLE) AS sum_abs_err,
+       CAST(SUM(abs_err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae
+FROM j
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("ts_seasonal_naive_mae", oracle=_SEASONAL_ORACLE)
+def ts_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (24-hour lag) forecast MAE per event type over
+    the hourly total-value series.
+
+    The hourly rollup is one map-side-combinable aggregate with
+    decimal(27,2) sums (value is fixed-2-decimal, so the cast and the
+    commutative decimal addition are exact — the profile.py moment
+    discipline); the seasonal lag is an EQUI-join on the integer hour
+    index minus 24, not a row-offset window, so calendar gaps in a
+    series can't silently misalign the season. Both the join and the
+    final per-type MAE ride frames whose size is O(hours x types) —
+    calendar-bounded, independent of raw event volume. The MAE
+    division is exact-decimal-to-double, identical IEEE in both
+    engines.
+    """
+    agg = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(F.sum(F.col("value").cast("decimal(27,2)")).alias("tv"))
+    )
+    ix = agg.select(
+        "event_type",
+        F.expr("unix_micros(h) div 3600000000").alias("hi"),
+        "tv",
+    )
+    cur = ix
+    prev = ix.select(
+        "event_type", (F.col("hi") + 24).alias("hi"), F.col("tv").alias("pv")
+    )
+    j = cur.join(prev, ["event_type", "hi"]).select(
+        "event_type", F.abs(F.col("tv") - F.col("pv")).alias("abs_err")
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("abs_err").cast("double").alias("sum_abs_err"),
+            (
+                F.sum("abs_err").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mae"),
+        )
+        .orderBy("event_type")
+    )

@@ -931,3 +931,147 @@ def stickiness_dau_wau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from workshop3_etl_spark.functions.cache import materialize_and_release
 
     return materialize_and_release(result, ud)
+
+
+# --------------------------------------------------------------------
+# CDC changelog apply: collapse an upsert/delete change feed into the
+# latest-wins snapshot — the SCD Type-1 / Delta-CDF "apply changes"
+# shape that complements the SCD2 history build above. The events
+# stream doubles as the feed: 'error' events are tombstones, every
+# other event upserts the user's (type, value) profile row.
+# --------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH ch AS (
+  SELECT user_id, ts, event_id, value, event_type,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert'
+         END AS op
+  FROM events
+),
+r AS (
+  SELECT user_id, ts, event_id, value, event_type, op,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ch
+)
+SELECT user_id,
+       event_type AS last_type,
+       value AS last_value,
+       ts AS last_ts
+FROM r
+WHERE rn = 1 AND op = 'upsert'
+ORDER BY user_id
+"""
+
+
+@register("cdc_apply_latest_snapshot", oracle=_CDC_ORACLE)
+def cdc_apply_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC apply: reduce the per-user change feed to one
+    row per key, honoring delete tombstones ('error' events remove the
+    row entirely).
+
+    One shuffle on the merge key (user_id) ranks changes by
+    (ts, event_id) descending; rn = 1 picks the winning change and the
+    tombstone filter happens AFTER ranking — a delete newer than every
+    upsert deletes the key, an older one is superseded. This
+    rank-then-filter plan is exactly the dedup-before-MERGE stage a
+    lakehouse CDC pipeline runs before `MERGE INTO` (see
+    sources/lakehouse.staged_merge_batch for the sink leg); at 100 TB
+    it's one hash exchange of the change feed, no driver state.
+    Reference parity: kafka/consumer.py applies Kafka upserts row-wise
+    via ON CONFLICT; this is the set-based batch equivalent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "upsert"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------
+# Cumulative distinct users: running count of users ever seen, by day.
+# A windowed COUNT(DISTINCT) doesn't exist in any engine and a naive
+# per-day re-scan is quadratic; the distributed form is first-
+# occurrence collapse (one groupBy user) + a running sum over the
+# day spine.
+# --------------------------------------------------------------------
+
+_CUMULATIVE_USERS_ORACLE = """
+WITH ud AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_d
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_d AS d, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM ud GROUP BY first_d
+),
+spine AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+)
+SELECT s.d AS day,
+       COALESCE(n.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+         ORDER BY s.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cumulative_users
+FROM spine s LEFT JOIN daily n ON s.d = n.d
+ORDER BY day
+"""
+
+
+@register("window_cumulative_distinct_users", oracle=_CUMULATIVE_USERS_ORACLE)
+def window_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day new-user count and the running total of distinct users
+    ever seen.
+
+    The expensive part — "has this user appeared before?" — is ONE
+    groupBy(user_id).min(day) over the raw events (map-side
+    combinable); everything after rides the day spine, whose
+    cardinality is calendar-bounded and does NOT grow with data
+    volume, so the unpartitioned running-sum window is safe at any
+    scale (same justification as the sketches.py rolling-KMV spine).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    )
+    ud = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    daily = ud.groupBy(F.col("first_d").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    spine = ev.select("d").distinct()
+    j = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    wr = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # day spine: tiny, calendar-bounded
+    return (
+        j.select(
+            F.col("d").alias("day"),
+            "new_users",
+            F.sum("new_users").over(wr).cast("long").alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )

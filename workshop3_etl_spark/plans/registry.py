@@ -88,20 +88,26 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # driver gate and rotate out to fund the slots above).
     "sql_cube_revenue",
     # Families the r01 driver budget never reached.
-    "text_quality_score",
-    "text_repetition_filter",
     "search_inverted_index_postings",
     "graph_triangle_count_copurchase",
     "sim_cosine_topk_bruteforce",
     "layout_zorder_orders_key",
     "stream_sliding_hourly_30m_counts",
+    # Round-3 third-session additions — iterative graph peel, CDC
+    # apply, referential DQ, cumulative-distinct, seasonal baseline —
+    # each needing their first driver verification. Funded by demoting
+    # r02-PROVEN rows (text_quality_score, text_repetition_filter,
+    # q3_shipping_priority, dedup_minhash_lsh_candidates,
+    # corpus_e2e_training_prep) whose families keep a representative.
+    "graph_kcore_copurchase",
+    "cdc_apply_latest_snapshot",
+    "dq_referential_orphans",
+    "window_cumulative_distinct_users",
+    "ts_seasonal_naive_mae",
     # Per-family flagships that stay inside the driver budget.
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "ml_onehot_mktsegment_table",
     "ml_ols_qty_price",
-    "corpus_e2e_training_prep",
-    "dedup_minhash_lsh_candidates",
     "ml_scaling_minmax_zscore",
     "udf_named_functions_docs",
     "multimodal_payload_stats",
