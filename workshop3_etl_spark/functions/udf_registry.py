@@ -120,3 +120,81 @@ def udf_named_functions_docs(spark: SparkSession, sf_dir: str):
     register_engine_functions(spark)
     register_views(spark, sf_dir, only=("documents",))
     return spark.sql(_UDF_QUERY_SQL)
+
+
+# --------------------------------------------------------------------
+# Python UDTF surface (Spark 4 table-valued functions): one row in,
+# many rows out, usable in SQL FROM/LATERAL position. This is the
+# honest boundary for generators that genuinely need Python; the
+# docstring query's tokenizer is deliberately ALSO expressible as
+# posexplode, which is what the oracle (and any hot path) should use —
+# the UDTF exists to prove the extension surface, schema contract and
+# LATERAL plumbing, not to replace codegen'd explode.
+# --------------------------------------------------------------------
+
+
+def register_engine_udtfs(spark: SparkSession) -> list[str]:
+    """Register the engine's Python UDTFs; returns the names.
+
+    - ws_tokenize(text): yields (pos, token) per whitespace token,
+      1-based positions, empty tokens skipped.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class WsTokenize:
+        def eval(self, text: str):
+            if text:
+                pos = 0
+                for tok in text.split(" "):
+                    if tok:
+                        pos += 1
+                        yield (pos, tok)
+
+    spark.udtf.register("ws_tokenize", WsTokenize)
+    return ["ws_tokenize"]
+
+
+_UDTF_QUERY_SQL = """
+SELECT s.token,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(s.pos AS BIGINT)) AS BIGINT) AS pos_sum
+FROM documents d, LATERAL ws_tokenize(d.text) s
+GROUP BY s.token
+ORDER BY n DESC, s.token
+LIMIT 50
+"""
+
+_UDTF_ORACLE = """
+WITH tk AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT generate_subscripts(toks, 1) AS p, unnest(toks) AS token
+  FROM tk
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(p AS BIGINT)) AS BIGINT) AS pos_sum
+FROM pos
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+
+@register("udtf_tokenize_positions", oracle=_UDTF_ORACLE)
+def udtf_tokenize_positions(spark: SparkSession, sf_dir: str):
+    """Top tokens with positional mass computed through the Python
+    UDTF surface (`FROM documents, LATERAL ws_tokenize(text)`) — the
+    one-row-to-many-rows extension contract. The oracle recomputes
+    the same expansion relationally (DuckDB unnest), so parity pins
+    the UDTF's row-generation semantics exactly; integer aggregates
+    keep it engine-exact. Production note: this tokenizer has a
+    codegen twin (posexplode in text.py) — UDTFs are for generators
+    Spark can't express, and batch per-partition Python cost is the
+    price of that escape hatch."""
+    register_engine_udtfs(spark)
+    register_views(spark, sf_dir, only=("documents",))
+    return spark.sql(_UDTF_QUERY_SQL)

@@ -418,3 +418,105 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from workshop3_etl_spark.functions.cache import materialize_and_release
 
     return materialize_and_release(result, cust)
+
+
+# --------------------------------------------------------------------
+# Time-decay attribution: every touchpoint in the 7 days before a
+# purchase earns credit value * 2^-k (k = whole days back) — the
+# decay-weighted sibling of the first/last-touch models above. The
+# weights are dyadic (2^-k, k <= 6), so in 1/64-weight x cents units
+# every sum is an INTEGER: exact, commutative, bit-identical across
+# engines — no float accumulation anywhere.
+# --------------------------------------------------------------------
+
+_US_1D = 86_400_000_000
+
+_DECAY_ORACLE = f"""
+WITH tch AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events WHERE event_type <> 'purchase'
+),
+p AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+         CAST(CAST(value AS decimal(27,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+pr AS (
+  SELECT tch.event_type AS channel,
+         (p.us - tch.us) // {_US_1D} AS k,
+         p.cents
+  FROM p JOIN tch ON tch.user_id = p.user_id
+   AND tch.us < p.us AND p.us - tch.us < {_US_7D}
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touch_pairs,
+       CAST(SUM(CAST(1 AS BIGINT) << (6 - k)) AS DOUBLE) / 64.0
+         AS weight_sum,
+       CAST(SUM(CAST(cents AS decimal(38,0)) * (CAST(1 AS BIGINT) << (6 - k)))
+            AS DOUBLE) / 6400.0 AS revenue_decay
+FROM pr
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@register("attribution_time_decay_revenue", oracle=_DECAY_ORACLE)
+def attribution_time_decay_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decay-weighted (2^-days, 7-day lookback) purchase-revenue
+    credit per channel: touchpoint count, total decay weight, and
+    decay-weighted revenue.
+
+    The purchase×touch pairing is one shuffle-on-user_id join with the
+    time predicates applied post-join — per-user pair cost is bounded
+    by session length, the same locality as the PIT window queries.
+    All arithmetic stays integer until the final surfaced division:
+    weights as 2^(6-k) (shiftleft), revenue as cents x weight in
+    decimal(38,0) — sums are exact hence order-independent, so the
+    result is bit-identical under ANY partitioning. (This is the
+    unnormalized decay model: credit is value x 2^-k per touch; the
+    per-conversion-normalized variant divides by an arbitrary integer
+    and cannot stay exact.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tch = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        (F.col("value").cast("decimal(27,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    pr = (
+        p.join(tch, "user_id")
+        .filter(
+            (F.col("t_us") < F.col("p_us"))
+            & (F.col("p_us") - F.col("t_us") < F.lit(_US_7D))
+        )
+        .select(
+            "channel",
+            F.expr(f"shiftleft(cast(1 as bigint), "
+                   f"cast(6 - (p_us - t_us) div {_US_1D} as int))")
+            .alias("w64"),
+            "cents",
+        )
+    )
+    return (
+        pr.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touch_pairs"),
+            (F.sum("w64").cast("double") / F.lit(64.0)).alias("weight_sum"),
+            (
+                F.sum(F.col("cents").cast("decimal(38,0)") * F.col("w64"))
+                .cast("double")
+                / F.lit(6400.0)
+            ).alias("revenue_decay"),
+        )
+        .orderBy("channel")
+    )

@@ -922,3 +922,55 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small_orders"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Deterministic k-fold cross-validation assignment: the k-way
+# generalization of the 70/30 hash split above. Fold = salted-hash
+# integer mod k — map-only, reproducible across runs, engines, and
+# partitionings (no permutation, no shuffle). The balance check per
+# fold (count + mean of the target) is what a CV harness reads before
+# trusting the folds.
+# --------------------------------------------------------------------
+
+_KFOLD = 5
+
+_KFOLD_ORACLE = f"""
+SELECT
+  CAST(CAST(concat('0x',
+       substr(md5(CAST(o_orderkey AS VARCHAR) || ':cv42'), 1, 15))
+       AS BIGINT) % {_KFOLD} AS INT) AS fold,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  {M.oracle_dsum('o_totalprice', 'price_sum')},
+  {M.oracle_davg('o_totalprice', 'price_mean')}
+FROM orders
+GROUP BY 1
+ORDER BY fold
+"""
+
+
+@register("ml_kfold_assignment", oracle=_KFOLD_ORACLE)
+def ml_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold CV assignment by salted key hash (60-bit md5 prefix mod
+    k — same hex→int pairing as dq_table_checksums: Spark conv(),
+    DuckDB 0x-cast) with per-fold row count and target sum/mean.
+
+    Map-only fold tagging + one map-side-combinable aggregate; the
+    mean is an exact-decimal-sum → double division, bit-identical in
+    both engines.
+    """
+    fold = F.expr(
+        "cast(cast(conv(substring(md5(concat(cast(o_orderkey as string),"
+        f" ':cv42')), 1, 15), 16, 10) as bigint) % {_KFOLD} as int)"
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(fold.alias("fold"), "o_totalprice")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            M.dsum("o_totalprice", "price_sum"),
+            M.davg("o_totalprice", "price_mean"),
+        )
+        .orderBy("fold")
+    )

@@ -1075,3 +1075,81 @@ def window_cumulative_distinct_users(
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------
+# Skyline / pareto frontier (2-D): orders that are not dominated on
+# (earlier date, higher total price). The distributed trick: a per-
+# date MAX pre-aggregate collapses the data-scaled input to a
+# calendar-bounded frame FIRST; the dominance test is then a prefix
+# max over that tiny date spine — raw rows never see a window, and
+# the frontier join-back is a broadcast.
+# --------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH dm AS (
+  SELECT o_orderdate AS d, MAX(o_totalprice) AS mx
+  FROM orders GROUP BY 1
+),
+pm AS (
+  SELECT d, mx,
+         MAX(mx) OVER (
+           ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prevmax
+  FROM dm
+),
+fr AS (
+  SELECT d, mx FROM pm WHERE prevmax IS NULL OR mx > prevmax
+)
+SELECT f.d AS frontier_date,
+       f.mx AS frontier_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM fr f JOIN orders o
+  ON o.o_orderdate = f.d AND o.o_totalprice = f.mx
+GROUP BY f.d, f.mx
+ORDER BY frontier_date
+"""
+
+
+@register("skyline_orders_date_price", oracle=_SKYLINE_ORACLE)
+def skyline_orders_date_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of orders over (minimize order date, maximize
+    total price): the orders no other order beats on both axes, with
+    the count of ties at each frontier point.
+
+    Dominance: A dominates B iff A.date <= B.date, A.price >= B.price,
+    one strict. A row survives iff its price equals its date's max AND
+    strictly exceeds every earlier date's max — so the whole test
+    reduces to (per-date max) + (prefix max over the date spine). The
+    per-date aggregate is the only data-scaled shuffle (map-side
+    combinable); the unpartitioned prefix-max window rides the
+    calendar-bounded date frame (same justification as the
+    cumulative-users spine), and the surviving frontier is broadcast
+    back to count ties. Pure comparisons, no arithmetic — exact on
+    any numeric type.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    dm = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.max("o_totalprice").alias("mx")
+    )
+    wp = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # date spine: tiny, calendar-bounded
+    fr = (
+        dm.withColumn("prevmax", F.max("mx").over(wp))
+        .filter(F.col("prevmax").isNull() | (F.col("mx") > F.col("prevmax")))
+        .select("d", "mx")
+    )
+    return (
+        orders.join(
+            F.broadcast(fr),
+            (F.col("o_orderdate") == F.col("d"))
+            & (F.col("o_totalprice") == F.col("mx")),
+        )
+        .groupBy(
+            F.col("d").alias("frontier_date"),
+            F.col("mx").alias("frontier_price"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("frontier_date")
+    )
