@@ -945,3 +945,51 @@ def asof_join(
         F.col(f"_match.{c}").alias(f"asof_{c}") for c in payload_cols
     ]
     return matched.select(*out_cols)
+
+
+# --------------------------------------------------------------------
+# VARIANT ingestion (Spark 4): parse_json into the binary semi-
+# structured VARIANT type and extract typed fields with variant_get —
+# schema-on-read without declaring a schema up front, the complement
+# of json_props_extract_stats' fixed-schema from_json. The oracle
+# reproduces the typed extraction with DuckDB's JSON operators.
+# --------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT
+  CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS INT)
+    AS k_decade,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS INTEGER)
+       AS decimal(27,0))) AS DOUBLE) AS sum_k
+FROM events
+GROUP BY 1
+ORDER BY k_decade
+"""
+
+
+@register("variant_props_decade_counts", oracle=_VARIANT_ORACLE)
+def variant_props_decade_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of the props.k field by decade bucket, extracted
+    through the VARIANT path: parse_json (no schema) + variant_get
+    with a type coercion at read site.
+
+    VARIANT keeps the parsed tree in a binary columnar-friendly form,
+    so repeated extractions don't re-parse the JSON text — at 100 TB
+    the parse cost is paid once per row, not once per field access,
+    which is the reason this path exists next to from_json. Bucketing
+    and sums are integer/decimal exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("cast(variant_get(parse_json(props), '$.k', 'int') as int)")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy(F.expr("cast(k div 10 as int)").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").cast("decimal(27,0)"))
+            .cast("double")
+            .alias("sum_k"),
+        )
+        .orderBy("k_decade")
+    )

@@ -564,3 +564,124 @@ def sketch_kmv_rolling_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_trailing",
         est.alias("kmv_trailing_est"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------
+# Explicit-register HyperLogLog: the classic m=256 register array
+# built from first principles on BOTH engines — bucket = low 8 hash
+# bits, rho = leading-zero rank of the remaining 52 bits — so unlike
+# the native approx_count_distinct (engine-specific sketch, checked
+# only at the error-contract level in sketch_native_approx_bounds),
+# every intermediate here is an INTEGER and the whole query is
+# bit-identical cross-engine: registers are max() of integer ranks,
+# and the harmonic denominator sum(2^-M_b) is carried as the exact
+# integer sum(2^(53-M_b)) (<= 256 * 2^53 = 2^61, fits bigint).
+# --------------------------------------------------------------------
+
+_HLL_M = 256
+
+_HLL_REG_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(CAST(concat('0x',
+         substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+         AS BIGINT) AS hv
+  FROM orders
+),
+bw AS (
+  SELECT hv % {_HLL_M} AS b, hv // {_HLL_M} AS w FROM h
+),
+r AS (
+  SELECT b,
+         MAX(CASE WHEN w = 0 THEN 53
+             ELSE 53 - length(ltrim(bin(w), '0')) END) AS m_b
+  FROM bw GROUP BY b
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_filled,
+         CAST(SUM(m_b) AS BIGINT) AS register_sum,
+         CAST(SUM(CAST(1 AS BIGINT) << (53 - m_b)) AS BIGINT) AS s_filled
+  FROM r
+),
+ex AS (
+  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders
+)
+SELECT
+  CAST({_HLL_M} AS BIGINT) AS m,
+  CAST({_HLL_M} - n_filled AS BIGINT) AS n_zero_registers,
+  register_sum,
+  s_filled + ({_HLL_M} - n_filled) * (CAST(1 AS BIGINT) << 53) AS s_scaled,
+  (0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M}.0 * {_HLL_M}.0
+    * 9007199254740992.0
+    / CAST(s_filled + ({_HLL_M} - n_filled) * (CAST(1 AS BIGINT) << 53)
+           AS DOUBLE) AS hll_estimate,
+  exact_distinct
+FROM agg CROSS JOIN ex
+"""
+
+
+@register("sketch_hll_registers_custkeys", oracle=_HLL_REG_ORACLE)
+def sketch_hll_registers_custkeys(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HyperLogLog distinct-customer estimate from an explicit
+    256-register sketch, next to the exact count: one row with the
+    register-array summary (zero registers, rank sum, exact-integer
+    harmonic denominator) and the raw HLL estimate.
+
+    One map-only hash/bucket/rank projection, one 256-group max
+    (map-side combinable — this IS the mergeable sketch: max per
+    register), then scalar arithmetic. The estimate divides exact
+    integers under one literal IEEE expression tree, so even the
+    float is bit-identical cross-engine. rho uses the binary-string
+    length trick (conv/bin) — no log2 anywhere. The raw estimator is
+    surfaced without the small-range linear-counting correction
+    (which needs ln); n_zero_registers is there so a caller can apply
+    it.
+    """
+    h = load_table(spark, sf_dir, "orders").selectExpr(
+        "cast(conv(substring(md5(cast(o_custkey as string)), 1, 15), 16, 10)"
+        " as bigint) as hv"
+    )
+    bw = h.select(
+        (F.col("hv") % _HLL_M).alias("b"),
+        F.expr(f"hv div {_HLL_M}").alias("w"),
+    )
+    r = bw.groupBy("b").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(53)).otherwise(
+                F.lit(53) - F.length(F.expr("conv(w, 10, 2)"))
+            )
+        ).alias("m_b")
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.sum("m_b").cast("long").alias("register_sum"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - m_b as int))"))
+        .cast("long")
+        .alias("s_filled"),
+    )
+    ex = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.countDistinct("o_custkey").cast("long").alias("exact_distinct"))
+    )
+    s_scaled = F.col("s_filled") + (
+        F.lit(_HLL_M) - F.col("n_filled")
+    ).cast("long") * F.lit(1 << 53).cast("long")
+    alpha_num = 0.7213 / (1.0 + 1.079 / float(_HLL_M))
+    return agg.crossJoin(ex).select(
+        F.lit(_HLL_M).cast("long").alias("m"),
+        (F.lit(_HLL_M) - F.col("n_filled")).cast("long").alias(
+            "n_zero_registers"
+        ),
+        "register_sum",
+        s_scaled.alias("s_scaled"),
+        (
+            F.lit(alpha_num)
+            * F.lit(float(_HLL_M))
+            * F.lit(float(_HLL_M))
+            * F.lit(9007199254740992.0)
+            / s_scaled.cast("double")
+        ).alias("hll_estimate"),
+        "exact_distinct",
+    )

@@ -175,3 +175,113 @@ def _register_zorder() -> None:
 
 
 _register_zorder()
+
+
+# --------------------------------------------------------------------
+# Snapshot diff / change-data-feed derivation: given two versions of
+# a keyed table, emit per-change-type statistics (insert / delete /
+# update / unchanged) — the inverse of windows.cdc_apply_latest_
+# snapshot (that APPLIES a feed; this DERIVES one from snapshots),
+# i.e. what a lakehouse computes between table versions for CDF
+# consumers and incremental downstream jobs.
+#
+# The two versions are carved deterministically out of orders with
+# salted hash flags (the engine's split idiom): v1 drops ~10% of keys
+# (these become inserts), v2 drops a disjoint ~5% (deletes) and
+# bumps ~10% of prices by 1.00 (updates). Prices ride as
+# decimal(27,2) so content comparison and per-type sums are exact.
+# --------------------------------------------------------------------
+
+_SNAPDIFF_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS decimal(27,2)) AS p
+  FROM orders
+),
+v1 AS (
+  SELECT k, p FROM o
+  WHERE substr(md5(CAST(k AS VARCHAR) || ':v1'), 1, 2) < 'e6'
+),
+v2 AS (
+  SELECT k,
+         CASE WHEN substr(md5(CAST(k AS VARCHAR) || ':upd'), 1, 2) < '1a'
+              THEN p + CAST(1.00 AS decimal(27,2)) ELSE p END AS p
+  FROM o
+  WHERE substr(md5(CAST(k AS VARCHAR) || ':del'), 1, 2) >= '0d'
+),
+d AS (
+  SELECT
+    CASE WHEN v1.k IS NULL THEN 'insert'
+         WHEN v2.k IS NULL THEN 'delete'
+         WHEN v1.p <> v2.p THEN 'update'
+         ELSE 'unchanged' END AS change_type,
+    v1.p AS p_old, v2.p AS p_new
+  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(p_old), 0) AS DOUBLE) AS price_sum_old,
+       CAST(COALESCE(SUM(p_new), 0) AS DOUBLE) AS price_sum_new
+FROM d
+GROUP BY change_type
+ORDER BY change_type
+"""
+
+
+def _register_snapshot_diff() -> None:
+    from workshop3_etl_spark.plans.registry import register
+    from workshop3_etl_spark.sources.tables import load_table
+
+    @register("lakehouse_snapshot_diff_orders", oracle=_SNAPDIFF_ORACLE)
+    def lakehouse_snapshot_diff_orders(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Change-data-feed between two deterministic snapshot
+        versions of orders: row counts and exact price sums per
+        change type (insert/delete/update/unchanged).
+
+        ONE full-outer join on the table key classifies every row;
+        both versions are hash-flag projections of the same scan (no
+        second read in the logical plan), and the join is the only
+        shuffle. At 100 TB this runs partition-pruned when snapshots
+        share partitioning; content equality compares decimal(27,2)
+        exactly — no float comparisons in the diff predicate.
+        """
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("decimal(27,2)").alias("p"),
+        )
+        flag = lambda salt: F.substring(  # noqa: E731
+            F.md5(F.concat(F.col("k").cast("string"), F.lit(salt))), 1, 2
+        )
+        v1 = o.filter(flag(":v1") < "e6").select("k", F.col("p").alias("p_old"))
+        v2 = o.filter(flag(":del") >= "0d").select(
+            "k",
+            F.when(flag(":upd") < "1a", F.col("p") + F.lit("1.00").cast(
+                "decimal(27,2)"
+            )).otherwise(F.col("p")).alias("p_new"),
+        )
+        d = v1.join(v2, "k", "full_outer").select(
+            F.when(F.col("p_old").isNull(), F.lit("insert"))
+            .when(F.col("p_new").isNull(), F.lit("delete"))
+            .when(F.col("p_old") != F.col("p_new"), F.lit("update"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+            "p_old",
+            "p_new",
+        )
+        return (
+            d.groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum("p_old"), F.lit(0))
+                .cast("double")
+                .alias("price_sum_old"),
+                F.coalesce(F.sum("p_new"), F.lit(0))
+                .cast("double")
+                .alias("price_sum_new"),
+            )
+            .orderBy("change_type")
+        )
+
+
+_register_snapshot_diff()
