@@ -54,6 +54,13 @@ def main() -> None:
         "graph_triangle_count_copurchase",
         "layout_zorder_orders_key",
         "stream_append_closed_windows",
+        # round-3 third-session flagships. (dedup_prefix_filter_jaccard
+        # is deliberately NOT here: this synthetic corpus's flat
+        # shingle-frequency distribution defeats prefix pruning —
+        # 1.1M candidates for 255 true pairs at sf0.1, ~40s — which is
+        # exactly the regime where the LSH family above is the right
+        # tool; the exact join stays driver-checked at sf0.01.)
+        "sketch_hll_registers_custkeys",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

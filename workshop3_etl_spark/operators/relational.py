@@ -974,3 +974,62 @@ def ml_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# --------------------------------------------------------------------
+# Bitmask membership profile: per-customer set of order priorities
+# compressed to one integer via bit_or — the small-domain bitmap-index
+# idiom (set-valued attribute in O(1) bytes, set algebra as bitwise
+# ops). The profile histogram answers "which priority COMBINATIONS
+# occur, how often" without any array/explode machinery.
+# --------------------------------------------------------------------
+
+_BITMASK_ORACLE = """
+WITH m AS (
+  SELECT o_custkey,
+         bit_or(1 << (CAST(substr(o_orderpriority, 1, 1) AS INT) - 1))
+           AS mask
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT CAST(mask AS INT) AS priority_mask,
+       CAST(bit_count(CAST(mask AS BIGINT)) AS INT) AS n_priorities,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM m
+GROUP BY mask
+ORDER BY priority_mask
+"""
+
+
+@register("bitmask_priority_profiles", oracle=_BITMASK_ORACLE)
+def bitmask_priority_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-customer order-priority bitmasks: each
+    customer's priorities-ever-used set packed into 5 bits (bit_or
+    aggregate), then counted per combination.
+
+    Two map-side-combinable aggregates, integer-only — bit_or is the
+    distributive set-union for small domains, the same trick bitmap
+    indexes and segment-membership stores use at scale instead of
+    collect_set (O(1) state per group, mergeable in any order).
+    """
+    # shiftleft()'s python wrapper only takes a literal shift; the SQL
+    # function accepts a column expression.
+    pr_bit = F.expr(
+        "shiftleft(1, cast(substring(o_orderpriority, 1, 1) as int) - 1)"
+    )
+    m = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", pr_bit.alias("b"))
+        .groupBy("o_custkey")
+        .agg(F.bit_or("b").alias("mask"))
+    )
+    return (
+        m.groupBy(F.col("mask").cast("int").alias("priority_mask"))
+        .agg(
+            F.bit_count(F.col("priority_mask").cast("long"))
+            .cast("int")
+            .alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("priority_mask")
+    )

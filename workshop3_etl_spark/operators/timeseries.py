@@ -485,3 +485,75 @@ def ts_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# Exponentially decayed popularity counters: each event contributes
+# 2^-(age in days) to its type's score — the batch equivalent of the
+# decayed counters trending/ranking systems keep. Same dyadic-weight
+# discipline as attribution_time_decay_revenue: weights scaled to the
+# integer 2^(HORIZON - age), summed exactly, divided once at the end.
+# --------------------------------------------------------------------
+
+_DECAY_HORIZON_DAYS = 30
+
+_POP_ORACLE = f"""
+WITH mx AS (
+  SELECT CAST(MAX(date_trunc('day', ts)) AS DATE) AS md FROM events
+),
+d AS (
+  SELECT event_type,
+         date_diff('day', CAST(date_trunc('day', ts) AS DATE), mx.md)
+           AS age
+  FROM events CROSS JOIN mx
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN age <= {_DECAY_HORIZON_DAYS}
+                THEN CAST(1 AS BIGINT) << ({_DECAY_HORIZON_DAYS} - age)
+                ELSE 0 END) AS DOUBLE)
+         / {2.0 ** _DECAY_HORIZON_DAYS} AS decayed_count
+FROM d
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("ts_decayed_popularity", oracle=_POP_ORACLE)
+def ts_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decayed event-type popularity: raw count next to the
+    half-life-of-one-day decayed count (events older than the 30-day
+    horizon contribute zero).
+
+    One scalar max-day broadcast + one map-side-combinable aggregate;
+    the decayed sum is an exact integer (each event contributes
+    2^(30-age), total < 2^31 per billion daily events — decimal-sum
+    headroom at any realistic volume), divided by 2^30 once at the
+    end, so the surfaced double is bit-identical cross-engine and
+    independent of partitioning. A streaming job keeps the same
+    counter incrementally by multiplying yesterday's score by 1/2 and
+    adding today's count — this query is its batch oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.date_trunc("day", "ts")).cast("date").alias("md"))
+    d = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.datediff(F.col("md"), F.date_trunc("day", "ts").cast("date")).alias(
+            "age"
+        ),
+    )
+    w = F.when(
+        F.col("age") <= _DECAY_HORIZON_DAYS,
+        F.expr(
+            f"shiftleft(cast(1 as bigint), {_DECAY_HORIZON_DAYS} - age)"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(w).cast("double") / F.lit(2.0 ** _DECAY_HORIZON_DAYS))
+            .alias("decayed_count"),
+        )
+        .orderBy("event_type")
+    )

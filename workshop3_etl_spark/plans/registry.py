@@ -52,8 +52,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "range_join_orders_events_7d",
     "json_props_extract_stats",
     "profile_null_counts_events",
-    "window_lag_delta_events",
-    "window_trailing_7d_user_value",
     "sessionize_events_30min",
     "cohort_retention_daily",
     "stream_tumbling_hourly_counts",
@@ -62,12 +60,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_session_window_counts",
     # Round-3 additions — each needs its first driver verification.
     "sketch_kmv_distinct_orderkeys",
-    "sketch_kmv_jaccard_custkeys",
     "ts_gapfill_locf_hourly",
-    "ts_ohlc_hourly_downsample",
     "ml_ols2_qty_retailprice",
     "corpus_mixture_weights_sqrt",
-    "stream_dedup_documents",
     "window_spend_deciles",
     "streaks_user_active_days",
     "scd2_user_type_history",
@@ -93,13 +88,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_cosine_topk_bruteforce",
     "layout_zorder_orders_key",
     "stream_sliding_hourly_30m_counts",
-    # Round-3 third-session additions — iterative graph peel, CDC
-    # apply, referential DQ, cumulative-distinct, seasonal baseline —
-    # each needing their first driver verification. Funded by demoting
-    # r02-PROVEN rows (text_quality_score, text_repetition_filter,
-    # q3_shipping_priority, dedup_minhash_lsh_candidates,
-    # corpus_e2e_training_prep) whose families keep a representative.
+    # Round-3 third-session additions, each needing their first driver
+    # verification. Funded by demoting r02-PROVEN rows
+    # (text_quality_score, text_repetition_filter, q3_shipping_priority,
+    # dedup_minhash_lsh_candidates, corpus_e2e_training_prep) and
+    # trimming same-family duplicates (window_lag_delta_events,
+    # window_trailing_7d_user_value, sketch_kmv_jaccard_custkeys,
+    # ts_ohlc_hourly_downsample, stream_dedup_documents) — every family
+    # keeps at least one slot, enforced below by the plan test.
     "graph_kcore_copurchase",
+    "sketch_hll_registers_custkeys",
+    "dedup_prefix_filter_jaccard",
+    "lakehouse_snapshot_diff_orders",
+    "udtf_tokenize_positions",
+    "attribution_time_decay_revenue",
     "cdc_apply_latest_snapshot",
     "dq_referential_orphans",
     "window_cumulative_distinct_users",
