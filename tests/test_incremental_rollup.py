@@ -64,3 +64,52 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
     assert any(
         name.startswith("day=") for name in os.listdir(rollup)
     )
+
+
+def test_decayed_counters_incremental_equivalence(spark):
+    """The ts_decayed_popularity docstring claims a streaming job can
+    maintain the same counter by halving yesterday's score and adding
+    today's count. Prove it: a sequential day-by-day halve-and-add
+    over the per-day counts reproduces the batch query EXACTLY (all
+    quantities are dyadic rationals well inside the double mantissa,
+    so the recurrence is float-exact, not approximately equal)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+    from workshop3_etl_spark.plans import registry
+    from workshop3_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    per_day = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    days = sorted({r["d"] for r in per_day})
+    counts = {(r["event_type"], r["d"]): r["n"] for r in per_day}
+    types = sorted({r["event_type"] for r in per_day})
+
+    state: dict[str, float] = defaultdict(float)
+    for d in days:  # one "micro-batch" per day, in event-time order
+        for t in types:
+            state[t] = state[t] / 2.0 + counts.get((t, d), 0)
+
+    got = {
+        r["event_type"]: (r["n_events"], r["decayed_count"])
+        for r in registry.get("ts_decayed_popularity")
+        .fn(spark, SF_CORRECT)
+        .collect()
+    }
+    # horizon guard: the closed recurrence has no 30-day cutoff, so
+    # the fixture must fit inside the query's horizon for exactness
+    assert (days[-1] - days[0]).days <= 30
+    for t in types:
+        n_events, decayed = got[t]
+        assert decayed == state[t], (t, decayed, state[t])
+        assert n_events == sum(
+            counts.get((t, d), 0) for d in days
+        )

@@ -136,3 +136,38 @@ def test_zorder_key_roundtrip_and_locality(spark):
             x |= ((row["z"] >> (2 * i)) & 1) << i
             y |= ((row["z"] >> (2 * i + 1)) & 1) << i
         assert (x, y) == (row["x"], row["y"])
+
+
+def test_jsonl_sink_source_roundtrip(spark, tmp_path):
+    """JSON-lines sink/source leg: documents written as JSONL and read
+    back with an explicit schema are content-identical (same rows,
+    same values — the same serialize/parse contract the Kafka leg
+    uses, on files). Schema-on-read: the reader is given the schema
+    explicitly, as a production pipeline should (inference costs an
+    extra pass and can widen types)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+    from workshop3_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+
+    assert back.count() == docs.count()
+    fp = lambda df: {  # noqa: E731
+        r["fp"]
+        for r in df.select(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    F.col("lang"),
+                    F.col("source"),
+                    F.col("text"),
+                )
+            ).alias("fp")
+        ).collect()
+    }
+    assert fp(back) == fp(docs)

@@ -128,7 +128,7 @@ def ml_ols_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # linear-algebra library is needed and DuckDB can mirror it exactly).
 # --------------------------------------------------------------------
 
-_OLS2_ORACLE = """
+_OLS2_MOMENTS_SQL = """
 WITH j AS (
   SELECT CAST(l_quantity AS DOUBLE) AS x1,
          CAST(p_retailprice AS DOUBLE) AS x2,
@@ -165,6 +165,9 @@ s AS (
   FROM j, m
   GROUP BY 1, 2, 3, 4
 )
+"""
+
+_OLS2_ORACLE = _OLS2_MOMENTS_SQL + """
 SELECT
   n,
   (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS beta1,
@@ -188,6 +191,23 @@ def ml_ols2_qty_retailprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds the regression without materializing: one broadcast-or-
     shuffle join, one mean pass, one moment pass.
     """
+    s = _ols2_moments(spark, sf_dir)
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det
+    b2 = (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det
+    return s.select(
+        "n",
+        b1.alias("beta1"),
+        b2.alias("beta2"),
+        (F.col("my") - b1 * F.col("m1") - b2 * F.col("m2")).alias("alpha"),
+        ((b1 * F.col("s1y") + b2 * F.col("s2y")) / F.col("syy")).alias("r2"),
+    )
+
+
+def _ols2_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact centered second moments of the (quantity, retailprice) ->
+    extendedprice regression frame — shared by the OLS and ridge
+    solves (one mean pass + one moment pass over the join)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
@@ -230,15 +250,67 @@ def ml_ols2_qty_retailprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             mom(dy * dy / nn, "syy"),
         )
     )
-    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
-    b1 = (F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det
-    b2 = (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det
+    return s
+
+
+# --------------------------------------------------------------------
+# Ridge regression, closed form: same centered moments as OLS2, but
+# the normal equations solve (S + λI)β = s_y — the L2-regularized
+# fit, still an explicit 2x2 determinant formula. The intercept is
+# not penalized (standard practice): centering first makes
+# α = my - β·m exact.
+# --------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 1000.0
+
+_RIDGE2_ORACLE = _OLS2_MOMENTS_SQL + f"""
+SELECT
+  n,
+  CAST({_RIDGE_LAMBDA} AS DOUBLE) AS lambda,
+  ((s22 + {_RIDGE_LAMBDA}) * s1y - s12 * s2y)
+    / ((s11 + {_RIDGE_LAMBDA}) * (s22 + {_RIDGE_LAMBDA}) - s12 * s12)
+    AS beta1_ridge,
+  ((s11 + {_RIDGE_LAMBDA}) * s2y - s12 * s1y)
+    / ((s11 + {_RIDGE_LAMBDA}) * (s22 + {_RIDGE_LAMBDA}) - s12 * s12)
+    AS beta2_ridge,
+  my
+  - ((s22 + {_RIDGE_LAMBDA}) * s1y - s12 * s2y)
+    / ((s11 + {_RIDGE_LAMBDA}) * (s22 + {_RIDGE_LAMBDA}) - s12 * s12) * m1
+  - ((s11 + {_RIDGE_LAMBDA}) * s2y - s12 * s1y)
+    / ((s11 + {_RIDGE_LAMBDA}) * (s22 + {_RIDGE_LAMBDA}) - s12 * s12) * m2
+    AS alpha_ridge
+FROM s
+"""
+
+
+@register("ml_ridge2_qty_retailprice", oracle=_RIDGE2_ORACLE)
+def ml_ridge2_qty_retailprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge (L2) regression of extendedprice on quantity +
+    retailprice, closed form over the SAME exact centered moments as
+    ml_ols2_qty_retailprice — only the solve changes: λ added to the
+    covariance diagonal before the 2x2 determinant inversion.
+
+    Because the moments are per-n-scaled exact decimals and the solve
+    is one literal IEEE tree, the regularization path is bit-
+    reproducible: rerunning with the same λ on any partitioning gives
+    the same coefficients — the property a 100 TB hyperparameter
+    sweep needs to be auditable.
+    """
+    s = _ols2_moments(spark, sf_dir)
+    lam = F.lit(_RIDGE_LAMBDA)
+    det = (F.col("s11") + lam) * (F.col("s22") + lam) - F.col("s12") * F.col(
+        "s12"
+    )
+    b1 = ((F.col("s22") + lam) * F.col("s1y") - F.col("s12") * F.col("s2y")) / det
+    b2 = ((F.col("s11") + lam) * F.col("s2y") - F.col("s12") * F.col("s1y")) / det
     return s.select(
         "n",
-        b1.alias("beta1"),
-        b2.alias("beta2"),
-        (F.col("my") - b1 * F.col("m1") - b2 * F.col("m2")).alias("alpha"),
-        ((b1 * F.col("s1y") + b2 * F.col("s2y")) / F.col("syy")).alias("r2"),
+        lam.alias("lambda"),
+        b1.alias("beta1_ridge"),
+        b2.alias("beta2_ridge"),
+        (F.col("my") - b1 * F.col("m1") - b2 * F.col("m2")).alias(
+            "alpha_ridge"
+        ),
     )
 
 
