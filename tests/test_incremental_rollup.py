@@ -89,9 +89,18 @@ def test_decayed_counters_incremental_equivalence(spark):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    days = sorted({r["d"] for r in per_day})
+    import datetime
+
+    observed = sorted({r["d"] for r in per_day})
     counts = {(r["event_type"], r["d"]): r["n"] for r in per_day}
     types = sorted({r["event_type"] for r in per_day})
+    # iterate EVERY calendar day in the span (not just observed days):
+    # the batch query ages by calendar distance, so an empty day must
+    # still halve the state.
+    days = [
+        observed[0] + datetime.timedelta(days=i)
+        for i in range((observed[-1] - observed[0]).days + 1)
+    ]
 
     state: dict[str, float] = defaultdict(float)
     for d in days:  # one "micro-batch" per day, in event-time order

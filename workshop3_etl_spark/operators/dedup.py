@@ -958,8 +958,7 @@ _PF_NUM, _PF_DEN = 9, 10
 _PREFIX_ORACLE = f"""
 WITH tk AS (
   SELECT DISTINCT doc_id,
-    unnest(list_transform(generate_series(1, greatest(1, length(text) - 4)),
-           i -> substr(text, CAST(i AS INT), 5))) AS token
+    unnest({_shingle_sql_duck()}) AS token
   FROM documents
 ),
 freq AS (
@@ -1110,6 +1109,4 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jaccard"), "d1", "d2")
     )
-    from workshop3_etl_spark.functions.cache import materialize_and_release
-
     return materialize_and_release(result, tk)
