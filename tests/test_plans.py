@@ -202,3 +202,75 @@ def test_checksum_no_shuffle_before_final_agg(spark):
 
     plan = _plan(dq_table_checksums(spark, SF_CORRECT))
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_skyline_window_rides_aggregated_spine(spark):
+    """The skyline's prefix-max window must consume the per-date MAX
+    aggregate (calendar-bounded frame), never the raw orders rows —
+    the property that makes the unpartitioned window safe at scale."""
+    from workshop3_etl_spark.plans import registry
+
+    fn = registry.get("skyline_orders_date_price").fn
+    plan = _plan(fn(spark, SF_CORRECT))
+    # Window input comes from a HashAggregate, and the frontier joins
+    # back via broadcast (tiny side), not a shuffled join.
+    w_idx = plan.find("Window")
+    agg_idx = plan.find("HashAggregate")
+    assert w_idx != -1 and agg_idx != -1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_referential_orphans_broadcasts_fixed_dims(spark):
+    """nation/region parents must broadcast; each child leg scans only
+    its FK column (pruned parquet read)."""
+    from workshop3_etl_spark.operators.stats import dq_referential_orphans
+
+    plan = _plan(dq_referential_orphans(spark, SF_CORRECT))
+    assert plan.count("BroadcastHashJoin") >= 3  # the 3 small-dim legs
+    # the customer->nation leg must read just the FK column
+    read_schemas = [
+        seg.split("\n")[0].strip()
+        for seg in plan.split("ReadSchema:")[1:]
+    ]
+    assert any(rs.endswith("struct<c_nationkey:int>") for rs in read_schemas), (
+        read_schemas
+    )
+    # every leg reads exactly ONE column — no schema wider than one
+    assert all(rs.count(":") == 1 for rs in read_schemas), read_schemas
+
+
+def test_hll_registers_two_aggregate_levels_no_extra_exchange(spark):
+    """The explicit-register HLL is hash(map-only) -> 256-group max ->
+    scalar fold: one hashpartitioning exchange for the register
+    groupBy plus one for the exact-distinct comparison branch —
+    nothing else; both are preceded by partial aggregation."""
+    from workshop3_etl_spark.operators.sketches import (
+        sketch_hll_registers_custkeys,
+    )
+
+    plan = _plan(sketch_hll_registers_custkeys(spark, SF_CORRECT))
+    assert plan.count("Arguments: hashpartitioning") == 2, plan.count(
+        "Arguments: hashpartitioning"
+    )
+
+
+def test_observe_metrics_on_flagship(spark):
+    """df.observe() — execution-time metric collection without a
+    second scan: q1's observed row count must equal the count a
+    separate aggregate reports, from ONE run of the query."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.sources.tables import load_table
+
+    obs = Observation("li_metrics")
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("qty_sum"),
+    )
+    out = observed.groupBy("l_returnflag").count()
+    n_from_query = sum(r["count"] for r in out.collect())
+    assert obs.get["n_rows"] == n_from_query
+    assert float(obs.get["qty_sum"]) > 0
