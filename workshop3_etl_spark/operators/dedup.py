@@ -1110,3 +1110,101 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "d1", "d2")
     )
     return materialize_and_release(result, tk)
+
+
+# --------------------------------------------------------------------
+# Cluster-keeper selection: the step real dedup pipelines run AFTER
+# clustering — per duplicate cluster, keep exactly one document
+# (richest by token count, ties to the smallest id) and drop the
+# rest. Composes the LSH candidate graph + connected components +
+# a deterministic argmax; the oracle extends the recursive-CTE
+# clustering with the same rank-1 pick.
+# --------------------------------------------------------------------
+
+_KEEPER_ORACLE = f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, lab) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.doc = e.src
+),
+comps AS (
+  SELECT doc, MIN(lab) AS comp FROM reach GROUP BY doc
+),
+tok AS (
+  SELECT doc_id, CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT c.comp, c.doc, t.n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.comp ORDER BY t.n_tokens DESC, c.doc) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY c.comp) AS BIGINT) AS sz
+  FROM comps c JOIN tok t ON c.doc = t.doc_id
+)
+SELECT comp AS component,
+       sz AS n_docs,
+       doc AS keeper_doc_id,
+       n_tokens AS keeper_tokens
+FROM ranked WHERE rn = 1
+ORDER BY component
+"""
+
+
+@register("dedup_cluster_keepers", oracle=_KEEPER_ORACLE)
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keeper per duplicate cluster: LSH candidate pairs →
+    connected components → argmax by (token count desc, doc_id asc)
+    within each component — the survivor list a dedup pipeline
+    anti-joins the corpus against.
+
+    The clustering state is ids-only (the component labels frame);
+    token counts join in AFTER clustering, so text never rides the
+    iterative loop. The keeper pick is one window over the clustered
+    docs — a frame whose size is the number of DUPLICATED docs, far
+    smaller than the corpus. Deterministic tie-break makes the
+    survivor set reproducible across runs and engines.
+    """
+    pairs, sigs = _minhash_candidate_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = connected_component_labels(edges)
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"),
+        F.size(F.expr(_TOKENS)).cast("long").alias("n_tokens"),
+    )
+    lab = labels.join(tok, "doc")
+    wc = Window.partitionBy("comp")
+    wr = wc.orderBy(F.desc("n_tokens"), F.asc("doc"))
+    result = (
+        lab.select(
+            "comp",
+            "doc",
+            "n_tokens",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wc).cast("long").alias("sz"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("comp").alias("component"),
+            F.col("sz").alias("n_docs"),
+            F.col("doc").alias("keeper_doc_id"),
+            "n_tokens",
+        )
+        .withColumnRenamed("n_tokens", "keeper_tokens")
+        .orderBy("component")
+    )
+    return materialize_and_release(result, sigs, edges)
