@@ -1153,3 +1153,107 @@ def skyline_orders_date_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("frontier_date")
     )
+
+
+# --------------------------------------------------------------------
+# SCD2 point-in-time lookup — the CONSUMING side of the SCD2 build
+# above: join facts to the dimension version that was valid at an
+# as-of instant (here: the user's state one hour BEFORE each
+# purchase, i.e. "what were they doing when they decided to buy").
+# The interval-containment join is the canonical SCD2 access path;
+# per-user version counts are small, so the containment filter rides
+# a user-key equi-join — no unbounded range join.
+# --------------------------------------------------------------------
+
+_SCD2_LOOKUP_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+ch AS (
+  SELECT user_id, ts, event_id, event_type FROM c
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+dim AS (
+  SELECT user_id, event_type,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM ch
+),
+p AS (
+  SELECT user_id, ts - INTERVAL 1 HOUR AS asof_ts
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT d.event_type AS state_before
+  FROM p JOIN dim d
+    ON d.user_id = p.user_id
+   AND d.valid_from <= p.asof_ts
+   AND (d.valid_to IS NULL OR p.asof_ts < d.valid_to)
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases FROM p)
+SELECT j.state_before,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS DOUBLE) / CAST(t.n_purchases AS DOUBLE) AS share
+FROM j CROSS JOIN tot t
+GROUP BY j.state_before, t.n_purchases
+ORDER BY j.state_before
+"""
+
+
+@register("scd2_asof_dimension_lookup", oracle=_SCD2_LOOKUP_ORACLE)
+def scd2_asof_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the SCD2 user-state attribute one hour before
+    each purchase: build the validity intervals (same two-window pass
+    as scd2_user_type_history), then an interval-containment join
+    keyed on user_id.
+
+    Purchases whose as-of instant precedes the user's first recorded
+    state simply don't match (inner join) — the share column is over
+    ALL purchases, so the missing mass is visible. At 100 TB the
+    equi-key is the user id and the containment test is a per-user
+    filter over that user's handful of versions; the degenerate
+    many-versions user is the same skew AQE handles in every other
+    user-keyed join here.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(wo).alias("prev_type"),
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    dim = ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wo).alias("valid_to"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("asof_ts")
+    )
+    n_purchases = p.count()
+    j = p.join(dim, "user_id").filter(
+        (F.col("valid_from") <= F.col("asof_ts"))
+        & (F.col("valid_to").isNull() | (F.col("asof_ts") < F.col("valid_to")))
+    )
+    return (
+        j.groupBy(F.col("event_type").alias("state_before"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "state_before",
+            "n",
+            (
+                F.col("n").cast("double") / F.lit(float(n_purchases))
+            ).alias("share"),
+        )
+        .orderBy("state_before")
+    )
