@@ -685,3 +685,133 @@ def sketch_hll_registers_custkeys(
         ).alias("hll_estimate"),
         "exact_distinct",
     )
+
+
+# --------------------------------------------------------------------
+# COUNT-MIN SKETCH heavy hitters (oracled bit-identical). CMS is the
+# streaming/distributed answer to "which keys are hot and how hot"
+# without a per-key exact count: d independent hash rows of w integer
+# counters, each counter a plain SUM — order-independent and
+# map-side combinable, so the whole sketch is one narrow groupBy that
+# outputs at most d*w rows no matter how many input rows (or
+# executors) feed it. Point estimate = min over the d rows' counters;
+# the one-sided guarantee est >= exact always holds, est <= exact +
+# eps*n with prob 1-delta for w = e/eps, d = ln(1/delta).
+#
+# The candidate keys here are the exact top-10 (ride-along
+# verification columns); at 100 TB the candidate set comes from a
+# deterministic sample or the previous window's hitters, and the
+# sketch — not the exact pass — is what survives.
+# --------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # counters per row
+
+
+def _cms_consts(i: int) -> tuple[int, int]:
+    """Per-row universal-hash constants, derived from the module's
+    public LCG constants; a_i < p keeps (key % p) * a_i < 2^62."""
+    a = (HASH_A * (2 * i + 1)) % HASH_P
+    b = (HASH_B + i * 1_000_003) % HASH_P
+    return a, b
+
+
+def cms_bucket_sql(key: str, i: int) -> str:
+    """Bucket expression for hash row ``i`` — used VERBATIM by the
+    Spark plan and the DuckDB oracle (pure BIGINT arithmetic)."""
+    a, b = _cms_consts(i)
+    return f"(((({key} % {HASH_P}) * {a} + {b}) % {HASH_P}) % {CMS_W})"
+
+
+_CMS_TOPK = 10
+
+_CMS_PAIRS_SQL = "\nUNION ALL\n".join(
+    f"  SELECT {i} AS i, {cms_bucket_sql('o_custkey', i)} AS bucket"
+    " FROM orders"
+    for i in range(CMS_D)
+)
+
+_CMS_CAND_PAIRS_SQL = "\nUNION ALL\n".join(
+    f"  SELECT o_custkey, exact_cnt, {i} AS i,"
+    f" {cms_bucket_sql('o_custkey', i)} AS bucket FROM cand"
+    for i in range(CMS_D)
+)
+
+_CMS_HEAVY_ORACLE = f"""
+WITH pairs AS (
+{_CMS_PAIRS_SQL}
+),
+sketch AS (
+  SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs GROUP BY 1, 2
+),
+cand AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM orders GROUP BY 1
+  ORDER BY exact_cnt DESC, o_custkey
+  LIMIT {_CMS_TOPK}
+),
+cp AS (
+{_CMS_CAND_PAIRS_SQL}
+)
+SELECT
+  cp.o_custkey,
+  cp.exact_cnt,
+  CAST(MIN(s.c) AS BIGINT) AS cms_estimate,
+  MIN(s.c) >= cp.exact_cnt AS overestimate_ok
+FROM cp JOIN sketch s ON s.i = cp.i AND s.bucket = cp.bucket
+GROUP BY cp.o_custkey, cp.exact_cnt
+ORDER BY exact_cnt DESC, o_custkey
+"""
+
+
+@register("sketch_cms_heavy_custkeys", oracle=_CMS_HEAVY_ORACLE)
+def sketch_cms_heavy_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the top-10 ordering
+    customers, with the exact counts and the one-sided overestimate
+    guarantee surfaced.
+
+    Plan: ONE scan computes all d bucket columns, ``stack`` unfolds
+    them to (row, bucket) pairs (map-only), and the sketch build is a
+    single partial-aggregated groupBy bounded at d*w = 2048 output
+    rows. The candidate lookup broadcasts the sketch (a few KB) — no
+    second shuffle of the data. Exact counts are verification
+    ride-alongs; the sketch path never needs them.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    stack_args = ", ".join(
+        f"{i}, {cms_bucket_sql('o_custkey', i)}" for i in range(CMS_D)
+    )
+    pairs = o.select(
+        F.expr(f"stack({CMS_D}, {stack_args}) AS (i, bucket)")
+    )
+    sketch = pairs.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cand = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "o_custkey")
+        .limit(_CMS_TOPK)
+    )
+    cp = cand.select(
+        "o_custkey",
+        "exact_cnt",
+        F.expr(f"stack({CMS_D}, {stack_args}) AS (i, bucket)"),
+    ).select(
+        "o_custkey", "exact_cnt", "i", "bucket"
+    )
+    return (
+        cp.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("o_custkey", "exact_cnt")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+        .select(
+            "o_custkey",
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_cnt")).alias(
+                "overestimate_ok"
+            ),
+        )
+        .orderBy(F.desc("exact_cnt"), "o_custkey")
+    )

@@ -557,3 +557,85 @@ def ts_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# SWEEP-LINE interval concurrency: how many orders are actively
+# shipping (between their first and last lineitem shipdate) on each
+# day. The naive plan — join every interval against every calendar day
+# it covers — is O(rows x duration) and explodes at scale. The
+# sweep-line encoding is O(2 intervals): +1 at the interval start, -1
+# the day after it ends, aggregate deltas per day (map-side
+# combinable, narrow int pairs), then one running sum over the DAY
+# SPINE, whose cardinality is calendar-bounded and does not grow with
+# data volume (same justification as the skyline / cumulative-users
+# spines).
+# --------------------------------------------------------------------
+
+_SHIPPING_CONCURRENCY_ORACLE = """
+WITH iv AS (
+  SELECT l_orderkey,
+         MIN(l_shipdate) AS d0,
+         MAX(l_shipdate) AS d1
+  FROM lineitem GROUP BY 1
+),
+deltas AS (
+  SELECT d0 AS d, 1 AS delta FROM iv
+  UNION ALL
+  SELECT d1 + INTERVAL 1 DAY, -1 FROM iv
+),
+daily AS (
+  SELECT CAST(d AS DATE) AS d, CAST(SUM(delta) AS BIGINT) AS net_change
+  FROM deltas GROUP BY 1
+)
+SELECT
+  d,
+  net_change,
+  CAST(SUM(net_change) OVER (
+    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS open_orders
+FROM daily
+ORDER BY d
+"""
+
+
+@register("concurrency_shipping_orders_daily", oracle=_SHIPPING_CONCURRENCY_ORACLE)
+def concurrency_shipping_orders_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily count of orders mid-shipment (first lineitem shipped,
+    last not yet) via sweep-line delta encoding.
+
+    The interval derivation is one map-side-combinable groupBy
+    (orderkey -> min/max shipdate); each interval then contributes
+    exactly two integer deltas, and the running sum at day d equals
+    the number of intervals covering d. Output rows = change-point
+    days only (the step function is constant between them), so the
+    result stays calendar-bounded at any SF.
+    """
+    iv = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_shipdate").alias("d0"),
+            F.max("l_shipdate").alias("d1"),
+        )
+    )
+    deltas = iv.select(
+        F.expr(
+            "stack(2, cast(d0 as date), 1,"
+            " date_add(cast(d1 as date), 1), -1) AS (d, delta)"
+        )
+    )
+    daily = deltas.groupBy("d").agg(
+        F.sum("delta").cast("long").alias("net_change")
+    )
+    wr = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # day spine: tiny, calendar-bounded
+    return daily.select(
+        "d",
+        "net_change",
+        F.sum("net_change").over(wr).cast("long").alias("open_orders"),
+    ).orderBy("d")

@@ -59,7 +59,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_stream_join_view_purchase",
     "stream_session_window_counts",
     # Round-3 additions — each needs its first driver verification.
-    "sketch_kmv_distinct_orderkeys",
     "ts_gapfill_locf_hourly",
     "ml_ols2_qty_retailprice",
     "corpus_mixture_weights_sqrt",
@@ -106,10 +105,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_referential_orphans",
     "window_cumulative_distinct_users",
     "ts_seasonal_naive_mae",
+    # Round-3 fourth-session additions: CMS heavy hitters (new sketch
+    # algorithm class; funds its slot by demoting the same-family
+    # sketch_kmv_distinct_orderkeys — the KMV machinery stays covered
+    # by pytest parity and driver_sim) and sweep-line interval
+    # concurrency (new family; funded by demoting the r02-PROVEN
+    # ml_ols_qty_price — ml_ keeps two slots below).
+    "sketch_cms_heavy_custkeys",
+    "concurrency_shipping_orders_daily",
     # Per-family flagships that stay inside the driver budget.
     "q1_pricing_summary",
     "ml_onehot_mktsegment_table",
-    "ml_ols_qty_price",
     "ml_scaling_minmax_zscore",
     "udf_named_functions_docs",
     "multimodal_payload_stats",
