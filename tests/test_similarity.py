@@ -114,3 +114,55 @@ def test_ivfpq_recall_and_exact_rerank(spark):
     # loss on weak-structure data; must still beat chance (2%) by a
     # wide margin
     assert mean_recall >= 0.25, f"IVF-PQ recall collapsed: {recalls}"
+
+
+def test_neardup_lsh_buckets_subset_and_recall(spark):
+    """The LSH-bucketed near-dup pairs must be a SUBSET of the exact
+    above-threshold pairs (no false positives survive the exact
+    rerank) with non-collapsed recall, and every returned cosine must
+    equal the brute-force value."""
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.similarity import (
+        _NEARDUP_T,
+        dot_fold,
+        sim_neardup_lsh_buckets,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("ev"),
+        dot_fold("embedding", "embedding").alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = (
+        F.expr(
+            "aggregate(zip_with(a.ev, b.ev,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"
+        )
+        / (F.sqrt(F.col("a.nrm")) * F.sqrt(F.col("b.nrm")))
+    )
+    exact = {
+        (r["va"], r["vb"]): r["c"]
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            cos.alias("c"),
+        )
+        .filter(F.col("c") >= _NEARDUP_T)
+        .collect()
+    }
+    got = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine_sim"]
+        for r in sim_neardup_lsh_buckets(spark, SF_SMOKE).collect()
+    }
+    assert set(got) <= set(exact), "false positives past the exact rerank"
+    assert exact, "threshold produced no ground-truth pairs (vacuous test)"
+    recall = len(got) / len(exact)
+    assert recall >= 0.4, f"bucket recall collapsed: {recall}"
+    for k, c in got.items():
+        assert c == exact[k], f"cosine mismatch for {k}"

@@ -792,3 +792,188 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "rank")
     )
     return materialize_and_release(result, assigned, codes)
+
+
+# --------------------------------------------------------------------
+# LSH-BUCKETED near-duplicate pairs, FULLY ORACLED. This is the scale
+# path that sim_embedding_neardup_blocked's docstring promises
+# ("production swaps in LSH buckets for the block"): candidate pairs
+# come from sign-random-projection buckets instead of a label column,
+# so no metadata blocking key is needed and the pair join touches only
+# bucket-colliding vectors.
+#
+# Cross-engine reproducibility: the hyperplanes are RADEMACHER (+/-1)
+# vectors derived from the engine's public LCG constants in plain
+# Python and emitted as LITERAL arrays into both the Spark plan and
+# the DuckDB oracle — the bucket assignment is therefore the same
+# bit pattern in both engines, and the check is a full hash compare
+# (unlike sim_ann_lsh_topk's rows-only check, whose md5-float planes
+# are not SQL-portable). +/-1 projections are a standard sign-LSH
+# choice (Achlioptas-style sparse/signed random projections).
+#
+# Dial: 4 bits x 8 tables, threshold 0.45 — tuned to THIS corpus,
+# whose strongest pairs sit at cosine ~0.45-0.51 (the synthetic
+# embeddings have no true duplicate clusters; a 0.9 threshold would
+# be a vacuous always-empty query). At cos 0.45 the per-bit
+# agreement probability is ~0.65, so a 4-bit band collides w.p.
+# ~0.18 and 8 OR-ed tables reach ~79% expected recall; a
+# tight-duplicate corpus would invert the dial (more bits, fewer
+# tables) exactly as sim_ann_lsh_topk's comment describes. Missed
+# pairs are missed IDENTICALLY in both engines (same buckets), so
+# recall affects usefulness, never parity.
+# --------------------------------------------------------------------
+
+_RAD_TABLES = 8
+_RAD_BITS = 4
+_RAD_DIM = 64
+_NEARDUP_T = 0.45
+
+# Public-constant LCG (same family as sketches.py) — no RNG state, so
+# every engine/run derives the identical plane set.
+_RAD_P = 2_147_483_647
+_RAD_A = 1_103_515_245
+_RAD_B = 12_345
+
+
+def _rad_coef(t: int, h: int, d: int) -> int:
+    x = (d * 1_000_003 + t * 7_919 + h * 104_729) % _RAD_P
+    return 1 if ((x * _RAD_A + _RAD_B) % _RAD_P) % 2 == 0 else -1
+
+
+def _rad_plane(t: int, h: int) -> list[int]:
+    return [_rad_coef(t, h, d) for d in range(_RAD_DIM)]
+
+
+def _rad_dot_spark(vec: str, plane: list[int]) -> str:
+    arr = "array(" + ", ".join(str(c) for c in plane) + ")"
+    return (
+        f"aggregate(zip_with({vec}, {arr},"
+        f" (x, y) -> CAST(x AS DOUBLE) * y),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _rad_dot_duck(vec: str, plane: list[int]) -> str:
+    arr = "[" + ", ".join(str(c) for c in plane) + "]"
+    return (
+        f"list_reduce(list_transform(list_zip({vec}, {arr}),"
+        f" p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+    )
+
+
+def _rad_bucket_duck(t: int) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {_rad_dot_duck('ev', _rad_plane(t, h))} >= 0"
+        " THEN '1' ELSE '0' END)"
+        for h in range(_RAD_BITS)
+    )
+    return bits
+
+
+_RAD_SIG_SQL = "\nUNION ALL\n".join(
+    f"  SELECT vec_id, {t} AS table_id, {_rad_bucket_duck(t)} AS bucket"
+    " FROM v"
+    for t in range(_RAD_TABLES)
+)
+
+_NEARDUP_LSH_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding AS ev,
+         {_norm2_duck('embedding')} AS nrm
+  FROM embeddings
+),
+sig AS (
+{_RAD_SIG_SQL}
+),
+cand AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM sig a
+  JOIN sig b
+    ON a.table_id = b.table_id AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT
+  c.va AS vec_id_a,
+  c.vb AS vec_id_b,
+  x.label = y.label AS same_label,
+  {_dot_duck('x.ev', 'y.ev')} / (SQRT(x.nrm) * SQRT(y.nrm)) AS cosine_sim
+FROM cand c
+JOIN v x ON x.vec_id = c.va
+JOIN v y ON y.vec_id = c.vb
+WHERE {_dot_duck('x.ev', 'y.ev')} / (SQRT(x.nrm) * SQRT(y.nrm))
+      >= {_NEARDUP_T}
+ORDER BY vec_id_a, vec_id_b
+"""
+
+
+@register("sim_neardup_lsh_buckets", oracle=_NEARDUP_LSH_ORACLE)
+def sim_neardup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-duplicate pairs (>= 0.45, this corpus's duplicate
+    level) from sign-LSH bucket collisions — metadata-free blocking,
+    fully hash-compared.
+
+    Plan: the signature build is ONE map-only pass (all 32 Rademacher
+    folds computed per row, buckets unfolded via posexplode); the
+    bucket self-equi-join carries (vec_id, table_id, bucket) ONLY —
+    no payload rides the shuffle — and the candidate pairs dedupe
+    before the vectors are joined back for the exact rerank. At
+    corpus scale the signature frame is the persisted index artifact
+    and the rerank join partitions by vec_id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("ev"),
+        dot_fold("embedding", "embedding").alias("nrm"),
+    )
+    buckets = F.array(
+        *[
+            F.concat(
+                *[
+                    F.when(
+                        F.expr(_rad_dot_spark("ev", _rad_plane(t, h))) >= 0,
+                        "1",
+                    ).otherwise("0")
+                    for h in range(_RAD_BITS)
+                ]
+            )
+            for t in range(_RAD_TABLES)
+        ]
+    )
+    sig = v.select(
+        "vec_id", F.posexplode(buckets).alias("table_id", "bucket")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
+    x, y = v.alias("x"), v.alias("y")
+    cos = (
+        F.expr(
+            "aggregate(zip_with(x.ev, y.ev,"
+            " (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"
+        )
+        / (F.sqrt(F.col("x.nrm")) * F.sqrt(F.col("y.nrm")))
+    )
+    return (
+        cand.join(x, F.col("va") == F.col("x.vec_id"))
+        .join(y, F.col("vb") == F.col("y.vec_id"))
+        .select(
+            F.col("va").alias("vec_id_a"),
+            F.col("vb").alias("vec_id_b"),
+            (F.col("x.label") == F.col("y.label")).alias("same_label"),
+            cos.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= _NEARDUP_T)
+        .orderBy("vec_id_a", "vec_id_b")
+    )

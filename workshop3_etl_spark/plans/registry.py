@@ -84,7 +84,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Families the r01 driver budget never reached.
     "search_inverted_index_postings",
     "graph_triangle_count_copurchase",
-    "sim_cosine_topk_bruteforce",
+    # sim_ rep: the new fully-oracled LSH-bucket near-dup replaces the
+    # r02-PROVEN sim_cosine_topk_bruteforce.
+    "sim_neardup_lsh_buckets",
     "layout_zorder_orders_key",
     "stream_sliding_hourly_30m_counts",
     # Round-3 third-session additions, each needing their first driver
