@@ -122,3 +122,47 @@ def test_decayed_counters_incremental_equivalence(spark):
         assert n_events == sum(
             counts.get((t, d), 0) for d in days
         )
+
+
+def test_streaming_decayed_counters_equal_batch_query(spark, tmp_path):
+    """The REAL foreachBatch decayed-counter job (shift-and-add over
+    integer-scaled scores) must reproduce ts_decayed_popularity
+    bit-for-bit, across micro-batches that split the calendar into
+    ranges (so the state genuinely ages between batches)."""
+    from workshop3_etl_spark.plans import registry
+    from workshop3_etl_spark.streaming.rollup import (
+        maintain_decayed_counters,
+        read_decayed_counters,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    day = F.dayofmonth(F.date_trunc("day", "ts"))
+    src = str(tmp_path / "src")
+    # three time slices -> the merge must age earlier state forward;
+    # file-discovery order is not guaranteed, and the algorithm must
+    # not care (max-day handling is symmetric).
+    ev.filter(day <= 10).repartition(1).write.parquet(f"{src}/p1")
+    ev.filter((day > 10) & (day <= 20)).repartition(1).write.parquet(
+        f"{src}/p2"
+    )
+    ev.filter(day > 20).repartition(1).write.parquet(f"{src}/p3")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    state = str(tmp_path / "counters")
+    maintain_decayed_counters(spark, stream, state, str(tmp_path / "ck"))
+
+    got = [tuple(r) for r in read_decayed_counters(spark, state).collect()]
+    exp = [
+        (r["event_type"], r["n_events"], r["decayed_count"])
+        for r in registry.get("ts_decayed_popularity")
+        .fn(spark, SF_SMOKE)
+        .collect()
+    ]
+    assert got == exp

@@ -551,3 +551,43 @@ def stream_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("window_start", "event_type")
             .localCheckpoint(eager=True)
         )
+
+
+# --------------------------------------------------------------------
+# foreachBatch decayed counters, run as a REAL streaming job and
+# hash-compared against the closed-form batch SQL. The incremental
+# shift-and-add arithmetic is integer-exact (streaming/rollup.py), so
+# the streaming state equals the batch query bit-for-bit — a stronger
+# claim than "approximately converges", and the multi-micro-batch
+# aging path is separately pinned by
+# tests/test_incremental_rollup.py.
+# --------------------------------------------------------------------
+
+
+from workshop3_etl_spark.operators.timeseries import _POP_ORACLE
+
+
+@register("stream_decayed_counters", oracle=_POP_ORACLE)
+def stream_decayed_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decayed per-event-type popularity counters maintained by the
+    foreachBatch job (streaming/rollup.maintain_decayed_counters),
+    surfaced through its state table.
+
+    Same oracle as ts_decayed_popularity: the streaming maintenance
+    must land on the batch answer exactly.
+    """
+    from workshop3_etl_spark.streaming.rollup import (
+        maintain_decayed_counters,
+        read_decayed_counters,
+    )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        state = f"{workdir}/counters"
+        with _few_state_partitions(spark):
+            maintain_decayed_counters(
+                spark, _events_stream(spark, sf_dir), state, f"{workdir}/ck"
+            )
+        # materialize before the state dir vanishes
+        return read_decayed_counters(spark, state).localCheckpoint(
+            eager=True
+        )
