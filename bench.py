@@ -61,6 +61,22 @@ def main() -> None:
         # exactly the regime where the LSH family above is the right
         # tool; the exact join stays driver-checked at sf0.01.)
         "sketch_hll_registers_custkeys",
+        # round-3 fourth-session flagships: CMS sketch build+broadcast
+        # lookup, sweep-line delta window, per-stratum packing window,
+        # and the foreachBatch counter maintenance job (the only
+        # foreachBatch shape in the set). sim_neardup_lsh_buckets is
+        # deliberately NOT here for the same reason as
+        # dedup_prefix_filter_jaccard: this corpus's flat similarity
+        # forces 4-bit buckets (16 buckets, ~n/16 vectors each), so
+        # candidate pairs grow quadratically — ~1M rerank pairs / 7s
+        # at sf0.1 for 25 true pairs. A tight-duplicate corpus (the
+        # near-dup regime the operator exists for) inverts the dial to
+        # long bands and tiny buckets; the query stays driver-checked
+        # at sf0.01.
+        "sketch_cms_heavy_custkeys",
+        "concurrency_shipping_orders_daily",
+        "corpus_pack_sequences",
+        "stream_decayed_counters",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

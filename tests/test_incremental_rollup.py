@@ -166,3 +166,56 @@ def test_streaming_decayed_counters_equal_batch_query(spark, tmp_path):
         .collect()
     ]
     assert got == exp
+
+
+def test_decayed_counters_resume_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart durability: run the counter job over the first
+    file only, then land two more files and re-run with the SAME
+    checkpoint — the file source must process only the new files (no
+    double counting) and the final state must equal the batch query."""
+    from workshop3_etl_spark.plans import registry
+    from workshop3_etl_spark.streaming.rollup import (
+        maintain_decayed_counters,
+        read_decayed_counters,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    day = F.dayofmonth(F.date_trunc("day", "ts"))
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "counters")
+    ck = str(tmp_path / "ck")
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    # run 1: only the early slice exists
+    ev.filter(day <= 10).repartition(1).write.parquet(f"{src}/p1")
+    maintain_decayed_counters(spark, stream(), state, ck)
+    partial = {
+        r["event_type"]: r["n_events"]
+        for r in read_decayed_counters(spark, state).collect()
+    }
+    # run 2 ("restart"): two more slices landed; same checkpoint
+    ev.filter((day > 10) & (day <= 20)).repartition(1).write.parquet(
+        f"{src}/p2"
+    )
+    ev.filter(day > 20).repartition(1).write.parquet(f"{src}/p3")
+    maintain_decayed_counters(spark, stream(), state, ck)
+
+    got = [tuple(r) for r in read_decayed_counters(spark, state).collect()]
+    exp = [
+        (r["event_type"], r["n_events"], r["decayed_count"])
+        for r in registry.get("ts_decayed_popularity")
+        .fn(spark, SF_SMOKE)
+        .collect()
+    ]
+    assert got == exp
+    # and run 1 genuinely processed only the first slice
+    assert sum(partial.values()) < sum(n for _, n, _ in exp)

@@ -274,3 +274,63 @@ def test_observe_metrics_on_flagship(spark):
     n_from_query = sum(r["count"] for r in out.collect())
     assert obs.get["n_rows"] == n_from_query
     assert float(obs.get["qty_sum"]) > 0
+
+
+def test_cms_sketch_broadcast_lookup_and_pruned_scan(spark):
+    """The CMS candidate lookup must broadcast the (tiny, d*w-bounded)
+    sketch, and the orders scan must read only the key column."""
+    from workshop3_etl_spark.plans import registry
+
+    fn = registry.get("sketch_cms_heavy_custkeys").fn
+    plan = _plan(fn(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "o_custkey" in read_schema
+    assert "o_totalprice" not in read_schema and "o_orderdate" not in read_schema
+
+
+def test_sweepline_concurrency_no_join_two_shuffles(spark):
+    """Sweep-line concurrency is delta-encode -> aggregate -> spine
+    window: no join anywhere, and only the two narrow aggregations
+    shuffle (interval derivation + per-day delta sum)."""
+    from workshop3_etl_spark.plans import registry
+
+    fn = registry.get("concurrency_shipping_orders_daily").fn
+    plan = _plan(fn(spark, SF_CORRECT))
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 2
+
+
+def test_neardup_lsh_single_signature_scan_ids_only_shuffle(spark):
+    """The LSH near-dup must build signatures in ONE generate pass and
+    shuffle only (vec_id, table_id, bucket) into the bucket self-join —
+    the embedding payload may never ride the candidate exchange."""
+    from workshop3_etl_spark.operators.similarity import _neardup_lsh_plan
+
+    result, sig = _neardup_lsh_plan(spark, SF_CORRECT)
+    plan = _plan(result)
+    sig.unpersist()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the bucket-collision join exchanges carry no embedding column:
+    # every hashpartitioning over (table_id, bucket) mentions only ids
+    for seg in plan.split("Arguments: hashpartitioning(")[1:]:
+        keys = seg.split(")")[0]
+        if "bucket" in keys:
+            assert "ev" not in keys
+
+
+def test_pack_sequences_window_partitioned_by_stratum(spark):
+    """Sequence packing must be a per-language window (never a global
+    single-partition sort) followed by one aggregation — no joins."""
+    from workshop3_etl_spark.plans import registry
+
+    fn = registry.get("corpus_pack_sequences").fn
+    plan = _plan(fn(spark, SF_CORRECT))
+    assert "Join" not in plan
+    w_idx = plan.find("Window")
+    assert w_idx != -1
+    # partition spec: the running-sum window is keyed by lang
+    w_seg = plan[w_idx : w_idx + 400]
+    assert "lang" in w_seg

@@ -538,3 +538,105 @@ def corpus_mixture_weights_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------
+# SEQUENCE PACKING: assign documents to fixed-capacity token bins —
+# the batch-prep step that turns a deduped corpus into dense training
+# sequences (padding waste is the metric). Deterministic contiguous
+# fill: within each language stratum, docs are laid out in doc_id
+# order and a doc belongs to the bin its START offset falls in
+# (floor(prefix_tokens / capacity)) — a pure running-sum window, no
+# sequential bin-state loop, so the assignment is one window pass per
+# stratum. First-fit-decreasing would pack ~tighter but is inherently
+# sequential; contiguous fill is the distributed-friendly layout and
+# the fill_ratio column quantifies exactly what that trade costs.
+#
+# Scale: the window partitions by lang (stratum), so state per task is
+# one stratum's docs; a skewed mega-stratum would sub-salt on a
+# doc_id range prefix and carry the per-range token offsets forward —
+# the same two-level prefix-sum trick window_spend_deciles uses for
+# its distributed global rank.
+# --------------------------------------------------------------------
+
+_PACK_CAP = 2048  # tokens per training sequence bin
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({{toks}}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_off
+  FROM t
+),
+b AS (
+  SELECT lang, start_off // {_PACK_CAP} AS bin_id, doc_id, n_tokens
+  FROM o
+)
+SELECT lang, CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_CAP} AS fill_ratio
+FROM b
+GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+"""
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=_PACK_ORACLE.format(
+        toks="list_filter(string_split(text, ' '), x -> x <> '')"
+    ),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, bin) packing stats for fixed-capacity training
+    sequences via contiguous fill in doc_id order.
+
+    One window pass per stratum computes every doc's start offset;
+    bin_id is integer division — no driver loop, no sequential state.
+    fill_ratio is bin_tokens / capacity (integer over 2^11: exact as
+    a double in both engines).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("size(filter(split(text, ' '), x -> x != ''))")
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    wo = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = docs.select(
+        "lang",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(wo), F.lit(0)).alias("start_off"),
+    )
+    return (
+        o.select(
+            "lang",
+            # integer div — double division would lose exactness on
+            # huge offsets
+            F.expr(f"start_off div {_PACK_CAP}").cast("long").alias("bin_id"),
+            "n_tokens",
+        )
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            (F.sum("n_tokens").cast("double") / F.lit(float(_PACK_CAP)))
+            .alias("fill_ratio"),
+        )
+        .orderBy("lang", "bin_id")
+    )

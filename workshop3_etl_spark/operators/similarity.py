@@ -907,20 +907,11 @@ ORDER BY vec_id_a, vec_id_b
 """
 
 
-@register("sim_neardup_lsh_buckets", oracle=_NEARDUP_LSH_ORACLE)
-def sim_neardup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine near-duplicate pairs (>= 0.45, this corpus's duplicate
-    level) from sign-LSH bucket collisions — metadata-free blocking,
-    fully hash-compared.
-
-    Plan: the signature build is ONE map-only pass (all 32 Rademacher
-    folds computed per row, buckets unfolded via posexplode); the
-    bucket self-equi-join carries (vec_id, table_id, bucket) ONLY —
-    no payload rides the shuffle — and the candidate pairs dedupe
-    before the vectors are joined back for the exact rerank. At
-    corpus scale the signature frame is the persisted index artifact
-    and the rerank join partitions by vec_id.
-    """
+def _neardup_lsh_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Build the (result, signature-index) pair — split out so the
+    plan tests can inspect the pre-checkpoint pipeline."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
@@ -942,9 +933,11 @@ def sim_neardup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in range(_RAD_TABLES)
         ]
     )
+    # persist the signature frame: it feeds BOTH sides of the bucket
+    # self-join (and is the persisted index artifact at corpus scale)
     sig = v.select(
         "vec_id", F.posexplode(buckets).alias("table_id", "bucket")
-    )
+    ).persist()
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
@@ -965,7 +958,7 @@ def sim_neardup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / (F.sqrt(F.col("x.nrm")) * F.sqrt(F.col("y.nrm")))
     )
-    return (
+    result = (
         cand.join(x, F.col("va") == F.col("x.vec_id"))
         .join(y, F.col("vb") == F.col("y.vec_id"))
         .select(
@@ -977,3 +970,22 @@ def sim_neardup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_sim") >= _NEARDUP_T)
         .orderBy("vec_id_a", "vec_id_b")
     )
+    return result, sig
+
+
+@register("sim_neardup_lsh_buckets", oracle=_NEARDUP_LSH_ORACLE)
+def sim_neardup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-duplicate pairs (>= 0.45, this corpus's duplicate
+    level) from sign-LSH bucket collisions — metadata-free blocking,
+    fully hash-compared.
+
+    Plan: the signature build is ONE map-only pass (all 32 Rademacher
+    folds computed per row, buckets unfolded via posexplode); the
+    bucket self-equi-join carries (vec_id, table_id, bucket) ONLY —
+    no payload rides the shuffle — and the candidate pairs dedupe
+    before the vectors are joined back for the exact rerank. At
+    corpus scale the signature frame is the persisted index artifact
+    and the rerank join partitions by vec_id.
+    """
+    result, sig = _neardup_lsh_plan(spark, sf_dir)
+    return materialize_and_release(result, sig)

@@ -57,7 +57,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_tumbling_hourly_counts",
     "stream_stateful_user_metrics",
     "stream_stream_join_view_purchase",
-    "stream_session_window_counts",
+    # (stream_session_window_counts demoted in session 4 to fund
+    # corpus_pack_sequences below — stream_ keeps five slots and the
+    # session-window semantics stay covered by sessionize_events_30min
+    # plus pytest/driver_sim.)
     # Round-3 additions — each needs its first driver verification.
     "ts_gapfill_locf_hourly",
     "ml_ols2_qty_retailprice",
@@ -115,6 +118,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ml_ols_qty_price — ml_ keeps two slots below).
     "sketch_cms_heavy_custkeys",
     "concurrency_shipping_orders_daily",
+    "corpus_pack_sequences",
     # Per-family flagships that stay inside the driver budget.
     "q1_pricing_summary",
     "ml_onehot_mktsegment_table",
