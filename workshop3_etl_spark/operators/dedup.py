@@ -45,6 +45,50 @@ _N_BANDS = 4
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 
 
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): normalized-md5 exact-dedup key — the
+    single definition shared by the batch query and the streaming
+    ingest-dedup job."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id", F.md5(normalized.cast("binary")).alias("fingerprint")
+    )
+
+
+def minhash_wide_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band0..band{n-1}): MinHash band keys per document —
+    shingle(5-char) -> one md5 per shingle -> per-doc min of k digest
+    slices (ONE map-side-combinable groupBy) -> banded md5 keys."""
+    shingled = docs.select(
+        "doc_id", F.explode(F.expr(_shingle_sql_spark())).alias("shingle")
+    ).select("doc_id", F.md5(F.col("shingle").cast("binary")).alias("digest"))
+    sig_aggs = [
+        F.min(F.substring("digest", i * 4 + 1, 4)).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    minhash = shingled.groupBy("doc_id").agg(*sig_aggs)
+    band_cols = [
+        F.md5(
+            F.concat(
+                *[F.col(f"h{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+            ).cast("binary")
+        ).alias(f"band{b}")
+        for b in range(_N_BANDS)
+    ]
+    return minhash.select("doc_id", *band_cols)
+
+
+def minhash_band_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key): the exploded LSH index rows."""
+    wide = minhash_wide_signatures(docs)
+    return wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(_N_BANDS)])
+        ).alias("band_id", "band_key"),
+    )
+
+
 # --------------------------------------------------------------------
 # Exact deduplication.
 # --------------------------------------------------------------------
@@ -80,11 +124,8 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     between shuffling 32 bytes/doc and shuffling the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     groups = (
-        docs.select(
-            "doc_id", F.md5(normalized.cast("binary")).alias("fingerprint")
-        )
+        doc_fingerprints(docs)
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("group_size"),
@@ -163,10 +204,11 @@ def _shingle_sql_duck() -> str:
     )
 
 
-def _minhash_pairs_cte() -> str:
+def _minhash_pairs_cte(src: str = "documents") -> str:
     """The shared WITH-body producing the LSH candidate ``pairs``
-    CTE — composed by both the candidate summary oracle and the
-    connected-components oracle."""
+    CTE over ``src`` — composed by the candidate summary oracle, the
+    connected-components oracle, and the streaming ingest-dedup
+    oracle (which restricts ``src`` to the exact-dedup keepers)."""
     # one md5 per shingle; the k "hash functions" are disjoint 4-hex
     # slices of the digest (independent enough for min-hashing, and
     # 8x fewer digest computations than salted per-function hashes)
@@ -188,7 +230,7 @@ def _minhash_pairs_cte() -> str:
     )
     return f"""shingled AS (
   SELECT doc_id, unnest({_shingle_sql_duck()}) AS shingle
-  FROM documents
+  FROM {src}
 ),
 minhash AS (
   SELECT doc_id,
@@ -226,29 +268,13 @@ def _minhash_candidate_pairs(
     ``sigs`` is the persisted signature index the caller must release
     via materialize_and_release."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    shingled = docs.select(
-        "doc_id", F.explode(F.expr(_shingle_sql_spark())).alias("shingle")
-    ).select("doc_id", F.md5(F.col("shingle").cast("binary")).alias("digest"))
-    sig_aggs = [
-        F.min(F.substring("digest", i * 4 + 1, 4)).alias(f"h{i}")
-        for i in range(_N_HASHES)
-    ]
-    minhash = shingled.groupBy("doc_id").agg(*sig_aggs)
-    band_cols = [
-        F.md5(
-            F.concat(
-                *[F.col(f"h{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
-            ).cast("binary")
-        ).alias(f"band{b}")
-        for b in range(_N_BANDS)
-    ]
     # Persist the signature table: the band union + self-join below
     # reference it 2 x _N_BANDS times, and without a materialization
     # boundary Spark would recompute the whole shingle -> md5 ->
     # groupBy pipeline for every branch. The persisted frame is tiny
     # (doc_id + 4 x 32-hex strings) — in production it's the stored
     # index artifact, exactly like the LSH ANN signatures.
-    sigs = minhash.select("doc_id", *band_cols).persist()
+    sigs = minhash_wide_signatures(docs).persist()
     sigs.count()
     # ONE posexplode scan of the signature frame (a 4-branch union
     # would rescan it per band). The self-join below stays a shuffle

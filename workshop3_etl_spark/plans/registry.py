@@ -62,7 +62,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # session-window semantics stay covered by sessionize_events_30min
     # plus pytest/driver_sim.)
     # Round-3 additions — each needs its first driver verification.
-    "ts_gapfill_locf_hourly",
+    # (ts_gapfill_locf_hourly demoted in session 4 to fund
+    # stream_ingest_dedup — ts_ keeps seasonal_naive + ewma slots.)
     "ml_ols2_qty_retailprice",
     "corpus_mixture_weights_sqrt",
     "window_spend_deciles",
@@ -119,6 +120,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sketch_cms_heavy_custkeys",
     "concurrency_shipping_orders_daily",
     "corpus_pack_sequences",
+    "stream_ingest_dedup",
     # Per-family flagships that stay inside the driver budget.
     "q1_pricing_summary",
     "ml_onehot_mktsegment_table",

@@ -591,3 +591,76 @@ def stream_decayed_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return read_decayed_counters(spark, state).localCheckpoint(
             eager=True
         )
+
+
+# --------------------------------------------------------------------
+# Ingest-time dedup (streaming/ingest_dedup.py) run as a real
+# foreachBatch job and hash-compared against the batch semantics:
+# admitted = exact-fingerprint keepers, flagged = LSH candidate pairs
+# among keepers. The multi-batch arrival-order story (re-ingestion
+# rejection, index probing, replay idempotence) is pinned by
+# tests/test_streaming_ingest_dedup.py; this query proves the
+# composed job lands on the batch answer inside the driver's gate.
+# --------------------------------------------------------------------
+
+
+def _ingest_dedup_oracle() -> str:
+    from workshop3_etl_spark.operators.dedup import _minhash_pairs_cte
+
+    return f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents
+),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f
+),
+kept AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+),
+{_minhash_pairs_cte(src="kept")}
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs_seen,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM keepers) AS n_admitted,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+    - (SELECT CAST(COUNT(*) AS BIGINT) FROM keepers) AS n_rejected_exact,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_flagged_pairs
+"""
+
+
+@register("stream_ingest_dedup", oracle=_ingest_dedup_oracle())
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission/rejection/flag summary after streaming the document
+    corpus through the ingest-dedup foreachBatch job."""
+    from workshop3_etl_spark.sources.tables import load_table
+    from workshop3_etl_spark.streaming.ingest_dedup import (
+        maintain_ingest_dedup,
+        read_admitted_ids,
+        read_audit_pairs,
+    )
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    n_seen = load_table(spark, sf_dir, "documents").count()
+    with tempfile.TemporaryDirectory() as workdir:
+        with _few_state_partitions(spark):
+            maintain_ingest_dedup(
+                spark,
+                stream,
+                f"{workdir}/index",
+                f"{workdir}/audit",
+                f"{workdir}/ck",
+            )
+        n_admitted = read_admitted_ids(spark, f"{workdir}/index").count()
+        n_pairs = read_audit_pairs(spark, f"{workdir}/audit").count()
+    return spark.createDataFrame(
+        [(n_seen, n_admitted, n_seen - n_admitted, n_pairs)],
+        "n_docs_seen long, n_admitted long, n_rejected_exact long,"
+        " n_flagged_pairs long",
+    )

@@ -55,6 +55,10 @@ def merge_rollup_batch(
         dynamic_partition_overwrite,
     )
 
+    # the batch frame lives on a CLONED SparkSession; scope the
+    # dynamic-overwrite conf (and the index read) to that session, or
+    # the write runs static and wipes untouched partitions
+    spark = batch.sparkSession
     b = _batch_rollup(batch)
     days = [r.day for r in b.select("day").distinct().collect()]
     if not days:
@@ -153,6 +157,7 @@ def merge_decayed_batch(
     high-cardinality key set would swap in the partitioned MERGE from
     streaming/upsert.staged_merge_batch instead.
     """
+    spark = batch.sparkSession
     b = _batch_decay(batch)
     try:
         state = spark.read.parquet(state_path).select(*COUNTER_COLS)
