@@ -172,7 +172,11 @@ def _ensure_loaded() -> None:
     # Imports deferred to avoid circular import at package import time.
     from workshop3_etl_spark import ml  # noqa: F401
     from workshop3_etl_spark.functions import udf_registry  # noqa: F401
-    from workshop3_etl_spark.sources import happiness, lakehouse  # noqa: F401
+    from workshop3_etl_spark.sources import (  # noqa: F401
+        happiness,
+        lakehouse,
+        pyds,
+    )
     from workshop3_etl_spark.operators import (  # noqa: F401
         advanced,
         assoc,
