@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 FORMAT_NAME = "ws_arrow_parquet"
@@ -140,3 +141,132 @@ def pyds_documents_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------
+# Python STREAMING data source (SimpleDataSourceStreamReader): a
+# replayable "document feed" that serves documents.parquet in
+# row-offset chunks with explicit offset management — the API surface
+# for wrapping a paginated upstream (HTTP feed, queue, vendor API) as
+# a Structured Streaming source with exactly-once semantics:
+#
+# - offsets are plain dicts ({"row": k}) checkpointed by Spark;
+# - read(start) serves [start, start+chunk) and returns the next
+#   offset — a restarted query resumes from the checkpoint, not the
+#   initial offset;
+# - readBetweenOffsets(start, end) re-serves a batch bit-identically
+#   during failure recovery (deterministic replay is on the SOURCE in
+#   this contract).
+#
+# The Simple reader variant runs on the driver (no partition
+# planning) — the right trade for a low-rate feed; a high-volume
+# source implements DataSourceStreamReader with partitions() instead
+# (same planning surface as the batch reader above).
+# --------------------------------------------------------------------
+
+STREAM_FORMAT_NAME = "ws_document_feed"
+
+
+class _DocumentFeedStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.chunk = int(options.get("chunk", "200"))
+        self._table = None
+
+    def _rows(self, start: int, end: int):
+        import pyarrow.parquet as pq
+
+        if self._table is None:
+            self._table = pq.read_table(self.path)
+        sl = self._table.slice(start, end - start)
+        return iter(sl.to_pandas().itertuples(index=False, name=None))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def read(self, start: dict):
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(self.path).metadata.num_rows
+        lo = start["row"]
+        hi = min(lo + self.chunk, n)
+        return self._rows(lo, hi), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["row"], end["row"])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to acknowledge upstream in a file-backed feed
+
+
+class DocumentFeedDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return STREAM_FORMAT_NAME
+
+    def schema(self):
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return from_arrow_schema(pq.read_schema(self.options["path"]))
+
+    def simpleStreamReader(self, schema):
+        return _DocumentFeedStreamReader(self.options)
+
+
+def register_stream_format(spark: SparkSession) -> None:
+    """Idempotently register the streaming feed format."""
+    spark.dataSource.register(DocumentFeedDataSource)
+
+
+_FEED_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("stream_pyds_feed_by_lang", oracle=_FEED_ORACLE)
+def stream_pyds_feed_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language counts after streaming the corpus through the
+    Python feed source in offset chunks — the streamed union must
+    equal the batch table exactly (exactly-once offset contract)."""
+    import tempfile
+    import time
+
+    register_stream_format(spark)
+    path = f"{sf_dir}/documents.parquet"
+    n_total = spark.read.parquet(path).count()
+    sink = f"pyds_feed_{abs(hash(sf_dir)) % 10_000_000}"
+    stream = (
+        spark.readStream.format(STREAM_FORMAT_NAME)
+        .option("path", path)
+        # several micro-batches at every SF without unbounded batch
+        # count: ~4 chunks
+        .option("chunk", str(max(200, -(-n_total // 4))))
+        .load()
+    )
+    with tempfile.TemporaryDirectory() as ck:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while (
+            time.time() < deadline and spark.table(sink).count() < n_total
+        ):
+            time.sleep(0.25)
+        q.stop()
+        q.awaitTermination()
+        return (
+            spark.table(sink)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang")
+            .localCheckpoint(eager=True)
+        )
