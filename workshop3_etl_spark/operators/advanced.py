@@ -993,3 +993,115 @@ def variant_props_decade_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_decade")
     )
+
+
+# --------------------------------------------------------------------
+# SQL SCRIPTING (Spark 4 BEGIN..END): procedural control flow — the
+# surface a migrating stored-procedure user reaches for. The script
+# walks the order years sequentially, folding each year's revenue
+# into a halve-and-add accumulator (the decayed-counter recurrence,
+# deliberately shared with ts_decayed_popularity): every term is an
+# exact dyadic rational whose bits fit the double mantissa, so the
+# procedural loop and the oracle's closed-form SUM are bit-identical.
+# DuckDB has no scripting dialect, so the oracle is the closed form —
+# which is exactly the point: the script's semantics ARE expressible
+# as one aggregate, and the engines must agree.
+# --------------------------------------------------------------------
+
+_SCRIPTING_SQL = """
+BEGIN
+  DECLARE y INT;
+  DECLARE y_max INT;
+  DECLARE acc DOUBLE DEFAULT 0;
+  DECLARE yr_cents BIGINT;
+  SET y = (SELECT CAST(MIN(YEAR(o_orderdate)) AS INT) FROM orders);
+  SET y_max = (SELECT CAST(MAX(YEAR(o_orderdate)) AS INT) FROM orders);
+  WHILE y <= y_max DO
+    SET yr_cents = (
+      SELECT COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))
+                             * 100) AS BIGINT), 0)
+      FROM orders WHERE YEAR(o_orderdate) = y
+    );
+    SET acc = acc / 2 + CAST(yr_cents AS DOUBLE);
+    SET y = y + 1;
+  END WHILE;
+  SELECT CAST(y_max AS BIGINT) AS last_year, acc AS decayed_cents;
+END
+"""
+
+_SCRIPTING_ORACLE = """
+WITH yr AS (
+  SELECT YEAR(o_orderdate) AS y,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+b AS (SELECT MAX(y) AS y_max FROM yr)
+SELECT
+  CAST(b.y_max AS BIGINT) AS last_year,
+  SUM(CAST(cents AS DOUBLE) / POWER(2, b.y_max - yr.y)) AS decayed_cents
+FROM yr CROSS JOIN b
+GROUP BY b.y_max
+"""
+
+
+@register("sql_scripting_decayed_revenue", oracle=_SCRIPTING_ORACLE)
+def sql_scripting_decayed_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Year-by-year WHILE-loop fold of order revenue into a dyadic
+    decayed accumulator, run through Spark's SQL scripting engine.
+
+    The loop is procedural (one scan per year — a scripting surface
+    demo, not the scale path; the oracle's single-aggregate closed
+    form is what production runs)."""
+    register_views(spark, sf_dir, only=("orders",))
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        # materialize: the result frame must outlive the conf scope
+        return spark.sql(_SCRIPTING_SQL).localCheckpoint(eager=True)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+# --------------------------------------------------------------------
+# Parameterized SQL (named parameter markers): the injection-safe
+# templating surface — parameters are bound as literals by the
+# parser, not string-spliced. The oracle inlines the same constants.
+# --------------------------------------------------------------------
+
+_PARAM_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_totalprice >= :min_price AND YEAR(o_orderdate) = :yr
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_PARAM_ARGS = {"min_price": 150_000.0, "yr": 1995}
+
+_PARAM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_totalprice >= 150000.0 AND YEAR(o_orderdate) = 1995
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_params_priority_revenue", oracle=_PARAM_ORACLE)
+def sql_params_priority_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """High-value 1995 orders per priority via named parameter
+    markers (spark.sql(..., args=...))."""
+    register_views(spark, sf_dir, only=("orders",))
+    return spark.sql(_PARAM_SQL, args=_PARAM_ARGS)
