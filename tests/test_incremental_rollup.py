@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 from workshop3_etl_spark.sources.tables import load_table
-from workshop3_etl_spark.streaming.rollup import maintain_rollup
+from workshop3_etl_spark.streaming.rollup import maintain_rollup, read_rollup
 
 
 def test_incremental_rollup_equals_batch(spark, tmp_path):
@@ -37,8 +37,7 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
     maintain_rollup(spark, stream, rollup, str(tmp_path / "ckpt"))
 
     got = (
-        spark.read.parquet(rollup)
-        # partition column comes back last; normalize order
+        read_rollup(spark, rollup)
         .select("day", "event_type", "n_events", "value_cents")
         .orderBy("day", "event_type")
         .collect()
@@ -60,9 +59,14 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
-    # day-partitioned layout on disk (partition pruning at query time)
+    # epoch/day-partitioned layout on disk: day-level pruning still
+    # works through epoch=*/day=d, and replayed epochs overwrite only
+    # their own partition (idempotence)
+    epochs = [n for n in os.listdir(rollup) if n.startswith("epoch=")]
+    assert len(epochs) >= 2  # one per micro-batch
     assert any(
-        name.startswith("day=") for name in os.listdir(rollup)
+        name.startswith("day=")
+        for name in os.listdir(os.path.join(rollup, epochs[0]))
     )
 
 
@@ -219,3 +223,72 @@ def test_decayed_counters_resume_from_checkpoint(spark, tmp_path):
     assert got == exp
     # and run 1 genuinely processed only the first slice
     assert sum(partial.values()) < sum(n for _, n, _ in exp)
+
+
+def test_decayed_counters_exact_past_horizon(spark, tmp_path):
+    """Aging far past the 30-day horizon must zero old contributions
+    EXACTLY (per-event truncation). This is the case an aggregated
+    halve-and-add state gets wrong — collectively shifting a summed
+    score leaks residue (e.g. 4 events x 2^30 = 2^32; 2^32 >> 31 = 2,
+    not 0) — and the day-granular state must not."""
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.timeseries import (
+        _DECAY_HORIZON_DAYS,
+    )
+    from workshop3_etl_spark.streaming.rollup import (
+        maintain_decayed_counters,
+        read_decayed_counters,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    # second wave: the same events re-stamped 60 days later, so the
+    # first wave ends up entirely past the horizon
+    late = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 60 DAYS"))
+    src = str(tmp_path / "src")
+    ev.repartition(1).write.parquet(f"{src}/p1")
+    late.repartition(1).write.parquet(f"{src}/p2")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    state = str(tmp_path / "counters")
+    maintain_decayed_counters(spark, stream, state, str(tmp_path / "ck"))
+
+    got = {
+        r["event_type"]: (r["n_events"], r["decayed_count"])
+        for r in read_decayed_counters(spark, state).collect()
+    }
+    # expected: the batch formula over the union, computed directly
+    u = ev.unionByName(late)
+    md = u.agg(F.max(F.date_trunc("day", "ts")).cast("date").alias("md"))
+    aged = u.crossJoin(F.broadcast(md)).select(
+        "event_type",
+        F.datediff(
+            F.col("md"), F.date_trunc("day", "ts").cast("date")
+        ).alias("age"),
+    )
+    w = F.when(
+        F.col("age") <= _DECAY_HORIZON_DAYS,
+        F.expr(
+            f"shiftleft(cast(1 as bigint), {_DECAY_HORIZON_DAYS} - age)"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    exp = {
+        r["event_type"]: (r["n"], r["dc"])
+        for r in aged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(w).cast("double")
+                / F.lit(2.0 ** _DECAY_HORIZON_DAYS)
+            ).alias("dc"),
+        )
+        .collect()
+    }
+    assert got == exp

@@ -640,3 +640,51 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin_id")
     )
+
+
+# --------------------------------------------------------------------
+# FIXED-SIZE stratified sample: exactly n docs per language, chosen
+# by universal-hash rank — the "give me 20 per stratum" counterpart
+# of the rate-based corpus_stratified_sample. Hash-rank ordering (not
+# rand()) makes the sample identical across engines, runs and
+# cluster sizes; the window partitions by the stratum, so the sort is
+# per-language, never global.
+# --------------------------------------------------------------------
+
+_SAMPLE_N = 20
+
+# sketches.py's universal hash over the Mersenne prime (public LCG
+# constants), inlined so the SQL text is self-contained.
+_SAMPLE_HASH = "(((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647)"
+
+_SAMPLE_N_ORACLE = f"""
+WITH r AS (
+  SELECT lang, doc_id, {_SAMPLE_HASH} AS hv,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY {_SAMPLE_HASH}, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT lang, CAST(rk AS INT) AS rk, doc_id
+FROM r WHERE rk <= {_SAMPLE_N}
+ORDER BY lang, rk
+"""
+
+
+@register("corpus_sample_n_per_lang", oracle=_SAMPLE_N_ORACLE)
+def corpus_sample_n_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-language deterministic sample (hash-rank order,
+    doc_id tie-break)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    hv = F.expr(_SAMPLE_HASH)
+    w = Window.partitionBy("lang").orderBy(hv.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "lang", "doc_id", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= _SAMPLE_N)
+        .select("lang", F.col("rk").cast("int").alias("rk"), "doc_id")
+        .orderBy("lang", "rk")
+    )

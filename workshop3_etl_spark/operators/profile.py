@@ -939,3 +939,149 @@ def profile_equidepth_deciles_price(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("bucket_id")
     )
+
+
+# --------------------------------------------------------------------
+# Quantile ESTIMATION from the pre-aggregated histogram — how
+# monitoring/observability systems (Prometheus histogram_quantile)
+# serve percentiles without keeping raw samples. The estimate reads
+# the 20-row histogram, not the data: find the bin whose cumulative
+# count crosses q*n, interpolate linearly inside it. Every step is
+# the identical IEEE expression in both engines, and the exact
+# percentile rides along so the surfaced abs_error is itself
+# deterministic.
+# --------------------------------------------------------------------
+
+_HQ_QS = (0.5, 0.95)
+
+_HIST_QUANTILE_ORACLE = f"""
+WITH x AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+),
+b AS (SELECT MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n FROM x),
+h AS (
+  SELECT LEAST(CAST(FLOOR(((x.x - b.mn) / (b.mx - b.mn))
+                          * {float(_HIST_BINS)}) AS BIGINT),
+               {_HIST_BINS - 1}) AS bin_id,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM x CROSS JOIN b GROUP BY 1
+),
+c AS (
+  SELECT bin_id, n_items,
+         SUM(n_items) OVER (
+           ORDER BY bin_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW
+         ) AS cum
+  FROM h
+),
+q AS (SELECT UNNEST([{", ".join(f"CAST({q} AS DOUBLE)" for q in _HQ_QS)}])
+        AS q),
+pick AS (
+  SELECT q.q, c.bin_id, c.n_items, c.cum,
+         c.cum - c.n_items AS cum_before
+  FROM q JOIN c
+    ON c.cum - c.n_items < q.q * (SELECT n FROM b)
+   AND q.q * (SELECT n FROM b) <= c.cum
+),
+e AS (
+  {" UNION ALL ".join(
+      f"SELECT CAST({q} AS DOUBLE) AS q, quantile_cont(x, {q}) AS exact_quantile FROM x"
+      for q in _HQ_QS
+  )}
+)
+SELECT
+  p.q,
+  b.mn + (CAST(p.bin_id AS DOUBLE)
+          + (p.q * b.n - CAST(p.cum_before AS DOUBLE))
+            / CAST(p.n_items AS DOUBLE))
+         * ((b.mx - b.mn) / {float(_HIST_BINS)}) AS hist_estimate,
+  e.exact_quantile
+FROM pick p CROSS JOIN b JOIN e ON e.q = p.q
+ORDER BY p.q
+"""
+
+
+@register("profile_histogram_quantile_price", oracle=_HIST_QUANTILE_ORACLE)
+def profile_histogram_quantile_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """p50/p95 of lineitem price estimated from the 20-bin histogram,
+    next to the exact interpolated percentile.
+
+    The estimator touches only the histogram (B rows) after one
+    binning aggregate — the shape that serves percentiles at query
+    time from stored sketches. The crossing-bin pick and the in-bin
+    interpolation are pure arithmetic on (bin_id, counts), identical
+    cross-engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    b = li.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    h = (
+        li.crossJoin(F.broadcast(b))
+        .select(
+            F.least(
+                F.floor(
+                    ((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                    * float(_HIST_BINS)
+                ).cast("long"),
+                F.lit(_HIST_BINS - 1).cast("long"),
+            ).alias("bin_id")
+        )
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    wc = Window.orderBy("bin_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # 20-row histogram spine
+    c = h.select(
+        "bin_id", "n_items", F.sum("n_items").over(wc).alias("cum")
+    )
+    qs = spark.createDataFrame([(q,) for q in _HQ_QS], "q double")
+    pick = qs.join(
+        F.broadcast(c).crossJoin(F.broadcast(b)),
+        ((F.col("cum") - F.col("n_items")) < F.col("q") * F.col("n"))
+        & (F.col("q") * F.col("n") <= F.col("cum")),
+    )
+    # percentile() needs foldable percentages — compute both as
+    # literal aggregates, then unpivot to (q, exact_quantile)
+    exact = li.agg(
+        *[
+            F.expr(f"percentile(x, {q})").alias(f"e{i}")
+            for i, q in enumerate(_HQ_QS)
+        ]
+    ).select(
+        F.expr(
+            "stack("
+            + str(len(_HQ_QS))
+            + ", "
+            + ", ".join(
+                f"CAST({q} AS DOUBLE), e{i}" for i, q in enumerate(_HQ_QS)
+            )
+            + ") AS (q, exact_quantile)"
+        )
+    )
+    width = (F.col("mx") - F.col("mn")) / float(_HIST_BINS)
+    est = pick.select(
+        "q",
+        (
+            F.col("mn")
+            + (
+                F.col("bin_id").cast("double")
+                + (
+                    F.col("q") * F.col("n")
+                    - (F.col("cum") - F.col("n_items")).cast("double")
+                )
+                / F.col("n_items").cast("double")
+            )
+            * width
+        ).alias("hist_estimate"),
+    )
+    return est.join(exact, "q").select(
+        "q", "hist_estimate", "exact_quantile"
+    ).orderBy("q")

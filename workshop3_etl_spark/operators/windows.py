@@ -1240,7 +1240,9 @@ def scd2_asof_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("asof_ts")
     )
-    n_purchases = p.count()
+    # total rides the plan as a broadcast single-row aggregate — an
+    # eager .count() here would rescan events once per invocation
+    tot = p.agg(F.count(F.lit(1)).alias("n_purchases"))
     j = p.join(dim, "user_id").filter(
         (F.col("valid_from") <= F.col("asof_ts"))
         & (F.col("valid_to").isNull() | (F.col("asof_ts") < F.col("valid_to")))
@@ -1248,12 +1250,84 @@ def scd2_asof_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy(F.col("event_type").alias("state_before"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
         .select(
             "state_before",
             "n",
             (
-                F.col("n").cast("double") / F.lit(float(n_purchases))
+                F.col("n").cast("double")
+                / F.col("n_purchases").cast("double")
             ).alias("share"),
         )
         .orderBy("state_before")
+    )
+
+
+# --------------------------------------------------------------------
+# Funnel TIME-TO-CONVERT: how long after the first view does the
+# first subsequent purchase happen, and the latency distribution
+# (p50/p90). The companion to funnel_view_click_purchase's conversion
+# COUNTS. Everything partitions/aggregates by user before any global
+# step; lag math is integer microseconds (exact), only the final
+# percentiles run on the (converted-users-sized, per-event-tiny)
+# lag frame.
+# --------------------------------------------------------------------
+
+_TTC_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id,
+         MIN(epoch_us(e.ts) - epoch_us(v.first_view)) AS lag_us
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+  GROUP BY 1
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
+  CAST(COUNT(*) AS BIGINT) AS n_converted,
+  CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
+  quantile_cont(CAST(lag_us AS DOUBLE), 0.5) AS p50_lag_us,
+  quantile_cont(CAST(lag_us AS DOUBLE), 0.9) AS p90_lag_us
+FROM p
+"""
+
+
+@register("funnel_time_to_convert", oracle=_TTC_ORACLE)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency: per-user first view, first
+    subsequent purchase, integer-microsecond lag, p50/p90."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros("ts") - F.unix_micros("first_view")
+            ).alias("lag_us")
+        )
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewers"))
+    return p.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("lag_us").cast("long").alias("min_lag_us"),
+        F.expr("percentile(CAST(lag_us AS DOUBLE), 0.5)").alias("p50_lag_us"),
+        F.expr("percentile(CAST(lag_us AS DOUBLE), 0.9)").alias("p90_lag_us"),
+    ).crossJoin(F.broadcast(nv)).select(
+        "n_viewers",
+        "n_converted",
+        "min_lag_us",
+        "p50_lag_us",
+        "p90_lag_us",
     )

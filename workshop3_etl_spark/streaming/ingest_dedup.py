@@ -11,21 +11,30 @@ incoming micro-batch,
 
 Flag-don't-reject for near-dups is deliberate: rejecting on a fuzzy
 match at ingest time creates CHAIN dependence (whether C survives
-depends on whether B was rejected for resembling A), which makes the
-final corpus depend on arrival order. With this split the admitted
-set and the audit pair set are both arrival-order-independent —
-admitted = the exact-dedup keepers, audit = exactly the batch LSH
-candidate pairs among keepers — which is what makes the job testable
-against the batch operators (tests/test_streaming_ingest_dedup.py)
-and safe to parallelize across ingest partitions.
+depends on whether B was rejected for resembling A). With this split,
+exactly one doc per fingerprint group survives and the audit holds
+the LSH candidate pairs among survivors — no rejection cascades.
+WHICH doc represents a duplicate group is first-arrival (ingest order
+is dedup priority — the production contract for re-crawls); when
+ingestion follows doc_id order, first-arrival coincides with the
+batch operators' min-doc_id keepers, and admitted == batch exact
+keepers, audit == batch LSH pairs among keepers, which is what
+tests/test_streaming_ingest_dedup.py asserts (its slices deliberately
+send originals before re-ingested copies) and what the
+stream_ingest_dedup oracle relies on (a single driver batch resolves
+within-batch groups by min doc_id).
 
 Scale shape: per batch, only (doc_id, fingerprint, band_id, band_key)
 rows move — never text. The index probe is an equi-join on fingerprint
 / (band_id, band_key); at corpus scale the index is a bucketed table
 on those keys so the probe co-locates without a full index shuffle.
-Writes are epoch-partitioned with dynamic partition overwrite, so a
-replayed micro-batch rewrites its own partition instead of appending
-twice (the same exactly-once contract as streaming/rollup.py).
+Writes are epoch-partitioned with dynamic partition overwrite, and
+the index probe EXCLUDES the current epoch's partition — so a batch
+replayed after its write committed but before the streaming
+checkpoint did (the crash window) does not reject its own documents
+against the half-written index; it rewrites its epoch partitions
+from the same inputs (the same replay contract as
+streaming/rollup.py).
 
 Reference parity: the reference has no streaming dedup; this composes
 the brief's dedup family (operators/dedup.py) with the S2-S4
@@ -56,7 +65,6 @@ def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 def ingest_dedup_batch(
-    spark: SparkSession,
     batch: DataFrame,
     epoch_id: int,
     index_path: str,
@@ -76,6 +84,10 @@ def ingest_dedup_batch(
     docs = batch.select("doc_id", "text")
     fp = doc_fingerprints(docs)
     index = _read_or_none(spark, index_path)
+    if index is not None:
+        # replay safety: a crashed-then-replayed batch must not see
+        # its own half-committed epoch in the index
+        index = index.filter(F.col("epoch") != int(epoch_id))
 
     # exact-dup rejection: smallest doc_id per fingerprint within the
     # batch wins; anything matching an indexed fingerprint loses.
@@ -150,7 +162,7 @@ def maintain_ingest_dedup(
     (
         docs_stream.writeStream.foreachBatch(
             lambda b, epoch: ingest_dedup_batch(
-                spark, b, epoch, index_path, audit_path
+                b, epoch, index_path, audit_path
             )
         )
         .option("checkpointLocation", checkpoint_dir)
