@@ -1008,26 +1008,34 @@ def profile_histogram_quantile_price(
     """p50/p95 of lineitem price estimated from the 20-bin histogram,
     next to the exact interpolated percentile.
 
-    The estimator touches only the histogram (B rows) after one
-    binning aggregate — the shape that serves percentiles at query
-    time from stored sketches. The crossing-bin pick and the in-bin
-    interpolation are pure arithmetic on (bin_id, counts), identical
-    cross-engine.
+    Two scans total: ONE stats pass (min/max/count + the exact
+    percentiles, fetched as a single-row collect — the same memoized
+    scalar-stats idiom as the describe/zscore pipelines) and ONE
+    binning pass. The estimator itself then touches only the B-row
+    histogram — the shape that serves percentiles at query time from
+    stored sketches. A broadcast-join formulation reads prettier but
+    re-executes the stats aggregate once per consumer branch (Catalyst
+    prunes each copy differently, so nothing reuses): three scans
+    instead of one.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").cast("double").alias("x")
     )
-    b = li.agg(
+    st = li.agg(
         F.min("x").alias("mn"),
         F.max("x").alias("mx"),
         F.count(F.lit(1)).alias("n"),
-    )
+        *[
+            F.expr(f"percentile(x, {q})").alias(f"e{i}")
+            for i, q in enumerate(_HQ_QS)
+        ],
+    ).collect()[0]
+    mn, mx, n = st["mn"], st["mx"], st["n"]
     h = (
-        li.crossJoin(F.broadcast(b))
-        .select(
+        li.select(
             F.least(
                 F.floor(
-                    ((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                    ((F.col("x") - F.lit(mn)) / (F.lit(mx) - F.lit(mn)))
                     * float(_HIST_BINS)
                 ).cast("long"),
                 F.lit(_HIST_BINS - 1).cast("long"),
@@ -1042,46 +1050,29 @@ def profile_histogram_quantile_price(
     c = h.select(
         "bin_id", "n_items", F.sum("n_items").over(wc).alias("cum")
     )
-    qs = spark.createDataFrame([(q,) for q in _HQ_QS], "q double")
+    qs = spark.createDataFrame(
+        [(float(q), float(st[f"e{i}"])) for i, q in enumerate(_HQ_QS)],
+        "q double, exact_quantile double",
+    )
     pick = qs.join(
-        F.broadcast(c).crossJoin(F.broadcast(b)),
-        ((F.col("cum") - F.col("n_items")) < F.col("q") * F.col("n"))
-        & (F.col("q") * F.col("n") <= F.col("cum")),
+        F.broadcast(c),
+        ((F.col("cum") - F.col("n_items")) < F.col("q") * F.lit(float(n)))
+        & (F.col("q") * F.lit(float(n)) <= F.col("cum")),
     )
-    # percentile() needs foldable percentages — compute both as
-    # literal aggregates, then unpivot to (q, exact_quantile)
-    exact = li.agg(
-        *[
-            F.expr(f"percentile(x, {q})").alias(f"e{i}")
-            for i, q in enumerate(_HQ_QS)
-        ]
-    ).select(
-        F.expr(
-            "stack("
-            + str(len(_HQ_QS))
-            + ", "
-            + ", ".join(
-                f"CAST({q} AS DOUBLE), e{i}" for i, q in enumerate(_HQ_QS)
-            )
-            + ") AS (q, exact_quantile)"
-        )
-    )
-    width = (F.col("mx") - F.col("mn")) / float(_HIST_BINS)
-    est = pick.select(
+    width = (F.lit(mx) - F.lit(mn)) / float(_HIST_BINS)
+    return pick.select(
         "q",
         (
-            F.col("mn")
+            F.lit(mn)
             + (
                 F.col("bin_id").cast("double")
                 + (
-                    F.col("q") * F.col("n")
+                    F.col("q") * F.lit(float(n))
                     - (F.col("cum") - F.col("n_items")).cast("double")
                 )
                 / F.col("n_items").cast("double")
             )
             * width
         ).alias("hist_estimate"),
-    )
-    return est.join(exact, "q").select(
-        "q", "hist_estimate", "exact_quantile"
+        "exact_quantile",
     ).orderBy("q")

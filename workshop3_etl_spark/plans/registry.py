@@ -106,10 +106,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_prefix_filter_jaccard",
     "lakehouse_snapshot_diff_orders",
     "udtf_tokenize_positions",
-    "attribution_time_decay_revenue",
     "cdc_apply_latest_snapshot",
     "dq_referential_orphans",
-    "window_cumulative_distinct_users",
     "ts_seasonal_naive_mae",
     # Round-3 fourth-session additions: CMS heavy hitters (new sketch
     # algorithm class; funds its slot by demoting the same-family
@@ -121,6 +119,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "concurrency_shipping_orders_daily",
     "corpus_pack_sequences",
     "stream_ingest_dedup",
+    # Unique API surfaces get driver slots over second family members
+    # (attribution_time_decay, window_cumulative_distinct demoted —
+    # attribution_touch / window_spend_deciles keep those families).
+    "pyds_documents_by_lang",
+    "sql_scripting_decayed_revenue",
     # Per-family flagships that stay inside the driver budget.
     "q1_pricing_summary",
     "ml_onehot_mktsegment_table",
