@@ -334,3 +334,17 @@ def test_pack_sequences_window_partitioned_by_stratum(spark):
     # partition spec: the running-sum window is keyed by lang
     w_seg = plan[w_idx : w_idx + 400]
     assert "lang" in w_seg
+
+
+def test_weighted_median_windows_are_bucket_partitioned(spark):
+    """The weighted-median running sum must ride bucket-partitioned
+    windows; the only unpartitioned pieces are the B-row offset spine
+    and the final single-row aggregate."""
+    from workshop3_etl_spark.plans import registry
+
+    fn = registry.get("profile_weighted_median_price").fn
+    import re
+
+    plan = _plan(fn(spark, SF_CORRECT))
+    # the per-bucket running-sum window partitions by the bucket key
+    assert re.search(r"windowspecdefinition\(b#\d+L?, price#", plan)

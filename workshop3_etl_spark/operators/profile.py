@@ -1076,3 +1076,105 @@ def profile_histogram_quantile_price(
         ).alias("hist_estimate"),
         "exact_quantile",
     ).orderBy("q")
+
+
+# --------------------------------------------------------------------
+# DISTRIBUTED exact weighted median — quantity-weighted median price.
+# The textbook formulation is one global sort + running weight sum;
+# at scale that is a single-partition window over the whole table.
+# This plan uses the same two-level prefix-sum trick as
+# window_spend_deciles: bucket prices by range, run the running sum
+# PER BUCKET (partitioned window), lift to global ranks by adding the
+# (tiny, B-row) bucket-offset spine, then pick the first price whose
+# doubled global cumulative weight reaches the total. All weight
+# arithmetic is integer (quantities), so the crossing test is exact.
+# --------------------------------------------------------------------
+
+_WM_BUCKETS = 16
+
+_WEIGHTED_MEDIAN_ORACLE = """
+WITH w AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS price,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT CAST(SUM(wt) AS BIGINT) AS total_w,
+             CAST(COUNT(*) AS BIGINT) AS n_prices FROM w),
+c AS (
+  SELECT price, wt,
+         SUM(wt) OVER (
+           ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW
+         ) AS cumw
+  FROM w
+)
+SELECT
+  t.n_prices,
+  t.total_w,
+  MIN(c.price) AS weighted_median_price
+FROM c CROSS JOIN t
+WHERE 2 * c.cumw >= t.total_w
+GROUP BY t.n_prices, t.total_w
+"""
+
+
+@register("profile_weighted_median_price", oracle=_WEIGHTED_MEDIAN_ORACLE)
+def profile_weighted_median_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted median of lineitem price, computed without a
+    global single-partition window.
+
+    The oracle states the semantics with a global running sum; the
+    Spark plan reproduces the identical crossing point from
+    per-bucket partitioned windows + a B-row offset spine. Weights
+    are integer quantities, so `2*cumw >= total` is exact arithmetic
+    in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    w = li.groupBy("price").agg(F.sum("wt").cast("long").alias("wt"))
+    st = w.agg(
+        F.min("price").alias("mn"),
+        F.max("price").alias("mx"),
+        F.sum("wt").cast("long").alias("total_w"),
+        F.count(F.lit(1)).alias("n_prices"),
+    ).collect()[0]
+    mn, mx, total_w, n_prices = (
+        st["mn"], st["mx"], st["total_w"], st["n_prices"],
+    )
+    bucket = F.least(
+        F.floor(
+            ((F.col("price") - F.lit(mn)) / (F.lit(mx) - F.lit(mn)))
+            * float(_WM_BUCKETS)
+        ).cast("long"),
+        F.lit(_WM_BUCKETS - 1).cast("long"),
+    )
+    wb = w.select("price", "wt", bucket.alias("b"))
+    win = Window.partitionBy("b").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = wb.select(
+        "b", "price", "wt", F.sum("wt").over(win).alias("local_cumw")
+    )
+    # bucket totals -> prefix offsets over the B-row spine
+    totals = wb.groupBy("b").agg(F.sum("wt").cast("long").alias("bw"))
+    spine = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # tiny: _WM_BUCKETS rows
+    offsets = totals.select(
+        "b", F.coalesce(F.sum("bw").over(spine), F.lit(0)).alias("off")
+    )
+    ranked = local.join(F.broadcast(offsets), "b").select(
+        "price", (F.col("local_cumw") + F.col("off")).alias("cumw")
+    )
+    crossing = ranked.filter(
+        F.lit(2) * F.col("cumw") >= F.lit(int(total_w))
+    ).agg(F.min("price").alias("weighted_median_price"))
+    return crossing.select(
+        F.lit(int(n_prices)).cast("long").alias("n_prices"),
+        F.lit(int(total_w)).cast("long").alias("total_w"),
+        "weighted_median_price",
+    )
