@@ -292,3 +292,84 @@ def test_decayed_counters_exact_past_horizon(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_compaction_preserves_rollup_and_counters(spark, tmp_path):
+    """Folding committed epochs into the base partition must not
+    change read_rollup or read_decayed_counters, must shrink the
+    epoch-directory count, and must stay correct when more batches
+    land after compaction."""
+    import os
+
+    from workshop3_etl_spark.streaming.rollup import (
+        compact_rollup,
+        maintain_rollup,
+        read_decayed_counters,
+        read_rollup,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    day = F.dayofmonth(F.date_trunc("day", "ts"))
+    src = str(tmp_path / "src")
+    rollup = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+    ev.filter(day <= 10).repartition(1).write.parquet(f"{src}/p1")
+    ev.filter((day > 10) & (day <= 20)).repartition(1).write.parquet(
+        f"{src}/p2"
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    maintain_rollup(spark, stream(), rollup, ck)
+    before_rollup = sorted(
+        tuple(r) for r in read_rollup(spark, rollup).collect()
+    )
+    before_counters = sorted(
+        tuple(r) for r in read_decayed_counters(spark, rollup).collect()
+    )
+    n_epochs_before = sum(
+        1 for n in os.listdir(rollup) if n.startswith("epoch=")
+    )
+    assert n_epochs_before >= 2
+
+    # both batches are committed (availableNow completed) — fold them
+    compact_rollup(spark, rollup, through_epoch=10_000)
+    epochs = [n for n in os.listdir(rollup) if n.startswith("epoch=")]
+    assert epochs == ["epoch=-1"]
+    assert sorted(
+        tuple(r) for r in read_rollup(spark, rollup).collect()
+    ) == before_rollup
+    assert sorted(
+        tuple(r) for r in read_decayed_counters(spark, rollup).collect()
+    ) == before_counters
+
+    # a post-compaction batch lands next to the base and still sums
+    ev.filter(day > 20).repartition(1).write.parquet(f"{src}/p3")
+    maintain_rollup(spark, stream(), rollup, ck)
+    exp = sorted(
+        tuple(r)
+        for r in ev.select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .collect()
+    )
+    assert sorted(
+        tuple(r) for r in read_rollup(spark, rollup).collect()
+    ) == exp

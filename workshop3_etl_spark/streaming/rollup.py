@@ -171,3 +171,52 @@ def read_decayed_counters(spark: SparkSession, state_path: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def compact_rollup(
+    spark: SparkSession, rollup_path: str, through_epoch: int
+) -> None:
+    """Fold every epoch partition <= ``through_epoch`` into the base
+    partition (epoch = -1), leaving newer epochs untouched.
+
+    Pure layout maintenance: ``read_rollup`` results are identical
+    before and after (associative integer sums), the per-read
+    aggregation just touches fewer partitions. ``through_epoch`` must
+    be at or below the streaming checkpoint's committed batch id —
+    epochs the source could still replay must keep their own
+    partitions so a replayed batch overwrites itself rather than
+    double-landing next to folded state. The base epoch is -1, which
+    no micro-batch id ever uses.
+    """
+    import shutil
+
+    df = spark.read.parquet(rollup_path)
+    old = df.filter(F.col("epoch") <= through_epoch)
+    folded = (
+        old.groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+        .withColumn("epoch", F.lit(-1))
+        # materialize BEFORE deleting the partitions it was read from
+        .localCheckpoint(eager=True)
+    )
+    from workshop3_etl_spark.sources.lakehouse import (
+        dynamic_partition_overwrite,
+    )
+
+    with dynamic_partition_overwrite(spark):
+        folded.write.mode("overwrite").partitionBy("epoch", "day").parquet(
+            rollup_path
+        )
+    # drop the folded epoch directories (local path semantics here; an
+    # object store would batch-delete the prefixes)
+    import os
+
+    for name in os.listdir(rollup_path):
+        if not name.startswith("epoch="):
+            continue
+        v = int(name.split("=", 1)[1])
+        if v != -1 and v <= through_epoch:
+            shutil.rmtree(os.path.join(rollup_path, name))
