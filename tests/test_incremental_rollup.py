@@ -373,3 +373,182 @@ def test_compaction_preserves_rollup_and_counters(spark, tmp_path):
     assert sorted(
         tuple(r) for r in read_rollup(spark, rollup).collect()
     ) == exp
+
+
+def test_compaction_crash_windows_never_double_count(
+    spark, tmp_path, monkeypatch
+):
+    """The two compaction crash windows must both leave reads exact:
+    (a) base written but manifest not committed -> the orphan base
+    generation is invisible; (b) manifest committed but cleanup not
+    run -> the old base and folded epochs are invisible. A subsequent
+    compact_rollup run garbage-collects either leftover and re-folds
+    correctly (no permanent corruption)."""
+    import shutil
+
+    from workshop3_etl_spark.streaming.rollup import (
+        _read_base_manifest,
+        compact_rollup,
+        maintain_rollup,
+        read_rollup,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    rollup = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+    ev.filter(F.col("event_id") % 2 == 0).repartition(1).write.parquet(
+        f"{src}/p1"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).repartition(1).write.parquet(
+        f"{src}/p2"
+    )
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    maintain_rollup(spark, stream(), rollup, ck)
+    expected = sorted(tuple(r) for r in read_rollup(spark, rollup).collect())
+
+    # Crash window (b): fold commits, cleanup never runs (rmtree
+    # disabled). Old base/folded epochs remain on disk alongside the
+    # new generation.
+    real_rmtree = shutil.rmtree
+    monkeypatch.setattr(shutil, "rmtree", lambda *a, **k: None)
+    compact_rollup(spark, rollup, through_epoch=10_000)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    leftover = [n for n in os.listdir(rollup) if n.startswith("epoch=")]
+    assert len(leftover) > 1, "cleanup was supposed to be suppressed"
+    assert (
+        sorted(tuple(r) for r in read_rollup(spark, rollup).collect())
+        == expected
+    ), "stale dirs after a cleanup crash must not double-count"
+
+    # Crash window (a): a later fold (with a fresh batch to fold)
+    # writes its base generation but dies AT the manifest replace
+    # (simulated by making it raise — execution stops there, exactly
+    # like a crash, so cleanup never runs either).
+    import pytest
+
+    ev.limit(500).repartition(1).write.parquet(f"{src}/p3")
+    maintain_rollup(spark, stream(), rollup, ck)
+    expected = sorted(tuple(r) for r in read_rollup(spark, rollup).collect())
+    manifest_before = _read_base_manifest(rollup)
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash at manifest commit")
+
+    monkeypatch.setattr(os, "replace", _boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_rollup(spark, rollup, through_epoch=10_000)
+    monkeypatch.undo()
+    assert _read_base_manifest(rollup) == manifest_before
+    assert (
+        sorted(tuple(r) for r in read_rollup(spark, rollup).collect())
+        == expected
+    ), "an uncommitted base generation must be invisible to readers"
+
+    # Recovery: a clean compaction run GCs both kinds of leftovers and
+    # converges the layout to exactly one committed base.
+    compact_rollup(spark, rollup, through_epoch=10_000)
+    manifest = _read_base_manifest(rollup)
+    dirs = sorted(n for n in os.listdir(rollup) if n.startswith("epoch="))
+    assert dirs == [f"epoch={manifest['base_epoch']}"]
+    assert (
+        sorted(tuple(r) for r in read_rollup(spark, rollup).collect())
+        == expected
+    )
+
+
+def test_maintain_compact_maintain_replay_exact(spark, tmp_path):
+    """maintain -> compact -> maintain -> compact -> read equals the
+    never-compacted batch recompute, including when the second
+    maintain REPLAYS a batch across the compaction boundary (its
+    epoch partition was already written but the checkpoint commit was
+    lost): the replayed epoch overwrites itself above the fold
+    horizon, never double-landing next to folded state."""
+    import glob
+
+    from workshop3_etl_spark.streaming.rollup import (
+        compact_rollup,
+        maintain_rollup,
+        read_decayed_counters,
+        read_rollup,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    rollup = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+    thirds = [
+        ev.filter(F.col("event_id") % 3 == i) for i in range(3)
+    ]
+    thirds[0].repartition(1).write.parquet(f"{src}/p0")
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    maintain_rollup(spark, stream(), rollup, ck)
+    # fold batch 0; horizon = its committed epoch
+    compact_rollup(spark, rollup, through_epoch=0)
+
+    # batch 1 lands; then its checkpoint commit is "lost" (crash after
+    # the sink write, before the offset commit) -> replay
+    thirds[1].repartition(1).write.parquet(f"{src}/p1")
+    maintain_rollup(spark, stream(), rollup, ck)
+    commits = sorted(glob.glob(f"{ck}/commits/[0-9]*"))
+    last = commits[-1]
+    os.remove(last)
+    crc = os.path.join(
+        os.path.dirname(last), f".{os.path.basename(last)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    # replay: the same file re-runs as the same batch id and
+    # overwrites its own epoch partition
+    maintain_rollup(spark, stream(), rollup, ck)
+
+    # third batch + second compaction generation
+    thirds[2].repartition(1).write.parquet(f"{src}/p2")
+    maintain_rollup(spark, stream(), rollup, ck)
+    compact_rollup(spark, rollup, through_epoch=10_000)
+
+    exp_rollup = sorted(
+        tuple(r)
+        for r in ev.select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .collect()
+    )
+    assert (
+        sorted(tuple(r) for r in read_rollup(spark, rollup).collect())
+        == exp_rollup
+    )
+    # decayed-counter read surface rides the same state
+    assert read_decayed_counters(spark, rollup).count() > 0
+    # second generation: base epoch advanced past -1
+    from workshop3_etl_spark.streaming.rollup import _read_base_manifest
+
+    assert _read_base_manifest(rollup)["base_epoch"] == -2

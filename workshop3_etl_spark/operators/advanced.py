@@ -1064,6 +1064,11 @@ def sql_scripting_decayed_revenue(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+        else:
+            # conf.get returned None => the key was unset; unset it
+            # again or scripting stays enabled on the shared session
+            # for every subsequent query.
+            spark.conf.unset("spark.sql.scripting.enabled")
 
 
 # --------------------------------------------------------------------

@@ -263,6 +263,15 @@ def stream_pyds_feed_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             time.sleep(0.25)
         q.stop()
         q.awaitTermination()
+        # A timeout must surface as an error, never as a silently
+        # partial per-lang count.
+        n_sunk = spark.table(sink).count()
+        if n_sunk != n_total:
+            raise TimeoutError(
+                f"pyds feed drained {n_sunk}/{n_total} rows before the "
+                "120s deadline — failing instead of returning a "
+                "partial aggregate"
+            )
         return (
             spark.table(sink)
             .groupBy("lang")

@@ -56,12 +56,26 @@ AUDIT_COLS = ("doc_a", "doc_b")
 
 
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read the index, or None ONLY when it does not exist yet.
+
+    Any other read failure (corrupt footer, transient FS error,
+    permissions) must propagate and fail the micro-batch so the
+    streaming query replays it — treating those as "empty index"
+    would silently re-admit duplicates and write them INTO the index.
+    """
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(path)
         df.schema  # force resolution
         return df
-    except Exception:
-        return None
+    except AnalysisException as exc:
+        condition = (
+            exc.getCondition() if hasattr(exc, "getCondition") else None
+        )
+        if condition == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(exc):
+            return None
+        raise
 
 
 def ingest_dedup_batch(
