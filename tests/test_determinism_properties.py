@@ -280,3 +280,67 @@ def test_kcore_peels_tail_keeps_triangle(spark):
     edf = spark.createDataFrame(edges, "p1 long, p2 long")
     got = {(r["p1"], r["p2"]) for r in kcore_edges(edf).collect()}
     assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_triangle_orientation_star_bound(spark):
+    """Degree orientation kills hub wedge blow-up: a 40-spoke star
+    (plus one spoke-spoke edge, making exactly one triangle)
+    generates ONE wedge candidate, where canonical-id wedging at the
+    hub would generate C(40,2)=780 — the arboricity bound the 100x
+    plan relies on."""
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.assoc import (
+        _degree_oriented,
+        _oriented_wedges,
+    )
+
+    edges = [(1, s) for s in range(2, 42)] + [(2, 3)]
+    edf = spark.createDataFrame(
+        sorted((min(a, b), max(a, b)) for a, b in edges),
+        "p1 long, p2 long",
+    )
+    o = _degree_oriented(edf)
+    wedges = _oriented_wedges(o)
+    assert wedges.count() == 1
+    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    assert wedges.join(closing, ["v", "w"]).count() == 1
+
+
+def test_triangle_orientation_matches_naive_count(spark):
+    """The compact-forward oriented closure counts exactly the
+    triangles of the undirected graph (pseudo-random fixed graph,
+    pure-Python reference)."""
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.assoc import (
+        _degree_oriented,
+        _oriented_wedges,
+    )
+
+    edges = sorted(
+        {
+            (i, j)
+            for i in range(1, 16)
+            for j in range(i + 1, 16)
+            if (i * 31 + j * 17) % 3 == 0
+        }
+    )
+    es = set(edges)
+    nodes = sorted({x for e in edges for x in e})
+    expected = sum(
+        1
+        for ai, a in enumerate(nodes)
+        for b in nodes[ai + 1:]
+        for c in nodes
+        if b < c
+        and (a, b) in es
+        and (b, c) in es
+        and (a, c) in es
+    )
+    assert expected > 0, "fixture graph must contain triangles"
+    edf = spark.createDataFrame(edges, "p1 long, p2 long")
+    o = _degree_oriented(edf)
+    closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    got = _oriented_wedges(o).join(closing, ["v", "w"]).count()
+    assert got == expected

@@ -166,3 +166,61 @@ def test_neardup_lsh_buckets_subset_and_recall(spark):
     assert recall >= 0.4, f"bucket recall collapsed: {recall}"
     for k, c in got.items():
         assert c == exact[k], f"cosine mismatch for {k}"
+
+
+def test_neardup_bucket_cap_bounds_pairs_and_is_lossless_when_slack(spark):
+    """The bucket cap must (a) leave results identical when every
+    bucket is under the cap (the default at validation SFs), and
+    (b) cut candidate-pair counts when forced low on the same data —
+    the skew guard that keeps hot buckets from going quadratic at
+    corpus scale."""
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.similarity import _neardup_lsh_plan
+
+    def pairs(cap):
+        result, sig = _neardup_lsh_plan(spark, SF_SMOKE, cap=cap)
+        a, b = sig.alias("a"), sig.alias("b")
+        n_cand = (
+            a.join(
+                b,
+                (F.col("a.table_id") == F.col("b.table_id"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select("a.vec_id", "b.vec_id")
+            .distinct()
+            .count()
+        )
+        rows = sorted(tuple(r) for r in result.collect())
+        sig.unpersist()
+        return n_cand, rows
+
+    n_uncapped, rows_uncapped = pairs(10**9)
+    n_default, rows_default = pairs(None or 10**9 - 1)  # still slack
+    assert rows_default == rows_uncapped
+    n_tight, rows_tight = pairs(2)
+    assert n_tight < n_uncapped, (
+        f"cap=2 did not reduce candidates ({n_tight} vs {n_uncapped})"
+    )
+    # capped output stays a subset (blocking only ever removes pairs)
+    assert set(rows_tight) <= set(rows_uncapped)
+
+
+def test_neardup_bucket_cap_is_a_hard_bound(spark):
+    """After the secondary band + rank-chunk tiers, NO final bucket
+    may exceed the cap — the guarantee that rerank cost stays linear
+    in corpus size regardless of signature skew."""
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.similarity import _neardup_lsh_plan
+
+    _, sig = _neardup_lsh_plan(spark, SF_SMOKE, cap=2)
+    max_bucket = (
+        sig.groupBy("table_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .first()["m"]
+    )
+    sig.unpersist()
+    assert max_bucket <= 2, f"hard cap violated: max bucket {max_bucket}"

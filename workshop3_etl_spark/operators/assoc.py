@@ -294,31 +294,94 @@ JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
 """
 
 
+# Degree keys pack (degree, node id) into one sortable bigint so the
+# total order rides the joins as a single column. Part keys are far
+# below 2^32 at any TPC-H SF this engine targets; a wider id space
+# would switch to a struct key.
+_DEG_KEY_SHIFT = 4_294_967_296  # 2^32
+
+
+def _degree_oriented(e: DataFrame) -> DataFrame:
+    """Orient each undirected (p1 < p2) edge toward its higher
+    (degree, id) endpoint: src -> dst with key(src) < key(dst).
+
+    This is the compact-forward triangle orientation: every node's
+    OUT-degree is then bounded by O(sqrt(m)) (arboricity bound), so
+    wedge generation at a hub of undirected degree d costs ~0, not
+    C(d, 2) — the difference between linear and quadratic work on
+    power-law graphs at 100x scale.
+
+    Returns (src, dst, ks, kd) with ks/kd the packed degree keys of
+    src/dst (kd rides along so wedge pairs can be canonicalized
+    without re-joining degrees).
+    """
+    deg = (
+        e.select(F.col("p1").alias("p"))
+        .unionAll(e.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(
+            "p",
+            (
+                F.col("degree").cast("long") * F.lit(_DEG_KEY_SHIFT)
+                + F.col("p").cast("long")
+            ).alias("k"),
+        )
+    )
+    ek = e.join(
+        deg.select(F.col("p").alias("p1"), F.col("k").alias("k1")), "p1"
+    ).join(deg.select(F.col("p").alias("p2"), F.col("k").alias("k2")), "p2")
+    flip = F.col("k1") > F.col("k2")
+    return ek.select(
+        F.when(flip, F.col("p2")).otherwise(F.col("p1")).alias("src"),
+        F.when(flip, F.col("p1")).otherwise(F.col("p2")).alias("dst"),
+        F.least("k1", "k2").alias("ks"),
+        F.greatest("k1", "k2").alias("kd"),
+    )
+
+
+def _oriented_wedges(o: DataFrame) -> DataFrame:
+    """Canonical out-wedge pairs (v, w) with key(v) < key(w) from a
+    degree-oriented edge frame — each triangle produces exactly one
+    wedge at its (degree, id)-minimal vertex."""
+    o1 = o.select("src", F.col("dst").alias("v"), F.col("kd").alias("kv"))
+    o2 = o.select("src", F.col("dst").alias("w"), F.col("kd").alias("kw"))
+    return (
+        o1.join(o2, "src")
+        .filter(F.col("kv") < F.col("kw"))
+        .select("v", "w")
+    )
+
+
 @register("graph_triangle_count_copurchase", oracle=_TRIANGLE_ORACLE)
 def graph_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of the co-purchase graph (one row: edges,
-    triangles).
+    triangles), via degree-ordered (compact-forward) wedge closing.
 
-    Edges are stored once in canonical (p1 < p2) orientation, so each
-    triangle a<b<c is found exactly once as (a,b)+(b,c) closed by
-    (a,c) — the standard wedge-close join, no post-dedup. At real
-    scale the refinement is degree-ordered orientation (point each
-    edge at the higher-degree endpoint) so wedge counts are bounded
-    by arboricity, plus a broadcast of the (small) high-degree core;
-    the support filter already removes the quadratic noise floor.
+    Each undirected edge is oriented toward its higher-(degree, id)
+    endpoint (_degree_oriented), wedges form only between the out-
+    edges of each vertex (so a triangle is generated exactly once, at
+    its order-minimal vertex), and the closing edge is looked up in
+    the same oriented frame — key(v) < key(w) implies the closing
+    edge is stored as v -> w. Out-degrees are arboricity-bounded
+    under this orientation, so hub vertices no longer generate
+    quadratic wedge counts (tests/test_assoc.py proves the star-graph
+    bound); the support filter already removes the noise floor. The
+    count is identical to the canonical (p1 < p2) wedge join the
+    DuckDB oracle runs — only the generation order changes.
     """
-    e = _copurchase_edges(spark, sf_dir).persist()
-    e1 = e.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
-    e2 = e.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
-    e3 = e.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
-    wedges = e1.join(e2, "b")
-    tri = wedges.join(e3, ["a", "c"])
-    n_edges = e.count()
+    e = _copurchase_edges(spark, sf_dir)
+    o = _degree_oriented(e).persist()
+    closing = o.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = _oriented_wedges(o).join(closing, ["v", "w"])
+    n_edges = o.count()  # also materializes the oriented index
     result = tri.agg(
         F.lit(n_edges).cast("long").alias("n_edges"),
         F.count(F.lit(1)).alias("n_triangles"),
     )
-    return materialize_and_release(result, e)
+    return materialize_and_release(result, o)
 
 
 _DEGREE_ORACLE = f"""

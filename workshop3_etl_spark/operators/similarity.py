@@ -343,81 +343,155 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# IVF ANN: k-means coarse quantizer + probe-nearest-centroids.
+# IVF ANN: frozen k-means coarse quantizer + probe-nearest-centroids.
+#
+# The coarse quantizer is a FROZEN build-time artifact
+# (operators/ivf_centroids.py: k-means trained once offline, literal
+# coordinates) — which is how production IVF ships anyway, and it
+# makes cell assignment a pure deterministic expression both engines
+# evaluate identically, so the whole query is hash-checkable (the
+# shared-literal trick from sim_neardup_lsh_buckets, applied to the
+# quantizer).
 # --------------------------------------------------------------------
 
 _IVF_CLUSTERS = 16
 _IVF_PROBES = 4
 
 
-@register("sim_ann_ivf_topk", oracle=None)
-def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate cosine top-k via an IVF (inverted-file) index:
-    KMeans coarse quantizer assigns every vector to a cell; each
-    query probes its _IVF_PROBES nearest cells and exact-reranks only
-    those members.
+def _ivf_cells_df(spark: SparkSession) -> DataFrame:
+    """The quantizer as a 16-row broadcastable frame: (cell id,
+    centroid coords, literal squared norm)."""
+    from workshop3_etl_spark.operators.ivf_centroids import (
+        IVF_CENTROIDS,
+        centroid_norm2,
+    )
 
-    Rows-only check (KMeans isn't SQL); tests/test_similarity.py
-    measures recall vs brute force. At corpus scale: the quantizer
-    trains on a sample, assignment is one map-only pass, and the
-    probe join touches n_probes/n_cells of the corpus — the
+    rows = [(t, c, centroid_norm2(c)) for t, c in enumerate(IVF_CENTROIDS)]
+    return spark.createDataFrame(
+        rows, "cell int, centroid array<double>, cc double"
+    )
+
+
+def _ivf_cells_values_sql() -> str:
+    """The same quantizer as a DuckDB VALUES list — identical literal
+    doubles (repr round-trips), so dist2 is bit-identical."""
+    from workshop3_etl_spark.operators.ivf_centroids import (
+        IVF_CENTROIDS,
+        centroid_norm2,
+    )
+
+    rows = []
+    for t, c in enumerate(IVF_CENTROIDS):
+        arr = ", ".join(repr(x) for x in c)
+        rows.append(f"({t}, [{arr}]::DOUBLE[], {centroid_norm2(c)!r})")
+    return ",\n    ".join(rows)
+
+
+_IVF_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM (VALUES
+    {_ivf_cells_values_sql()}
+  ) AS t(cell, centroid, cc)
+),
+v AS (
+  SELECT vec_id, embedding AS ev, {_norm2_duck('embedding')} AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT v.vec_id, v.ev, v.nrm, cells.cell,
+         cells.cc - 2 * {_dot_duck('v.ev', 'cells.centroid')} AS dist2
+  FROM v CROSS JOIN cells
+),
+assigned AS (
+  SELECT vec_id AS candidate_id, ev AS cv, nrm AS cn, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, ev AS qv, nrm AS qn, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+    FROM scored WHERE vec_id < {_N_QUERIES}
+  ) WHERE rn <= {_IVF_PROBES}
+)
+SELECT query_id, CAST(rank AS INT) AS rank, candidate_id, cosine_sim
+FROM (
+  SELECT p.query_id, a.candidate_id,
+         {_dot_duck('p.qv', 'a.cv')} / (SQRT(p.qn) * SQRT(a.cn))
+           AS cosine_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {_dot_duck('p.qv', 'a.cv')}
+                      / (SQRT(p.qn) * SQRT(a.cn)) DESC,
+                    a.candidate_id
+         ) AS rank
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE p.query_id <> a.candidate_id
+)
+WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_ann_ivf_topk", oracle=_IVF_ORACLE)
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index: the
+    frozen coarse quantizer assigns every vector to its nearest cell
+    (one map-only broadcast pass); each query probes its _IVF_PROBES
+    nearest cells and exact-reranks only those members.
+
+    Fully oracled: frozen literal centroids + sequential-fold dots
+    make assignment, probing, and rerank bit-identical in DuckDB.
+    tests/test_similarity.py separately measures recall vs brute
+    force. At corpus scale: assignment is one broadcast map pass over
+    the corpus, the inverted file is the persisted index artifact,
+    and the probe join touches n_probes/n_cells of it — the
     recall/latency dial is (n_cells, n_probes).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
+    v = emb.select(
         "vec_id",
-        F.col("embedding").alias("v"),
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("feat"),
+        F.col("embedding").alias("ev"),
         dot_fold("embedding", "embedding").alias("nrm"),
     )
-    km = KMeans(k=_IVF_CLUSTERS, seed=42, featuresCol="feat", predictionCol="cell")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).select("vec_id", "v", "nrm", "cell").persist()
-    assigned.count()  # materialize the index (one pass)
-
-    # rank cells per query by distance to centroid, keep top probes
-    centroids = [
-        (int(i), [float(x) for x in c])
-        for i, c in enumerate(model.clusterCenters())
-    ]
-    cent_df = spark.createDataFrame(
-        centroids, "cell int, centroid array<double>"
-    )
-    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    qc = q.crossJoin(F.broadcast(cent_df)).select(
-        "query_id",
-        "qv",
-        "qn",
+    # map-only scoring pass: corpus x 16 broadcast cells
+    scored = v.crossJoin(F.broadcast(_ivf_cells_df(spark))).select(
+        "vec_id",
+        "ev",
+        "nrm",
         "cell",
-        (
-            dot_fold("qv", "qv") - 2 * dot_fold("qv", "centroid")
-            + dot_fold("centroid", "centroid")
-        ).alias("dist2"),
+        (F.col("cc") - 2 * dot_fold("ev", "centroid")).alias("dist2"),
     )
-    wq = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
-    probes = (
-        qc.withColumn("cell_rank", F.row_number().over(wq))
-        .filter(F.col("cell_rank") <= _IVF_PROBES)
-        .select("query_id", "qv", "qn", "cell")
-    )
-    # probe join: only members of the probed cells are reranked
-    cands = (
-        probes.join(
-            assigned.select(
-                F.col("vec_id").alias("candidate_id"),
-                F.col("v").alias("cv"),
-                F.col("nrm").alias("cn"),
-                "cell",
-            ),
+    wv = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    ranked = scored.withColumn("rn", F.row_number().over(wv))
+    assigned = (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("candidate_id"),
+            F.col("ev").alias("cv"),
+            F.col("nrm").alias("cn"),
             "cell",
         )
+        .persist()
+    )
+    assigned.count()  # materialize the inverted-file index (one pass)
+    probes = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_PROBES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ev").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    # probe join: only members of the probed cells are reranked; a
+    # candidate lives in exactly one cell, so pairs are unique by
+    # construction (no distinct needed)
+    cands = (
+        probes.join(assigned, "cell")
         .filter(F.col("query_id") != F.col("candidate_id"))
         .select(
             "query_id",
@@ -425,7 +499,6 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot_fold("qv", "cv") / (F.sqrt("qn") * F.sqrt("cn")))
             .alias("cosine_sim"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("candidate_id")
@@ -827,6 +900,19 @@ _RAD_TABLES = 8
 _RAD_BITS = 4
 _RAD_DIM = 64
 _NEARDUP_T = 0.45
+# Bucket-skew hardening: a bucket with more than _RAD_BUCKET_CAP
+# members is split by _RAD_SUB_BITS extra hyperplane bits (secondary
+# band), bounding rerank pair growth inside hot buckets to
+# ~2^sub_bits sub-buckets of ~1/2^sub_bits the size (a ~16x pair
+# reduction at the cap dial below). The split is deterministic
+# (bucket sizes + literal planes), mirrored in the DuckDB oracle, and
+# LOGGED — never silent (split + residual-oversize counts,
+# _log_bucket_skew). The dial: raise the cap for tight-duplicate
+# corpora (big buckets = real duplicate clusters you want reranked),
+# lower it for flat-similarity corpora where hot buckets are chance
+# collisions.
+_RAD_BUCKET_CAP = 64
+_RAD_SUB_BITS = 4
 
 # Public-constant LCG (same family as sketches.py) — no RNG state, so
 # every engine/run derives the identical plane set.
@@ -861,17 +947,18 @@ def _rad_dot_duck(vec: str, plane: list[int]) -> str:
     )
 
 
-def _rad_bucket_duck(t: int) -> str:
+def _rad_bucket_duck(t: int, h0: int = 0, h1: int = _RAD_BITS) -> str:
     bits = " || ".join(
         f"(CASE WHEN {_rad_dot_duck('ev', _rad_plane(t, h))} >= 0"
         " THEN '1' ELSE '0' END)"
-        for h in range(_RAD_BITS)
+        for h in range(h0, h1)
     )
     return bits
 
 
 _RAD_SIG_SQL = "\nUNION ALL\n".join(
-    f"  SELECT vec_id, {t} AS table_id, {_rad_bucket_duck(t)} AS bucket"
+    f"  SELECT vec_id, {t} AS table_id, {_rad_bucket_duck(t)} AS bucket,"
+    f" {_rad_bucket_duck(t, _RAD_BITS, _RAD_BITS + _RAD_SUB_BITS)} AS sub"
     " FROM v"
     for t in range(_RAD_TABLES)
 )
@@ -885,10 +972,28 @@ WITH v AS (
 sig AS (
 {_RAD_SIG_SQL}
 ),
+keyed1 AS (
+  SELECT vec_id, table_id,
+         CASE WHEN COUNT(*) OVER (PARTITION BY table_id, bucket)
+                   > {_RAD_BUCKET_CAP}
+              THEN bucket || sub ELSE bucket END AS bucket
+  FROM sig
+),
+keyed AS (
+  SELECT vec_id, table_id,
+         CASE WHEN COUNT(*) OVER (PARTITION BY table_id, bucket)
+                   > {_RAD_BUCKET_CAP}
+              THEN bucket || '#' || CAST(
+                (ROW_NUMBER() OVER (
+                   PARTITION BY table_id, bucket ORDER BY vec_id) - 1)
+                // {_RAD_BUCKET_CAP} AS VARCHAR)
+              ELSE bucket END AS bucket
+  FROM keyed1
+),
 cand AS (
   SELECT a.vec_id AS va, b.vec_id AS vb
-  FROM sig a
-  JOIN sig b
+  FROM keyed a
+  JOIN keyed b
     ON a.table_id = b.table_id AND a.bucket = b.bucket
    AND a.vec_id < b.vec_id
   GROUP BY 1, 2
@@ -907,11 +1012,54 @@ ORDER BY vec_id_a, vec_id_b
 """
 
 
+def _log_bucket_skew(keyed: DataFrame, cap: int) -> None:
+    """Report the cap's effect — a silent cap reads as full coverage,
+    so every invocation states what was split and what is STILL over
+    the cap after the secondary band (two metadata-scale aggregates
+    over the persisted index)."""
+    import logging
+
+    stats = keyed.agg(
+        F.count_distinct(
+            F.when(
+                F.length("bucket") > _RAD_BITS,
+                F.struct("table_id", F.substring("bucket", 1, _RAD_BITS)),
+            )
+        ).alias("n_split"),
+        F.count_distinct(
+            F.when(
+                F.col("bucket").contains("#"),
+                F.struct(
+                    "table_id", F.substring_index("bucket", "#", 1)
+                ),
+            )
+        ).alias("n_chunked"),
+    ).first()
+    size_row = (
+        keyed.groupBy("table_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("max_bucket"))
+        .first()
+    )
+    logging.getLogger(__name__).info(
+        "neardup LSH bucket cap=%d: %d oversized buckets split by the "
+        "%d-bit secondary band, %d sub-buckets rank-chunked to the hard "
+        "bound; max final bucket=%d",
+        cap,
+        stats["n_split"],
+        _RAD_SUB_BITS,
+        stats["n_chunked"],
+        size_row["max_bucket"],
+    )
+
+
 def _neardup_lsh_plan(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, cap: int = _RAD_BUCKET_CAP
 ) -> tuple[DataFrame, DataFrame]:
     """Build the (result, signature-index) pair — split out so the
     plan tests can inspect the pre-checkpoint pipeline."""
+    from pyspark.sql import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
@@ -919,25 +1067,70 @@ def _neardup_lsh_plan(
         F.col("embedding").alias("ev"),
         dot_fold("embedding", "embedding").alias("nrm"),
     )
+
+    def _bits(t: int, h0: int, h1: int):
+        return F.concat(
+            *[
+                F.when(
+                    F.expr(_rad_dot_spark("ev", _rad_plane(t, h))) >= 0,
+                    "1",
+                ).otherwise("0")
+                for h in range(h0, h1)
+            ]
+        )
+
+    # one generate pass computes primary AND secondary band bits
     buckets = F.array(
         *[
-            F.concat(
-                *[
-                    F.when(
-                        F.expr(_rad_dot_spark("ev", _rad_plane(t, h))) >= 0,
-                        "1",
-                    ).otherwise("0")
-                    for h in range(_RAD_BITS)
-                ]
+            F.struct(
+                _bits(t, 0, _RAD_BITS).alias("b"),
+                _bits(t, _RAD_BITS, _RAD_BITS + _RAD_SUB_BITS).alias("s"),
             )
             for t in range(_RAD_TABLES)
         ]
     )
+    sig_raw = v.select(
+        "vec_id", F.posexplode(buckets).alias("table_id", "bs")
+    )
+    # skew hardening tier 1: buckets over the cap switch to the
+    # extended (primary || secondary) key — deterministic,
+    # oracle-mirrored
+    wsz = Window.partitionBy("table_id", F.col("bs.b"))
+    keyed1 = sig_raw.select(
+        "vec_id",
+        "table_id",
+        F.when(
+            F.count(F.lit(1)).over(wsz) > cap,
+            F.concat(F.col("bs.b"), F.col("bs.s")),
+        )
+        .otherwise(F.col("bs.b"))
+        .alias("bucket"),
+    )
+    # tier 2 (hard bound): sub-buckets STILL over the cap — correlated
+    # corpora where extra hyperplanes don't discriminate — are chunked
+    # by deterministic vec_id rank, guaranteeing every final bucket
+    # <= cap. Cross-chunk pairs are the (logged) recall loss.
+    wsz2 = Window.partitionBy("table_id", "bucket")
+    wrk = wsz2.orderBy("vec_id")
     # persist the signature frame: it feeds BOTH sides of the bucket
     # self-join (and is the persisted index artifact at corpus scale)
-    sig = v.select(
-        "vec_id", F.posexplode(buckets).alias("table_id", "bucket")
+    sig = keyed1.select(
+        "vec_id",
+        "table_id",
+        F.when(
+            F.count(F.lit(1)).over(wsz2) > cap,
+            F.concat(
+                F.col("bucket"),
+                F.lit("#"),
+                F.floor((F.row_number().over(wrk) - 1) / cap)
+                .cast("long")
+                .cast("string"),
+            ),
+        )
+        .otherwise(F.col("bucket"))
+        .alias("bucket"),
     ).persist()
+    _log_bucket_skew(sig, cap)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
@@ -979,13 +1172,24 @@ def sim_neardup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     level) from sign-LSH bucket collisions — metadata-free blocking,
     fully hash-compared.
 
-    Plan: the signature build is ONE map-only pass (all 32 Rademacher
-    folds computed per row, buckets unfolded via posexplode); the
-    bucket self-equi-join carries (vec_id, table_id, bucket) ONLY —
-    no payload rides the shuffle — and the candidate pairs dedupe
-    before the vectors are joined back for the exact rerank. At
-    corpus scale the signature frame is the persisted index artifact
-    and the rerank join partitions by vec_id.
+    Plan: the signature build is ONE map-only pass (all 64 Rademacher
+    folds — primary + secondary band — computed per row, buckets
+    unfolded via posexplode); the bucket self-equi-join carries
+    (vec_id, table_id, bucket) ONLY — no payload rides the shuffle —
+    and the candidate pairs dedupe before the vectors are joined back
+    for the exact rerank. At corpus scale the signature frame is the
+    persisted index artifact and the rerank join partitions by vec_id.
+
+    Skew guard (three keying tiers, all deterministic and mirrored in
+    the oracle): buckets over _RAD_BUCKET_CAP re-key on the extended
+    primary||secondary signature; sub-buckets still over the cap
+    (correlated corpora) are rank-chunked to a HARD <= cap bound, so
+    rerank pair count stays linear in corpus size no matter how the
+    signature distribution skews. Both interventions are logged per
+    run (_log_bucket_skew) — never silent; cross-chunk pairs inside
+    pathological buckets are the knowing recall loss, and the cap is
+    the dial (raise it on tight-duplicate corpora where hot buckets
+    are real duplicate clusters).
     """
     result, sig = _neardup_lsh_plan(spark, sf_dir)
     return materialize_and_release(result, sig)

@@ -45,30 +45,39 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # not listed follows in registration order. A plan test asserts the
 # list stays registered, oracled, and exactly 50 long.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # r02 driver-ERR (pyspark 4.1 native nanos->TIMESTAMP_NTZ read) —
-    # prove the dtype-driven normalize_event_ts fix in the driver's
-    # own session.
-    "asof_join_view_before_purchase",
-    "range_join_orders_events_7d",
-    "json_props_extract_stats",
-    "profile_null_counts_events",
-    "sessionize_events_30min",
-    "cohort_retention_daily",
-    "stream_tumbling_hourly_counts",
-    "stream_stateful_user_metrics",
-    "stream_stream_join_view_purchase",
-    # (stream_session_window_counts demoted in session 4 to fund
-    # corpus_pack_sequences below — stream_ keeps five slots and the
-    # session-window semantics stay covered by sessionize_events_30min
-    # plus pytest/driver_sim.)
-    # Round-3 additions — each needs its first driver verification.
-    # (ts_gapfill_locf_hourly demoted in session 4 to fund
-    # stream_ingest_dedup — ts_ keeps seasonal_naive + ewma slots.)
-    "ml_ols2_qty_retailprice",
-    "corpus_mixture_weights_sqrt",
-    "window_spend_deciles",
-    "streaks_user_active_days",
-    "scd2_user_type_history",
+    # Round-4 rotation (VERDICT r3 task #1). Demoted to fund the
+    # slots below — every one of these 14 is r3-green on the official
+    # record (CORRECTNESS_r03.json 50/50 pass), so their slots buy
+    # first-time verification: asof_join_view_before_purchase,
+    # range_join_orders_events_7d, json_props_extract_stats,
+    # profile_null_counts_events, sessionize_events_30min,
+    # cohort_retention_daily, stream_tumbling_hourly_counts,
+    # stream_stateful_user_metrics, stream_stream_join_view_purchase,
+    # ml_ols2_qty_retailprice, corpus_mixture_weights_sqrt,
+    # window_spend_deciles, streaks_user_active_days,
+    # scd2_user_type_history.
+    #
+    # First: the 3 queries whose latest official status is a stale r2
+    # ERR (the since-fixed bare-session events-timestamp bug) — prove
+    # the fix on the record.
+    "window_lag_delta_events",
+    "window_trailing_7d_user_value",
+    "stream_session_window_counts",
+    # Never-driver-checked queries, spread across families, per the
+    # r3 verdict's priority list.
+    "scd2_asof_dimension_lookup",
+    "funnel_view_click_purchase",
+    "ts_gapfill_locf_hourly",
+    "sketch_kmv_jaccard_custkeys",
+    "stats_chisq_lang_source",
+    "graph_bfs_hops_copurchase",
+    "dq_table_checksums",
+    "q7_nation_volume",
+    "q12_priority_by_linestatus",
+    "split_train_test_counts",
+    # Newly fully-oracled this round (frozen-literal IVF quantizer) —
+    # promotes an ANN path from rows-only to hash-checked.
+    "sim_ann_ivf_topk",
     "profile_histogram_price",
     "dedup_levenshtein_blocked",
     # Round-3 second-session additions — stats/feature-store/assoc
