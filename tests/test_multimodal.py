@@ -50,9 +50,62 @@ def test_decode_features_runs_distributed(spark):
     }
 
 
-def test_real_decode_is_explicit_stub():
+def test_real_decode_unknown_codec_is_explicit_stub():
+    """Formats without a stdlib parser stay an HONEST stub."""
     with pytest.raises(NotImplementedError):
-        decode_media_real()
+        decode_media_real(b"\xff\xd8\xff\xe0 not a bmp or wav")
+
+
+def test_real_decode_bmp_fixture_bytes():
+    """Golden hand-assembled 2x1 24-bit BMP: the parser must read the
+    actual header fields and pixel bytes (padding stripped)."""
+    import struct
+
+    from workshop3_etl_spark.operators.multimodal import decode_media_real
+
+    # pixels: (1,2,3) (4,5,6); row stride pads 6 -> 8 bytes
+    rows = bytes([1, 2, 3, 4, 5, 6, 0, 0])
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, 8, 2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 54 + 8, 0, 0, 54)
+    f = decode_media_real(head + info + rows)
+    assert (f["width"], f["height"], f["bit_depth"]) == (2, 1, 24)
+    assert f["px_checksum"] == 1 + 2 + 3 + 4 + 5 + 6  # pad excluded
+
+
+def test_real_decode_wav_fixture_bytes():
+    """Golden hand-assembled 3-sample PCM16 mono WAV at 8 kHz; chunk
+    walk must find fmt/data wherever they sit."""
+    import struct
+
+    from workshop3_etl_spark.operators.multimodal import decode_media_real
+
+    samples = struct.pack("<3h", -256, 0, 256)
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+    data = struct.pack("<4sI", b"data", len(samples)) + samples
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    f = decode_media_real(riff + fmt + data)
+    assert (f["bit_depth"], f["sample_rate"], f["n_samples"]) == (16, 8000, 3)
+    assert f["duration_ms"] == 3 * 1000 // 8000
+    assert f["px_checksum"] == sum(samples) % 2_147_483_647
+
+
+def test_encode_decode_roundtrip_matches_strlen_prediction():
+    """The synthesized BMP/WAV must decode back to exactly the
+    strlen-predicted dimensions the oracle uses."""
+    from workshop3_etl_spark.operators.multimodal import (
+        _encode_bmp,
+        _encode_wav,
+        decode_media_real,
+    )
+
+    for text in ("a", "hello world", "x" * 137, "y" * 4096):
+        data = text.encode()
+        bmp = decode_media_real(_encode_bmp(data))
+        assert bmp["width"] == 1 + (len(data) % 16)
+        assert bmp["height"] == 1 + ((len(data) // 16) % 8)
+        wav = decode_media_real(_encode_wav(data))
+        assert wav["n_samples"] == len(data)
+        assert wav["duration_ms"] == len(data) * 1000 // 8000
 
 
 def test_frame_sample_matches_python_recomputation(spark):

@@ -83,12 +83,120 @@ def decode_media_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield out
 
 
-def decode_media_real(*_args, **_kwargs):  # pragma: no cover
-    """Real media decoding — requires codec libs absent from this
-    environment."""
+# --------------------------------------------------------------------
+# REAL decode: stdlib-only BMP and WAV codecs (struct header + payload
+# parse). Exotic formats (JPEG/MP4/...) still raise NotImplementedError
+# — that remaining stub is the slot a PIL/ffmpeg deployment fills.
+# --------------------------------------------------------------------
+
+_BMP_W_MOD = 16
+_BMP_H_MOD = 8
+_WAV_RATE = 8000
+_CHECKSUM_MOD = 2_147_483_647
+
+
+def _encode_bmp(data: bytes) -> bytes:
+    """A real 24-bit BI_RGB BMP whose dimensions derive from the blob
+    length and whose pixel bytes cycle the blob — deterministic, so
+    the decode features are predictable from strlen alone."""
+    import struct
+
+    w = 1 + (len(data) % _BMP_W_MOD)
+    h = 1 + ((len(data) // _BMP_W_MOD) % _BMP_H_MOD)
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    n_px = w * h * 3
+    px = (
+        bytes(data[i % len(data)] for i in range(n_px))
+        if data
+        else bytes(n_px)
+    )
+    rows = b"".join(
+        px[r * row_raw : (r + 1) * row_raw] + b"\x00" * pad
+        for r in range(h)
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 54)
+    return head + info + rows
+
+
+def _encode_wav(data: bytes) -> bytes:
+    """A real PCM16 mono RIFF/WAVE: one sample per blob byte
+    (centered and scaled), 8 kHz."""
+    import struct
+
+    samples = b"".join(
+        struct.pack("<h", (b - 128) * 256) for b in data
+    )
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16
+    )
+    datac = struct.pack("<4sI", b"data", len(samples)) + samples
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(datac), b"WAVE")
+    return riff + fmt + datac
+
+
+def decode_media_real(payload: bytes) -> dict:
+    """Parse a media payload's ACTUAL bytes (stdlib struct only).
+
+    BMP: file+info headers, then the pixel array (row padding
+    stripped, checksum over real pixel bytes). WAV: RIFF chunk walk
+    to fmt/data (not fixed offsets — chunk order independent). Any
+    other format raises NotImplementedError — the honest stub edge
+    where PIL/ffmpeg would plug in.
+    """
+    import struct
+
+    out = {
+        "width": None,
+        "height": None,
+        "bit_depth": None,
+        "n_samples": None,
+        "sample_rate": None,
+        "duration_ms": None,
+        "px_checksum": None,
+    }
+    if payload[:2] == b"BM":
+        _, _, _, _, off = struct.unpack_from("<2sIHHI", payload, 0)
+        _, w, h, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
+        row_raw = w * 3
+        stride = row_raw + (4 - row_raw % 4) % 4
+        acc = 0
+        for r in range(h):
+            row = payload[off + r * stride : off + r * stride + row_raw]
+            acc = (acc + sum(row)) % _CHECKSUM_MOD
+        out.update(
+            width=w, height=h, bit_depth=bpp, px_checksum=acc
+        )
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos = 12
+        rate = bits = None
+        n_samples = acc = 0
+        while pos + 8 <= len(payload):
+            cid, size = struct.unpack_from("<4sI", payload, pos)
+            body = payload[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                _, channels, rate, _, block, bits = struct.unpack_from(
+                    "<HHIIHH", body, 0
+                )
+            elif cid == b"data":
+                n_samples = size // 2
+                acc = sum(body) % _CHECKSUM_MOD
+            pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+        out.update(
+            bit_depth=bits,
+            n_samples=n_samples,
+            sample_rate=rate,
+            duration_ms=n_samples * 1000 // rate if rate else None,
+            px_checksum=acc,
+        )
+        return out
     raise NotImplementedError(
-        "image/audio decode requires PIL/ffmpeg; wire your codec into "
-        "decode_media_stub's mapInPandas body"
+        "unknown codec (not BMP/WAV) — requires PIL/ffmpeg; wire it "
+        "into decode_real_kernel's mapInPandas body"
     )
 
 
@@ -138,6 +246,154 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("header_byte").alias("min_header_byte"),
             F.max("header_byte").alias("max_header_byte"),
             F.sum("checksum_mod").cast("long").alias("sum_checksum_mod"),
+        )
+        .orderBy("media_type")
+    )
+
+
+# --------------------------------------------------------------------
+# Real-decode pipeline: synthesize ACTUAL BMP/WAV files as the binary
+# payload column (the ingest stand-in), then decode them back by
+# parsing their real bytes. Because the synthesis is deterministic in
+# the blob length, the decoded width/height/duration are predictable
+# from strlen alone — which makes the decode hash-checkable against a
+# DuckDB oracle: if the struct parsing misreads a single header field,
+# the hash comparison fails.
+# --------------------------------------------------------------------
+
+_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def encode_media_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas ingest kernel: document text bytes -> real BMP
+    (doc_id % 3 == 0) or real WAV (doc_id % 3 == 1) payloads."""
+    for pdf in batches:
+        ids: list[int] = []
+        types: list[str] = []
+        blobs: list[bytes] = []
+        for mid, text in zip(pdf["doc_id"], pdf["text"]):
+            data = text.encode("utf-8")
+            if mid % 3 == 0:
+                types.append("image/bmp")
+                blobs.append(_encode_bmp(data))
+            elif mid % 3 == 1:
+                types.append("audio/wav")
+                blobs.append(_encode_wav(data))
+            else:
+                continue
+            ids.append(int(mid))
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "media_type": pd.Series(types, dtype="object"),
+                "payload": pd.Series(blobs, dtype="object"),
+            }
+        )
+
+
+_DECODE_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("px_checksum", T.LongType()),
+    ]
+)
+
+
+def decode_real_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas decode kernel: struct-parse every payload's actual
+    bytes via decode_media_real."""
+    for pdf in batches:
+        feats = [decode_media_real(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"].astype("int64"),
+                "media_type": pdf["media_type"],
+                "width": pd.array(
+                    [f["width"] for f in feats], dtype="Int32"
+                ),
+                "height": pd.array(
+                    [f["height"] for f in feats], dtype="Int32"
+                ),
+                "bit_depth": pd.array(
+                    [f["bit_depth"] for f in feats], dtype="Int32"
+                ),
+                "n_samples": pd.array(
+                    [f["n_samples"] for f in feats], dtype="Int64"
+                ),
+                "sample_rate": pd.array(
+                    [f["sample_rate"] for f in feats], dtype="Int32"
+                ),
+                "duration_ms": pd.array(
+                    [f["duration_ms"] for f in feats], dtype="Int64"
+                ),
+                "px_checksum": pd.array(
+                    [f["px_checksum"] for f in feats], dtype="Int64"
+                ),
+            }
+        )
+
+
+_DECODE_REAL_ORACLE = f"""
+SELECT
+  CASE WHEN doc_id % 3 = 0 THEN 'image/bmp' ELSE 'audio/wav' END
+    AS media_type,
+  CAST(COUNT(*) AS BIGINT) AS n_media,
+  CAST(SUM(CASE WHEN doc_id % 3 = 0
+                THEN 1 + (strlen(text) % {_BMP_W_MOD}) END) AS BIGINT)
+    AS sum_width,
+  CAST(SUM(CASE WHEN doc_id % 3 = 0
+                THEN 1 + ((strlen(text) // {_BMP_W_MOD}) % {_BMP_H_MOD})
+           END) AS BIGINT) AS sum_height,
+  CAST(SUM(CASE WHEN doc_id % 3 = 1
+                THEN (strlen(text) * 1000) // {_WAV_RATE} END) AS BIGINT)
+    AS sum_duration_ms
+FROM documents
+WHERE doc_id % 3 < 2
+GROUP BY 1
+ORDER BY media_type
+"""
+
+
+@register("multimodal_decode_bmp_wav", oracle=_DECODE_REAL_ORACLE)
+def multimodal_decode_bmp_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, end-to-end and fully oracled: text bytes ->
+    actual BMP/WAV files (encode kernel) -> struct header+payload
+    parse (decode kernel) -> JVM aggregate of the DECODED dimensions.
+
+    The oracle predicts width/height/duration from strlen (the
+    synthesis is deterministic in blob length), so a misparsed header
+    field fails the hash gate — this is the honest version of "decode
+    works", not a checksum of opaque bytes. Both kernels are
+    Arrow-batched mapInPandas; at 100 TB the encode stage is the
+    binaryFile scan and the decode stage is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.mapInPandas(encode_media_kernel, schema=_MEDIA_SCHEMA)
+    decoded = media.mapInPandas(decode_real_kernel, schema=_DECODE_REAL_SCHEMA)
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
         )
         .orderBy("media_type")
     )

@@ -138,7 +138,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ml_onehot_mktsegment_table",
     "ml_scaling_minmax_zscore",
     "udf_named_functions_docs",
-    "multimodal_payload_stats",
+    # Real BMP/WAV decode (round 4): replaces the r3-PROVEN
+    # multimodal_payload_stats as the family's driver slot — decode
+    # correctness is the stronger claim to verify on the record.
+    "multimodal_decode_bmp_wav",
 )
 
 
