@@ -275,16 +275,76 @@ def lsh_signatures(df: DataFrame, vec_col: str, dim: int = 64) -> DataFrame:
     )
 
 
-@register("sim_ann_lsh_topk", oracle=None)
+def _lsh_bucket_duck(t: int, planes: list[list[float]]) -> str:
+    """One table's bucket string in DuckDB from the SAME literal
+    hyperplanes the Spark plan embeds (repr round-trips doubles, and
+    the sequential fold matches dot_fold bit-for-bit)."""
+    bits = []
+    for h in range(_N_HYPERPLANES):
+        plane = planes[t * _N_HYPERPLANES + h]
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        dot = (
+            f"list_reduce(list_transform(list_zip(ev, {arr}),"
+            f" p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def _lsh_topk_oracle() -> str:
+    planes = _hyperplanes(64)
+    sig_sql = "\nUNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS table_id,"
+        f" {_lsh_bucket_duck(t, planes)} AS bucket FROM v"
+        for t in range(_N_TABLES)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding AS ev, {_norm2_duck('embedding')} AS nrm
+  FROM embeddings
+),
+sig AS (
+{sig_sql}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS candidate_id
+  FROM sig q
+  JOIN sig c ON q.table_id = c.table_id AND q.bucket = c.bucket
+  WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, candidate_id, cosine_sim
+FROM (
+  SELECT cand.query_id, cand.candidate_id,
+         {_dot_duck('x.ev', 'y.ev')} / (SQRT(x.nrm) * SQRT(y.nrm))
+           AS cosine_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY cand.query_id
+           ORDER BY {_dot_duck('x.ev', 'y.ev')}
+                      / (SQRT(x.nrm) * SQRT(y.nrm)) DESC,
+                    cand.candidate_id
+         ) AS rank
+  FROM cand
+  JOIN v x ON x.vec_id = cand.query_id
+  JOIN v y ON y.vec_id = cand.candidate_id
+)
+WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_ann_lsh_topk", oracle=_lsh_topk_oracle())
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k: LSH candidate generation (8 tables x
     4 hyperplane bits) + exact rerank within candidates.
 
-    Rows-only check (the bucketing isn't SQL-portable);
-    tests/test_similarity.py measures recall vs the brute-force
-    baseline. At corpus scale the bucket join touches only colliding
-    candidates — the classic sublinear ANN trade: more tables = more
-    recall, longer buckets = more rerank cost.
+    Fully oracled: the hyperplanes are deterministic hash-derived
+    literals shared with the DuckDB oracle (the same shared-literal
+    trick as sim_neardup_lsh_buckets/sim_ann_ivf_topk), so bucketing,
+    candidate generation, and rerank hash-match end-to-end.
+    tests/test_similarity.py separately measures recall vs the
+    brute-force baseline. At corpus scale the bucket join touches
+    only colliding candidates — the classic sublinear ANN trade: more
+    tables = more recall, longer buckets = more rerank cost.
     """
     from pyspark.sql import Window
 
@@ -524,95 +584,205 @@ _PQ_K = 16  # centroids per subspace codebook
 _PQ_RERANK = 50  # ADC shortlist size handed to the exact reranker
 
 
-@register("sim_ann_pq_adc_topk", oracle=None)
+def _pq_codebook_df(spark: SparkSession) -> DataFrame:
+    """The frozen per-subspace codebooks as a 128-row broadcastable
+    frame: (subspace, code, centroid coords, literal squared norm)."""
+    from workshop3_etl_spark.operators.ivf_centroids import (
+        PQ_CODEBOOKS,
+        centroid_norm2,
+    )
+
+    rows = [
+        (m, c, cvec, centroid_norm2(cvec))
+        for m, book in enumerate(PQ_CODEBOOKS)
+        for c, cvec in enumerate(book)
+    ]
+    return spark.createDataFrame(
+        rows, "m int, code int, centroid array<double>, cc double"
+    )
+
+
+def _pq_codebook_values_sql() -> str:
+    from workshop3_etl_spark.operators.ivf_centroids import (
+        PQ_CODEBOOKS,
+        centroid_norm2,
+    )
+
+    rows = []
+    for m, book in enumerate(PQ_CODEBOOKS):
+        for c, cvec in enumerate(book):
+            arr = ", ".join(repr(x) for x in cvec)
+            rows.append(
+                f"({m}, {c}, [{arr}]::DOUBLE[], {centroid_norm2(cvec)!r})"
+            )
+    return ",\n    ".join(rows)
+
+
+_PQ_SUB = 8  # dims per subspace (64 / _PQ_M)
+
+
+def _pq_subdot_spark(vec: str) -> Column:
+    """dot(subvector m of vec, codebook centroid) — m and centroid
+    come from the joined codebook row."""
+    return F.expr(
+        f"aggregate(zip_with(slice({vec}, m * {_PQ_SUB} + 1, {_PQ_SUB}),"
+        f" centroid, (x, y) -> CAST(x AS DOUBLE) * y),"
+        f" CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"
+    )
+
+
+def _pq_subdot_duck(vec: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip("
+        f"list_slice({vec}, b.m * {_PQ_SUB} + 1, b.m * {_PQ_SUB} + {_PQ_SUB}),"
+        f" b.centroid), p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+    )
+
+
+_PQ_ADC_ORACLE = f"""
+WITH b AS (
+  SELECT * FROM (VALUES
+    {_pq_codebook_values_sql()}
+  ) AS t(m, code, centroid, cc)
+),
+v AS (
+  SELECT vec_id, embedding AS ev, {_norm2_duck('embedding')} AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT v.vec_id, v.nrm, b.m, b.code,
+         b.cc - 2 * {_pq_subdot_duck('v.ev')} AS dist2
+  FROM v CROSS JOIN b
+),
+codes AS (
+  SELECT vec_id AS candidate_id, nrm AS cn, m, code FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, m ORDER BY dist2, code) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, ev, nrm AS qn FROM v
+  WHERE vec_id < {_N_QUERIES}
+),
+lut AS (
+  SELECT q.query_id, q.qn, b.m, b.code,
+         {_pq_subdot_duck('q.ev')} AS pdot
+  FROM q CROSS JOIN b
+),
+approx AS (
+  SELECT l.query_id, c.candidate_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(l.pdot ORDER BY l.m)),
+           (x, y) -> x + y)
+           / (SQRT(ANY_VALUE(l.qn)) * SQRT(ANY_VALUE(c.cn)))
+           AS approx_cos
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+  WHERE l.query_id <> c.candidate_id
+  GROUP BY l.query_id, c.candidate_id
+),
+shortlist AS (
+  SELECT query_id, candidate_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY approx_cos DESC, candidate_id) AS srank
+    FROM approx
+  ) WHERE srank <= {_PQ_RERANK}
+)
+SELECT query_id, CAST(rank AS INT) AS rank, candidate_id, cosine_sim
+FROM (
+  SELECT s.query_id, s.candidate_id,
+         {_dot_duck('x.ev', 'y.ev')} / (SQRT(x.nrm) * SQRT(y.nrm))
+           AS cosine_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.query_id
+           ORDER BY {_dot_duck('x.ev', 'y.ev')}
+                      / (SQRT(x.nrm) * SQRT(y.nrm)) DESC,
+                    s.candidate_id
+         ) AS rank
+  FROM shortlist s
+  JOIN v x ON x.vec_id = s.query_id
+  JOIN v y ON y.vec_id = s.candidate_id
+)
+WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_ann_pq_adc_topk", oracle=_PQ_ADC_ORACLE)
 def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via product quantization.
 
-    Index build: each vector is split into ``_PQ_M`` subvectors; a
-    per-subspace KMeans codebook (``_PQ_K`` centroids) encodes every
-    vector as M small codes plus its true norm. The code index is
-    M bytes/vector vs 256 bytes raw — a 32x compression, which is the
-    whole point: at corpus scale the ADC scan touches ONLY this
-    compact index, never the raw vectors.
+    Index build: each vector is split into ``_PQ_M`` subvectors and
+    encoded against the FROZEN per-subspace codebooks
+    (operators/ivf_centroids.py PQ_CODEBOOKS — trained once offline,
+    shipped as literals, exactly how a production PQ index ships its
+    codebooks). The code index is M small codes + the true norm per
+    vector: ~M bytes vs 256 bytes raw — the 32x compression that lets
+    the ADC scan touch ONLY the compact index at corpus scale.
 
     Query: an ADC lookup table (query x subspace x code -> partial
     dot, Q*M*K rows) is broadcast against the exploded code index;
-    sum-of-partials per (query, candidate) approximates the inner
-    product (map-side combinable aggregation — the classic ADC scan
-    as a broadcast join + partial agg). The top ``_PQ_RERANK`` per
-    query are exact-reranked against raw vectors.
+    the approximate inner product folds the M partials IN SUBSPACE
+    ORDER (a deterministic sequential sum, not an unordered SUM — the
+    detail that makes the shortlist bit-identical across engines).
+    The top ``_PQ_RERANK`` per query are exact-reranked against raw
+    vectors.
 
-    Rows-only check (KMeans isn't SQL-portable);
-    tests/test_similarity.py measures recall vs brute force and
-    asserts the reranked cosines are exact.
+    Fully oracled via the frozen-literal codebooks; recall and
+    exact-rerank invariants stay covered by tests/test_similarity.py.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64
-    sub = dim // _PQ_M
-    base = emb.select(
+    v = emb.select(
         "vec_id",
-        F.col("embedding").alias("v"),
+        F.col("embedding").alias("ev"),
         dot_fold("embedding", "embedding").alias("nrm"),
-        *[
-            array_to_vector(
-                F.slice(F.col("embedding").cast("array<double>"), m * sub + 1, sub)
-            ).alias(f"feat{m}")
-            for m in range(_PQ_M)
-        ],
-    ).persist()
-    base.count()  # one materialized pass feeds all M codebook fits
-
-    # In production the codebooks train on a small sample; here the
-    # corpus IS sample-sized, so fit directly (deterministic seeds).
-    models = [
-        KMeans(
-            k=_PQ_K, seed=42 + m, featuresCol=f"feat{m}", predictionCol=f"code{m}"
-        ).fit(base)
-        for m in range(_PQ_M)
-    ]
-    enc = base
-    for model in models:
-        enc = model.transform(enc)
-    # The persisted PQ index: (candidate_id, subspace, code, norm) —
-    # long format so the ADC scan is a plain equi-join.
+    )
+    books = F.broadcast(_pq_codebook_df(spark))
+    # encode: corpus x 128 codebook rows, one subspace-dot each;
+    # rank-1 per (vector, subspace) is the stored code
+    scored = v.crossJoin(books).select(
+        "vec_id",
+        "nrm",
+        "m",
+        "code",
+        (F.col("cc") - 2 * _pq_subdot_spark("ev")).alias("dist2"),
+    )
+    wv = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc("dist2"), F.asc("code")
+    )
     codes = (
-        enc.select(
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
             F.col("vec_id").alias("candidate_id"),
             F.col("nrm").alias("cn"),
-            F.posexplode(
-                F.array(*[F.col(f"code{m}") for m in range(_PQ_M)])
-            ).alias("m", "code"),
+            "m",
+            "code",
         )
         .persist()
     )
     codes.count()  # force the index build
 
-    cent_rows = [
-        (m, c, [float(x) for x in models[m].clusterCenters()[c]])
-        for m in range(_PQ_M)
-        for c in range(_PQ_K)
-    ]
-    cent_df = spark.createDataFrame(cent_rows, "m int, code int, centroid array<double>")
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        dot_fold("embedding", "embedding").alias("qn"),
+        F.col("ev").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     # ADC lookup table: partial dot of each query subvector with each
     # codebook centroid. Q*M*K rows (tiny) — always broadcast.
-    lut = q.crossJoin(F.broadcast(cent_df)).select(
+    lut = q.crossJoin(books).select(
         "query_id",
         "qn",
         "m",
         "code",
         F.expr(
-            f"aggregate(zip_with("
-            f" slice(cast(qv as array<double>), m * {sub} + 1, {sub}), centroid,"
-            f" (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+            f"aggregate(zip_with(slice(qv, m * {_PQ_SUB} + 1, {_PQ_SUB}),"
+            f" centroid, (x, y) -> CAST(x AS DOUBLE) * y),"
+            f" CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"
         ).alias("pdot"),
     )
     approx = (
@@ -620,14 +790,23 @@ def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("candidate_id"))
         .groupBy("query_id", "candidate_id")
         .agg(
-            F.sum("pdot").alias("adot"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "pdot"))),
+                    lambda s: s["pdot"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adot"),
             F.first("qn").alias("qn"),
             F.first("cn").alias("cn"),
         )
         .select(
             "query_id",
             "candidate_id",
-            (F.col("adot") / (F.sqrt("qn") * F.sqrt("cn"))).alias("approx_cos"),
+            (F.col("adot") / (F.sqrt("qn") * F.sqrt("cn"))).alias(
+                "approx_cos"
+            ),
         )
     )
     ws = Window.partitionBy("query_id").orderBy(
@@ -663,7 +842,7 @@ def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "candidate_id", "cosine_sim")
         .orderBy("query_id", "rank")
     )
-    return materialize_and_release(result, base, codes)
+    return materialize_and_release(result, codes)
 
 
 # --------------------------------------------------------------------
