@@ -849,127 +849,256 @@ def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-PQ: the composed index — coarse cells bound the scan, residual
 # product quantization compresses what's scanned. This is the
 # standard billion-scale ANN layout (inverted lists of PQ codes).
+# Both quantizers are frozen offline artifacts (ivf_centroids.py:
+# IVF_CENTROIDS + IVFPQ_RESIDUAL_CODEBOOKS, the residual books
+# trained against the frozen coarse quantizer), so the whole query is
+# a deterministic literal expression — fully oracled.
 # --------------------------------------------------------------------
 
 
-@register("sim_ann_ivfpq_topk", oracle=None)
+def _ivfpq_books_df(spark: SparkSession) -> DataFrame:
+    from workshop3_etl_spark.operators.ivf_centroids import (
+        IVFPQ_RESIDUAL_CODEBOOKS,
+        centroid_norm2,
+    )
+
+    rows = [
+        (m, c, cvec, centroid_norm2(cvec))
+        for m, book in enumerate(IVFPQ_RESIDUAL_CODEBOOKS)
+        for c, cvec in enumerate(book)
+    ]
+    return spark.createDataFrame(
+        rows, "m int, code int, bvec array<double>, bcc double"
+    )
+
+
+def _ivfpq_books_values_sql() -> str:
+    from workshop3_etl_spark.operators.ivf_centroids import (
+        IVFPQ_RESIDUAL_CODEBOOKS,
+        centroid_norm2,
+    )
+
+    rows = []
+    for m, book in enumerate(IVFPQ_RESIDUAL_CODEBOOKS):
+        for c, cvec in enumerate(book):
+            arr = ", ".join(repr(x) for x in cvec)
+            rows.append(
+                f"({m}, {c}, [{arr}]::DOUBLE[], {centroid_norm2(cvec)!r})"
+            )
+    return ",\n    ".join(rows)
+
+
+def _rsubdot_duck(vec: str) -> str:
+    """Residual subvector dot (already DOUBLE, no cast — matches the
+    Spark expression shape exactly)."""
+    return (
+        f"list_reduce(list_transform(list_zip("
+        f"list_slice({vec}, b.m * {_PQ_SUB} + 1, b.m * {_PQ_SUB} + {_PQ_SUB}),"
+        f" b.bvec), p -> p[1] * p[2]), (x, y) -> x + y)"
+    )
+
+
+_IVFPQ_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM (VALUES
+    {_ivf_cells_values_sql()}
+  ) AS t(cell, centroid, cc)
+),
+b AS (
+  SELECT * FROM (VALUES
+    {_ivfpq_books_values_sql()}
+  ) AS t(m, code, bvec, bcc)
+),
+v AS (
+  SELECT vec_id, embedding AS ev, {_norm2_duck('embedding')} AS nrm
+  FROM embeddings
+),
+cscored AS (
+  SELECT v.vec_id, v.ev, v.nrm, cells.cell, cells.centroid,
+         cells.cc - 2 * {_dot_duck('v.ev', 'cells.centroid')} AS dist2
+  FROM v CROSS JOIN cells
+),
+assigned AS (
+  SELECT vec_id, ev, nrm, cell,
+         list_transform(list_zip(ev, centroid),
+                        p -> CAST(p[1] AS DOUBLE) - p[2]) AS resid
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id AS candidate_id, cell, nrm AS cn, m, code FROM (
+    SELECT a.vec_id, a.cell, a.nrm, b.m, b.code,
+           b.bcc - 2 * {_rsubdot_duck('a.resid')} AS rdist2,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id, b.m
+             ORDER BY b.bcc - 2 * {_rsubdot_duck('a.resid')}, b.code
+           ) AS rn
+    FROM assigned a CROSS JOIN b
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, ev, nrm AS qn FROM v
+  WHERE vec_id < {_N_QUERIES}
+),
+probes AS (
+  SELECT query_id, cell, base_dot FROM (
+    SELECT q.query_id, cells.cell,
+           cells.cc - 2 * {_dot_duck('q.ev', 'cells.centroid')} AS dist2,
+           {_dot_duck('q.ev', 'cells.centroid')} AS base_dot,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY cells.cc - 2 * {_dot_duck('q.ev', 'cells.centroid')},
+                      cells.cell
+           ) AS cell_rank
+    FROM q CROSS JOIN cells
+  ) WHERE cell_rank <= {_IVF_PROBES}
+),
+lut AS (
+  SELECT q.query_id, q.qn, b.m, b.code,
+         {_rsubdot_duck('q.ev')} AS pdot
+  FROM q CROSS JOIN b
+),
+approx AS (
+  SELECT l.query_id, c.candidate_id,
+         (ANY_VALUE(p.base_dot)
+          + list_reduce(
+              list_prepend(CAST(0.0 AS DOUBLE),
+                           list(l.pdot ORDER BY l.m)),
+              (x, y) -> x + y))
+           / (SQRT(ANY_VALUE(l.qn)) * SQRT(ANY_VALUE(c.cn)))
+           AS approx_cos
+  FROM codes c
+  JOIN probes p ON p.cell = c.cell
+  JOIN lut l ON l.query_id = p.query_id
+            AND l.m = c.m AND l.code = c.code
+  WHERE l.query_id <> c.candidate_id
+  GROUP BY l.query_id, c.candidate_id
+),
+shortlist AS (
+  SELECT query_id, candidate_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY approx_cos DESC, candidate_id) AS srank
+    FROM approx
+  ) WHERE srank <= {_PQ_RERANK}
+)
+SELECT query_id, CAST(rank AS INT) AS rank, candidate_id, cosine_sim
+FROM (
+  SELECT s.query_id, s.candidate_id,
+         {_dot_duck('x.ev', 'y.ev')} / (SQRT(x.nrm) * SQRT(y.nrm))
+           AS cosine_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.query_id
+           ORDER BY {_dot_duck('x.ev', 'y.ev')}
+                      / (SQRT(x.nrm) * SQRT(y.nrm)) DESC,
+                    s.candidate_id
+         ) AS rank
+  FROM shortlist s
+  JOIN v x ON x.vec_id = s.query_id
+  JOIN v y ON y.vec_id = s.candidate_id
+)
+WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_ann_ivfpq_topk", oracle=_IVFPQ_ORACLE)
 def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via IVF-PQ.
 
-    Index build: a coarse KMeans quantizer assigns each vector to one
-    of ``_IVF_CLUSTERS`` cells; per-subspace codebooks are trained on
-    the RESIDUALS (vector minus cell centroid — residuals are what PQ
-    can encode accurately), and each vector is stored as (cell, M
-    codes, true norm): the inverted-list-of-codes layout.
+    Index build: the frozen coarse quantizer assigns each vector to
+    one of ``_IVF_CLUSTERS`` cells; the frozen RESIDUAL codebooks
+    (trained offline against that quantizer — residuals are what PQ
+    can encode accurately) encode each vector as (cell, M codes, true
+    norm): the inverted-list-of-codes layout.
 
     Query: probe the ``_IVF_PROBES`` nearest cells. The approximate
     inner product decomposes as dot(q, centroid_cell) + sum_m
     dot(q_m, codebook_m[code_m]) — the first term is one number per
-    (query, probed cell), the second is a (query, subspace, code)
-    lookup table independent of the cell. Both are tiny broadcasts;
-    the scored frame is the code index restricted to probed cells.
-    Exact rerank on the top ``_PQ_RERANK``.
+    (query, probed cell), the second a (query, subspace, code) lookup
+    table independent of the cell. Both are tiny broadcasts; the
+    scored frame is the code index restricted to probed cells; the
+    ADC partials fold in subspace order (deterministic). Exact rerank
+    on the top ``_PQ_RERANK``.
 
-    Rows-only check; recall + exact-rerank tests in
-    tests/test_similarity.py. At corpus scale the ADC scan reads
-    n_probes/n_cells of a 32x-compressed index and raw vectors are
-    touched only for Q x rerank rows — the standard memory-bound ANN
-    trade.
+    Fully oracled via the frozen-literal artifacts; recall +
+    exact-rerank tests in tests/test_similarity.py. At corpus scale
+    the ADC scan reads n_probes/n_cells of a 32x-compressed index and
+    raw vectors are touched only for Q x rerank rows — the standard
+    memory-bound ANN trade.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64
-    sub = dim // _PQ_M
-
-    vecs = emb.select(
+    v = emb.select(
         "vec_id",
-        F.col("embedding").alias("v"),
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("feat"),
+        F.col("embedding").alias("ev"),
         dot_fold("embedding", "embedding").alias("nrm"),
     )
-    coarse = KMeans(
-        k=_IVF_CLUSTERS, seed=7, featuresCol="feat", predictionCol="cell"
-    ).fit(vecs)
-    cent_rows = [
-        (int(i), [float(x) for x in c])
-        for i, c in enumerate(coarse.clusterCenters())
-    ]
-    cent_df = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
-
-    # residual encode: r = v - centroid(cell), sliced per subspace
+    cells = F.broadcast(_ivf_cells_df(spark))
+    cscored = v.crossJoin(cells).select(
+        "vec_id",
+        "ev",
+        "nrm",
+        "cell",
+        "centroid",
+        (F.col("cc") - 2 * dot_fold("ev", "centroid")).alias("dist2"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell"))
     assigned = (
-        coarse.transform(vecs)
-        .join(F.broadcast(cent_df), "cell")
+        cscored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
         .select(
             "vec_id",
-            "v",
             "nrm",
             "cell",
             F.expr(
-                "zip_with(cast(v as array<double>), centroid, (x, y) -> x - y)"
+                "zip_with(cast(ev as array<double>), centroid,"
+                " (x, y) -> x - y)"
             ).alias("resid"),
         )
-        .select(
-            "vec_id",
-            "v",
-            "nrm",
-            "cell",
-            *[
-                array_to_vector(
-                    F.slice(F.col("resid"), m * sub + 1, sub)
-                ).alias(f"rfeat{m}")
-                for m in range(_PQ_M)
-            ],
-        )
-        .persist()
     )
-    assigned.count()
-
-    books = [
-        KMeans(
-            k=_PQ_K, seed=100 + m, featuresCol=f"rfeat{m}", predictionCol=f"code{m}"
-        ).fit(assigned)
-        for m in range(_PQ_M)
-    ]
-    enc = assigned
-    for b in books:
-        enc = b.transform(enc)
+    books = F.broadcast(_ivfpq_books_df(spark))
+    rdist2 = F.col("bcc") - 2 * F.expr(
+        f"aggregate(zip_with(slice(resid, m * {_PQ_SUB} + 1, {_PQ_SUB}),"
+        f" bvec, (x, y) -> x * y),"
+        f" CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"
+    )
+    wc = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc("rdist2"), F.asc("code")
+    )
     codes = (
-        enc.select(
+        assigned.crossJoin(books)
+        .select(
+            "vec_id", "nrm", "cell", "m", "code", rdist2.alias("rdist2")
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
             F.col("vec_id").alias("candidate_id"),
             "cell",
             F.col("nrm").alias("cn"),
-            F.posexplode(
-                F.array(*[F.col(f"code{m}") for m in range(_PQ_M)])
-            ).alias("m", "code"),
+            "m",
+            "code",
         )
         .persist()
     )
-    codes.count()
+    codes.count()  # force the inverted-list-of-codes index build
 
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        dot_fold("embedding", "embedding").alias("qn"),
+        F.col("ev").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
-    # probe the nearest cells per query (L2 to centroid)
-    qc = q.crossJoin(F.broadcast(cent_df)).select(
+    # probe the nearest cells per query (same dist form as assignment)
+    qc = q.crossJoin(cells).select(
         "query_id",
-        "qv",
-        "qn",
         "cell",
-        F.expr(
-            "aggregate(zip_with(cast(qv as array<double>), centroid,"
-            " (x, y) -> (x - y) * (x - y)), cast(0.0 as double),"
-            " (acc, v) -> acc + v)"
-        ).alias("dist2"),
-        F.expr(
-            "aggregate(zip_with(cast(qv as array<double>), centroid,"
-            " (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
-        ).alias("base_dot"),
+        (F.col("cc") - 2 * dot_fold("qv", "centroid")).alias("dist2"),
+        dot_fold("qv", "centroid").alias("base_dot"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
     probes = (
@@ -978,21 +1107,16 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cell", "base_dot")
     )
     # (query, subspace, code) lookup table — cell-independent
-    book_rows = [
-        (m, c, [float(x) for x in books[m].clusterCenters()[c]])
-        for m in range(_PQ_M)
-        for c in range(_PQ_K)
-    ]
-    book_df = spark.createDataFrame(book_rows, "m int, code int, bvec array<double>")
-    lut = q.crossJoin(F.broadcast(book_df)).select(
+    lut = q.crossJoin(books).select(
         "query_id",
         "qn",
         "m",
         "code",
         F.expr(
             f"aggregate(zip_with("
-            f" slice(cast(qv as array<double>), m * {sub} + 1, {sub}), bvec,"
-            f" (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+            f" slice(cast(qv as array<double>), m * {_PQ_SUB} + 1, {_PQ_SUB}),"
+            f" bvec, (x, y) -> x * y),"
+            f" CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"
         ).alias("pdot"),
     )
     approx = (
@@ -1001,14 +1125,28 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("candidate_id"))
         .groupBy("query_id", "candidate_id")
         .agg(
-            (F.first("base_dot") + F.sum("pdot")).alias("adot"),
+            (
+                F.first("base_dot")
+                + F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("m", "pdot"))
+                        ),
+                        lambda s: s["pdot"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("adot"),
             F.first("qn").alias("qn"),
             F.first("cn").alias("cn"),
         )
         .select(
             "query_id",
             "candidate_id",
-            (F.col("adot") / (F.sqrt("qn") * F.sqrt("cn"))).alias("approx_cos"),
+            (F.col("adot") / (F.sqrt("qn") * F.sqrt("cn"))).alias(
+                "approx_cos"
+            ),
         )
     )
     ws = Window.partitionBy("query_id").orderBy(
@@ -1043,7 +1181,7 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "candidate_id", "cosine_sim")
         .orderBy("query_id", "rank")
     )
-    return materialize_and_release(result, assigned, codes)
+    return materialize_and_release(result, codes)
 
 
 # --------------------------------------------------------------------
