@@ -64,19 +64,21 @@ def main() -> None:
         # round-3 fourth-session flagships: CMS sketch build+broadcast
         # lookup, sweep-line delta window, per-stratum packing window,
         # and the foreachBatch counter maintenance job (the only
-        # foreachBatch shape in the set). sim_neardup_lsh_buckets is
-        # deliberately NOT here for the same reason as
-        # dedup_prefix_filter_jaccard: this corpus's flat similarity
-        # forces 4-bit buckets (16 buckets, ~n/16 vectors each), so
-        # candidate pairs grow quadratically — ~1M rerank pairs / 7s
-        # at sf0.1 for 25 true pairs. A tight-duplicate corpus (the
-        # near-dup regime the operator exists for) inverts the dial to
-        # long bands and tiny buckets; the query stays driver-checked
-        # at sf0.01.
+        # foreachBatch shape in the set).
         "sketch_cms_heavy_custkeys",
         "concurrency_shipping_orders_daily",
         "corpus_pack_sequences",
         "stream_decayed_counters",
+        # round-4 flagships. sim_neardup_lsh_buckets joins the
+        # headline now that the three-tier bucket cap hard-bounds its
+        # rerank pairs (pre-cap it was ~1M pairs / 7s at sf0.1 on this
+        # flat-similarity corpus, and was deliberately excluded);
+        # sim_ann_ivfpq_topk is the composed ANN index running purely
+        # on frozen codebooks (no query-time KMeans); the decode query
+        # is the Arrow encode->decode kernel chain.
+        "sim_neardup_lsh_buckets",
+        "sim_ann_ivfpq_topk",
+        "multimodal_decode_bmp_wav",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]
