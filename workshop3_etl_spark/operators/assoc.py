@@ -328,9 +328,22 @@ def _degree_oriented(e: DataFrame) -> DataFrame:
             ).alias("k"),
         )
     )
+    # The degree frame is NODE-bounded (the part dimension after
+    # support filtering), orders of magnitude below the edge frame —
+    # broadcast it so orientation adds no shuffle. Beyond broadcast
+    # reach (~10^8 active nodes) drop the hint and these become plain
+    # shuffle joins; the plan is otherwise unchanged.
     ek = e.join(
-        deg.select(F.col("p").alias("p1"), F.col("k").alias("k1")), "p1"
-    ).join(deg.select(F.col("p").alias("p2"), F.col("k").alias("k2")), "p2")
+        F.broadcast(
+            deg.select(F.col("p").alias("p1"), F.col("k").alias("k1"))
+        ),
+        "p1",
+    ).join(
+        F.broadcast(
+            deg.select(F.col("p").alias("p2"), F.col("k").alias("k2"))
+        ),
+        "p2",
+    )
     flip = F.col("k1") > F.col("k2")
     return ek.select(
         F.when(flip, F.col("p2")).otherwise(F.col("p1")).alias("src"),
@@ -343,13 +356,27 @@ def _degree_oriented(e: DataFrame) -> DataFrame:
 def _oriented_wedges(o: DataFrame) -> DataFrame:
     """Canonical out-wedge pairs (v, w) with key(v) < key(w) from a
     degree-oriented edge frame — each triangle produces exactly one
-    wedge at its (degree, id)-minimal vertex."""
-    o1 = o.select("src", F.col("dst").alias("v"), F.col("kd").alias("kv"))
-    o2 = o.select("src", F.col("dst").alias("w"), F.col("kd").alias("kw"))
-    return (
-        o1.join(o2, "src")
-        .filter(F.col("kv") < F.col("kw"))
-        .select("v", "w")
+    wedge at its (degree, id)-minimal vertex.
+
+    Implemented as ONE groupBy (out-adjacency arrays, sorted by
+    degree key) + map-only pair expansion — the basket_part_pairs
+    idiom — instead of an edge self-join: half the shuffle legs, and
+    the per-row expansion is arboricity-bounded because out-degrees
+    are (that is what the orientation buys)."""
+    adj = o.groupBy("src").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("kd").alias("k"), F.col("dst").alias("d"))
+            )
+        ).alias("ns")
+    )
+    pairs = F.expr(
+        "flatten(transform(ns, (x, i) ->"
+        " transform(slice(ns, i + 2, size(ns)),"
+        " y -> struct(x.d AS v, y.d AS w))))"
+    )
+    return adj.select(F.explode(pairs).alias("pr")).select(
+        F.col("pr.v").alias("v"), F.col("pr.w").alias("w")
     )
 
 
@@ -370,18 +397,32 @@ def graph_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFra
     count is identical to the canonical (p1 < p2) wedge join the
     DuckDB oracle runs — only the generation order changes.
     """
-    e = _copurchase_edges(spark, sf_dir)
+    # e feeds BOTH the degree aggregate and the keyed edge join inside
+    # _degree_oriented — persist it or the whole basket pipeline runs
+    # twice; o feeds wedge generation + the closure join.
+    e_raw = _copurchase_edges(spark, sf_dir).persist()
+    n_edges = e_raw.count()
+    # Size-aware index layout: the support-filtered graph is usually
+    # orders of magnitude smaller than its source table, but the
+    # persisted frame inherits the source's shuffle partitioning —
+    # narrow it to ~500k edges/partition (coalesce, no shuffle) so
+    # every downstream stage launches tasks proportional to the GRAPH,
+    # not the corpus; AQE then coalesces the tiny shuffle reads too.
+    nparts = max(
+        1, min(e_raw.rdd.getNumPartitions(), -(-n_edges // 500_000))
+    )
+    e = e_raw.coalesce(nparts)
     o = _degree_oriented(e).persist()
+    o.count()  # materialize the oriented index
     closing = o.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
     tri = _oriented_wedges(o).join(closing, ["v", "w"])
-    n_edges = o.count()  # also materializes the oriented index
     result = tri.agg(
         F.lit(n_edges).cast("long").alias("n_edges"),
         F.count(F.lit(1)).alias("n_triangles"),
     )
-    return materialize_and_release(result, o)
+    return materialize_and_release(result, e_raw, o)
 
 
 _DEGREE_ORACLE = f"""
