@@ -1423,23 +1423,63 @@ def _neardup_lsh_plan(
             for t in range(_RAD_TABLES)
         ]
     )
+    # The 72 hyperplane folds are higher-order-function expressions
+    # (interpreted, not codegen'd) — the single most expensive map in
+    # the plan. Persist their output once; the stats aggregate AND the
+    # keying join below both read the cache, so the folds run exactly
+    # one pass regardless of plan shape (released after the keyed
+    # index materializes).
     sig_raw = v.select(
         "vec_id", F.posexplode(buckets).alias("table_id", "bs")
-    )
-    # skew hardening tier 1: buckets over the cap switch to the
-    # extended (primary || secondary) key — deterministic,
-    # oracle-mirrored
-    wsz = Window.partitionBy("table_id", F.col("bs.b"))
-    keyed1 = sig_raw.select(
-        "vec_id",
-        "table_id",
-        F.col("bs.proj").alias("proj"),
-        F.when(
-            F.count(F.lit(1)).over(wsz) > cap,
-            F.concat(F.col("bs.b"), F.col("bs.s")),
+    ).persist()
+    # Skew-hardening key decisions come from a BOUNDED bucket-stats
+    # aggregate, not corpus-wide windows: per-(table, primary,
+    # secondary) counts are map-side combinable down to at most
+    # tables * 2^(bits+sub_bits) rows (= 2048 at the current dials,
+    # at ANY corpus size), so tier-1 ("split this bucket?") and
+    # tier-2 ("window this sub-bucket?") both ride a broadcast join —
+    # zero full-corpus shuffles for the decisions themselves.
+    sizes = (
+        sig_raw.groupBy(
+            "table_id",
+            F.col("bs.b").alias("sb"),
+            F.col("bs.s").alias("ss"),
         )
-        .otherwise(F.col("bs.b"))
-        .alias("bucket"),
+        .agg(F.count(F.lit(1)).alias("n_bs"))
+        .withColumn(
+            "n_b",
+            F.sum("n_bs").over(Window.partitionBy("table_id", "sb")),
+        )
+        .select(
+            F.col("table_id").alias("st"),
+            "sb",
+            "ss",
+            (F.col("n_b") > cap).alias("split"),
+            ((F.col("n_b") > cap) & (F.col("n_bs") > cap)).alias(
+                "windowed"
+            ),
+        )
+    )
+    keyed = (
+        sig_raw.join(
+            F.broadcast(sizes),
+            (F.col("table_id") == F.col("st"))
+            & (F.col("bs.b") == F.col("sb"))
+            & (F.col("bs.s") == F.col("ss")),
+        )
+        .select(
+            "vec_id",
+            "table_id",
+            F.col("bs.proj").alias("proj"),
+            # tier 1: oversized primary buckets re-key on the extended
+            # (primary || secondary) signature
+            F.when(
+                F.col("split"), F.concat(F.col("bs.b"), F.col("bs.s"))
+            )
+            .otherwise(F.col("bs.b"))
+            .alias("bucket"),
+            "windowed",
+        )
     )
     # tier 2 (hard bound): sub-buckets STILL over the cap — correlated
     # corpora where extra hyperplanes don't discriminate — fall back
@@ -1454,46 +1494,45 @@ def _neardup_lsh_plan(
     # at sf0.1: 64 of 120 uncapped above-threshold pairs survive vs 28
     # with id-rank chunking at the same budget. Cross-window pairs
     # are the (logged) residual recall loss; the cap is the dial.
-    wsz2 = Window.partitionBy("table_id", "bucket")
+    # One ids-only ranking shuffle + ONE pass over the fold
+    # expressions: window membership is exploded in place (1 entry for
+    # cold rows, 2 overlapping windows for hot rows) instead of a
+    # union of branches — a branch here would re-evaluate all 72
+    # hyperplane folds per leg.
     half = F.greatest(F.lit(1), F.lit(cap // 2))
-    wrk = wsz2.orderBy(F.col("proj").asc(), F.col("vec_id").asc())
-    over = F.count(F.lit(1)).over(wsz2) > cap
-    win0 = F.floor((F.row_number().over(wrk) - 1) / half).cast("long")
-    keyed2 = keyed1.select(
-        "vec_id",
-        "table_id",
-        "bucket",
-        over.alias("over"),
-        win0.alias("w0"),
+    wrk = Window.partitionBy("table_id", "bucket").orderBy(
+        F.col("proj").asc(), F.col("vec_id").asc()
+    )
+    ranked = keyed.withColumn(
+        "w0", F.floor((F.row_number().over(wrk) - 1) / half).cast("long")
     )
     # persist the signature frame: it feeds BOTH sides of the bucket
     # self-join (and is the persisted index artifact at corpus scale)
     sig = (
-        keyed2.select(
+        ranked.select(
             "vec_id",
             "table_id",
-            F.when(
-                F.col("over"),
-                F.concat(
-                    F.col("bucket"), F.lit("#"), F.col("w0").cast("string")
-                ),
-            )
-            .otherwise(F.col("bucket"))
-            .alias("bucket"),
+            F.explode(
+                F.when(
+                    F.col("windowed"),
+                    F.array(
+                        F.concat(
+                            F.col("bucket"),
+                            F.lit("#"),
+                            F.col("w0").cast("string"),
+                        ),
+                        F.concat(
+                            F.col("bucket"),
+                            F.lit("#"),
+                            (F.col("w0") + 1).cast("string"),
+                        ),
+                    ),
+                ).otherwise(F.array(F.col("bucket")))
+            ).alias("bucket"),
         )
-        .unionByName(
-            keyed2.filter(F.col("over")).select(
-                "vec_id",
-                "table_id",
-                F.concat(
-                    F.col("bucket"),
-                    F.lit("#"),
-                    (F.col("w0") + 1).cast("string"),
-                ).alias("bucket"),
-            )
-        )
-        .persist()
-    )
+    ).persist()
+    sig.count()  # materialize the keyed index off the raw-fold cache
+    sig_raw.unpersist()
     _log_bucket_skew(sig, cap)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
