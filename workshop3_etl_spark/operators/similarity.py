@@ -1048,6 +1048,10 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cc") - 2 * dot_fold("ev", "centroid")).alias("dist2"),
     )
     wv = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    # materialize the residuals BEFORE the 128-row codebook cross join
+    # — resid is an interpreted 64-element zip_with, and an unpersisted
+    # frame would re-evaluate it once per codebook row (128x per
+    # vector)
     assigned = (
         cscored.withColumn("rn", F.row_number().over(wv))
         .filter(F.col("rn") == 1)
@@ -1060,6 +1064,7 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (x, y) -> x - y)"
             ).alias("resid"),
         )
+        .persist()
     )
     books = F.broadcast(_ivfpq_books_df(spark))
     rdist2 = F.col("bcc") - 2 * F.expr(
@@ -1087,6 +1092,7 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     codes.count()  # force the inverted-list-of-codes index build
+    assigned.unpersist()  # residuals only feed the encode pass
 
     q = v.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
