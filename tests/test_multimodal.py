@@ -168,3 +168,40 @@ def test_resize_matches_python_recomputation(spark):
     assert row["total_orig_bytes"] == orig
     assert row["total_thumb_bytes"] == thumb
     assert row["sum_thumb_checksum"] == checksum
+
+
+def test_resize_bmp_half_exact_pixels():
+    """2x nearest-neighbor downscale keeps exactly pixels (2i, 2j):
+    pinned on a hand-built 3x2 BMP."""
+    from workshop3_etl_spark.operators.multimodal import (
+        _pack_bmp,
+        decode_media_real,
+        resize_bmp_half,
+    )
+
+    # 3x2 image; rows bottom-up in BMP but subsampling is row-index
+    # based so the check is layout-agnostic: keep rows 0 and... h=2 ->
+    # rows {0}, cols {0, 2}
+    row0 = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9])
+    row1 = bytes([10, 11, 12, 13, 14, 15, 16, 17, 18])
+    src = _pack_bmp(3, 2, row0 + row1)
+    thumb = resize_bmp_half(src)
+    f = decode_media_real(thumb)
+    assert (f["width"], f["height"]) == (2, 1)
+    # kept pixels: row 0, cols 0 and 2 -> (1,2,3) and (7,8,9)
+    assert f["px_checksum"] == sum([1, 2, 3, 7, 8, 9])
+
+
+def test_resize_bmp_roundtrip_dims():
+    from workshop3_etl_spark.operators.multimodal import (
+        _encode_bmp,
+        decode_media_real,
+        resize_bmp_half,
+    )
+
+    for n in (1, 17, 137, 4096):
+        src = _encode_bmp(b"z" * n)
+        s = decode_media_real(src)
+        t = decode_media_real(resize_bmp_half(src))
+        assert t["width"] == (s["width"] + 1) // 2
+        assert t["height"] == (s["height"] + 1) // 2

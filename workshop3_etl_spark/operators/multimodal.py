@@ -95,22 +95,13 @@ _WAV_RATE = 8000
 _CHECKSUM_MOD = 2_147_483_647
 
 
-def _encode_bmp(data: bytes) -> bytes:
-    """A real 24-bit BI_RGB BMP whose dimensions derive from the blob
-    length and whose pixel bytes cycle the blob — deterministic, so
-    the decode features are predictable from strlen alone."""
+def _pack_bmp(w: int, h: int, px: bytes) -> bytes:
+    """Assemble a real 24-bit BI_RGB BMP from a raw w*h*3 pixel
+    stream (rows padded to 4-byte alignment)."""
     import struct
 
-    w = 1 + (len(data) % _BMP_W_MOD)
-    h = 1 + ((len(data) // _BMP_W_MOD) % _BMP_H_MOD)
     row_raw = w * 3
     pad = (4 - row_raw % 4) % 4
-    n_px = w * h * 3
-    px = (
-        bytes(data[i % len(data)] for i in range(n_px))
-        if data
-        else bytes(n_px)
-    )
     rows = b"".join(
         px[r * row_raw : (r + 1) * row_raw] + b"\x00" * pad
         for r in range(h)
@@ -120,6 +111,51 @@ def _encode_bmp(data: bytes) -> bytes:
     )
     head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 54)
     return head + info + rows
+
+
+def _encode_bmp(data: bytes) -> bytes:
+    """A real 24-bit BI_RGB BMP whose dimensions derive from the blob
+    length and whose pixel bytes cycle the blob — deterministic, so
+    the decode features are predictable from strlen alone."""
+    w = 1 + (len(data) % _BMP_W_MOD)
+    h = 1 + ((len(data) // _BMP_W_MOD) % _BMP_H_MOD)
+    n_px = w * h * 3
+    px = (
+        bytes(data[i % len(data)] for i in range(n_px))
+        if data
+        else bytes(n_px)
+    )
+    return _pack_bmp(w, h, px)
+
+
+def _bmp_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a BMP payload into (width, height, unpadded pixel rows)
+    — the shared pixel-access path for checksumming and resizing."""
+    import struct
+
+    _, _, _, _, off = struct.unpack_from("<2sIHHI", payload, 0)
+    _, w, h, _, _bpp = struct.unpack_from("<IiiHH", payload, 14)
+    row_raw = w * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    rows = [
+        payload[off + r * stride : off + r * stride + row_raw]
+        for r in range(h)
+    ]
+    return w, h, rows
+
+
+def resize_bmp_half(payload: bytes) -> bytes:
+    """REAL nearest-neighbor 2x downscale of a BMP: decode the actual
+    pixel rows, keep every second pixel of every second row, re-encode
+    as a valid BMP. Output dims: ceil(w/2) x ceil(h/2)."""
+    w, h, rows = _bmp_pixels(payload)
+    tw, th = (w + 1) // 2, (h + 1) // 2
+    out = bytearray()
+    for r in range(0, h, 2):
+        row = rows[r]
+        for c in range(0, w, 2):
+            out += row[c * 3 : c * 3 + 3]
+    return _pack_bmp(tw, th, bytes(out))
 
 
 def _encode_wav(data: bytes) -> bytes:
@@ -159,13 +195,10 @@ def decode_media_real(payload: bytes) -> dict:
         "px_checksum": None,
     }
     if payload[:2] == b"BM":
-        _, _, _, _, off = struct.unpack_from("<2sIHHI", payload, 0)
         _, w, h, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
-        row_raw = w * 3
-        stride = row_raw + (4 - row_raw % 4) % 4
+        _, _, rows = _bmp_pixels(payload)
         acc = 0
-        for r in range(h):
-            row = payload[off + r * stride : off + r * stride + row_raw]
+        for row in rows:
             acc = (acc + sum(row)) % _CHECKSUM_MOD
         out.update(
             width=w, height=h, bit_depth=bpp, px_checksum=acc
@@ -396,6 +429,89 @@ def multimodal_decode_bmp_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("duration_ms").cast("long").alias("sum_duration_ms"),
         )
         .orderBy("media_type")
+    )
+
+
+_RESIZE_BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("thumb_checksum", T.LongType()),
+    ]
+)
+
+
+def resize_bmp_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode each BMP payload, 2x-downscale its
+    REAL pixels, re-encode, and re-decode the thumbnail (round-trip
+    through the codec proves the output is itself a valid BMP)."""
+    for pdf in batches:
+        ids, ws, hs, tws, ths, cks = [], [], [], [], [], []
+        for mid, mtype, payload in zip(
+            pdf["media_id"], pdf["media_type"], pdf["payload"]
+        ):
+            if mtype != "image/bmp":
+                continue
+            src = decode_media_real(bytes(payload))
+            thumb = resize_bmp_half(bytes(payload))
+            dst = decode_media_real(thumb)
+            ids.append(int(mid))
+            ws.append(src["width"])
+            hs.append(src["height"])
+            tws.append(dst["width"])
+            ths.append(dst["height"])
+            cks.append(dst["px_checksum"])
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "thumb_w": pd.Series(tws, dtype="int32"),
+                "thumb_h": pd.Series(ths, dtype="int32"),
+                "thumb_checksum": pd.Series(cks, dtype="int64"),
+            }
+        )
+
+
+_RESIZE_BMP_ORACLE = f"""
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_images,
+  CAST(SUM(1 + (strlen(text) % {_BMP_W_MOD})) AS BIGINT) AS sum_width,
+  CAST(SUM(1 + ((strlen(text) // {_BMP_W_MOD}) % {_BMP_H_MOD}))
+    AS BIGINT) AS sum_height,
+  CAST(SUM((1 + (strlen(text) % {_BMP_W_MOD}) + 1) // 2) AS BIGINT)
+    AS sum_thumb_w,
+  CAST(SUM((1 + ((strlen(text) // {_BMP_W_MOD}) % {_BMP_H_MOD}) + 1) // 2)
+    AS BIGINT) AS sum_thumb_h
+FROM documents
+WHERE doc_id % 3 = 0
+"""
+
+
+@register("multimodal_resize_bmp", oracle=_RESIZE_BMP_ORACLE)
+def multimodal_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, oracled: synthesize BMPs from document
+    bytes, nearest-neighbor 2x-downscale their actual pixel arrays,
+    re-encode, and round-trip the thumbnails through the decoder. The
+    oracle predicts source and thumbnail dimensions from strlen
+    (synthesis is deterministic in blob length), so a stride/padding
+    bug anywhere in decode -> subsample -> re-encode -> re-decode
+    breaks the hash. Thumbnail pixel checksums are additionally pinned
+    exactly in tests/test_multimodal.py (not SQL-expressible)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.mapInPandas(encode_media_kernel, schema=_MEDIA_SCHEMA)
+    thumbs = media.mapInPandas(resize_bmp_kernel, schema=_RESIZE_BMP_SCHEMA)
+    return thumbs.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.sum("thumb_w").cast("long").alias("sum_thumb_w"),
+        F.sum("thumb_h").cast("long").alias("sum_thumb_h"),
     )
 
 
