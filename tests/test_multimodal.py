@@ -205,3 +205,25 @@ def test_resize_bmp_roundtrip_dims():
         t = decode_media_real(resize_bmp_half(src))
         assert t["width"] == (s["width"] + 1) // 2
         assert t["height"] == (s["height"] + 1) // 2
+
+
+def test_decimate_wav_half_exact_samples():
+    """Decimation keeps exactly samples 0, 2, 4, ... at half the rate
+    — pinned on a hand-built 5-sample WAV."""
+    import struct
+
+    from workshop3_etl_spark.operators.multimodal import (
+        _encode_wav,
+        decimate_wav_half,
+        decode_media_real,
+    )
+
+    src = _encode_wav(bytes([10, 20, 30, 40, 50]))
+    out = decode_media_real(decimate_wav_half(src))
+    assert out["n_samples"] == 3
+    assert out["sample_rate"] == 4000
+    kept = struct.pack(
+        "<3h", (10 - 128) * 256, (30 - 128) * 256, (50 - 128) * 256
+    )
+    assert out["px_checksum"] == sum(kept) % 2_147_483_647
+    assert out["duration_ms"] == 3 * 1000 // 4000

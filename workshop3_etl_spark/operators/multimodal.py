@@ -432,6 +432,112 @@ def multimodal_decode_bmp_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decimate_wav_half(payload: bytes) -> bytes:
+    """REAL audio downsample: parse the PCM sample stream, keep every
+    second 16-bit sample, re-encode at half the sample rate (so
+    duration is preserved up to rounding) — the stdlib analog of a
+    resample kernel."""
+    import struct
+
+    f = decode_media_real(payload)
+    rate, n = f["sample_rate"], f["n_samples"]
+    # locate the data chunk again to extract raw samples
+    pos, samples = 12, b""
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data":
+            samples = payload[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size % 2)
+    kept = b"".join(
+        samples[i * 2 : i * 2 + 2] for i in range(0, n, 2)
+    )
+    new_rate = max(1, rate // 2)
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, new_rate, new_rate * 2, 2, 16
+    )
+    datac = struct.pack("<4sI", b"data", len(kept)) + kept
+    riff = struct.pack(
+        "<4sI4s", b"RIFF", 4 + len(fmt) + len(datac), b"WAVE"
+    )
+    return riff + fmt + datac
+
+
+_DECIMATE_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("out_samples", T.LongType()),
+        T.StructField("out_rate", T.IntegerType()),
+        T.StructField("out_duration_ms", T.LongType()),
+        T.StructField("out_checksum", T.LongType()),
+    ]
+)
+
+
+def decimate_wav_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decimate each WAV payload and round-trip
+    the result through the decoder (the output must itself be a valid
+    WAV)."""
+    for pdf in batches:
+        ids, ns, outs, rates, durs, cks = [], [], [], [], [], []
+        for mid, mtype, payload in zip(
+            pdf["media_id"], pdf["media_type"], pdf["payload"]
+        ):
+            if mtype != "audio/wav":
+                continue
+            src = decode_media_real(bytes(payload))
+            out = decode_media_real(decimate_wav_half(bytes(payload)))
+            ids.append(int(mid))
+            ns.append(src["n_samples"])
+            outs.append(out["n_samples"])
+            rates.append(out["sample_rate"])
+            durs.append(out["duration_ms"])
+            cks.append(out["px_checksum"])
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "n_samples": pd.Series(ns, dtype="int64"),
+                "out_samples": pd.Series(outs, dtype="int64"),
+                "out_rate": pd.Series(rates, dtype="int32"),
+                "out_duration_ms": pd.Series(durs, dtype="int64"),
+                "out_checksum": pd.Series(cks, dtype="int64"),
+            }
+        )
+
+
+_DECIMATE_WAV_ORACLE = f"""
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_audio,
+  CAST(SUM(strlen(text)) AS BIGINT) AS sum_samples,
+  CAST(SUM((strlen(text) + 1) // 2) AS BIGINT) AS sum_out_samples,
+  CAST(SUM(((strlen(text) + 1) // 2) * 1000 // {_WAV_RATE // 2})
+    AS BIGINT) AS sum_out_duration_ms
+FROM documents
+WHERE doc_id % 3 = 1
+"""
+
+
+@register("multimodal_decimate_wav", oracle=_DECIMATE_WAV_ORACLE)
+def multimodal_decimate_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsample, oracled: synthesize WAVs from document
+    bytes, keep every second PCM sample at half the rate, round-trip
+    through the decoder, and aggregate the DECODED output properties.
+    The oracle predicts sample counts and durations from strlen; a
+    chunk-walk or sample-stride bug breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.mapInPandas(encode_media_kernel, schema=_MEDIA_SCHEMA)
+    outs = media.mapInPandas(decimate_wav_kernel, schema=_DECIMATE_WAV_SCHEMA)
+    return outs.agg(
+        F.count(F.lit(1)).alias("n_audio"),
+        F.sum("n_samples").cast("long").alias("sum_samples"),
+        F.sum("out_samples").cast("long").alias("sum_out_samples"),
+        F.sum("out_duration_ms").cast("long").alias("sum_out_duration_ms"),
+    )
+
+
 _RESIZE_BMP_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
