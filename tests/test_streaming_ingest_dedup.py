@@ -116,3 +116,74 @@ def test_ingest_dedup_matches_batch_and_replays_clean(spark, tmp_path):
         (r["doc_a"], r["doc_b"])
         for r in read_audit_pairs(spark, audit).collect()
     } == exp_pairs
+
+
+def test_index_compaction_preserves_dedup_decisions(spark, tmp_path):
+    """maintain -> compact_index/compact_audit -> maintain more: reads
+    and admit/reject decisions must be identical to a never-compacted
+    run, and the current-epoch probe exclusion must never filter the
+    (negative-epoch) base."""
+    import os
+
+    from workshop3_etl_spark.streaming.ingest_dedup import (
+        compact_audit,
+        compact_index,
+    )
+
+    corpus = _corpus_with_reingested_copies(spark)
+    exp_admitted, exp_pairs = _expected(spark, corpus)
+
+    src = str(tmp_path / "src")
+    corpus.filter(F.col("doc_id") % 3 == 0).where(
+        F.col("doc_id") < 100_000
+    ).repartition(1).write.parquet(f"{src}/p1")
+    corpus.filter(F.col("doc_id") % 3 != 0).where(
+        F.col("doc_id") < 100_000
+    ).repartition(1).write.parquet(f"{src}/p2")
+
+    def stream():
+        return (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    index = str(tmp_path / "index")
+    audit = str(tmp_path / "audit")
+    ck = str(tmp_path / "ck")
+    # ingest the originals (2 batches), then fold both epochs
+    maintain_ingest_dedup(spark, stream(), index, audit, ck)
+    admitted_before = {
+        r["doc_id"] for r in read_admitted_ids(spark, index).collect()
+    }
+    pairs_before = {
+        (r["doc_a"], r["doc_b"])
+        for r in read_audit_pairs(spark, audit).collect()
+    }
+    compact_index(spark, index, through_epoch=10_000)
+    compact_audit(spark, audit, through_epoch=10_000)
+    assert sorted(
+        n for n in os.listdir(index) if n.startswith("epoch=")
+    ) == ["epoch=-1"]
+    assert {
+        r["doc_id"] for r in read_admitted_ids(spark, index).collect()
+    } == admitted_before
+    assert {
+        (r["doc_a"], r["doc_b"])
+        for r in read_audit_pairs(spark, audit).collect()
+    } == pairs_before
+
+    # the re-ingested copies arrive AFTER compaction: their exact-dup
+    # rejection must probe the folded base successfully
+    corpus.where(F.col("doc_id") >= 100_000).repartition(1).write.parquet(
+        f"{src}/p3"
+    )
+    maintain_ingest_dedup(spark, stream(), index, audit, ck)
+    assert {
+        r["doc_id"] for r in read_admitted_ids(spark, index).collect()
+    } == exp_admitted
+    assert {
+        (r["doc_a"], r["doc_b"])
+        for r in read_audit_pairs(spark, audit).collect()
+    } == exp_pairs

@@ -1,0 +1,161 @@
+"""Crash-safe folding of epoch-partitioned partial state.
+
+Every incremental job in this engine writes its micro-batch output
+under ``epoch=<batch id>/...`` partitions (overwrite-by-epoch makes
+replays idempotent — see streaming/rollup.py). Partial-state tables
+therefore grow one partition per batch; this module is the shared
+maintenance protocol that folds old epochs into a base partition
+WITHOUT ever changing what readers see, even across crashes:
+
+- Each fold writes its output to a FRESH base generation
+  (epoch = -1, -2, -3, ...) and then commits by atomically
+  ``os.replace()``-ing a manifest recording the committed base epoch
+  and the fold horizon.
+- Readers consult the manifest and keep only (committed base) +
+  (epochs above the horizon), so a crash at ANY point leaves reads
+  exact: an uncommitted new base is an orphan generation readers
+  ignore; a committed-but-uncleaned fold leaves stale partitions
+  readers ignore.
+- The next fold garbage-collects whichever orphans exist before
+  folding again.
+
+The fold itself is pluggable: additive tables (the rollup) fold by
+re-aggregating; row tables (the dedup index, audit pairs) fold by
+re-partitioning the rows unchanged. Spark ignores the
+underscore-prefixed manifest during parquet discovery. (Manifest IO
+uses local-path os calls, matching the local-FS layout these jobs
+manage; an object-store deployment swaps in its conditional-put
+equivalent.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BASE_MANIFEST = "_state_base.json"
+
+
+def read_base_manifest(path: str) -> dict | None:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, BASE_MANIFEST)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def live_filter(manifest: dict | None) -> Column:
+    """Partition-pruning predicate selecting only committed state:
+    the committed base generation plus epochs newer than the fold
+    horizon. With no manifest, nothing was ever folded and every
+    epoch >= 0 partial is live (negative = orphan base write)."""
+    if manifest is None:
+        return F.col("epoch") >= 0
+    return (F.col("epoch") == manifest["base_epoch"]) | (
+        F.col("epoch") > manifest["folded_through"]
+    )
+
+
+def read_live(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partial-state table, pruned to committed state."""
+    return spark.read.parquet(path).where(
+        live_filter(read_base_manifest(path))
+    )
+
+
+def compact_partials(
+    spark: SparkSession,
+    path: str,
+    through_epoch: int,
+    fold: Callable[[DataFrame], DataFrame],
+    partition_cols: Sequence[str] = ("epoch",),
+) -> None:
+    """Fold every committed epoch partition <= ``through_epoch`` (plus
+    the current base) into a fresh base generation.
+
+    ``fold`` receives the live rows at or below the horizon and must
+    return the folded rows WITHOUT an epoch column; results of
+    ``read_live`` are identical before and after (``fold`` must be a
+    pure re-layout: re-aggregation of additive state, or identity for
+    row state). ``through_epoch`` must be at or below the streaming
+    checkpoint's committed batch id — epochs the source could still
+    replay must keep their own partitions so a replayed batch
+    overwrites itself rather than double-landing next to folded
+    state.
+    """
+    import json
+    import os
+    import shutil
+
+    manifest = read_base_manifest(path)
+    base = manifest["base_epoch"] if manifest else None
+    horizon = manifest["folded_through"] if manifest else None
+
+    # 1. Recover from any half-completed prior fold: delete base
+    # generations other than the committed one and epoch partials at
+    # or below the committed horizon. Readers already exclude these;
+    # this reclaims the space and restores the layout invariant.
+    survivors: list[int] = []
+    for name in os.listdir(path):
+        if not name.startswith("epoch="):
+            continue
+        v = int(name.split("=", 1)[1])
+        orphan_base = v < 0 and v != (base if base is not None else 0)
+        folded_leftover = horizon is not None and 0 <= v <= horizon
+        if orphan_base or folded_leftover:
+            shutil.rmtree(os.path.join(path, name))
+        else:
+            survivors.append(v)
+
+    # 2. Fold committed state at or below through_epoch (the current
+    # base's negative epoch always qualifies) into a fresh generation.
+    # The recorded horizon is clamped to the max epoch ACTUALLY folded
+    # — recording through_epoch itself would hide future batches whose
+    # ids land at or below it.
+    folding = [v for v in survivors if 0 <= v <= through_epoch]
+    if not folding:
+        return  # nothing new to fold; keep the current generation
+    fold_horizon = max(folding)
+    live = spark.read.parquet(path).where(live_filter(manifest))
+    old = live.filter(F.col("epoch") <= fold_horizon)
+    new_base = -1 if base is None else base - 1
+    folded = (
+        fold(old)
+        .withColumn("epoch", F.lit(new_base))
+        # materialize BEFORE deleting the partitions it was read from
+        .localCheckpoint(eager=True)
+    )
+    if not folded.take(1):
+        return
+    from workshop3_etl_spark.sources.lakehouse import (
+        dynamic_partition_overwrite,
+    )
+
+    with dynamic_partition_overwrite(spark):
+        folded.write.mode("overwrite").partitionBy(
+            *partition_cols
+        ).parquet(path)
+
+    # 3. Commit: atomic manifest replace flips readers to the new
+    # generation in one step.
+    tmp = os.path.join(path, BASE_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"base_epoch": new_base, "folded_through": int(fold_horizon)},
+            fh,
+        )
+    os.replace(tmp, os.path.join(path, BASE_MANIFEST))
+
+    # 4. Cleanup (crash here is harmless — step 1 of the next run
+    # finishes it): drop the prior base and the folded epoch dirs.
+    for name in os.listdir(path):
+        if not name.startswith("epoch="):
+            continue
+        v = int(name.split("=", 1)[1])
+        if v != new_base and v <= fold_horizon:
+            shutil.rmtree(os.path.join(path, name))

@@ -65,8 +65,10 @@ def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     """
     from pyspark.errors import AnalysisException
 
+    from workshop3_etl_spark.streaming.compaction import read_live
+
     try:
-        df = spark.read.parquet(path)
+        df = read_live(spark, path)
         df.schema  # force resolution
         return df
     except AnalysisException as exc:
@@ -188,9 +190,54 @@ def maintain_ingest_dedup(
 
 def read_admitted_ids(spark: SparkSession, index_path: str) -> DataFrame:
     """Distinct admitted doc_ids from the index (one row per doc)."""
-    return spark.read.parquet(index_path).select("doc_id").distinct()
+    from workshop3_etl_spark.streaming.compaction import read_live
+
+    return read_live(spark, index_path).select("doc_id").distinct()
 
 
 def read_audit_pairs(spark: SparkSession, audit_path: str) -> DataFrame:
     """Distinct flagged near-dup pairs across all epochs."""
-    return spark.read.parquet(audit_path).select(*AUDIT_COLS).distinct()
+    from workshop3_etl_spark.streaming.compaction import read_live
+
+    return read_live(spark, audit_path).select(*AUDIT_COLS).distinct()
+
+
+def compact_index(
+    spark: SparkSession, index_path: str, through_epoch: int
+) -> None:
+    """Fold old index epochs into a base generation via the shared
+    crash-safe protocol (streaming/compaction.py). Index rows are row
+    state, not additive state — the fold re-partitions them unchanged
+    (each doc was admitted in exactly one epoch, so no dedup is
+    needed). ``through_epoch`` must be at or below the checkpoint's
+    committed batch id: a replayed batch probes ``epoch != its own``
+    and re-overwrites its own epoch partition, which only stays
+    idempotent while replayable epochs keep their own partitions.
+    Probe behavior is unchanged: base epochs are negative, so the
+    current-epoch exclusion (always >= 0) never filters folded rows.
+    """
+    from workshop3_etl_spark.streaming.compaction import compact_partials
+
+    compact_partials(
+        spark,
+        index_path,
+        through_epoch,
+        lambda old: old.select(*INDEX_COLS),
+    )
+
+
+def compact_audit(
+    spark: SparkSession, audit_path: str, through_epoch: int
+) -> None:
+    """Same fold for the audit-pair log, with a DISTINCT: the same
+    canonical pair can be flagged in several epochs (new doc colliding
+    with an indexed one, later another collision in the same pair's
+    bucket), and read_audit_pairs reads through a distinct anyway."""
+    from workshop3_etl_spark.streaming.compaction import compact_partials
+
+    compact_partials(
+        spark,
+        audit_path,
+        through_epoch,
+        lambda old: old.select(*AUDIT_COLS).distinct(),
+    )

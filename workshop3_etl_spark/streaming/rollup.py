@@ -69,55 +69,24 @@ def write_rollup_partial(batch: DataFrame, epoch_id: int, rollup_path: str) -> N
         )
 
 
-# Compaction commit protocol: folding epochs into a base partition is
-# made crash-safe by a generation-numbered base plus an atomically
-# replaced manifest. Each compaction writes its folded output to a
-# FRESH base partition (epoch = -1, -2, -3, ... per generation) and
-# then commits by os.replace()-ing the manifest, which records the
-# committed base epoch and the fold horizon. Readers consult the
-# manifest and keep only (committed base) + (epochs above the
-# horizon), so a crash at ANY point leaves reads exact:
-#   - crash after base write, before manifest commit: the new base is
-#     an uncommitted orphan generation readers ignore;
-#   - crash after manifest commit, before cleanup: the old base and
-#     the folded epoch dirs are stale partitions readers ignore.
-# The next compact_rollup run deletes whichever orphans exist before
-# folding again. Spark ignores the underscore-prefixed manifest file
-# during parquet discovery. (Manifest IO uses local-path os calls,
-# matching the local-FS layout this module manages; an object-store
-# deployment swaps in its conditional-put equivalent.)
-_BASE_MANIFEST = "_rollup_base.json"
-
-
-def _read_base_manifest(rollup_path: str) -> dict | None:
-    import json
-    import os
-
-    try:
-        with open(os.path.join(rollup_path, _BASE_MANIFEST)) as fh:
-            return json.load(fh)
-    except FileNotFoundError:
-        return None
-
-
-def _live_filter(manifest: dict | None):
-    """Partition-pruning predicate selecting only committed state:
-    the committed base generation plus epochs newer than the fold
-    horizon. With no manifest, nothing was ever folded and every
-    epoch >= 0 partial is live (negative = orphan base write)."""
-    if manifest is None:
-        return F.col("epoch") >= 0
-    return (F.col("epoch") == manifest["base_epoch"]) | (
-        F.col("epoch") > manifest["folded_through"]
-    )
+# Compaction: folding committed epochs into a base partition is
+# delegated to the shared crash-safe protocol in
+# streaming/compaction.py (generation-numbered bases + atomically
+# replaced manifest). Re-exported names keep this module the rollup's
+# single import surface.
+from workshop3_etl_spark.streaming.compaction import (  # noqa: E402
+    compact_partials,
+    live_filter as _live_filter,
+    read_base_manifest as _read_base_manifest,
+    read_live as _read_live,
+)
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     """The rollup view: aggregate the epoch partials. A day-filtered
     read prunes to ``epoch=*/day=d`` directories."""
     return (
-        spark.read.parquet(rollup_path)
-        .where(_live_filter(_read_base_manifest(rollup_path)))
+        _read_live(spark, rollup_path)
         .groupBy("day", "event_type")
         .agg(
             F.sum("n_events").cast("long").alias("n_events"),
@@ -220,8 +189,9 @@ def read_decayed_counters(spark: SparkSession, state_path: str) -> DataFrame:
 def compact_rollup(
     spark: SparkSession, rollup_path: str, through_epoch: int
 ) -> None:
-    """Fold every epoch partition <= ``through_epoch`` into the base
-    partition (epoch = -1), leaving newer epochs untouched.
+    """Fold every epoch partition <= ``through_epoch`` into the
+    current base generation's successor, via the shared crash-safe
+    commit protocol (streaming/compaction.py).
 
     Pure layout maintenance: ``read_rollup`` results are identical
     before and after (associative integer sums), the per-read
@@ -229,88 +199,19 @@ def compact_rollup(
     be at or below the streaming checkpoint's committed batch id —
     epochs the source could still replay must keep their own
     partitions so a replayed batch overwrites itself rather than
-    double-landing next to folded state. Base partitions use negative
-    epochs (one generation per compaction), which no micro-batch id
-    ever uses.
-
-    Crash-safe: the fold commits via the atomically replaced
-    ``_rollup_base.json`` manifest (protocol documented above) —
-    a crash before the manifest replace discards the fold, a crash
-    after it leaves only stale dirs that readers already exclude and
-    that the next run (step 1 below) garbage-collects.
+    double-landing next to folded state.
     """
-    import json
-    import os
-    import shutil
 
-    manifest = _read_base_manifest(rollup_path)
-    base = manifest["base_epoch"] if manifest else None
-    horizon = manifest["folded_through"] if manifest else None
-
-    # 1. Recover from any half-completed prior fold: delete base
-    # generations other than the committed one and epoch partials at
-    # or below the committed horizon. Readers already exclude these;
-    # this reclaims the space and restores the layout invariant.
-    survivors: list[int] = []
-    for name in os.listdir(rollup_path):
-        if not name.startswith("epoch="):
-            continue
-        v = int(name.split("=", 1)[1])
-        orphan_base = v < 0 and v != (base if base is not None else 0)
-        folded_leftover = horizon is not None and 0 <= v <= horizon
-        if orphan_base or folded_leftover:
-            shutil.rmtree(os.path.join(rollup_path, name))
-        else:
-            survivors.append(v)
-
-    # 2. Fold committed state at or below through_epoch (the current
-    # base's negative epoch always qualifies) into a fresh generation.
-    # The recorded horizon is clamped to the max epoch ACTUALLY folded
-    # — recording through_epoch itself would hide future batches whose
-    # ids land at or below it.
-    folding = [v for v in survivors if 0 <= v <= through_epoch]
-    if not folding:
-        return  # nothing new to fold; keep the current generation
-    fold_horizon = max(folding)
-    live = spark.read.parquet(rollup_path).where(_live_filter(manifest))
-    old = live.filter(F.col("epoch") <= fold_horizon)
-    new_base = -1 if base is None else base - 1
-    folded = (
-        old.groupBy("day", "event_type")
-        .agg(
+    def fold(old: DataFrame) -> DataFrame:
+        return old.groupBy("day", "event_type").agg(
             F.sum("n_events").cast("long").alias("n_events"),
             F.sum("value_cents").cast("long").alias("value_cents"),
         )
-        .withColumn("epoch", F.lit(new_base))
-        # materialize BEFORE deleting the partitions it was read from
-        .localCheckpoint(eager=True)
+
+    compact_partials(
+        spark,
+        rollup_path,
+        through_epoch,
+        fold,
+        partition_cols=("epoch", "day"),
     )
-    if not folded.take(1):
-        return
-    from workshop3_etl_spark.sources.lakehouse import (
-        dynamic_partition_overwrite,
-    )
-
-    with dynamic_partition_overwrite(spark):
-        folded.write.mode("overwrite").partitionBy("epoch", "day").parquet(
-            rollup_path
-        )
-
-    # 3. Commit: atomic manifest replace flips readers to the new
-    # generation in one step.
-    tmp = os.path.join(rollup_path, _BASE_MANIFEST + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(
-            {"base_epoch": new_base, "folded_through": int(fold_horizon)},
-            fh,
-        )
-    os.replace(tmp, os.path.join(rollup_path, _BASE_MANIFEST))
-
-    # 4. Cleanup (crash here is harmless — step 1 of the next run
-    # finishes it): drop the prior base and the folded epoch dirs.
-    for name in os.listdir(rollup_path):
-        if not name.startswith("epoch="):
-            continue
-        v = int(name.split("=", 1)[1])
-        if v != new_base and v <= fold_horizon:
-            shutil.rmtree(os.path.join(rollup_path, name))
