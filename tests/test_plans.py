@@ -348,3 +348,23 @@ def test_weighted_median_windows_are_bucket_partitioned(spark):
     plan = _plan(fn(spark, SF_CORRECT))
     # the per-bucket running-sum window partitions by the bucket key
     assert re.search(r"windowspecdefinition\(b#\d+L?, price#", plan)
+
+
+def test_ann_plans_no_cartesian_no_python_eval(spark):
+    """ANN plan hygiene: the only cross joins are broadcasts of the
+    frozen quantizer/codebook frames (never a CartesianProduct or a
+    nested-loop join of corpus-sized sides), and no row-at-a-time
+    Python eval appears anywhere (the kernels are pure JVM
+    expressions)."""
+    from workshop3_etl_spark.plans import registry
+
+    for name in (
+        "sim_ann_lsh_topk",
+        "sim_ann_ivf_topk",
+        "sim_ann_pq_adc_topk",
+        "sim_ann_ivfpq_topk",
+    ):
+        df = registry.get(name).fn(spark, SF_CORRECT)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name

@@ -513,11 +513,14 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # persist (ev, nrm): the nrm fold would otherwise re-evaluate once
+    # per broadcast cell row (16x per vector), and ranked feeds both
+    # the assignment and the probe legs
     v = emb.select(
         "vec_id",
         F.col("embedding").alias("ev"),
         dot_fold("embedding", "embedding").alias("nrm"),
-    )
+    ).persist()
     # map-only scoring pass: corpus x 16 broadcast cells
     scored = v.crossJoin(F.broadcast(_ivf_cells_df(spark))).select(
         "vec_id",
@@ -569,7 +572,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "candidate_id", "cosine_sim")
         .orderBy("query_id", "rank")
     )
-    return materialize_and_release(result, assigned)
+    return materialize_and_release(result, v, assigned)
 
 
 # --------------------------------------------------------------------
@@ -736,11 +739,14 @@ def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # persist (ev, nrm): nrm is an interpreted 64-element fold that
+    # would otherwise re-evaluate once per codebook row (128x per
+    # vector) inside the encode cross join
     v = emb.select(
         "vec_id",
         F.col("embedding").alias("ev"),
         dot_fold("embedding", "embedding").alias("nrm"),
-    )
+    ).persist()
     books = F.broadcast(_pq_codebook_df(spark))
     # encode: corpus x 128 codebook rows, one subspace-dot each;
     # rank-1 per (vector, subspace) is the stored code
@@ -842,7 +848,7 @@ def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "candidate_id", "cosine_sim")
         .orderBy("query_id", "rank")
     )
-    return materialize_and_release(result, codes)
+    return materialize_and_release(result, v, codes)
 
 
 # --------------------------------------------------------------------
@@ -1033,11 +1039,13 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # persist (ev, nrm): the nrm fold re-evaluates per broadcast cell
+    # row otherwise, and v feeds assignment + the query legs
     v = emb.select(
         "vec_id",
         F.col("embedding").alias("ev"),
         dot_fold("embedding", "embedding").alias("nrm"),
-    )
+    ).persist()
     cells = F.broadcast(_ivf_cells_df(spark))
     cscored = v.crossJoin(cells).select(
         "vec_id",
@@ -1187,7 +1195,7 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "candidate_id", "cosine_sim")
         .orderBy("query_id", "rank")
     )
-    return materialize_and_release(result, codes)
+    return materialize_and_release(result, v, codes)
 
 
 # --------------------------------------------------------------------
