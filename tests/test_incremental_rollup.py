@@ -552,3 +552,45 @@ def test_maintain_compact_maintain_replay_exact(spark, tmp_path):
     from workshop3_etl_spark.streaming.rollup import _read_base_manifest
 
     assert _read_base_manifest(rollup)["base_epoch"] == -2
+
+
+def test_legacy_manifestless_base_is_adopted_not_deleted(spark, tmp_path):
+    """A pre-protocol compactor wrote its base to epoch=-1 with no
+    manifest. Readers must keep that base, and the next compaction
+    must FOLD it (adopting it as the committed generation) rather
+    than garbage-collect it as an orphan."""
+    import os
+
+    from workshop3_etl_spark.streaming.rollup import (
+        _read_base_manifest,
+        compact_rollup,
+        read_rollup,
+    )
+
+    rollup = str(tmp_path / "rollup")
+    base = spark.createDataFrame(
+        [("2024-01-01", "click", 5, 500)],
+        "day string, event_type string, n_events long, value_cents long",
+    ).select(
+        F.to_date("day").alias("day"), "event_type", "n_events",
+        "value_cents", F.lit(-1).alias("epoch"),
+    )
+    newer = spark.createDataFrame(
+        [("2024-01-01", "click", 2, 200)],
+        "day string, event_type string, n_events long, value_cents long",
+    ).select(
+        F.to_date("day").alias("day"), "event_type", "n_events",
+        "value_cents", F.lit(0).alias("epoch"),
+    )
+    base.unionByName(newer).write.partitionBy("epoch", "day").parquet(rollup)
+    assert _read_base_manifest(rollup) == {
+        "base_epoch": -1, "folded_through": -1,
+    }
+    rows = read_rollup(spark, rollup).collect()
+    assert [(r["n_events"], r["value_cents"]) for r in rows] == [(7, 700)]
+
+    compact_rollup(spark, rollup, through_epoch=10_000)
+    dirs = sorted(n for n in os.listdir(rollup) if n.startswith("epoch="))
+    assert dirs == ["epoch=-2"], dirs
+    rows = read_rollup(spark, rollup).collect()
+    assert [(r["n_events"], r["value_cents"]) for r in rows] == [(7, 700)]

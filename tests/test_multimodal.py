@@ -227,3 +227,18 @@ def test_decimate_wav_half_exact_samples():
     )
     assert out["px_checksum"] == sum(kept) % 2_147_483_647
     assert out["duration_ms"] == 3 * 1000 // 4000
+
+
+def test_decode_rejects_non_24bit_bmp():
+    """8/32-bit or compressed BMPs must raise (the parser's stride
+    math is 24-bit-only) — never return confidently wrong pixels."""
+    import struct
+
+    from workshop3_etl_spark.operators.multimodal import decode_media_real
+
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 1, 1, 1, 32, 0, 4, 2835, 2835, 0, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", 54 + 4, 0, 0, 54)
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_media_real(head + info + b"\x01\x02\x03\x04")

@@ -187,3 +187,31 @@ def test_index_compaction_preserves_dedup_decisions(spark, tmp_path):
         (r["doc_a"], r["doc_b"])
         for r in read_audit_pairs(spark, audit).collect()
     } == exp_pairs
+
+
+def test_empty_index_dir_reads_as_no_index(spark, tmp_path):
+    """An index directory that exists but holds no parquet (the state
+    an empty first micro-batch leaves behind: _SUCCESS only) must read
+    as 'no index yet' — re-raising UNABLE_TO_INFER_SCHEMA would
+    crash-loop the stream, since a replay deterministically hits the
+    same error."""
+    import os
+
+    from workshop3_etl_spark.streaming.ingest_dedup import (
+        ingest_dedup_batch,
+        read_admitted_ids,
+    )
+
+    corpus = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    )
+    index = str(tmp_path / "index")
+    audit = str(tmp_path / "audit")
+    # batch 0 is empty; whatever it leaves (possibly nothing), force
+    # the worst case: directory exists, no parquet inside
+    ingest_dedup_batch(corpus.filter(F.lit(False)), 0, index, audit)
+    os.makedirs(index, exist_ok=True)
+    open(os.path.join(index, "_SUCCESS"), "w").close()
+    # batch 1 must ingest cleanly against the "empty" index
+    ingest_dedup_batch(corpus.limit(50), 1, index, audit)
+    assert read_admitted_ids(spark, index).count() == 50

@@ -130,11 +130,23 @@ def _encode_bmp(data: bytes) -> bytes:
 
 def _bmp_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
     """Parse a BMP payload into (width, height, unpadded pixel rows)
-    — the shared pixel-access path for checksumming and resizing."""
+    — the shared pixel-access path for checksumming and resizing.
+
+    Only uncompressed 24-bit BI_RGB is parsed; any other bit depth or
+    compression raises like the unknown-codec path does (the stride
+    math below is 3-bytes-per-pixel — silently applying it to an
+    8/32-bit or RLE BMP would return confidently wrong pixels)."""
     import struct
 
     _, _, _, _, off = struct.unpack_from("<2sIHHI", payload, 0)
-    _, w, h, _, _bpp = struct.unpack_from("<IiiHH", payload, 14)
+    _, w, h, _, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BI_RGB BMPs are parsed "
+            f"(got bpp={bpp}, compression={compression})"
+        )
     row_raw = w * 3
     stride = row_raw + (4 - row_raw % 4) % 4
     rows = [

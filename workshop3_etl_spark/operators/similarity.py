@@ -418,33 +418,63 @@ _IVF_CLUSTERS = 16
 _IVF_PROBES = 4
 
 
-def _ivf_cells_df(spark: SparkSession) -> DataFrame:
-    """The quantizer as a 16-row broadcastable frame: (cell id,
-    centroid coords, literal squared norm)."""
+def _artifact_rows_cells() -> list[tuple]:
     from workshop3_etl_spark.operators.ivf_centroids import (
         IVF_CENTROIDS,
         centroid_norm2,
     )
 
-    rows = [(t, c, centroid_norm2(c)) for t, c in enumerate(IVF_CENTROIDS)]
-    return spark.createDataFrame(
-        rows, "cell int, centroid array<double>, cc double"
+    return [(t, c, centroid_norm2(c)) for t, c in enumerate(IVF_CENTROIDS)]
+
+
+def _artifact_rows_books(books: list[list[list[float]]]) -> list[tuple]:
+    from workshop3_etl_spark.operators.ivf_centroids import centroid_norm2
+
+    return [
+        (m, c, cvec, centroid_norm2(cvec))
+        for m, book in enumerate(books)
+        for c, cvec in enumerate(book)
+    ]
+
+
+def _artifact_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """A frozen literal artifact as a broadcastable frame."""
+    return spark.createDataFrame(rows, schema)
+
+
+def _artifact_values_sql(rows: list[tuple]) -> str:
+    """The SAME artifact as a DuckDB VALUES list — identical literal
+    doubles (repr round-trips), so artifact-derived expressions are
+    bit-identical across engines. One emitter for every frozen
+    artifact: a change to the literal convention lands everywhere."""
+    out = []
+    for row in rows:
+        parts = []
+        for x in row:
+            if isinstance(x, list):
+                parts.append(
+                    "[" + ", ".join(repr(v) for v in x) + "]::DOUBLE[]"
+                )
+            elif isinstance(x, float):
+                parts.append(repr(x))
+            else:
+                parts.append(str(int(x)))
+        out.append("(" + ", ".join(parts) + ")")
+    return ",\n    ".join(out)
+
+
+def _ivf_cells_df(spark: SparkSession) -> DataFrame:
+    """The quantizer as a 16-row broadcastable frame: (cell id,
+    centroid coords, literal squared norm)."""
+    return _artifact_df(
+        spark,
+        _artifact_rows_cells(),
+        "cell int, centroid array<double>, cc double",
     )
 
 
 def _ivf_cells_values_sql() -> str:
-    """The same quantizer as a DuckDB VALUES list — identical literal
-    doubles (repr round-trips), so dist2 is bit-identical."""
-    from workshop3_etl_spark.operators.ivf_centroids import (
-        IVF_CENTROIDS,
-        centroid_norm2,
-    )
-
-    rows = []
-    for t, c in enumerate(IVF_CENTROIDS):
-        arr = ", ".join(repr(x) for x in c)
-        rows.append(f"({t}, [{arr}]::DOUBLE[], {centroid_norm2(c)!r})")
-    return ",\n    ".join(rows)
+    return _artifact_values_sql(_artifact_rows_cells())
 
 
 _IVF_ORACLE = f"""
@@ -590,35 +620,19 @@ _PQ_RERANK = 50  # ADC shortlist size handed to the exact reranker
 def _pq_codebook_df(spark: SparkSession) -> DataFrame:
     """The frozen per-subspace codebooks as a 128-row broadcastable
     frame: (subspace, code, centroid coords, literal squared norm)."""
-    from workshop3_etl_spark.operators.ivf_centroids import (
-        PQ_CODEBOOKS,
-        centroid_norm2,
-    )
+    from workshop3_etl_spark.operators.ivf_centroids import PQ_CODEBOOKS
 
-    rows = [
-        (m, c, cvec, centroid_norm2(cvec))
-        for m, book in enumerate(PQ_CODEBOOKS)
-        for c, cvec in enumerate(book)
-    ]
-    return spark.createDataFrame(
-        rows, "m int, code int, centroid array<double>, cc double"
+    return _artifact_df(
+        spark,
+        _artifact_rows_books(PQ_CODEBOOKS),
+        "m int, code int, centroid array<double>, cc double",
     )
 
 
 def _pq_codebook_values_sql() -> str:
-    from workshop3_etl_spark.operators.ivf_centroids import (
-        PQ_CODEBOOKS,
-        centroid_norm2,
-    )
+    from workshop3_etl_spark.operators.ivf_centroids import PQ_CODEBOOKS
 
-    rows = []
-    for m, book in enumerate(PQ_CODEBOOKS):
-        for c, cvec in enumerate(book):
-            arr = ", ".join(repr(x) for x in cvec)
-            rows.append(
-                f"({m}, {c}, [{arr}]::DOUBLE[], {centroid_norm2(cvec)!r})"
-            )
-    return ",\n    ".join(rows)
+    return _artifact_values_sql(_artifact_rows_books(PQ_CODEBOOKS))
 
 
 _PQ_SUB = 8  # dims per subspace (64 / _PQ_M)
@@ -824,10 +838,12 @@ def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "candidate_id")
     )
     # Exact rerank: raw vectors touched only for Q * _PQ_RERANK rows.
-    cvec = emb.select(
+    # rerank candidates come straight off the persisted (ev, nrm)
+    # frame — no rescan, no norm-fold re-evaluation
+    cvec = v.select(
         F.col("vec_id").alias("candidate_id"),
-        F.col("embedding").alias("cv"),
-        dot_fold("embedding", "embedding").alias("cn"),
+        F.col("ev").alias("cv"),
+        F.col("nrm").alias("cn"),
     )
     sim = (
         shortlist.join(F.broadcast(q), "query_id")
@@ -865,33 +881,23 @@ def sim_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivfpq_books_df(spark: SparkSession) -> DataFrame:
     from workshop3_etl_spark.operators.ivf_centroids import (
         IVFPQ_RESIDUAL_CODEBOOKS,
-        centroid_norm2,
     )
 
-    rows = [
-        (m, c, cvec, centroid_norm2(cvec))
-        for m, book in enumerate(IVFPQ_RESIDUAL_CODEBOOKS)
-        for c, cvec in enumerate(book)
-    ]
-    return spark.createDataFrame(
-        rows, "m int, code int, bvec array<double>, bcc double"
+    return _artifact_df(
+        spark,
+        _artifact_rows_books(IVFPQ_RESIDUAL_CODEBOOKS),
+        "m int, code int, bvec array<double>, bcc double",
     )
 
 
 def _ivfpq_books_values_sql() -> str:
     from workshop3_etl_spark.operators.ivf_centroids import (
         IVFPQ_RESIDUAL_CODEBOOKS,
-        centroid_norm2,
     )
 
-    rows = []
-    for m, book in enumerate(IVFPQ_RESIDUAL_CODEBOOKS):
-        for c, cvec in enumerate(book):
-            arr = ", ".join(repr(x) for x in cvec)
-            rows.append(
-                f"({m}, {c}, [{arr}]::DOUBLE[], {centroid_norm2(cvec)!r})"
-            )
-    return ",\n    ".join(rows)
+    return _artifact_values_sql(
+        _artifact_rows_books(IVFPQ_RESIDUAL_CODEBOOKS)
+    )
 
 
 def _rsubdot_duck(vec: str) -> str:
@@ -1171,10 +1177,12 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srank") <= _PQ_RERANK)
         .select("query_id", "candidate_id")
     )
-    cvec = emb.select(
+    # rerank candidates come straight off the persisted (ev, nrm)
+    # frame — no rescan, no norm-fold re-evaluation
+    cvec = v.select(
         F.col("vec_id").alias("candidate_id"),
-        F.col("embedding").alias("cv"),
-        dot_fold("embedding", "embedding").alias("cn"),
+        F.col("ev").alias("cv"),
+        F.col("nrm").alias("cn"),
     )
     sim = (
         shortlist.join(F.broadcast(q), "query_id")
@@ -1211,9 +1219,10 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Python and emitted as LITERAL arrays into both the Spark plan and
 # the DuckDB oracle — the bucket assignment is therefore the same
 # bit pattern in both engines, and the check is a full hash compare
-# (unlike sim_ann_lsh_topk's rows-only check, whose md5-float planes
-# are not SQL-portable). +/-1 projections are a standard sign-LSH
-# choice (Achlioptas-style sparse/signed random projections).
+# (sim_ann_lsh_topk's md5-float planes now get the same treatment —
+# repr round-trips the doubles into DuckDB literals). +/-1 projections
+# are a standard sign-LSH choice (Achlioptas-style sparse/signed
+# random projections).
 #
 # Dial: 4 bits x 8 tables, threshold 0.45 — tuned to THIS corpus,
 # whose strongest pairs sit at cosine ~0.45-0.51 (the synthetic

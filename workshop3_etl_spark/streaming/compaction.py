@@ -46,7 +46,18 @@ def read_base_manifest(path: str) -> dict | None:
         with open(os.path.join(path, BASE_MANIFEST)) as fh:
             return json.load(fh)
     except FileNotFoundError:
-        return None
+        pass
+    # Legacy layout: a pre-protocol compactor wrote its base to
+    # epoch=-1 WITHOUT a manifest. Synthesize the manifest it implies
+    # (folded_through=-1: nothing above the base is hidden) so readers
+    # keep the legacy base and the next fold adopts it instead of
+    # garbage-collecting it as an orphan generation.
+    try:
+        if os.path.isdir(os.path.join(path, "epoch=-1")):
+            return {"base_epoch": -1, "folded_through": -1}
+    except OSError:
+        pass
+    return None
 
 
 def live_filter(manifest: dict | None) -> Column:

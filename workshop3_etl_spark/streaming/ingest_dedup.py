@@ -75,8 +75,15 @@ def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
         condition = (
             exc.getCondition() if hasattr(exc, "getCondition") else None
         )
-        if condition == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(exc):
-            return None
+        # UNABLE_TO_INFER_SCHEMA covers the directory-exists-but-holds-
+        # no-parquet state (e.g. an empty first micro-batch wrote only
+        # _SUCCESS) — a deterministic "no index yet", NOT a transient
+        # fault; re-raising it would crash-loop the stream, since every
+        # replay hits the identical error.
+        msg = str(exc)
+        for empty_cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            if condition == empty_cond or empty_cond in msg:
+                return None
         raise
 
 
