@@ -242,3 +242,41 @@ def test_decode_rejects_non_24bit_bmp():
     head = struct.pack("<2sIHHI", b"BM", 54 + 4, 0, 0, 54)
     with pytest.raises(NotImplementedError, match="24-bit"):
         decode_media_real(head + info + b"\x01\x02\x03\x04")
+
+
+def test_bmp_wav_roundtrip_property():
+    """Property check over arbitrary blobs: encode->decode round-trips
+    the strlen-predicted dimensions AND the exact cycled-pixel /
+    scaled-sample checksums (pure Python, no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from workshop3_etl_spark.operators.multimodal import (
+        _encode_bmp,
+        _encode_wav,
+        decode_media_real,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=700))
+    def check(data):
+        bmp = decode_media_real(_encode_bmp(data))
+        w = 1 + (len(data) % 16)
+        h = 1 + ((len(data) // 16) % 8)
+        assert (bmp["width"], bmp["height"], bmp["bit_depth"]) == (w, h, 24)
+        n_px = w * h * 3
+        exp_px = (
+            sum(data[i % len(data)] for i in range(n_px)) if data else 0
+        )
+        assert bmp["px_checksum"] == exp_px % 2_147_483_647
+
+        wav = decode_media_real(_encode_wav(data))
+        assert wav["n_samples"] == len(data)
+        assert wav["sample_rate"] == 8000
+        assert wav["duration_ms"] == len(data) * 1000 // 8000
+        import struct
+
+        raw = b"".join(struct.pack("<h", (b - 128) * 256) for b in data)
+        assert wav["px_checksum"] == sum(raw) % 2_147_483_647
+
+    check()
