@@ -285,3 +285,87 @@ def _register_snapshot_diff() -> None:
 
 
 _register_snapshot_diff()
+
+
+# --------------------------------------------------------------------
+# Schema evolution: parquet snapshots written BEFORE a column existed
+# merge with later snapshots via mergeSchema, NULL-backfilled — the
+# lakehouse answer to "we added a column last quarter and still read
+# five years of history in one scan".
+# --------------------------------------------------------------------
+
+_SCHEMA_EVO_ORACLE = """
+WITH merged AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT
+  COALESCE(o_orderpriority, '(pre-evolution)') AS priority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS decimal(27,2))) AS DOUBLE) AS total_price
+FROM merged
+GROUP BY 1
+ORDER BY priority
+"""
+
+
+def _register_schema_evolution() -> None:
+    from workshop3_etl_spark.plans.registry import register
+    from workshop3_etl_spark.sources.tables import load_table
+
+    @register("lakehouse_schema_evolution_merge", oracle=_SCHEMA_EVO_ORACLE)
+    def lakehouse_schema_evolution_merge(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """mergeSchema read across heterogeneous snapshots: v1 was
+        written before ``o_orderpriority`` existed (deterministic
+        orderkey split stands in for "the old ingestion era"), v2
+        after. One ``mergeSchema`` scan unions the footers and
+        NULL-backfills the missing column; the aggregate groups the
+        merged view by priority with an explicit pre-evolution label.
+
+        The oracle reconstructs the same merged view from the base
+        table (the snapshots are deterministic projections), so the
+        hash gate checks that schema merging neither drops rows nor
+        invents values. At 100 TB the same read works because footer
+        merging is per-file metadata work — the data itself is never
+        rewritten, which is the entire point of additive schema
+        evolution.
+        """
+        import tempfile
+
+        o = load_table(spark, sf_dir, "orders")
+        with tempfile.TemporaryDirectory() as root:
+            o.filter(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", "o_totalprice"
+            ).write.parquet(f"{root}/v1")
+            o.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey", "o_totalprice", "o_orderpriority"
+            ).write.parquet(f"{root}/v2")
+            merged = (
+                spark.read.option("mergeSchema", "true")
+                .option("recursiveFileLookup", "true")
+                .parquet(root)
+            )
+            return (
+                merged.groupBy(
+                    F.coalesce(
+                        F.col("o_orderpriority"), F.lit("(pre-evolution)")
+                    ).alias("priority")
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+                    .cast("double")
+                    .alias("total_price"),
+                )
+                .orderBy("priority")
+                # materialize before the snapshot tempdir vanishes
+                .localCheckpoint(eager=True)
+            )
+
+
+_register_schema_evolution()
