@@ -102,21 +102,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_neardup_lsh_buckets",
     "layout_zorder_orders_key",
     "stream_sliding_hourly_30m_counts",
-    # Round-3 third-session additions, each needing their first driver
-    # verification. Funded by demoting r02-PROVEN rows
-    # (text_quality_score, text_repetition_filter, q3_shipping_priority,
-    # dedup_minhash_lsh_candidates, corpus_e2e_training_prep) and
-    # trimming same-family duplicates (window_lag_delta_events,
-    # window_trailing_7d_user_value, sketch_kmv_jaccard_custkeys,
-    # ts_ohlc_hourly_downsample, stream_dedup_documents) — every family
+    # Round-4 session swaps: every query ADDED OR CHANGED this round
+    # gets an official first-time row (the four ANN paths newly
+    # oracled via frozen artifacts, the real media codecs, schema
+    # evolution), funded by demoting six r3-PROVEN rows
+    # (dedup_prefix_filter_jaccard, graph_kcore_copurchase,
+    # sketch_hll_registers_custkeys, udtf_tokenize_positions,
+    # cdc_apply_latest_snapshot, dq_referential_orphans) — each family
     # keeps at least one slot, enforced below by the plan test.
-    "graph_kcore_copurchase",
-    "sketch_hll_registers_custkeys",
-    "dedup_prefix_filter_jaccard",
+    "sim_ann_pq_adc_topk",
+    "sim_ann_ivfpq_topk",
+    "sim_ann_lsh_topk",
     "lakehouse_snapshot_diff_orders",
-    "udtf_tokenize_positions",
-    "cdc_apply_latest_snapshot",
-    "dq_referential_orphans",
+    "multimodal_resize_bmp",
+    "multimodal_decimate_wav",
+    "lakehouse_schema_evolution_merge",
     "ts_seasonal_naive_mae",
     # Round-3 fourth-session additions: CMS heavy hitters (new sketch
     # algorithm class; funds its slot by demoting the same-family
