@@ -120,8 +120,20 @@ def main() -> None:
     # 'st'), which can triple a single sample. Best-of-2 per query,
     # reported as such, keeps the number about the engine.
     samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2"))
+    # One untimed warmup run per query before the timed samples:
+    # whole-stage codegen + JIT for a SPECIFIC plan costs ~0.5-1s on
+    # its first execution (measured: asof first-sample 1.43s vs
+    # 0.63-0.65s steady state), and on a loaded box the second sample
+    # still pays residual background C2 compilation — three rounds of
+    # official asof numbers (0.33/0.68/0.91s) tracked box load, not
+    # plan changes. Warmup makes the timed samples measure the
+    # engine's steady-state throughput (the quantity BASELINE
+    # comparisons care about) and is declared in the output JSON.
+    warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     for name in headline:
         fn = all_queries[name]
+        for _ in range(warmup):
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = None
         for _ in range(samples):
             t0 = time.perf_counter()
@@ -148,6 +160,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "samples_per_query": samples,
+                "warmup_runs_per_query": warmup,
                 "loop_wall_sec": loop_wall,
                 "setup_sec": setup_sec,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,

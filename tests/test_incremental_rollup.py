@@ -340,10 +340,15 @@ def test_compaction_preserves_rollup_and_counters(spark, tmp_path):
     )
     assert n_epochs_before >= 2
 
-    # both batches are committed (availableNow completed) — fold them
+    # both batches are committed (availableNow completed) — fold them.
+    # Cleanup of the folded partials is deferred to the NEXT run
+    # (reader grace window), so the second compact reclaims the space.
+    compact_rollup(spark, rollup, through_epoch=10_000)
+    epochs = sorted(n for n in os.listdir(rollup) if n.startswith("epoch="))
+    assert "epoch=-2" in epochs and len(epochs) == n_epochs_before + 1
     compact_rollup(spark, rollup, through_epoch=10_000)
     epochs = [n for n in os.listdir(rollup) if n.startswith("epoch=")]
-    assert epochs == ["epoch=-1"]
+    assert epochs == ["epoch=-2"]
     assert sorted(
         tuple(r) for r in read_rollup(spark, rollup).collect()
     ) == before_rollup
@@ -455,11 +460,87 @@ def test_compaction_crash_windows_never_double_count(
     ), "an uncommitted base generation must be invisible to readers"
 
     # Recovery: a clean compaction run GCs both kinds of leftovers and
-    # converges the layout to exactly one committed base.
+    # re-folds; one more run reclaims the generation it superseded
+    # (cleanup is deferred one run for the reader grace window),
+    # converging the layout to exactly one committed base.
+    compact_rollup(spark, rollup, through_epoch=10_000)
     compact_rollup(spark, rollup, through_epoch=10_000)
     manifest = _read_base_manifest(rollup)
     dirs = sorted(n for n in os.listdir(rollup) if n.startswith("epoch="))
     assert dirs == [f"epoch={manifest['base_epoch']}"]
+    assert (
+        sorted(tuple(r) for r in read_rollup(spark, rollup).collect())
+        == expected
+    )
+
+
+def test_first_generation_fold_crash_never_double_counts(
+    spark, tmp_path, monkeypatch
+):
+    """The FIRST fold on a manifest-less table is the crash window the
+    r4 ADVICE flagged: if the new base were written to epoch=-1 and
+    the process died before the manifest commit, the orphan would be
+    indistinguishable from a committed legacy base and every folded
+    epoch would double-count. Base generations therefore start at -2;
+    a crashed first fold must leave reads exactly as before, and a
+    clean re-run must converge."""
+    import pytest
+
+    from workshop3_etl_spark.streaming.rollup import (
+        _read_base_manifest,
+        compact_rollup,
+        maintain_rollup,
+        read_rollup,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    rollup = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+    ev.filter(F.col("event_id") % 2 == 0).repartition(1).write.parquet(
+        f"{src}/p1"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).repartition(1).write.parquet(
+        f"{src}/p2"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    maintain_rollup(spark, stream, rollup, ck)
+    expected = sorted(tuple(r) for r in read_rollup(spark, rollup).collect())
+    assert _read_base_manifest(rollup) is None
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash at manifest commit")
+
+    monkeypatch.setattr(os, "replace", _boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_rollup(spark, rollup, through_epoch=10_000)
+    monkeypatch.undo()
+
+    # The orphan first-generation base must NOT be adopted as a legacy
+    # manifest-less base — no manifest, and reads unchanged.
+    assert _read_base_manifest(rollup) is None
+    dirs = sorted(n for n in os.listdir(rollup) if n.startswith("epoch="))
+    assert "epoch=-2" in dirs and "epoch=-1" not in dirs
+    assert (
+        sorted(tuple(r) for r in read_rollup(spark, rollup).collect())
+        == expected
+    ), "a crashed first fold must be invisible to readers"
+
+    # Clean re-run: GCs the orphan, folds, commits; one more run
+    # reclaims the folded partials (deferred cleanup grace window).
+    compact_rollup(spark, rollup, through_epoch=10_000)
+    compact_rollup(spark, rollup, through_epoch=10_000)
+    manifest = _read_base_manifest(rollup)
+    assert manifest["base_epoch"] == -2
+    dirs = sorted(n for n in os.listdir(rollup) if n.startswith("epoch="))
+    assert dirs == ["epoch=-2"]
     assert (
         sorted(tuple(r) for r in read_rollup(spark, rollup).collect())
         == expected
@@ -548,10 +629,10 @@ def test_maintain_compact_maintain_replay_exact(spark, tmp_path):
     )
     # decayed-counter read surface rides the same state
     assert read_decayed_counters(spark, rollup).count() > 0
-    # second generation: base epoch advanced past -1
+    # second generation: base epoch advanced past the first (-2)
     from workshop3_etl_spark.streaming.rollup import _read_base_manifest
 
-    assert _read_base_manifest(rollup)["base_epoch"] == -2
+    assert _read_base_manifest(rollup)["base_epoch"] == -3
 
 
 def test_legacy_manifestless_base_is_adopted_not_deleted(spark, tmp_path):
@@ -590,7 +671,43 @@ def test_legacy_manifestless_base_is_adopted_not_deleted(spark, tmp_path):
     assert [(r["n_events"], r["value_cents"]) for r in rows] == [(7, 700)]
 
     compact_rollup(spark, rollup, through_epoch=10_000)
+    # fold adopted the legacy base into generation -2; the legacy dir
+    # itself is reclaimed by the next run (deferred cleanup)
+    compact_rollup(spark, rollup, through_epoch=10_000)
     dirs = sorted(n for n in os.listdir(rollup) if n.startswith("epoch="))
     assert dirs == ["epoch=-2"], dirs
     rows = read_rollup(spark, rollup).collect()
     assert [(r["n_events"], r["value_cents"]) for r in rows] == [(7, 700)]
+
+
+def test_epoch_partition_writers_use_shared_compaction_protocol():
+    """Architecture guard (r4 verdict task): every module that writes
+    ``epoch=`` partitions must ride the shared crash-safe manifest
+    protocol in streaming/compaction.py — reading through
+    live_filter/read_base_manifest and folding through
+    compact_partials — never a private reinvention. A module that
+    partitions by epoch without importing the protocol is a bug by
+    construction."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path("workshop3_etl_spark")
+    writers = []
+    for py in pkg.rglob("*.py"):
+        if py.name == "compaction.py":
+            continue
+        text = py.read_text()
+        if re.search(r"partitionBy\(\s*['\"]epoch['\"]", text):
+            writers.append((py, text))
+    # the two known epoch-state producers must be found (the guard
+    # itself must not go vacuous if writes are refactored)
+    names = {p.name for p, _ in writers}
+    assert {"ingest_dedup.py", "rollup.py"} <= names, names
+    for py, text in writers:
+        assert "workshop3_etl_spark.streaming.compaction" in text or (
+            "from workshop3_etl_spark.streaming import" in text
+            and "compaction" in text
+        ), (
+            f"{py} writes epoch= partitions but does not use the "
+            "shared compaction/manifest protocol"
+        )

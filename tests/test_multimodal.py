@@ -280,3 +280,21 @@ def test_bmp_wav_roundtrip_property():
         assert wav["px_checksum"] == sum(raw) % 2_147_483_647
 
     check()
+
+
+def test_real_decode_rejects_truncated_wav():
+    """A data chunk whose declared size exceeds the bytes actually
+    present must raise, not return a header-derived sample count with
+    a checksum over fewer bytes (r4 ADVICE: decode_media_real is the
+    designated real-ingest parse path, so inconsistent features on
+    truncation are a silent-corruption bug)."""
+    import pytest
+
+    from workshop3_etl_spark.operators.multimodal import (
+        _encode_wav,
+        decode_media_real,
+    )
+
+    full = _encode_wav(bytes([10, 20, 30, 40, 50]))
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_media_real(full[:-4])

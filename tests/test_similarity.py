@@ -224,3 +224,191 @@ def test_neardup_bucket_cap_is_a_hard_bound(spark):
     )
     sig.unpersist()
     assert max_bucket <= 2, f"hard cap violated: max bucket {max_bucket}"
+
+
+def test_frozen_artifact_cross_engine_contract(spark):
+    """The four ANN green rows ride the frozen-literal artifact
+    contract: Spark and DuckDB must agree BIT-FOR-BIT on (a) IVF cell
+    assignment, (b) per-subspace PQ code assignment, and (c) the
+    subspace-ordered ADC partial-sum fold — for arbitrary input
+    vectors, not just the shipped corpus (r4 verdict task #6: this
+    contract is load-bearing and deserves adversarial property
+    treatment)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.similarity import (
+        _PQ_SUB,
+        _dot_duck,
+        _ivf_cells_df,
+        _ivf_cells_values_sql,
+        _pq_codebook_df,
+        _pq_codebook_values_sql,
+        _pq_subdot_duck,
+        _pq_subdot_spark,
+        dot_fold,
+    )
+
+    vec = st.lists(
+        st.floats(
+            min_value=-1.0,
+            max_value=1.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=64,
+        ),
+        min_size=64,
+        max_size=64,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(vec, min_size=1, max_size=4))
+    def check(vectors):
+        sdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vectors)],
+            "vec_id long, ev array<double>",
+        )
+        # --- Spark side
+        cells = F.broadcast(_ivf_cells_df(spark))
+        wv = Window.partitionBy("vec_id").orderBy(
+            F.asc("dist2"), F.asc("cell")
+        )
+        s_cells = {
+            r["vec_id"]: r["cell"]
+            for r in sdf.crossJoin(cells)
+            .select(
+                "vec_id",
+                "cell",
+                (F.col("cc") - 2 * dot_fold("ev", "centroid")).alias(
+                    "dist2"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+        books = F.broadcast(_pq_codebook_df(spark))
+        wm = Window.partitionBy("vec_id", "m").orderBy(
+            F.asc("dist2"), F.asc("code")
+        )
+        coded = (
+            sdf.crossJoin(books)
+            .select(
+                "vec_id",
+                "m",
+                "code",
+                (F.col("cc") - 2 * _pq_subdot_spark("ev")).alias("dist2"),
+                _pq_subdot_spark("ev").alias("pdot"),
+            )
+            .withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1)
+        )
+        s_codes = {
+            (r["vec_id"], r["m"]): r["code"] for r in coded.collect()
+        }
+        # subspace-ordered ADC fold of the vector's own code pdots —
+        # the exact expression the PQ/IVF-PQ queries use
+        s_adc = {
+            r["vec_id"]: r["adot"]
+            for r in coded.groupBy("vec_id")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("m", "pdot"))),
+                        lambda s: s["pdot"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("adot")
+            )
+            .collect()
+        }
+        # --- DuckDB side, same literals via the shared emitters
+        con = duckdb.connect()
+        try:
+            con.register(
+                "vin",
+                pd.DataFrame(
+                    {
+                        "vec_id": pd.Series(
+                            range(len(vectors)), dtype="int64"
+                        ),
+                        "ev": [
+                            np.asarray(v, dtype="float64")
+                            for v in vectors
+                        ],
+                    }
+                ),
+            )
+            d_cells = dict(
+                con.execute(f"""
+                WITH cells AS (
+                  SELECT * FROM (VALUES {_ivf_cells_values_sql()})
+                    AS t(cell, centroid, cc)
+                )
+                SELECT vec_id, cell FROM (
+                  SELECT vec_id, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY cc - 2 * {_dot_duck('ev', 'centroid')}, cell
+                  ) AS rn
+                  FROM vin CROSS JOIN cells
+                ) WHERE rn = 1
+                """).fetchall()
+            )
+            rows = con.execute(f"""
+                WITH b AS (
+                  SELECT * FROM (VALUES {_pq_codebook_values_sql()})
+                    AS t(m, code, centroid, cc)
+                ),
+                coded AS (
+                  SELECT vec_id, b.m, code,
+                         {_pq_subdot_duck('ev')} AS pdot,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, b.m
+                           ORDER BY cc - 2 * {_pq_subdot_duck('ev')}, code
+                         ) AS rn
+                  FROM vin CROSS JOIN b
+                )
+                SELECT vec_id, m, code, pdot FROM coded WHERE rn = 1
+                """).fetchall()
+            d_codes = {(r[0], r[1]): r[2] for r in rows}
+            adc_rows = con.execute(f"""
+                WITH b AS (
+                  SELECT * FROM (VALUES {_pq_codebook_values_sql()})
+                    AS t(m, code, centroid, cc)
+                ),
+                coded AS (
+                  SELECT vec_id, b.m, {_pq_subdot_duck('ev')} AS pdot,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, b.m
+                           ORDER BY cc - 2 * {_pq_subdot_duck('ev')}, code
+                         ) AS rn
+                  FROM vin CROSS JOIN b
+                )
+                SELECT vec_id,
+                       list_reduce(
+                         list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(pdot ORDER BY m)),
+                         (x, y) -> x + y) AS adot
+                FROM coded WHERE rn = 1 GROUP BY vec_id
+                """).fetchall()
+            d_adc = dict(adc_rows)
+        finally:
+            con.close()
+        assert s_cells == d_cells
+        assert s_codes == d_codes
+        for i in s_adc:
+            # bit-identical doubles, not approximately equal
+            assert s_adc[i] == d_adc[i], (i, s_adc[i], d_adc[i])
+
+    check()

@@ -52,3 +52,65 @@ def test_drift_proportions_sum_to_one(spark):
     # TVD in [0, 1]
     tvd = sum(r["abs_dp"] for r in rows) / 2
     assert 0.0 <= tvd <= 1.0
+
+
+def test_checksum_cents_canon_engine_stable(spark):
+    """The r4 official red row: `dq_table_checksums` canonicalized
+    DOUBLE money via decimal(27,2) rounding, whose HALF_UP tie
+    handling differs between Spark's shortest-repr path and (some
+    releases of) DuckDB's exact-binary path. The fix is pure-IEEE
+    integer cents: floor(x * 100e0 + 0.5e0) -> bigint, identical
+    arithmetic in any IEEE-754 engine. Property: on adversarial
+    doubles (tie-adjacent cents, subnormal-ish fractions, huge
+    magnitudes) the Spark canon string equals the DuckDB canon string
+    cell-for-cell.
+    """
+    import duckdb
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from workshop3_etl_spark.operators.stats import _cents
+
+    # Tie-adjacent by construction: k/100 +- ulp-scale jitter, plus
+    # exact binary fractions (n/2**k) whose *100 lands near .5, plus
+    # free-range doubles.
+    ties = st.integers(0, 10**9).map(lambda k: k / 100 + 0.005)
+    dyadic = st.tuples(st.integers(0, 2**20), st.integers(0, 12)).map(
+        lambda t: t[0] / (2 ** t[1])
+    )
+    anyf = st.floats(
+        min_value=0.0,
+        max_value=1e14,
+        allow_nan=False,
+        allow_infinity=False,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(st.one_of(ties, dyadic, anyf), min_size=1, max_size=64))
+    def check(vals):
+        sdf = spark.createDataFrame([(float(v),) for v in vals], "x double")
+        got_spark = [
+            r[0]
+            for r in sdf.selectExpr(
+                f"cast({_cents('x')} as string) as c"
+            ).collect()
+        ]
+        con = duckdb.connect()
+        try:
+            con.register("t", pd.DataFrame({"x": [float(v) for v in vals]}))
+            got_duck = [
+                r[0]
+                for r in con.execute(
+                    f"SELECT CAST({_cents('x')} AS VARCHAR) FROM t"
+                ).fetchall()
+            ]
+        finally:
+            con.close()
+        assert got_spark == got_duck
+
+    check()

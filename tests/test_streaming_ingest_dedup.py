@@ -163,9 +163,13 @@ def test_index_compaction_preserves_dedup_decisions(spark, tmp_path):
     }
     compact_index(spark, index, through_epoch=10_000)
     compact_audit(spark, audit, through_epoch=10_000)
+    # cleanup of superseded partials is deferred one run (reader grace
+    # window); a second compact garbage-collects them
+    compact_index(spark, index, through_epoch=10_000)
+    compact_audit(spark, audit, through_epoch=10_000)
     assert sorted(
         n for n in os.listdir(index) if n.startswith("epoch=")
-    ) == ["epoch=-1"]
+    ) == ["epoch=-2"]
     assert {
         r["doc_id"] for r in read_admitted_ids(spark, index).collect()
     } == admitted_before

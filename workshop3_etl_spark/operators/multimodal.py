@@ -228,6 +228,14 @@ def decode_media_real(payload: bytes) -> dict:
                     "<HHIIHH", body, 0
                 )
             elif cid == b"data":
+                # A truncated payload must not yield a sample count
+                # from the header but a checksum over fewer bytes —
+                # mirror the BMP bpp/compression strictness and raise.
+                if size > len(body):
+                    raise ValueError(
+                        f"truncated WAV data chunk: header declares "
+                        f"{size} bytes, payload holds {len(body)}"
+                    )
                 n_samples = size // 2
                 acc = sum(body) % _CHECKSUM_MOD
             pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
@@ -728,12 +736,54 @@ def resize_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register("multimodal_frame_sample", oracle=None)
+# Oracle strategy (graduates the query from rows-only to
+# hash-checked, like the r4 ANN work): the payload is the utf-8 bytes
+# of documents.text, so every frame/thumbnail statistic is pure byte
+# math DuckDB can recompute from hex(encode(text)) with a
+# list-comprehension over byte positions. Per-frame checksums are
+# mod 2^31-1 but a 256-byte frame sums to < 2^16, so the mod is the
+# identity and the cross-frame SUM is a plain byte-range sum.
+_FRAME_ORACLE = f"""
+WITH v AS (
+  SELECT
+    hex(encode(text)) AS h,
+    octet_length(encode(text)) AS nb,
+    (octet_length(encode(text)) + {_FRAME_BYTES} - 1) // {_FRAME_BYTES}
+      AS n_frames
+  FROM documents
+  WHERE doc_id % 3 = 2 AND text IS NOT NULL
+    AND octet_length(encode(text)) > 0
+),
+per AS (
+  SELECT
+    LEAST((n_frames + {_FRAME_STRIDE} - 1) // {_FRAME_STRIDE},
+          {_MAX_FRAMES}) AS n_sampled,
+    COALESCE(list_sum([
+      CAST('0x' || substring(h, 2 * p + 1, 2) AS INT)
+      FOR p IN range(0, nb)
+      IF (p // {_FRAME_BYTES}) % {_FRAME_STRIDE} = 0
+         AND (p // {_FRAME_BYTES})
+             < {_FRAME_STRIDE} * {_MAX_FRAMES}
+    ]), 0) AS cksum
+  FROM v
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_videos,
+  CAST(SUM(n_sampled) AS BIGINT) AS n_frames_sampled,
+  CAST(MAX({_FRAME_STRIDE} * (n_sampled - 1)) AS INT) AS max_frame_idx,
+  CAST(SUM(cksum) AS BIGINT) AS sum_frame_checksum
+FROM per
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_ORACLE)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-frame summary over video payloads: Arrow-batched
     fan-out (mapInPandas emitting up to _MAX_FRAMES rows per video),
-    then a JVM aggregate. Rows-only check; tests/test_multimodal.py
-    pins frame counts/checksums exactly against a pure-Python
+    then a JVM aggregate. Fully oracled: the synthetic payload is
+    documents.text utf-8 bytes, so DuckDB recomputes every sampled
+    byte range from hex(encode(text)). tests/test_multimodal.py
+    additionally pins per-frame rows against a pure-Python
     recomputation."""
     media = media_frame(spark, sf_dir)
     frames = media.mapInPandas(sample_frames_kernel, schema=_FRAME_SCHEMA)
@@ -745,11 +795,34 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize_stats", oracle=None)
+_RESIZE_STATS_ORACLE = f"""
+WITH img AS (
+  SELECT
+    hex(encode(text)) AS h,
+    octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE doc_id % 3 = 0 AND text IS NOT NULL
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_images,
+  CAST(SUM(nb) AS BIGINT) AS total_orig_bytes,
+  CAST(SUM((nb + {_RESIZE_STRIDE} - 1) // {_RESIZE_STRIDE}) AS BIGINT)
+    AS total_thumb_bytes,
+  CAST(SUM(COALESCE(list_sum([
+    CAST('0x' || substring(h, 2 * p + 1, 2) AS INT)
+    FOR p IN range(0, nb) IF p % {_RESIZE_STRIDE} = 0
+  ]), 0) % 2147483647) AS BIGINT) AS sum_thumb_checksum
+FROM img
+"""
+
+
+@register("multimodal_resize_stats", oracle=_RESIZE_STATS_ORACLE)
 def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail summary over image payloads (stride-downsample
-    kernel). Rows-only check; exact byte semantics pinned in
-    tests/test_multimodal.py."""
+    kernel). Fully oracled — the stride-8 thumbnail is the bytes at
+    positions p % 8 = 0, which DuckDB recomputes from
+    hex(encode(text)); exact per-row byte semantics additionally
+    pinned in tests/test_multimodal.py."""
     media = media_frame(spark, sf_dir)
     thumbs = media.mapInPandas(resize_kernel, schema=_RESIZE_SCHEMA)
     return thumbs.agg(

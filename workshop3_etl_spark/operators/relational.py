@@ -620,13 +620,18 @@ def salted_agg_returnflag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 # range — the count-distinct-by-existence pattern.
 # --------------------------------------------------------------------
 
+# The TPC-H spec quarter (1993-Q3) predates this testdata's order
+# calendar (1995-01-01..2001-08-01), which made the query VACUOUS —
+# 0 rows at every SF, a hash check that can never fail. Re-anchored
+# to a full year inside the data calendar (same deviation-for-signal
+# rationale as range_join_orders_events_7d's calendar alignment).
 _Q4_ORACLE = """
 SELECT
   o.o_orderpriority,
   CAST(COUNT(*) AS BIGINT) AS order_count
 FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
   AND EXISTS (
     SELECT 1 FROM lineitem l
     WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
@@ -643,8 +648,8 @@ def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-semi join with a non-equi condition — the decorrelated form
     Catalyst would produce from EXISTS."""
     orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (

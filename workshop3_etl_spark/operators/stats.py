@@ -558,12 +558,28 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # associative/commutative (partition- and order-independent) and
 # overflow-free. The hex→int step differs textually per engine
 # (Spark conv(), DuckDB 0x-cast) but yields the same integer.
+#
+# DOUBLE canonicalization must be ENGINE-STABLE: any path through a
+# decimal rounding mode or a shortest-repr float formatter can differ
+# between engines (and between DuckDB releases — the r4 official red
+# row). So money doubles are canonicalized as integer cents computed
+# with pure IEEE-754 arithmetic that every engine executes
+# identically: floor(x * 100e0 + 0.5e0) → BIGINT. Both factors are
+# exact doubles, multiply/add/floor are IEEE-defined, and BIGINT→
+# string formatting has no engine freedom.
 # --------------------------------------------------------------------
+
+def _cents(col: str) -> str:
+    # Engine-neutral SQL: exponent literals are DOUBLE in both Spark
+    # and DuckDB; floor(double) may be DOUBLE (DuckDB) or BIGINT
+    # (Spark), so the explicit bigint cast pins the final type.
+    return f"cast(floor({col} * 100e0 + 0.5e0) as bigint)"
+
 
 def _orders_canon_spark() -> str:
     return (
         "concat_ws('|', cast(o_orderkey as string), cast(o_custkey as string),"
-        " o_orderstatus, cast(cast(o_totalprice as decimal(27,2)) as string),"
+        f" o_orderstatus, cast({_cents('o_totalprice')} as string),"
         " cast(o_orderdate as string), o_orderpriority)"
     )
 
@@ -571,7 +587,7 @@ def _orders_canon_spark() -> str:
 def _orders_canon_duck() -> str:
     return (
         "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),"
-        " o_orderstatus, CAST(CAST(o_totalprice AS decimal(27,2)) AS VARCHAR),"
+        f" o_orderstatus, CAST({_cents('o_totalprice')} AS VARCHAR),"
         " CAST(o_orderdate AS VARCHAR), o_orderpriority)"
     )
 
@@ -580,8 +596,8 @@ def _li_canon_spark() -> str:
     return (
         "concat_ws('|', cast(l_orderkey as string), cast(l_linenumber as string),"
         " cast(l_partkey as string), cast(l_suppkey as string),"
-        " cast(cast(l_quantity as decimal(27,2)) as string),"
-        " cast(cast(l_extendedprice as decimal(27,2)) as string),"
+        f" cast({_cents('l_quantity')} as string),"
+        f" cast({_cents('l_extendedprice')} as string),"
         " l_returnflag, l_linestatus)"
     )
 
@@ -590,8 +606,8 @@ def _li_canon_duck() -> str:
     return (
         "concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),"
         " CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),"
-        " CAST(CAST(l_quantity AS decimal(27,2)) AS VARCHAR),"
-        " CAST(CAST(l_extendedprice AS decimal(27,2)) AS VARCHAR),"
+        f" CAST({_cents('l_quantity')} AS VARCHAR),"
+        f" CAST({_cents('l_extendedprice')} AS VARCHAR),"
         " l_returnflag, l_linestatus)"
     )
 

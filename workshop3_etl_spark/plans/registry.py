@@ -45,102 +45,77 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # not listed follows in registration order. A plan test asserts the
 # list stays registered, oracled, and exactly 50 long.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-4 rotation (VERDICT r3 task #1). Demoted to fund the
-    # slots below — every one of these 14 is r3-green on the official
-    # record (CORRECTNESS_r03.json 50/50 pass), so their slots buy
-    # first-time verification: asof_join_view_before_purchase,
-    # range_join_orders_events_7d, json_props_extract_stats,
-    # profile_null_counts_events, sessionize_events_30min,
-    # cohort_retention_daily, stream_tumbling_hourly_counts,
-    # stream_stateful_user_metrics, stream_stream_join_view_purchase,
-    # ml_ols2_qty_retailprice, corpus_mixture_weights_sqrt,
-    # window_spend_deciles, streaks_user_active_days,
-    # scd2_user_type_history.
+    # Round-5 rotation (VERDICT r4 task #2): 16 first-time official
+    # rows, funded by demoting 16 rows whose latest official status is
+    # green (window_lag_delta_events, stream_session_window_counts,
+    # scd2_asof_dimension_lookup, funnel_view_click_purchase,
+    # sketch_kmv_jaccard_custkeys, graph_bfs_hops_copurchase,
+    # q7_nation_volume, q12_priority_by_linestatus,
+    # split_train_test_counts, profile_histogram_price,
+    # dq_expectations_report, ts_ewma_hourly_value, sql_cube_revenue,
+    # stream_sliding_hourly_30m_counts, multimodal_resize_bmp,
+    # multimodal_decimate_wav — all r4-PASS, kept green by pytest +
+    # driver_sim). Every operator family keeps at least one slot,
+    # enforced by the plan test. q4_priority_late_ship was considered
+    # and rejected: it returns 0 rows at sf0.01, a trivially-matching
+    # check; q17 carries the q-family slot instead.
     #
-    # First: the 3 queries whose latest official status is a stale r2
-    # ERR (the since-fixed bare-session events-timestamp bug) — prove
-    # the fix on the record.
-    "window_lag_delta_events",
-    "window_trailing_7d_user_value",
-    "stream_session_window_counts",
-    # Never-driver-checked queries, spread across families, per the
-    # r3 verdict's priority list.
-    "scd2_asof_dimension_lookup",
-    "funnel_view_click_purchase",
-    "ts_gapfill_locf_hourly",
-    "sketch_kmv_jaccard_custkeys",
-    "stats_chisq_lang_source",
-    "graph_bfs_hops_copurchase",
+    # FIRST: the one red r4 row, re-proving the engine-stable
+    # integer-cents canonicalization fix.
     "dq_table_checksums",
-    "q7_nation_volume",
-    "q12_priority_by_linestatus",
-    "split_train_test_counts",
-    # Newly fully-oracled this round (frozen-literal IVF quantizer) —
-    # promotes an ANN path from rows-only to hash-checked.
+    # Never-officially-checked queries, spread across families.
+    "q17_small_quantity_revenue",
+    "q14_promo_revenue_share",
+    "q13_customer_distribution",
+    "profile_weighted_median_price",
+    "profile_histogram_quantile_price",
+    "sketch_kmv_rolling_users_7d",
+    "ts_ohlc_hourly_downsample",
+    "stream_append_closed_windows",
+    "stream_decayed_counters",
+    "variant_props_decade_counts",
+    "sql_lateral_top_orders_per_segment",
+    "graph_degree_distribution_copurchase",
+    "rfm_customer_segments",
+    "window_rank_supplier_balance",
+    # Round-4 additions graduating from rows-only to fully oracled
+    # this round (byte-math DuckDB twins over hex(encode(text))).
+    "multimodal_frame_sample",
+    "multimodal_resize_stats",
+    # Retained green rows: per-family flagships and queries whose
+    # implementation changed recently enough to keep on the record.
+    "window_trailing_7d_user_value",
+    "ts_gapfill_locf_hourly",
+    "stats_chisq_lang_source",
     "sim_ann_ivf_topk",
-    "profile_histogram_price",
     "dedup_levenshtein_blocked",
-    # Round-3 second-session additions — stats/feature-store/assoc
-    # families, each needing their first driver verification.
     "stats_welch_ttest_split_price",
     "happiness_unified_profile",
     "stats_drift_price_train_test",
-    "dq_expectations_report",
     "pit_features_purchase",
     "attribution_touch_revenue",
     "basket_part_pairs_lift",
     "text_bigram_pmi",
-    "ts_ewma_hourly_value",
-    # SQL-surface representatives (the other sql_* passed the r02
-    # driver gate and rotate out to fund the slots above).
-    "sql_cube_revenue",
-    # Families the r01 driver budget never reached.
     "search_inverted_index_postings",
     "graph_triangle_count_copurchase",
-    # sim_ rep: the new fully-oracled LSH-bucket near-dup replaces the
-    # r02-PROVEN sim_cosine_topk_bruteforce.
     "sim_neardup_lsh_buckets",
     "layout_zorder_orders_key",
-    "stream_sliding_hourly_30m_counts",
-    # Round-4 session swaps: every query ADDED OR CHANGED this round
-    # gets an official first-time row (the four ANN paths newly
-    # oracled via frozen artifacts, the real media codecs, schema
-    # evolution), funded by demoting six r3-PROVEN rows
-    # (dedup_prefix_filter_jaccard, graph_kcore_copurchase,
-    # sketch_hll_registers_custkeys, udtf_tokenize_positions,
-    # cdc_apply_latest_snapshot, dq_referential_orphans) — each family
-    # keeps at least one slot, enforced below by the plan test.
     "sim_ann_pq_adc_topk",
     "sim_ann_ivfpq_topk",
     "sim_ann_lsh_topk",
     "lakehouse_snapshot_diff_orders",
-    "multimodal_resize_bmp",
-    "multimodal_decimate_wav",
     "lakehouse_schema_evolution_merge",
     "ts_seasonal_naive_mae",
-    # Round-3 fourth-session additions: CMS heavy hitters (new sketch
-    # algorithm class; funds its slot by demoting the same-family
-    # sketch_kmv_distinct_orderkeys — the KMV machinery stays covered
-    # by pytest parity and driver_sim) and sweep-line interval
-    # concurrency (new family; funded by demoting the r02-PROVEN
-    # ml_ols_qty_price — ml_ keeps two slots below).
     "sketch_cms_heavy_custkeys",
     "concurrency_shipping_orders_daily",
     "corpus_pack_sequences",
     "stream_ingest_dedup",
-    # Unique API surfaces get driver slots over second family members
-    # (attribution_time_decay, window_cumulative_distinct demoted —
-    # attribution_touch / window_spend_deciles keep those families).
     "pyds_documents_by_lang",
     "sql_scripting_decayed_revenue",
-    # Per-family flagships that stay inside the driver budget.
     "q1_pricing_summary",
     "ml_onehot_mktsegment_table",
     "ml_scaling_minmax_zscore",
     "udf_named_functions_docs",
-    # Real BMP/WAV decode (round 4): replaces the r3-PROVEN
-    # multimodal_payload_stats as the family's driver slot — decode
-    # correctness is the stronger claim to verify on the record.
     "multimodal_decode_bmp_wav",
 )
 

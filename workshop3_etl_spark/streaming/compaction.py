@@ -8,16 +8,22 @@ maintenance protocol that folds old epochs into a base partition
 WITHOUT ever changing what readers see, even across crashes:
 
 - Each fold writes its output to a FRESH base generation
-  (epoch = -1, -2, -3, ...) and then commits by atomically
-  ``os.replace()``-ing a manifest recording the committed base epoch
-  and the fold horizon.
+  (epoch = -2, -3, -4, ...; epoch = -1 is reserved exclusively for
+  the pre-protocol legacy layout, so a crashed FIRST fold can never
+  be mistaken for a committed legacy base) and then commits by
+  atomically ``os.replace()``-ing a manifest recording the committed
+  base epoch and the fold horizon.
 - Readers consult the manifest and keep only (committed base) +
   (epochs above the horizon), so a crash at ANY point leaves reads
   exact: an uncommitted new base is an orphan generation readers
   ignore; a committed-but-uncleaned fold leaves stale partitions
   readers ignore.
 - The next fold garbage-collects whichever orphans exist before
-  folding again.
+  folding again. Cleanup of the just-superseded generation is
+  DEFERRED to that next run (not done at commit time): readers that
+  loaded the previous manifest may still be scanning the old
+  partitions, and deleting them mid-scan would fail those queries.
+  One compaction interval is the grace window.
 
 The fold itself is pluggable: additive tables (the rollup) fold by
 re-aggregating; row tables (the dedup index, audit pairs) fold by
@@ -134,7 +140,14 @@ def compact_partials(
     fold_horizon = max(folding)
     live = spark.read.parquet(path).where(live_filter(manifest))
     old = live.filter(F.col("epoch") <= fold_horizon)
-    new_base = -1 if base is None else base - 1
+    # -1 is reserved for the legacy manifest-less layout: if a first
+    # fold wrote epoch=-1 and crashed before the manifest commit,
+    # read_base_manifest would adopt the UNCOMMITTED base as a
+    # committed legacy one (folded_through=-1 keeps every epoch >= 0
+    # live too — double-counting each folded epoch). Starting at -2
+    # makes a crashed first fold an unambiguous orphan that step 1
+    # garbage-collects.
+    new_base = -2 if base is None else base - 1
     folded = (
         fold(old)
         .withColumn("epoch", F.lit(new_base))
@@ -162,11 +175,10 @@ def compact_partials(
         )
     os.replace(tmp, os.path.join(path, BASE_MANIFEST))
 
-    # 4. Cleanup (crash here is harmless — step 1 of the next run
-    # finishes it): drop the prior base and the folded epoch dirs.
-    for name in os.listdir(path):
-        if not name.startswith("epoch="):
-            continue
-        v = int(name.split("=", 1)[1])
-        if v != new_base and v <= fold_horizon:
-            shutil.rmtree(os.path.join(path, name))
+    # 4. NO eager cleanup. The superseded base and folded epoch dirs
+    # are left for step 1 of the NEXT run: a reader that loaded the
+    # previous manifest before this commit may still be mid-scan over
+    # them, and deleting files under a running query fails it. Readers
+    # that load the new manifest already exclude the stale dirs, so
+    # correctness is unaffected either way; the next compaction
+    # reclaims the space after a full interval's grace window.
