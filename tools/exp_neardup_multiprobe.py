@@ -152,5 +152,91 @@ def main() -> None:
     spark.stop()
 
 
+
+
+def rank_distance_probe() -> None:
+    """Follow-up: for the window-missed pairs, how many stride units
+    apart do they sit in their best shared bucket? If most are within
+    2 strides, a third overlapping window leg (L=3, stride cap/3 —
+    same <=cap members per window key, 1.5x join legs) recovers them;
+    if they are uniformly spread, only a cap raise would."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.similarity import (
+        _NEARDUP_T,
+        _RAD_BUCKET_CAP,
+        _neardup_lsh_plan,
+        dot_fold,
+    )
+    from workshop3_etl_spark.session import get_spark
+    from workshop3_etl_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.1"
+    if "--sf" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+    spark = get_spark(app_name="exp-rankdist")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("ev"),
+        dot_fold("embedding", "embedding").alias("nrm"),
+    ).persist()
+    x, y = v.alias("x"), v.alias("y")
+    cos = F.expr(
+        "aggregate(zip_with(x.ev, y.ev,"
+        " (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"
+    ) / (F.sqrt(F.col("x.nrm")) * F.sqrt(F.col("y.nrm")))
+    truth = {
+        (r["a"], r["b"])
+        for r in x.join(y, F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("a"),
+            F.col("y.vec_id").alias("b"),
+            cos.alias("c"),
+        )
+        .filter(F.col("c") >= _NEARDUP_T)
+        .collect()
+    }
+    result, sig = _neardup_lsh_plan(spark, sf_dir)
+    got = {(r["vec_id_a"], r["vec_id_b"]) for r in result.collect()}
+    lost = truth - got
+    # window membership with ranks: strip '#w' and recover w0 per row
+    mem = sig.select("vec_id", "table_id", "bucket").collect()
+    ranks: dict[tuple[int, str], dict[int, int]] = {}
+    for r in mem:
+        if "#" not in r["bucket"]:
+            continue
+        base, w = r["bucket"].rsplit("#", 1)
+        key = (r["table_id"], base)
+        d = ranks.setdefault(key, {})
+        # each row appears as w0 and w0+1; keep the MIN = w0
+        d[r["vec_id"]] = min(d.get(r["vec_id"], 1 << 30), int(w))
+    from collections import Counter
+
+    dist = Counter()
+    for a, b in lost:
+        best = None
+        for key, d in ranks.items():
+            if a in d and b in d:
+                dd = abs(d[a] - d[b])
+                best = dd if best is None else min(best, dd)
+        if best is not None:
+            dist[best] += 1
+    print(
+        f"window-missed pairs by min window-index distance "
+        f"(stride={_RAD_BUCKET_CAP // 2}): {dict(sorted(dist.items()))}"
+    )
+    spark.stop()
+
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--rankdist" in sys.argv:
+        rank_distance_probe()
+    else:
+        main()

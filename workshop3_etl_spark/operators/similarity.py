@@ -1517,6 +1517,13 @@ def _neardup_lsh_plan(
     # at sf0.1: 64 of 120 uncapped above-threshold pairs survive vs 28
     # with id-rank chunking at the same budget. Cross-window pairs
     # are the (logged) residual recall loss; the cap is the dial.
+    # Multi-probe LSH (flip one primary-band bit) was measured and
+    # rejected (tools/exp_neardup_multiprobe.py): of the lost pairs,
+    # ~2/3 already share a windowed bucket (probing can't help) and
+    # only 4/144 are Hamming-1 in any table — +4 pairs for a 5x
+    # probe-side join multiplier. On flat corpora the principled
+    # recall dial remains the cap itself (recall scales ~linearly
+    # with it, every truncation logged).
     # One ids-only ranking shuffle + ONE pass over the fold
     # expressions: window membership is exploded in place (1 entry for
     # cold rows, 2 overlapping windows for hot rows) instead of a
