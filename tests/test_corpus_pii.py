@@ -1,0 +1,62 @@
+"""Semantic checks for the PII-scrub corpus stage (oracle parity is
+covered by test_oracle_parity's auto-parametrization)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from workshop3_etl_spark.operators.corpus import corpus_pii_scrub_stats
+
+
+def test_pii_scrub_finds_and_removes_everything(spark):
+    row = corpus_pii_scrub_stats(spark, SF_SMOKE).collect()[0]
+    # non-vacuous: the deterministic injection guarantees every PII
+    # class appears (doc_id % 5 / % 7 / % 11 all hit in any corpus
+    # with >= 11 docs)
+    assert row["n_emails"] > 0
+    assert row["n_phones"] > 0
+    assert row["n_ips"] > 0
+    assert row["n_docs_with_pii"] > 0
+    assert row["n_docs_with_pii"] <= row["n_docs"]
+    # the audit: scrubbing leaves NO residual match of any pattern
+    assert row["residual_pii"] == 0
+
+
+def test_pii_scrub_redacts_adversarial_strings(spark):
+    """Hand-built adversarial payloads through the same scrub
+    expressions: adjacent PII, PII at string edges, mixed types in
+    one doc."""
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.corpus import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+    )
+
+    payloads = [
+        "a@b.co c@d.io",                       # adjacent emails
+        "555-123-4567",                         # bare phone, whole string
+        "ip 1.2.3.4 then 255.255.255.255 end",  # two IPs
+        "x user.name+tag@sub.domain.org y 555-000-1111 z 10.0.0.1",
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "text string")
+    clean = df.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    "text", F.lit(_PII_EMAIL), F.lit("<EMAIL>")
+                ),
+                F.lit(_PII_PHONE),
+                F.lit("<PHONE>"),
+            ),
+            F.lit(_PII_IP),
+            F.lit("<IP>"),
+        ).alias("clean")
+    )
+    got = [r["clean"] for r in clean.collect()]
+    assert got == [
+        "<EMAIL> <EMAIL>",
+        "<PHONE>",
+        "ip <IP> then <IP> end",
+        "x <EMAIL> y <PHONE> z <IP>",
+    ]

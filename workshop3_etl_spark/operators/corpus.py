@@ -688,3 +688,153 @@ def corpus_sample_n_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("rk").cast("int").alias("rk"), "doc_id")
         .orderBy("lang", "rk")
     )
+
+
+# --------------------------------------------------------------------
+# PII scrub — the privacy stage every training-data pipeline runs
+# before tokenization (C4/RefinedWeb-style): regex detection +
+# redaction of emails / phone numbers / IP addresses, with a
+# self-auditing residual count. The testdata corpus is word-salad
+# with no real PII (a scrub over it would be vacuously green — the
+# q4 lesson), so the query first INJECTS deterministic PII derived
+# from doc_id — both engines synthesize identical strings — then
+# scrubs it and proves residual_pii = 0.
+#
+# Scale: one map-only pass (inject + 3 regexp_replace + counters are
+# all whole-stage-codegen JVM expressions) into a 1-row aggregate —
+# no shuffle beyond the final combine at any corpus size. Patterns
+# are deliberately in the common subset of Java regex and RE2 so the
+# Spark plan and the DuckDB oracle run the SAME expressions.
+# --------------------------------------------------------------------
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\d{3}-\\d{3}-\\d{4}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+_PII_ORACLE = f"""
+WITH injected AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                          4, '0') ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST((doc_id // 7) % 256 AS VARCHAR) ELSE '' END
+      AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+    len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+    len(regexp_extract_all(text, '{_PII_IP}')) AS n_ip,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+        '{_PII_PHONE}', '<PHONE>', 'g'),
+      '{_PII_IP}', '<IP>', 'g') AS clean
+  FROM injected
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_docs_with_pii,
+  CAST(SUM(n_email) AS BIGINT) AS n_emails,
+  CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+  CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+  CAST(SUM(length(clean)) AS BIGINT) AS scrubbed_chars,
+  CAST(SUM(len(regexp_extract_all(clean, '{_PII_EMAIL}'))
+         + len(regexp_extract_all(clean, '{_PII_PHONE}'))
+         + len(regexp_extract_all(clean, '{_PII_IP}')))
+    AS BIGINT) AS residual_pii
+FROM scrubbed
+"""
+
+
+@register("corpus_pii_scrub_stats", oracle=_PII_ORACLE)
+def corpus_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and redact emails / phone numbers / IPs across the
+    corpus and report per-type counts plus a residual audit (count of
+    PII patterns still present AFTER scrubbing — must be zero; a
+    nonzero residual means a pattern/replacement mismatch).
+
+    Deterministic PII is injected from doc_id first so the scrub is
+    verified against known ground truth on this PII-free synthetic
+    corpus (same deviation-for-signal rationale as the calendar
+    alignments). Map-only + 1-row aggregate; codegen throughout.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") / 7).cast("long") % 256).cast(
+                        "string"
+                    ),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    n_pat = {
+        "n_email": _PII_EMAIL,
+        "n_phone": _PII_PHONE,
+        "n_ip": _PII_IP,
+    }
+    scrubbed = injected.select(
+        "doc_id",
+        *[
+            F.size(F.regexp_extract_all("text", F.lit(p), F.lit(0))).alias(k)
+            for k, p in n_pat.items()
+        ],
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+                F.lit(_PII_PHONE),
+                F.lit("<PHONE>"),
+            ),
+            F.lit(_PII_IP),
+            F.lit("<IP>"),
+        ).alias("clean"),
+    )
+    residual = sum(
+        F.size(F.regexp_extract_all("clean", F.lit(p), F.lit(0)))
+        for p in n_pat.values()
+    )
+    return scrubbed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("n_email") + F.col("n_phone") + F.col("n_ip") > 0, 1
+            ).otherwise(0)
+        ).cast("long").alias("n_docs_with_pii"),
+        F.sum("n_email").cast("long").alias("n_emails"),
+        F.sum("n_phone").cast("long").alias("n_phones"),
+        F.sum("n_ip").cast("long").alias("n_ips"),
+        F.sum(F.length("clean")).cast("long").alias("scrubbed_chars"),
+        F.sum(residual).cast("long").alias("residual_pii"),
+    )

