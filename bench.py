@@ -79,6 +79,13 @@ def main() -> None:
         "sim_neardup_lsh_buckets",
         "sim_ann_ivfpq_topk",
         "multimodal_decode_bmp_wav",
+        # round-5 flagships: the PII scrub (map-only regex pass — the
+        # cheap-by-design privacy stage) and the cross-document
+        # duplicated-shingle profile (the round's only new
+        # shuffle-heavy operator: shingle-hash groupBy + join with
+        # exchange reuse). Cost rationale in NOTES.
+        "corpus_pii_scrub_stats",
+        "dedup_crossdoc_ngram_fraction",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

@@ -60,3 +60,42 @@ def test_pii_scrub_redacts_adversarial_strings(spark):
         "ip <IP> then <IP> end",
         "x <EMAIL> y <PHONE> z <IP>",
     ]
+
+
+def test_crossdoc_ngram_fraction_detects_planted_duplicates(spark):
+    """Plant a shared span across documents and assert the operator
+    sees exactly it: two docs sharing one 8-token span, one unique
+    doc — fractions are computable by hand."""
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.dedup import (
+        dedup_crossdoc_ngram_fraction,
+    )
+    from workshop3_etl_spark.sources import tables
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"{span} unique1 unique2", "en"),
+        (2, f"prefix1 prefix2 {span}", "en"),
+        (3, "lone1 lone2 lone3 lone4 lone5 lone6 lone7 lone8", "fr"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        got = {
+            r["lang"]: (
+                r["dup_shingles"],
+                r["total_shingles"],
+                r["n_docs_flagged"],
+            )
+            for r in dedup_crossdoc_ngram_fraction(spark, d).collect()
+        }
+    # doc1: 3 shingles (10 tokens), doc2: 3 shingles; exactly the
+    # planted span's shingle is shared -> 1 dup shingle in each.
+    # 1/3 > 30% -> both flagged. doc3: 1 shingle, unique, unflagged.
+    assert got["en"] == (2, 6, 2)
+    assert got["fr"] == (0, 1, 0)

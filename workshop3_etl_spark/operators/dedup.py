@@ -1234,3 +1234,116 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("component")
     )
     return materialize_and_release(result, sigs, edges)
+
+
+# --------------------------------------------------------------------
+# Cross-document duplicated-n-gram fraction — the span-level dedup
+# SIGNAL (RefinedWeb/Gopher-style): for each document, what fraction
+# of its distinct 8-token shingles also appears in at least one OTHER
+# document. Documents above a threshold are boilerplate/template
+# suspects even when no whole-document duplicate exists — the gap
+# between doc-level dedup (minhash/simhash above) and within-doc
+# repetition (text.py): duplication ACROSS documents at span level.
+#
+# Determinism: per-language fraction is a single division of two
+# exact integer sums (micro-average), never a SUM of doubles — the
+# repo's rule for cross-row float aggregation. Threshold compares
+# cross-multiplied integers (dup * 10 > total * 3), exact.
+#
+# Scale: shingles move as 16-byte md5s, text never shuffles; the
+# global doc-frequency pass is one groupBy on the shingle hash (the
+# same shuffle key the join back to documents uses, so AQE reuses the
+# exchange); everything after the per-doc rollup is tiny.
+# --------------------------------------------------------------------
+
+_XNGRAM = 8
+_XDUP_NUM, _XDUP_DEN = 3, 10  # flag docs with > 30% duplicated shingles
+
+_XDOC_ORACLE = f"""
+WITH shingled AS (
+  SELECT DISTINCT doc_id, lang,
+    unnest(list_transform(
+      generate_series(1, greatest(1, len({_TOKENS_DUCK}) - {_XNGRAM - 1})),
+      i -> md5(array_to_string(
+        list_slice({_TOKENS_DUCK}, CAST(i AS INT),
+                   CAST(i AS INT) + {_XNGRAM - 1}), ' '))
+    )) AS sh
+  FROM documents
+),
+df AS (
+  SELECT sh, COUNT(*) AS n_docs_sh FROM shingled GROUP BY sh
+),
+per_doc AS (
+  SELECT s.doc_id, s.lang,
+         COUNT(*) AS total_sh,
+         SUM(CASE WHEN d.n_docs_sh > 1 THEN 1 ELSE 0 END) AS dup_sh
+  FROM shingled s JOIN df d ON s.sh = d.sh
+  GROUP BY s.doc_id, s.lang
+)
+SELECT
+  lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(dup_sh) AS BIGINT) AS dup_shingles,
+  CAST(SUM(total_sh) AS BIGINT) AS total_shingles,
+  CAST(SUM(dup_sh) AS DOUBLE) / CAST(SUM(total_sh) AS DOUBLE)
+    AS dup_fraction,
+  CAST(SUM(CASE WHEN dup_sh * {_XDUP_DEN} > total_sh * {_XDUP_NUM}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("dedup_crossdoc_ngram_fraction", oracle=_XDOC_ORACLE)
+def dedup_crossdoc_ngram_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language duplicated-shingle profile: how much of each
+    document's distinct 8-token shingle set appears in other
+    documents, micro-averaged per language, with a >30% flag count
+    (the span-level boilerplate signal doc-level dedup can't see).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(1, size({_TOKENS}) - {_XNGRAM - 1})),"
+        f" i -> md5(cast(concat_ws(' ', slice({_TOKENS}, i, {_XNGRAM}))"
+        f" as binary)))"
+    )
+    shingled = (
+        docs.select("doc_id", "lang", F.explode(shingles).alias("sh"))
+        .distinct()
+    )
+    df_counts = shingled.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("n_docs_sh")
+    )
+    per_doc = (
+        shingled.join(df_counts, "sh")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_sh"),
+            F.sum(
+                F.when(F.col("n_docs_sh") > 1, 1).otherwise(0)
+            ).alias("dup_sh"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dup_sh").cast("long").alias("dup_shingles"),
+            F.sum("total_sh").cast("long").alias("total_shingles"),
+            (
+                F.sum("dup_sh").cast("double")
+                / F.sum("total_sh").cast("double")
+            ).alias("dup_fraction"),
+            F.sum(
+                F.when(
+                    F.col("dup_sh") * _XDUP_DEN
+                    > F.col("total_sh") * _XDUP_NUM,
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_docs_flagged"),
+        )
+        .orderBy("lang")
+    )

@@ -88,6 +88,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # row, funded by demoting r4-green stats_chisq_lang_source; the
     # stats_ family keeps welch_ttest + drift).
     "corpus_pii_scrub_stats",
+    # Added in round 5 (span-level dedup signal; official first-time
+    # row funded by demoting r4-green layout_zorder_orders_key).
+    "dedup_crossdoc_ngram_fraction",
     "window_trailing_7d_user_value",
     "ts_gapfill_locf_hourly",
     "sim_ann_ivf_topk",
@@ -102,7 +105,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "search_inverted_index_postings",
     "graph_triangle_count_copurchase",
     "sim_neardup_lsh_buckets",
-    "layout_zorder_orders_key",
     "sim_ann_pq_adc_topk",
     "sim_ann_ivfpq_topk",
     "sim_ann_lsh_topk",
