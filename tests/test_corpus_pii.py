@@ -25,13 +25,7 @@ def test_pii_scrub_redacts_adversarial_strings(spark):
     """Hand-built adversarial payloads through the same scrub
     expressions: adjacent PII, PII at string edges, mixed types in
     one doc."""
-    from pyspark.sql import functions as F
-
-    from workshop3_etl_spark.operators.corpus import (
-        _PII_EMAIL,
-        _PII_IP,
-        _PII_PHONE,
-    )
+    from workshop3_etl_spark.operators.corpus import _scrub_expr
 
     payloads = [
         "a@b.co c@d.io",                       # adjacent emails
@@ -40,19 +34,7 @@ def test_pii_scrub_redacts_adversarial_strings(spark):
         "x user.name+tag@sub.domain.org y 555-000-1111 z 10.0.0.1",
     ]
     df = spark.createDataFrame([(p,) for p in payloads], "text string")
-    clean = df.select(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    "text", F.lit(_PII_EMAIL), F.lit("<EMAIL>")
-                ),
-                F.lit(_PII_PHONE),
-                F.lit("<PHONE>"),
-            ),
-            F.lit(_PII_IP),
-            F.lit("<IP>"),
-        ).alias("clean")
-    )
+    clean = df.select(_scrub_expr("text").alias("clean"))
     got = [r["clean"] for r in clean.collect()]
     assert got == [
         "<EMAIL> <EMAIL>",

@@ -703,11 +703,27 @@ def test_epoch_partition_writers_use_shared_compaction_protocol():
     # itself must not go vacuous if writes are refactored)
     names = {p.name for p, _ in writers}
     assert {"ingest_dedup.py", "rollup.py"} <= names, names
+    # AST-level check: a comment or docstring mentioning the module
+    # must not satisfy the guard — only a real import of it does.
+    import ast
+
     for py, text in writers:
-        assert "workshop3_etl_spark.streaming.compaction" in text or (
-            "from workshop3_etl_spark.streaming import" in text
-            and "compaction" in text
-        ), (
-            f"{py} writes epoch= partitions but does not use the "
+        imports_protocol = False
+        for node in ast.walk(ast.parse(text)):
+            if isinstance(node, ast.ImportFrom) and (
+                node.module == "workshop3_etl_spark.streaming.compaction"
+                or (
+                    node.module == "workshop3_etl_spark.streaming"
+                    and any(a.name == "compaction" for a in node.names)
+                )
+            ):
+                imports_protocol = True
+            if isinstance(node, ast.Import) and any(
+                a.name == "workshop3_etl_spark.streaming.compaction"
+                for a in node.names
+            ):
+                imports_protocol = True
+        assert imports_protocol, (
+            f"{py} writes epoch= partitions but does not import the "
             "shared compaction/manifest protocol"
         )

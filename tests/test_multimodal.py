@@ -298,3 +298,11 @@ def test_real_decode_rejects_truncated_wav():
     full = _encode_wav(bytes([10, 20, 30, 40, 50]))
     with pytest.raises(ValueError, match="truncated WAV"):
         decode_media_real(full[:-4])
+    # truncation INSIDE the data chunk header (loop exits before the
+    # body guard) must raise too, not decode as an empty WAV
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_media_real(full[:40])
+    # cut at an exact chunk boundary BEFORE the data chunk: parseable
+    # walk, but no data chunk — still an error
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        decode_media_real(full[:36])

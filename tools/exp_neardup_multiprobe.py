@@ -4,8 +4,8 @@
 above-threshold pairs the tier-2 projection windows drop, within the
 same hard O(cap) bound?
 
-Step 1 decomposes the recall loss: for every true pair (brute-force
-cosine >= threshold) that the current pipeline misses, classify it as
+`main` decomposes the recall loss: for every true pair (brute-force
+cosine >= threshold) the current pipeline misses, classify it as
 
 - BUCKET-MISS: the pair never shares a (table, keyed bucket) at any
   tier — multi-probe on the primary band COULD recover it if the
@@ -15,11 +15,15 @@ cosine >= threshold) that the current pipeline misses, classify it as
   CANNOT help (same bucket already), only a wider window stride or a
   better sort projection could.
 
-Step 2 computes, for the bucket-miss pairs, how many are Hamming-1 on
-the primary band in at least one table (the multi-probe recovery
-ceiling) and the probe-side cost multiplier.
+`--rankdist` then measures how many stride units apart the
+window-missed pairs sit (the ceiling for any window-geometry change
+under the hard <=cap bound).
 
-Usage: python tools/exp_neardup_multiprobe.py [--sf DIR]
+Measured result (sf0.1, recorded in NOTES): 52/80 lost pairs are
+window-misses; only 4 bucket-misses are Hamming-1 anywhere; multi-probe
+rejected.
+
+Usage: python tools/exp_neardup_multiprobe.py [--sf DIR] [--rankdist]
 """
 
 from __future__ import annotations
@@ -31,39 +35,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
-    sf_dir = "/root/testdata/sf0.1"
+def _sf_dir() -> str:
     if "--sf" in sys.argv:
-        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+        return sys.argv[sys.argv.index("--sf") + 1]
+    return "/root/testdata/sf0.1"
 
+
+def _truth_and_plan(spark, sf_dir):
+    """Shared ground-truth + pipeline run: returns (vector frame,
+    true pair set, candidate pair set, keyed signature frame). The
+    ONE definition of 'truth' both probes use."""
     from pyspark.sql import functions as F
 
     from workshop3_etl_spark.operators.similarity import (
         _NEARDUP_T,
-        _RAD_BITS,
-        _RAD_TABLES,
         _neardup_lsh_plan,
-        _rad_plane,
-        _rad_dot_spark,
         dot_fold,
     )
-    from workshop3_etl_spark.session import get_spark
     from workshop3_etl_spark.sources.tables import load_table
 
-    spark = get_spark(app_name="exp-multiprobe")
-    spark.sparkContext.setLogLevel("ERROR")
-
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
     v = emb.select(
         "vec_id",
         F.col("embedding").alias("ev"),
         dot_fold("embedding", "embedding").alias("nrm"),
     ).persist()
     v.count()
-
-    # ---- ground truth: brute-force all-pairs cosine >= threshold
-    t0 = time.perf_counter()
     x, y = v.alias("x"), v.alias("y")
     cos = F.expr(
         "aggregate(zip_with(x.ev, y.ev,"
@@ -81,18 +78,33 @@ def main() -> None:
         .filter(F.col("c") >= _NEARDUP_T)
         .collect()
     }
-    print(
-        f"n_vectors={n} true_pairs={len(truth)} "
-        f"(brute force {time.perf_counter() - t0:.1f}s)"
-    )
-
-    # ---- current pipeline candidates (pre-rerank) + keyed index
     result, sig = _neardup_lsh_plan(spark, sf_dir)
-    got = {
-        (r["vec_id_a"], r["vec_id_b"]) for r in result.collect()
-    }
+    got = {(r["vec_id_a"], r["vec_id_b"]) for r in result.collect()}
+    return v, truth, got, sig
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.similarity import (
+        _RAD_BITS,
+        _RAD_TABLES,
+        _rad_dot_spark,
+        _rad_plane,
+    )
+    from workshop3_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="exp-multiprobe")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = _sf_dir()
+
+    t0 = time.perf_counter()
+    v, truth, got, sig = _truth_and_plan(spark, sf_dir)
     lost = truth - got
-    print(f"current recall: {len(got & truth)}/{len(truth)} lost={len(lost)}")
+    print(
+        f"true_pairs={len(truth)} recall={len(got & truth)}/{len(truth)}"
+        f" lost={len(lost)} ({time.perf_counter() - t0:.1f}s)"
+    )
 
     # keyed bucket membership (post-tier keying, incl. '#w' windows)
     mem = sig.select("vec_id", "table_id", "bucket").collect()
@@ -144,7 +156,6 @@ def main() -> None:
         f"bucket-miss={len(bucket_miss)} (of which Hamming-1 in >=1 "
         f"table: {ham1} = multi-probe recovery ceiling)"
     )
-    # cost model: probe-side explode factor = 1 + _RAD_BITS per row
     print(
         f"probe-side cost multiplier if adopted: x{1 + _RAD_BITS} "
         f"join-left rows (index side unchanged)"
@@ -152,57 +163,20 @@ def main() -> None:
     spark.stop()
 
 
-
-
 def rank_distance_probe() -> None:
-    """Follow-up: for the window-missed pairs, how many stride units
-    apart do they sit in their best shared bucket? If most are within
-    2 strides, a third overlapping window leg (L=3, stride cap/3 —
+    """For the window-missed pairs: how many stride units apart do
+    they sit in their best shared bucket? If most are within 2
+    strides, a third overlapping window leg (L=3, stride cap/3 —
     same <=cap members per window key, 1.5x join legs) recovers them;
-    if they are uniformly spread, only a cap raise would."""
-    import sys
+    if they are spread, only a cap raise would."""
+    from collections import Counter
 
-    from pyspark.sql import functions as F
-
-    from workshop3_etl_spark.operators.similarity import (
-        _NEARDUP_T,
-        _RAD_BUCKET_CAP,
-        _neardup_lsh_plan,
-        dot_fold,
-    )
+    from workshop3_etl_spark.operators.similarity import _RAD_BUCKET_CAP
     from workshop3_etl_spark.session import get_spark
-    from workshop3_etl_spark.sources.tables import load_table
 
-    sf_dir = "/root/testdata/sf0.1"
-    if "--sf" in sys.argv:
-        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
     spark = get_spark(app_name="exp-rankdist")
     spark.sparkContext.setLogLevel("ERROR")
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id",
-        F.col("embedding").alias("ev"),
-        dot_fold("embedding", "embedding").alias("nrm"),
-    ).persist()
-    x, y = v.alias("x"), v.alias("y")
-    cos = F.expr(
-        "aggregate(zip_with(x.ev, y.ev,"
-        " (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),"
-        " CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"
-    ) / (F.sqrt(F.col("x.nrm")) * F.sqrt(F.col("y.nrm")))
-    truth = {
-        (r["a"], r["b"])
-        for r in x.join(y, F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("a"),
-            F.col("y.vec_id").alias("b"),
-            cos.alias("c"),
-        )
-        .filter(F.col("c") >= _NEARDUP_T)
-        .collect()
-    }
-    result, sig = _neardup_lsh_plan(spark, sf_dir)
-    got = {(r["vec_id_a"], r["vec_id_b"]) for r in result.collect()}
+    v, truth, got, sig = _truth_and_plan(spark, _sf_dir())
     lost = truth - got
     # window membership with ranks: strip '#w' and recover w0 per row
     mem = sig.select("vec_id", "table_id", "bucket").collect()
@@ -211,16 +185,13 @@ def rank_distance_probe() -> None:
         if "#" not in r["bucket"]:
             continue
         base, w = r["bucket"].rsplit("#", 1)
-        key = (r["table_id"], base)
-        d = ranks.setdefault(key, {})
+        d = ranks.setdefault((r["table_id"], base), {})
         # each row appears as w0 and w0+1; keep the MIN = w0
         d[r["vec_id"]] = min(d.get(r["vec_id"], 1 << 30), int(w))
-    from collections import Counter
-
-    dist = Counter()
+    dist: Counter = Counter()
     for a, b in lost:
         best = None
-        for key, d in ranks.items():
+        for d in ranks.values():
             if a in d and b in d:
                 dd = abs(d[a] - d[b])
                 best = dd if best is None else min(best, dd)
@@ -233,9 +204,7 @@ def rank_distance_probe() -> None:
     spark.stop()
 
 
-
 if __name__ == "__main__":
-    import sys
     if "--rankdist" in sys.argv:
         rank_distance_probe()
     else:

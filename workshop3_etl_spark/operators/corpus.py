@@ -711,6 +711,20 @@ _PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 _PII_PHONE = "\\d{3}-\\d{3}-\\d{4}"
 _PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+def _scrub_expr(col):
+    """The production scrub expression (email -> phone -> IP, in that
+    order — order matters, so tests must reuse THIS, not a copy)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(_PII_IP),
+        F.lit("<IP>"),
+    )
+
+
 _PII_ORACLE = f"""
 WITH injected AS (
   SELECT doc_id,
@@ -811,15 +825,7 @@ def corpus_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.regexp_extract_all("text", F.lit(p), F.lit(0))).alias(k)
             for k, p in n_pat.items()
         ],
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace("text", F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
-                F.lit(_PII_PHONE),
-                F.lit("<PHONE>"),
-            ),
-            F.lit(_PII_IP),
-            F.lit("<IP>"),
-        ).alias("clean"),
+        _scrub_expr("text").alias("clean"),
     )
     residual = sum(
         F.size(F.regexp_extract_all("clean", F.lit(p), F.lit(0)))

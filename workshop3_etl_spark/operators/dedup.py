@@ -1269,6 +1269,7 @@ WITH shingled AS (
                    CAST(i AS INT) + {_XNGRAM - 1}), ' '))
     )) AS sh
   FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
 ),
 df AS (
   SELECT sh, COUNT(*) AS n_docs_sh FROM shingled GROUP BY sh
@@ -1304,7 +1305,12 @@ def dedup_crossdoc_ngram_fraction(
     documents, micro-averaged per language, with a >30% flag count
     (the span-level boilerplate signal doc-level dedup can't see).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # Empty/whitespace-only docs would otherwise each emit one
+    # md5('') shingle and mutually flag as 100%-duplicated — exclude
+    # token-free docs from the profile (mirrored in the oracle).
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.expr(f"size({_TOKENS}) > 0")
+    )
     shingles = F.expr(
         f"transform(sequence(1, greatest(1, size({_TOKENS}) - {_XNGRAM - 1})),"
         f" i -> md5(cast(concat_ws(' ', slice({_TOKENS}, i, {_XNGRAM}))"

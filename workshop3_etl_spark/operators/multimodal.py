@@ -220,6 +220,7 @@ def decode_media_real(payload: bytes) -> dict:
         pos = 12
         rate = bits = None
         n_samples = acc = 0
+        data_seen = False
         while pos + 8 <= len(payload):
             cid, size = struct.unpack_from("<4sI", payload, pos)
             body = payload[pos + 8 : pos + 8 + size]
@@ -238,7 +239,20 @@ def decode_media_real(payload: bytes) -> dict:
                     )
                 n_samples = size // 2
                 acc = sum(body) % _CHECKSUM_MOD
+                data_seen = True
             pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+        # Truncation INSIDE a chunk header (leftover bytes the loop
+        # can't parse) or a file cut before its data chunk must also
+        # raise — returning a silent zero-sample decode is the same
+        # corruption class as the short-body case above.
+        if pos != len(payload):
+            raise ValueError(
+                f"truncated WAV: chunk walk ended at byte {pos} of "
+                f"{len(payload)} — chunk structure does not cover the "
+                "payload exactly"
+            )
+        if rate is None or not data_seen:
+            raise ValueError("WAV missing fmt or data chunk")
         out.update(
             bit_depth=bits,
             n_samples=n_samples,
