@@ -727,3 +727,69 @@ def test_epoch_partition_writers_use_shared_compaction_protocol():
             f"{py} writes epoch= partitions but does not import the "
             "shared compaction/manifest protocol"
         )
+
+
+def test_partial_orphan_base_dir_is_invisible_and_collected(
+    spark, tmp_path
+):
+    """The dynamic-partition-overwrite rename window: a fold that dies
+    MID-RENAME can leave a partially-populated base generation dir
+    (some files moved, no manifest). Readers must ignore it entirely
+    (even though it contains readable parquet) and the next compaction
+    must GC it before folding."""
+    import os
+    import shutil
+
+    from workshop3_etl_spark.streaming.rollup import (
+        _read_base_manifest,
+        compact_rollup,
+        maintain_rollup,
+        read_rollup,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    rollup = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+    ev.repartition(1).write.parquet(f"{src}/p1")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    maintain_rollup(spark, stream, rollup, ck)
+    expected = sorted(tuple(r) for r in read_rollup(spark, rollup).collect())
+
+    # forge the partial orphan: copy HALF of epoch=0's content into an
+    # uncommitted epoch=-2 generation (readable parquet, wrong totals)
+    src_dir = next(
+        os.path.join(rollup, n)
+        for n in os.listdir(rollup)
+        if n.startswith("epoch=")
+    )
+    orphan = os.path.join(rollup, "epoch=-2")
+    for day in sorted(os.listdir(src_dir))[:1]:  # one day only = partial
+        if day.startswith("day="):
+            shutil.copytree(
+                os.path.join(src_dir, day), os.path.join(orphan, day)
+            )
+    assert _read_base_manifest(rollup) is None  # still uncommitted
+
+    # readers: the partial generation must not leak into results
+    assert (
+        sorted(tuple(r) for r in read_rollup(spark, rollup).collect())
+        == expected
+    ), "a partially-renamed uncommitted base must be invisible"
+
+    # recovery: compaction GCs the orphan, folds, converges
+    compact_rollup(spark, rollup, through_epoch=10_000)
+    compact_rollup(spark, rollup, through_epoch=10_000)
+    dirs = sorted(n for n in os.listdir(rollup) if n.startswith("epoch="))
+    assert dirs == ["epoch=-2"]
+    assert (
+        sorted(tuple(r) for r in read_rollup(spark, rollup).collect())
+        == expected
+    )
