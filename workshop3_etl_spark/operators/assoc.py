@@ -36,7 +36,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from workshop3_etl_spark.functions.cache import materialize_and_release
+from workshop3_etl_spark.functions.cache import (
+    materialize_and_release,
+    release_checkpoint,
+    supersede,
+    tracked_local_checkpoint,
+)
 from workshop3_etl_spark.plans.registry import register
 from workshop3_etl_spark.sources.tables import load_table
 
@@ -520,30 +525,34 @@ def graph_bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     if src_row["v"] is None:  # no edge reached the support threshold
         e.unpersist()
         return spark.createDataFrame([], "hop long, n_nodes long")
-    dist = (
+    dist = tracked_local_checkpoint(
         spark.createDataFrame([(int(src_row["v"]), 0)], "node long, hop int")
-        .localCheckpoint(eager=True)
     )
     frontier = dist.select("node")
+    prev_nxt = None  # checkpoint backing the current frontier
     for h in range(1, _BFS_MAX_HOPS + 1):
-        nxt = (
+        nxt = tracked_local_checkpoint(
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(h))
-            .localCheckpoint(eager=True)
         )
+        # the frontier that produced nxt is materialized into it —
+        # release last round's checkpoint now (supersede discipline)
+        release_checkpoint(prev_nxt)
+        prev_nxt = nxt
         if nxt.isEmpty():
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = supersede(dist.unionByName(nxt), dist)
         frontier = nxt.select("node")
     result = (
         dist.groupBy(F.col("hop").cast("long").alias("hop"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("hop")
     )
-    return materialize_and_release(result, e)
+    released = [e, dist] + ([prev_nxt] if prev_nxt is not None else [])
+    return materialize_and_release(result, *released)
 
 
 # --------------------------------------------------------------------
@@ -610,7 +619,7 @@ def kcore_edges(
     is O(peel depth), not O(nodes), and each round is a plain
     shuffle-on-node-id aggregate — no all-pairs stage anywhere.
     """
-    e = edges.select("p1", "p2").localCheckpoint(eager=True)
+    e = tracked_local_checkpoint(edges.select("p1", "p2"))
     n_prev = e.count()
     for _ in range(max_rounds):
         if n_prev == 0:
@@ -623,11 +632,11 @@ def kcore_edges(
             .filter(F.col("n") >= k)
             .select("p")
         )
-        e2 = (
+        e2 = supersede(
             e.join(deg.withColumnRenamed("p", "p1"), "p1", "left_semi")
             .join(deg.withColumnRenamed("p", "p2"), "p2", "left_semi")
-            .select("p1", "p2")
-            .localCheckpoint(eager=True)
+            .select("p1", "p2"),
+            e,  # superseded round released once e2 is materialized
         )
         n_cur = e2.count()
         e = e2
@@ -645,7 +654,7 @@ def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (same bound, same early-convergence argument).
     """
     e = kcore_edges(_copurchase_edges(spark, sf_dir))
-    return (
+    result = (
         e.select(F.col("p1").alias("p"))
         .unionAll(e.select(F.col("p2").alias("p")))
         .groupBy("p")
@@ -654,6 +663,7 @@ def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("degree"), "node")
         .limit(500)
     )
+    return materialize_and_release(result, e)
 
 
 # --------------------------------------------------------------------

@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from workshop3_etl_spark.functions.cache import materialize_and_release
+from workshop3_etl_spark.functions.cache import (
+    materialize_and_release,
+    release_checkpoint,
+    tracked_local_checkpoint,
+)
 from workshop3_etl_spark.plans.registry import register
 from workshop3_etl_spark.sources.tables import load_table
 
@@ -351,13 +355,13 @@ def connected_component_labels(edges: DataFrame, max_rounds: int = 30) -> DataFr
     Property-tested against a Python union-find on random graphs
     (tests/test_determinism_properties.py).
     """
-    labels = (
+    labels = tracked_local_checkpoint(
         edges.select(F.col("src").alias("doc"))
         .distinct()
         .select("doc", F.col("doc").alias("comp"))
-        .localCheckpoint(eager=True)
     )
     frontier = labels  # round 1: every node is new
+    prev_ckpt = labels  # checkpoint backing labels+frontier this round
     for _ in range(max_rounds):
         nbr = (
             edges.join(frontier, edges.src == frontier.doc)
@@ -378,7 +382,7 @@ def connected_component_labels(edges: DataFrame, max_rounds: int = 30) -> DataFr
         parent = stepped.select(
             F.col("doc").alias("pdoc"), F.col("comp").alias("pcomp")
         )
-        jumped = (
+        jumped = tracked_local_checkpoint(
             stepped.join(parent, stepped.comp == parent.pdoc, "left")
             .select(
                 "doc",
@@ -387,14 +391,23 @@ def connected_component_labels(edges: DataFrame, max_rounds: int = 30) -> DataFr
                     F.col("comp"), F.coalesce(F.col("pcomp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
+        # supersede discipline: jumped is materialized, so the
+        # checkpoint backing last round's labels/frontier can go —
+        # without this every round leaks its blocks until the async
+        # ContextCleaner gets to them (measured +5 per CC run).
+        release_checkpoint(prev_ckpt)
+        prev_ckpt = jumped
         labels = jumped.select("doc", "comp")
         frontier = jumped.filter(F.col("comp") < F.col("comp0")).select(
             "doc", "comp"
         )
         if frontier.limit(1).count() == 0:
             break
+    # ``labels`` is a projection of the final round's checkpoint; hand
+    # the backing frame to callers for release via the attribute the
+    # registry queries pass into materialize_and_release.
+    labels._ckpt_source = prev_ckpt
     return labels
 
 
@@ -471,7 +484,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sz").alias("max_component_size"),
         F.sum(F.col("sz") - 1).cast("long").alias("n_removable_duplicates"),
     )
-    return materialize_and_release(result, sigs, edges)
+    return materialize_and_release(
+        result, sigs, edges, labels._ckpt_source
+    )
 
 
 # --------------------------------------------------------------------
@@ -1233,7 +1248,9 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("n_tokens", "keeper_tokens")
         .orderBy("component")
     )
-    return materialize_and_release(result, sigs, edges)
+    return materialize_and_release(
+        result, sigs, edges, labels._ckpt_source
+    )
 
 
 # --------------------------------------------------------------------

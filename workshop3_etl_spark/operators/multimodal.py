@@ -297,12 +297,47 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features", oracle=None)
+# Oracle over the stub-decode byte math (round 5 — same technique
+# that graduated frame_sample/resize_stats): header byte = first
+# payload byte from hex(encode(text)); checksum = whole-payload byte
+# sum mod 2^31-1, recomputed per row with a list comprehension.
+_DECODE_FEATURES_ORACLE = """
+WITH m AS (
+  SELECT
+    CASE WHEN doc_id % 3 = 0 THEN 'image/fake'
+         WHEN doc_id % 3 = 1 THEN 'audio/fake'
+         ELSE 'video/fake' END AS media_type,
+    hex(encode(text)) AS h,
+    octet_length(encode(text)) AS nb
+  FROM documents
+)
+SELECT
+  media_type,
+  CAST(COUNT(*) AS BIGINT) AS n_media,
+  CAST(MIN(CASE WHEN nb = 0 THEN -1
+                ELSE CAST('0x' || substring(h, 1, 2) AS INT) END)
+    AS INT) AS min_header_byte,
+  CAST(MAX(CASE WHEN nb = 0 THEN -1
+                ELSE CAST('0x' || substring(h, 1, 2) AS INT) END)
+    AS INT) AS max_header_byte,
+  CAST(SUM(COALESCE(list_sum([
+    CAST('0x' || substring(h, 2 * p + 1, 2) AS INT)
+    FOR p IN range(0, nb)
+  ]), 0) % 2147483647) AS BIGINT) AS sum_checksum_mod
+FROM m
+GROUP BY media_type
+ORDER BY media_type
+"""
+
+
+@register("multimodal_decode_features", oracle=_DECODE_FEATURES_ORACLE)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode (stub kernel) via mapInPandas, then a
-    JVM-side aggregate over the extracted features. Rows-only check:
-    the Python kernel isn't SQL, but tests/test_multimodal.py pins the
-    checksum semantics.
+    JVM-side aggregate over the extracted features. Fully oracled:
+    the stub features are pure byte math over the synthetic payload
+    (documents.text utf-8 bytes), which DuckDB recomputes from
+    hex(encode(text)); tests/test_multimodal.py additionally pins the
+    kernel's checksum semantics row-by-row.
     """
     media = media_frame(spark, sf_dir)
     decoded = media.mapInPandas(decode_media_stub, schema=_DECODE_SCHEMA)
