@@ -86,6 +86,11 @@ def main() -> None:
         # exchange reuse). Cost rationale in NOTES.
         "corpus_pii_scrub_stats",
         "dedup_crossdoc_ngram_fraction",
+        # round-5: explicit bloom runtime-filter semi-join (two
+        # map-side lineitem scans + broadcast verify join; ~0.95s
+        # steady at sf0.1, almost all probe-expression arithmetic —
+        # the at-scale pruning pattern, cost rationale in NOTES).
+        "bloom_semijoin_lineitem_brand",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

@@ -96,7 +96,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Added in round 5 (span-level dedup signal; official first-time
     # row funded by demoting r4-green layout_zorder_orders_key).
     "dedup_crossdoc_ngram_fraction",
-    "window_trailing_7d_user_value",
+    # Added in round 5 (explicit bloom runtime-filter semi-join with
+    # prune telemetry; official first-time row funded by demoting
+    # r2-green window_trailing_7d_user_value — the window_ family
+    # keeps window_rank_supplier_balance).
+    "bloom_semijoin_lineitem_brand",
     "ts_gapfill_locf_hourly",
     "sim_ann_ivf_topk",
     "dedup_levenshtein_blocked",
@@ -185,6 +189,7 @@ def _ensure_loaded() -> None:
         multimodal,
         profile,
         relational,
+        runtime_filter,
         similarity,
         sketches,
         stats,
