@@ -844,3 +844,83 @@ def corpus_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("clean")).cast("long").alias("scrubbed_chars"),
         F.sum(residual).cast("long").alias("residual_pii"),
     )
+
+
+# --------------------------------------------------------------------
+# Shard-export manifest — the delivery step of a training-data
+# pipeline. At 100 TB a corpus ships as S deterministic shards, and
+# the consumer verifies each shard against a manifest (doc count,
+# byte size, token budget, content fingerprint) WITHOUT re-reading
+# the corpus. Shard assignment is the registry's public LCG hash mod
+# S (uniform, reproducible on any engine); the fingerprint is the
+# dq_table_checksums idiom — an exact decimal SUM of 60-bit md5
+# prefixes, associative/commutative so any partitioning/order of the
+# shard files produces the same value.
+#
+# Scale: one scan, one groupBy on a 16-value key (map-side combine
+# collapses everything before the shuffle; S rows total). Reference
+# parity: the reference persists its outputs whole (src/etl.py
+# to_sql/to_csv) — sharded verified delivery is the at-scale form.
+# --------------------------------------------------------------------
+
+N_SHARDS = 16
+
+
+def _shard_sql(key: str) -> str:
+    from workshop3_etl_spark.operators.sketches import hash_sql
+
+    return f"({hash_sql(key)} % {N_SHARDS})"
+
+
+_SHARD_CANON = (
+    "concat_ws('|', cast(doc_id as string), lang, source, text)"
+)
+
+_SHARD_MANIFEST_ORACLE = f"""
+SELECT
+  CAST({_shard_sql('doc_id')} AS BIGINT) AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+  CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+    AS total_tokens,
+  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+  CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+  SUM(CAST(CAST('0x' || substring(md5({_SHARD_CANON}), 1, 15) AS BIGINT)
+           AS decimal(38,0))) AS content_fingerprint
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("corpus_shard_manifest", oracle=_SHARD_MANIFEST_ORACLE)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-shard export manifest over documents: per
+    shard, doc count, byte/token totals, doc_id range, and an
+    order-independent content fingerprint (commutative decimal sum of
+    md5-prefix hashes). One scan, one 16-key groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.expr(_shard_sql("doc_id")).cast("long").alias("shard"),
+            F.expr("octet_length(text)").alias("nb"),
+            F.expr("size(filter(split(text, ' '), x -> x != ''))").alias("nt"),
+            F.col("doc_id"),
+            F.expr(
+                f"cast(conv(substring(md5({_SHARD_CANON}), 1, 15), 16, 10)"
+                " as bigint)"
+            )
+            .cast("decimal(38,0)")
+            .alias("fp"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nb").cast("long").alias("total_bytes"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+            F.sum("fp").alias("content_fingerprint"),
+        )
+        .orderBy("shard")
+    )

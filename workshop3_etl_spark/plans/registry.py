@@ -101,7 +101,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r2-green window_trailing_7d_user_value — the window_ family
     # keeps window_rank_supplier_balance).
     "bloom_semijoin_lineitem_brand",
-    "ts_gapfill_locf_hourly",
+    # Added in round 5 (shard-export manifest; official first-time row
+    # funded by demoting r4-green ts_gapfill_locf_hourly — the ts_
+    # family keeps ohlc_hourly_downsample + seasonal_naive_mae).
+    "corpus_shard_manifest",
     "sim_ann_ivf_topk",
     "dedup_levenshtein_blocked",
     "stats_welch_ttest_split_price",
