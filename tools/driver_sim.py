@@ -65,13 +65,47 @@ def main() -> int:
     for t in TABLES:
         duck.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    def _persistent_ids():
+        jsc = spark.sparkContext._jsc
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release_query_leftovers(before_ids, before_views):
+        """Harness-side lifetime management: the engine hands back
+        results as eager localCheckpoints (the CALLER owns them) and
+        streaming queries leave memory-sink tables; a 185-query
+        session must release both per query or the driver heap
+        accumulates until the JVM dies (observed at sf0.1 ~92 queries
+        in). The real driver runs 50 queries at sf0.01 and never gets
+        near this; the sweep is an endurance harness."""
+        jsc = spark.sparkContext._jsc
+        m = jsc.getPersistentRDDs()
+        for rid in _persistent_ids() - before_ids:
+            r = m.get(rid)
+            if r is not None:
+                r.unpersist()
+        for v in set(_temp_views()) - before_views:
+            spark.catalog.dropTempView(v)
+
+    def _temp_views():
+        return [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.tableType == "TEMPORARY" or t.isTemporary
+        ]
+
     names = list(queries)[:limit] if limit else list(queries)
     n_pass = n_fail = n_rowsonly = 0
-    for name in names:
+    for qi, name in enumerate(names):
+        ids0, views0 = _persistent_ids(), set(_temp_views())
+        if qi % 25 == 24:
+            # nudge the JVM so ContextCleaner reaps broadcasts
+            spark.sparkContext._jvm.System.gc()
         try:
             sdf = queries[name](spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            del sdf
+            _release_query_leftovers(ids0, views0)
             if name not in oracles:
                 n_rowsonly += 1
                 print(f"ROWS {name} rows={len(s_rows)}")
@@ -93,6 +127,10 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — report, keep going
             n_fail += 1
             print(f"ERR  {name}: {str(ex)[:160]}")
+            try:
+                _release_query_leftovers(ids0, views0)
+            except Exception:  # noqa: BLE001 — cleanup is best-effort
+                pass
     print(f"\nTOTAL pass={n_pass} fail={n_fail} rows_only={n_rowsonly}")
     spark.stop()
     return 1 if n_fail else 0

@@ -515,3 +515,82 @@ def search_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("doc_freq"), "term")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------
+# BPE vocabulary induction kernel: the first-merge candidate table.
+# A real BPE trainer repeats (count adjacent pairs -> merge the top
+# pair) until the vocab budget is hit; the scalable kernel is the
+# pair-counting pass, which at 100 TB must run as: corpus -> token
+# frequencies (one shuffle, vocab-sized output), then pair expansion
+# over the VOCAB ONLY (each distinct word contributes its pairs once,
+# weighted by its count) — never a per-occurrence character explode
+# over the corpus. Reference parity: the reference has no tokenizer
+# training; this extends text_token_count_bpe's pre-tokenization
+# toward the training side.
+# --------------------------------------------------------------------
+
+_MERGE_CANDIDATES_ORACLE = f"""
+WITH vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM (
+    SELECT unnest({_TOKENS_DUCK}) AS token FROM documents
+  )
+  GROUP BY token
+),
+pairs AS (
+  SELECT token, n_occ,
+         unnest([substring(token, i, 2) FOR i IN range(1, length(token))])
+           AS pair
+  FROM vocab
+  WHERE length(token) >= 2
+)
+SELECT pair,
+       CAST(SUM(n_occ) AS BIGINT) AS pair_count,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_words
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 20
+"""
+
+
+@register("text_bpe_merge_candidates", oracle=_MERGE_CANDIDATES_ORACLE)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs across the corpus, weighted by
+    word frequency — the first BPE merge's candidate table. Pair
+    expansion runs over the vocab frame (distinct words), not the
+    corpus: the corpus pays exactly one token-count shuffle.
+
+    Guard: sequence(1, length-1) on a 1-char token would produce a
+    DESCENDING sequence in Spark ([1, 0]) and junk pairs — hence the
+    explicit length >= 2 filter in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.expr(_TOKENS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    pairs = (
+        vocab.filter(F.length("token") >= 2)
+        .select(
+            "token",
+            "n_occ",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(token) - 1),"
+                    " i -> substring(token, i, 2))"
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("n_occ").cast("long").alias("pair_count"),
+            F.countDistinct("token").cast("long").alias("n_distinct_words"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+    )

@@ -105,12 +105,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # funded by demoting r4-green ts_gapfill_locf_hourly — the ts_
     # family keeps ohlc_hourly_downsample + seasonal_naive_mae).
     "corpus_shard_manifest",
+    # Added in round 5 (BPE first-merge candidate table; official
+    # first-time row funded by demoting r4-green
+    # stats_drift_price_train_test — stats_ keeps welch_ttest).
+    "text_bpe_merge_candidates",
+    # Added in round 5 (watermark-bounded streaming dedup; official
+    # first-time row funded by demoting r4-green pit_features_purchase
+    # — the feature-store family keeps attribution_touch_revenue and
+    # rfm_customer_segments).
+    "stream_dedup_within_watermark",
     "sim_ann_ivf_topk",
     "dedup_levenshtein_blocked",
     "stats_welch_ttest_split_price",
     "happiness_unified_profile",
-    "stats_drift_price_train_test",
-    "pit_features_purchase",
     "attribution_touch_revenue",
     "basket_part_pairs_lift",
     "text_bigram_pmi",

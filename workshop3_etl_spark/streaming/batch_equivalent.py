@@ -664,3 +664,63 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs_seen long, n_admitted long, n_rejected_exact long,"
         " n_flagged_pairs long",
     )
+
+
+# --------------------------------------------------------------------
+# Watermark-bounded streaming dedup: dropDuplicatesWithinWatermark.
+# The production form of streaming dedup — plain dropDuplicates keeps
+# EVERY key in the state store forever (unbounded at 100 TB/day);
+# the within-watermark variant evicts a key's state once the
+# watermark passes its event time, so state is bounded by the
+# watermark horizon's key arrival rate. The trade: a duplicate
+# arriving later than the horizon is re-admitted — the documented
+# contract, not a bug (exact-forever dedup at scale is the
+# fingerprint-index job, streaming/ingest_dedup.py).
+# --------------------------------------------------------------------
+
+_DEDUP_WW_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("stream_dedup_within_watermark", oracle=_DEDUP_WW_ORACLE)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) with watermark-bounded
+    state (dropDuplicatesWithinWatermark), then per-type distinct-user
+    counts of the deduped stream.
+
+    WHICH duplicate row survives is arrival-order-dependent, so only
+    the deduplicated KEY SET is surfaced (deterministic). The finite
+    availableNow input arrives inside one watermark horizon, so no
+    key is evicted mid-stream and the key set equals batch
+    COUNT(DISTINCT user_id) per event_type — what the oracle asserts.
+    """
+    sink = f"stream_dedup_ww_{abs(hash(sf_dir)) % 10_000_000}"
+    deduped = (
+        _events_stream(spark, sf_dir)
+        .select("ts", "user_id", "event_type")
+        .withWatermark("ts", "25 hours")  # horizon covers the testdata span
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        with _few_state_partitions(spark):
+            (
+                deduped.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        return (
+            spark.table(sink)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_users"))
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
