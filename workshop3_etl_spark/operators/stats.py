@@ -757,3 +757,73 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_orphans").cast("double") / F.col("n_rows").cast("double"))
         .alias("orphan_rate"),
     ).orderBy("fk_name")
+
+
+# --------------------------------------------------------------------
+# In-flight observed metrics (the Observation API): DQ counters
+# captured DURING a real write job, from the same single pass that
+# produces the output — at 100 TB you cannot afford a second scan
+# just to know how many rows/cents you shipped. The accumulator-style
+# aggregates (count / sum / min / max over exact integer cents) are
+# commutative and partition-order-independent, so the observed values
+# are deterministic and a plain batch SQL twin can verify them.
+# Reference parity: the reference logs row counts after each pandas
+# step (src/etl.py prints); observe() is the engine-integrated form.
+# --------------------------------------------------------------------
+
+_OBSERVED_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_filled,
+  CAST(SUM(CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)) AS BIGINT)
+    AS total_cents,
+  CAST(MIN(o_orderdate) AS VARCHAR) AS min_orderdate,
+  CAST(MAX(o_orderdate) AS VARCHAR) AS max_orderdate
+FROM orders
+WHERE o_totalprice > 1000.0
+"""
+
+
+@register("dq_observed_write_metrics", oracle=_OBSERVED_ORACLE)
+def dq_observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the filtered orders projection to parquet while an
+    Observation captures row/status counts, exact cents total, and
+    the date range in the SAME pass; surface the observed metrics as
+    the result. The oracle recomputes them batch-side — proving the
+    in-flight counters equal a dedicated scan's answer.
+    """
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 1000.0
+    )
+    obs = Observation("dq_write")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_filled"),
+        F.sum(F.expr(_cents("o_totalprice"))).cast("long").alias("total_cents"),
+        F.min(F.col("o_orderdate").cast("string")).alias("min_orderdate"),
+        F.max(F.col("o_orderdate").cast("string")).alias("max_orderdate"),
+    )
+    with tempfile.TemporaryDirectory() as out:
+        observed.write.mode("overwrite").parquet(f"{out}/orders_export")
+        m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_filled"]),
+                int(m["total_cents"]),
+                m["min_orderdate"],
+                m["max_orderdate"],
+            )
+        ],
+        "n_rows long, n_filled long, total_cents long,"
+        " min_orderdate string, max_orderdate string",
+    )

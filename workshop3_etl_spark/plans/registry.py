@@ -111,14 +111,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bpe_merge_candidates",
     # Added in round 5 (watermark-bounded streaming dedup; official
     # first-time row funded by demoting r4-green pit_features_purchase
-    # — the feature-store family keeps attribution_touch_revenue and
-    # rfm_customer_segments).
+    # — the feature-store family keeps rfm_customer_segments).
     "stream_dedup_within_watermark",
+    # Added in round 5 (Observation API in-flight write metrics;
+    # official first-time row funded by demoting r4-green
+    # attribution_touch_revenue — the feature-store family keeps
+    # rfm_customer_segments).
+    "dq_observed_write_metrics",
     "sim_ann_ivf_topk",
     "dedup_levenshtein_blocked",
     "stats_welch_ttest_split_price",
     "happiness_unified_profile",
-    "attribution_touch_revenue",
     "basket_part_pairs_lift",
     "text_bigram_pmi",
     "graph_triangle_count_copurchase",

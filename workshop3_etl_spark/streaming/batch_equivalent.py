@@ -703,7 +703,12 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     deduped = (
         _events_stream(spark, sf_dir)
         .select("ts", "user_id", "event_type")
-        .withWatermark("ts", "25 hours")  # horizon covers the testdata span
+        # Horizon must cover the full finite input span (30 days of
+        # events) so no key state is evicted mid-stream and the key
+        # set provably equals batch DISTINCT even if the source ever
+        # delivers multiple micro-batches. In production the horizon
+        # IS the dedup window (state bound), chosen by SLA not span.
+        .withWatermark("ts", "31 days")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )
     with tempfile.TemporaryDirectory() as ckpt:
