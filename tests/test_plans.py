@@ -385,3 +385,28 @@ def test_ann_plans_no_cartesian_no_python_eval(spark, monkeypatch):
         assert "Join" in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_explicit_bloom_probe_sits_below_the_verify_join(spark):
+    """The explicit bloom semi-join's whole point is WHERE the filter
+    runs: the literal-array probe must be a Filter on the fact scan
+    (pre-join, pre-shuffle), not a post-join predicate. Operator ids
+    in the formatted plan increase leaf -> root, so the probe Filter's
+    id must be smaller than the verify BroadcastHashJoin's."""
+    import re
+
+    from workshop3_etl_spark.operators.runtime_filter import (
+        bloom_semijoin_lineitem_brand,
+    )
+
+    plan = _plan(bloom_semijoin_lineitem_brand(spark, SF_CORRECT))
+    filt = re.search(r"\((\d+)\) Filter\nInput.*?\nCondition : .*shiftright",
+                     plan)
+    join = re.search(r"\((\d+)\) BroadcastHashJoin", plan)
+    assert filt and join, "expected bloom Filter and verify join in plan"
+    assert int(filt.group(1)) < int(join.group(1)), (
+        "bloom probe filter must run below (before) the verify join"
+    )
+    # and the probe is constant-folded: a literal array, not a
+    # per-row array construction
+    assert "element_at([" in plan
