@@ -51,6 +51,23 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
+        # Endurance dials, NOT semantics: a 185+-query sweep in one
+        # default-heap JVM dies on UI/status-store residue alone (the
+        # SQL tab retains up to 1000 executions' full plan graphs).
+        # The real driver runs 50 queries; these confs keep the sweep
+        # measuring ENGINE leaks, not harness bookkeeping.
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "50")
+        # Heap telemetry (DRIVER_SIM_HEAP_LOG) shows the engine holds
+        # <200 MiB residual after 90 queries (rdds=0, views=0), but a
+        # 1 GiB default heap with 1 MiB G1 regions dies on HUMONGOUS
+        # 1 MiB task allocations (GCLocker retry exhaustion) when 16
+        # sf0.1 percentile tasks land on a session fragmented by 90
+        # prior queries. Sizing the driver is deployment hygiene, not
+        # leak masking — the telemetry above is the leak evidence.
+        .config("spark.driver.memory", "4g")
         .appName("driver-sim")
         .getOrCreate()
     )
@@ -97,9 +114,21 @@ def main() -> int:
     n_pass = n_fail = n_rowsonly = 0
     for qi, name in enumerate(names):
         ids0, views0 = _persistent_ids(), set(_temp_views())
-        if qi % 25 == 24:
-            # nudge the JVM so ContextCleaner reaps broadcasts
+        if qi % 20 == 19:
+            # py4j releases JVM bindings only after PYTHON gc; then a
+            # JVM gc lets ContextCleaner reap broadcasts/shuffles
+            import gc
+
+            gc.collect()
             spark.sparkContext._jvm.System.gc()
+        if qi % 10 == 9 and os.environ.get("DRIVER_SIM_HEAP_LOG"):
+            rt = spark.sparkContext._jvm.Runtime.getRuntime()
+            used = (rt.totalMemory() - rt.freeMemory()) // (1 << 20)
+            print(
+                f"HEAP q={qi} used={used}MiB max={rt.maxMemory() >> 20}MiB"
+                f" rdds={len(_persistent_ids())} views={len(_temp_views())}",
+                flush=True,
+            )
         try:
             sdf = queries[name](spark, sf_dir)
             s_cols = sdf.columns

@@ -1632,3 +1632,65 @@ def sim_neardup_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     result, sig = _neardup_lsh_plan(spark, sf_dir)
     return materialize_and_release(result, sig)
+
+
+# --------------------------------------------------------------------
+# Embedding-column health profile: per-dimension min/max/extreme
+# counts. The monitoring pass an embedding pipeline runs per batch —
+# dead dimensions (min == max == ~0) mean a collapsed projection;
+# dominant dimensions (|x| far above 1/sqrt(d)) distort cosine
+# neighborhoods. All surfaced stats are order-independent (MIN / MAX
+# / comparison counts over exact float->double casts) so the result
+# is bit-stable under any partitioning — deliberately NOT mean/std,
+# which would sum doubles in shuffle order.
+#
+# Scale: posexplode multiplies rows x64 INSIDE the stage, then
+# partial aggregation collapses to 64 rows per partition before the
+# shuffle — the exchange moves 64 x n_partitions tiny rows. No
+# corpus-sized shuffle at any SF.
+# --------------------------------------------------------------------
+
+_DIM_PROFILE_ORACLE = """
+WITH dims AS (SELECT UNNEST(range(1, 65)) AS dim),
+x AS (
+  SELECT d.dim AS dim, CAST(e.embedding[d.dim] AS DOUBLE) AS v
+  FROM embeddings e, dims d
+)
+SELECT dim,
+       MIN(v) AS min_val,
+       MAX(v) AS max_val,
+       CAST(SUM(CASE WHEN ABS(v) > 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_extreme,
+       CAST(SUM(CASE WHEN ABS(v) < 0.001 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_zero
+FROM x
+GROUP BY dim
+ORDER BY dim
+"""
+
+
+@register("embedding_dim_profile", oracle=_DIM_PROFILE_ORACLE)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health stats (64 rows): exact min/max
+    plus extreme/near-zero counts — the dead-or-dominant-dimension
+    monitor, order-independent by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "fv"))
+        .select(
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.col("fv").cast("double").alias("v"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.min("v").alias("min_val"),
+            F.max("v").alias("max_val"),
+            F.sum(F.when(F.abs("v") > 0.25, 1).otherwise(0))
+            .cast("long")
+            .alias("n_extreme"),
+            F.sum(F.when(F.abs("v") < 0.001, 1).otherwise(0))
+            .cast("long")
+            .alias("n_near_zero"),
+        )
+        .orderBy("dim")
+    )

@@ -118,6 +118,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # attribution_touch_revenue — the feature-store family keeps
     # rfm_customer_segments).
     "dq_observed_write_metrics",
+    # Added in round 5 (per-dimension embedding health profile;
+    # official first-time row funded by demoting r4-green
+    # lakehouse_snapshot_diff_orders — lakehouse keeps
+    # schema_evolution_merge).
+    "embedding_dim_profile",
     "sim_ann_ivf_topk",
     "dedup_levenshtein_blocked",
     "stats_welch_ttest_split_price",
@@ -129,7 +134,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ann_pq_adc_topk",
     "sim_ann_ivfpq_topk",
     "sim_ann_lsh_topk",
-    "lakehouse_snapshot_diff_orders",
     "lakehouse_schema_evolution_merge",
     "ts_seasonal_naive_mae",
     "sketch_cms_heavy_custkeys",
