@@ -91,6 +91,12 @@ def main() -> None:
         # steady at sf0.1, almost all probe-expression arithmetic —
         # the at-scale pruning pattern, cost rationale in NOTES).
         "bloom_semijoin_lineitem_brand",
+        # round-5: SemDeDup semantic dedup over frozen quantizer
+        # clusters (~3.3s steady at sf0.1 — the within-cluster
+        # pairwise stage evaluates ~180k interpreted 64-dim cosine
+        # folds; O(n*cap) by the chunk contract, cost rationale in
+        # NOTES).
+        "sim_semantic_dedup_clusters",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

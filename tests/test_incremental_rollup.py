@@ -793,3 +793,71 @@ def test_partial_orphan_base_dir_is_invisible_and_collected(
         sorted(tuple(r) for r in read_rollup(spark, rollup).collect())
         == expected
     )
+
+
+def test_streaming_cms_merge_replay_and_compaction(spark, tmp_path):
+    """The incrementally-maintained CMS must equal the batch-built
+    sketch EXACTLY for any micro-batch split (mergeability is an
+    integer-additive identity, not an approximation), a replayed
+    batch must overwrite its own epoch (no double counting), and
+    compaction must preserve the merged grid."""
+    import os
+
+    from workshop3_etl_spark.streaming.rollup import (
+        _batch_cms_partial,
+        compact_cms,
+        maintain_cms,
+        read_cms_sketch,
+        write_cms_partial,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "cms")
+    ck = str(tmp_path / "ck")
+    ev.filter(F.col("event_id") % 2 == 0).repartition(1).write.parquet(
+        f"{src}/p1"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).repartition(1).write.parquet(
+        f"{src}/p2"
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    maintain_cms(spark, stream(), state, ck)
+    n_epochs = sum(1 for n in os.listdir(state) if n.startswith("epoch="))
+    assert n_epochs >= 2  # the merge below spans real partials
+
+    batch_grid = sorted(
+        tuple(r) for r in _batch_cms_partial(ev, "user_id").collect()
+    )
+    merged = sorted(
+        tuple(r) for r in read_cms_sketch(spark, state).collect()
+    )
+    assert merged == batch_grid
+
+    # crash-replay: batch 0 rewrites its own epoch — state unchanged
+    write_cms_partial(
+        ev.filter(F.col("event_id") % 2 == 0), 0, state, "user_id"
+    )
+    assert (
+        sorted(tuple(r) for r in read_cms_sketch(spark, state).collect())
+        == batch_grid
+    )
+
+    # compaction folds epochs without changing the merged grid
+    compact_cms(spark, state, through_epoch=10_000)
+    compact_cms(spark, state, through_epoch=10_000)  # deferred GC run
+    assert [n for n in os.listdir(state) if n.startswith("epoch=")] == [
+        "epoch=-2"
+    ]
+    assert (
+        sorted(tuple(r) for r in read_cms_sketch(spark, state).collect())
+        == batch_grid
+    )

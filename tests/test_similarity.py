@@ -412,3 +412,75 @@ def test_frozen_artifact_cross_engine_contract(spark):
             assert s_adc[i] == d_adc[i], (i, s_adc[i], d_adc[i])
 
     check()
+
+
+def test_semantic_dedup_matches_sequential_recompute(spark):
+    """sim_semantic_dedup_clusters vs an independent pure-Python
+    recomputation of the full contract (assignment, priority ranking,
+    chunking, dominance) at the smoke SF — an implementation bug in
+    either engine's relational formulation fails here even if both
+    engines agree with each other."""
+    import pyarrow.parquet as pq
+
+    from workshop3_etl_spark.operators.ivf_centroids import (
+        IVF_CENTROIDS,
+        centroid_norm2,
+    )
+    from workshop3_etl_spark.operators.similarity import (
+        _SEM_CAP,
+        _SEM_TAU,
+        sim_semantic_dedup_clusters,
+    )
+
+    tau = float(_SEM_TAU.replace("e0", ""))
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = {
+        int(i): [float(x) for x in e]
+        for i, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    # assignment + priority, exactly as specified
+    assigned = {}  # vec_id -> (cell, pd2)
+    for vid, ev in vecs.items():
+        nrm = dot(ev, ev)
+        best = min(
+            (
+                (centroid_norm2(c) - 2 * dot(ev, c), cell)
+                for cell, c in enumerate(IVF_CENTROIDS)
+            ),
+        )
+        assigned[vid] = (best[1], nrm + best[0])
+
+    clusters = {}
+    for vid, (cell, pd2) in assigned.items():
+        clusters.setdefault(cell, []).append((pd2, vid))
+    expected = {}
+    for cell, mem in clusters.items():
+        mem.sort(key=lambda p: (-p[0], p[1]))
+        dropped, edges = set(), 0
+        for ci in range(0, len(mem), _SEM_CAP):
+            chunk = mem[ci : ci + _SEM_CAP]
+            for j in range(len(chunk)):
+                for i in range(j):
+                    a, b = vecs[chunk[i][1]], vecs[chunk[j][1]]
+                    cs = dot(a, b) / (
+                        dot(a, a) ** 0.5 * dot(b, b) ** 0.5
+                    )
+                    if cs >= tau:
+                        edges += 1
+                        dropped.add(chunk[j][1])
+        expected[cell] = (len(mem), edges, len(dropped))
+
+    got = {
+        r["cluster"]: (r["n_members"], r["n_dom_edges"], r["n_dropped"])
+        for r in sim_semantic_dedup_clusters(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # the report must cover the whole corpus
+    assert sum(v[0] for v in got.values()) == len(vecs)

@@ -1694,3 +1694,187 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------
+# Semantic dedup over frozen quantizer clusters (SemDeDup-style).
+# --------------------------------------------------------------------
+
+# Within-cluster similarity threshold. This corpus's true near-dups
+# sit at cosine 0.40-0.60 (see sim_neardup_lsh_buckets dial notes);
+# 0.4e0 yields non-vacuous prune counts at both validation SFs
+# (29 dominance edges at sf0.01, 209 at sf0.1). Web-scale corpora with
+# genuine duplicates run this at 0.95+.
+_SEM_TAU = "0.4e0"
+# Hard per-cluster comparison cap: members are chunked by
+# distance-to-centroid rank, and pairs form only within a chunk, so
+# the pairwise stage is O(n * cap) at ANY corpus size. Never binds at
+# the validation SFs (largest cluster = 273 members at sf0.1).
+_SEM_CAP = 512
+
+_SEMDEDUP_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM (VALUES
+    {{cells}}
+  ) AS t(cell, centroid, cc)
+),
+v AS (
+  SELECT vec_id, embedding AS ev, {_norm2_duck('embedding')} AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT v.vec_id, v.ev, v.nrm, cells.cell,
+         cells.cc - 2 * {_dot_duck('v.ev', 'cells.centroid')} AS adist
+  FROM v CROSS JOIN cells
+),
+m AS (
+  SELECT vec_id, ev, nrm, cell, nrm + adist AS pd2 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY adist, cell) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+ch AS (
+  SELECT *, (rnk - 1) // {_SEM_CAP} AS chunk FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cell ORDER BY pd2 DESC, vec_id) AS rnk
+    FROM m
+  )
+),
+dom AS (
+  SELECT b.cell, b.vec_id
+  FROM ch a JOIN ch b
+    ON a.cell = b.cell AND a.chunk = b.chunk AND a.rnk < b.rnk
+  WHERE {_dot_duck('a.ev', 'b.ev')} / (SQRT(a.nrm) * SQRT(b.nrm))
+          >= {_SEM_TAU}
+),
+members AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members FROM m GROUP BY cell
+),
+stats AS (
+  SELECT cell,
+         CAST(COUNT(*) AS BIGINT) AS n_dom_edges,
+         CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_dropped
+  FROM dom GROUP BY cell
+)
+SELECT members.cell AS cluster,
+       n_members,
+       COALESCE(n_dom_edges, CAST(0 AS BIGINT)) AS n_dom_edges,
+       COALESCE(n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+       n_members - COALESCE(n_dropped, CAST(0 AS BIGINT)) AS n_kept
+FROM members LEFT JOIN stats ON members.cell = stats.cell
+ORDER BY cluster
+"""
+
+
+def _semdedup_oracle() -> str:
+    return _SEMDEDUP_ORACLE.format(cells=_ivf_cells_values_sql())
+
+
+@register("sim_semantic_dedup_clusters", oracle=_semdedup_oracle())
+def sim_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup per frozen-quantizer cluster (the SemDeDup
+    recipe — Abbas et al. 2023, arXiv:2303.09540): assign every
+    embedding to its nearest frozen IVF centroid, then within each
+    cluster drop any member that is tau-similar to a HIGHER-PRIORITY
+    member, priority = farthest-from-centroid first (the paper's
+    keeper policy), tie-broken by vec_id. Per-cluster prune report:
+    members / dominance edges / dropped / kept.
+
+    Dominance (drop if tau-similar to ANY higher-priority member) is
+    the one-pass relational relaxation of the paper's greedy
+    keep-set scan — identical unless similarity chains span a dropped
+    middle member, and the only variant whose pair stage is a single
+    self-equi-join (the greedy scan is inherently sequential per
+    cluster).
+
+    Scale contract: assignment is one broadcast map pass (16 literal
+    cells); the pairwise stage joins on (cell, chunk) where chunk
+    caps membership at _SEM_CAP by distance rank, so comparisons are
+    O(n * cap) under any skew — near-dups have near-equal centroid
+    distances, so rank-adjacent chunking is similarity-preserving.
+    At 100 TB the dial is the cell-count artifact (SemDeDup runs
+    k ~ n/1000) + the cap; both frozen literals here, which is what
+    makes the whole report hash-checkable cross-engine.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # persist (ev, nrm): the norm fold would otherwise re-evaluate
+    # per broadcast cell row (16x per vector)
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("ev"),
+        dot_fold("embedding", "embedding").alias("nrm"),
+    ).persist()
+    scored = v.crossJoin(F.broadcast(_ivf_cells_df(spark))).select(
+        "vec_id",
+        "ev",
+        "nrm",
+        "cell",
+        (F.col("cc") - 2 * dot_fold("ev", "centroid")).alias("adist"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.asc("adist"), F.asc("cell"))
+    m = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "ev",
+            "nrm",
+            "cell",
+            (F.col("nrm") + F.col("adist")).alias("pd2"),
+        )
+    )
+    wc = Window.partitionBy("cell").orderBy(F.desc("pd2"), F.asc("vec_id"))
+    # the cluster index: persisted once, read by the members agg and
+    # both sides of the dominance join
+    ch = (
+        m.withColumn("rnk", F.row_number().over(wc))
+        .withColumn("chunk", F.expr(f"(rnk - 1) div {_SEM_CAP}"))
+        .persist()
+    )
+    a = ch.alias("a")
+    b = ch.alias("b")
+    cos = (
+        F.expr(
+            "aggregate(zip_with(a.ev, b.ev,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        / (F.sqrt(F.col("a.nrm")) * F.sqrt(F.col("b.nrm")))
+    )
+    dom = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.rnk") < F.col("b.rnk")),
+        )
+        .filter(cos >= F.expr(_SEM_TAU))
+        .select(
+            F.col("b.cell").alias("cell"),
+            F.col("b.vec_id").alias("vec_id"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    members = ch.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    stats = dom.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dom_edges"),
+        F.countDistinct("vec_id").cast("long").alias("n_dropped"),
+    )
+    result = (
+        members.join(stats, "cell", "left")
+        .select(
+            F.col("cell").alias("cluster"),
+            "n_members",
+            F.coalesce(F.col("n_dom_edges"), zero).alias("n_dom_edges"),
+            F.coalesce(F.col("n_dropped"), zero).alias("n_dropped"),
+            (F.col("n_members") - F.coalesce(F.col("n_dropped"), zero))
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+    return materialize_and_release(result, v, ch)

@@ -123,7 +123,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # lakehouse_snapshot_diff_orders — lakehouse keeps
     # schema_evolution_merge).
     "embedding_dim_profile",
-    "sim_ann_ivf_topk",
+    # Added in round 5 (SemDeDup-style semantic dedup over the frozen
+    # quantizer clusters; official first-time row funded by demoting
+    # r4-green sim_ann_ivf_topk — the sim_ family keeps the pq_adc,
+    # ivfpq, lsh-topk and neardup representatives).
+    "sim_semantic_dedup_clusters",
     "dedup_levenshtein_blocked",
     "stats_welch_ttest_split_price",
     "happiness_unified_profile",
@@ -136,7 +140,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ann_lsh_topk",
     "lakehouse_schema_evolution_merge",
     "ts_seasonal_naive_mae",
-    "sketch_cms_heavy_custkeys",
+    # Added in round 5 (incrementally-maintained CMS heavy hitters on
+    # the shared epoch/compaction protocol; official first-time row
+    # funded by demoting r4-green sketch_cms_heavy_custkeys — the
+    # SAME sketch constants, now proven through the streaming
+    # maintenance path; sketch_ also keeps kmv_rolling_users_7d).
+    "stream_cms_heavy_hitters",
     "concurrency_shipping_orders_daily",
     "corpus_pack_sequences",
     "stream_ingest_dedup",

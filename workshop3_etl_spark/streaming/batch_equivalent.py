@@ -729,3 +729,117 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
             .orderBy("event_type")
             .localCheckpoint(eager=True)
         )
+
+
+# --------------------------------------------------------------------
+# Incrementally-maintained count-min sketch (streaming/rollup.py
+# maintain_cms) probed for heavy-hitter users and hash-compared
+# against the batch-built sketch: CMS partials merge by elementwise
+# sum, so the streaming state must equal the batch grid EXACTLY for
+# any micro-batch split — an integer-additive claim, not an
+# approximation claim. The exact counts ride along purely as
+# verification columns (the sketch path never needs them; at 100 TB
+# the candidate set comes from a sample or the previous window).
+# --------------------------------------------------------------------
+
+
+def _stream_cms_oracle() -> str:
+    from workshop3_etl_spark.operators.sketches import (
+        CMS_D,
+        cms_bucket_sql,
+    )
+
+    pairs = "\nUNION ALL\n".join(
+        f"  SELECT {i} AS i, {cms_bucket_sql('user_id', i)} AS bucket"
+        " FROM events"
+        for i in range(CMS_D)
+    )
+    cand_pairs = "\nUNION ALL\n".join(
+        f"  SELECT user_id, exact_cnt, {i} AS i,"
+        f" {cms_bucket_sql('user_id', i)} AS bucket FROM cand"
+        for i in range(CMS_D)
+    )
+    return f"""
+WITH pairs AS (
+{pairs}
+),
+sketch AS (
+  SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs GROUP BY 1, 2
+),
+cand AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY 1
+  ORDER BY exact_cnt DESC, user_id
+  LIMIT 10
+),
+cp AS (
+{cand_pairs}
+)
+SELECT
+  cp.user_id,
+  cp.exact_cnt,
+  CAST(MIN(s.c) AS BIGINT) AS cms_estimate,
+  MIN(s.c) >= cp.exact_cnt AS overestimate_ok
+FROM cp JOIN sketch s ON s.i = cp.i AND s.bucket = cp.bucket
+GROUP BY cp.user_id, cp.exact_cnt
+ORDER BY exact_cnt DESC, user_id
+"""
+
+
+@register("stream_cms_heavy_hitters", oracle=_stream_cms_oracle())
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter users probed from the CMS state maintained by the
+    foreachBatch job (streaming/rollup.maintain_cms), verified against
+    exact ride-along counts. The multi-epoch merge, replay, and
+    compaction story is pinned by tests/test_incremental_rollup.py;
+    this query proves the composed job lands on the batch-built
+    sketch inside the driver's gate."""
+    from workshop3_etl_spark.operators.sketches import (
+        CMS_D,
+        cms_bucket_sql,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+    from workshop3_etl_spark.streaming.rollup import (
+        maintain_cms,
+        read_cms_sketch,
+    )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        state = f"{workdir}/cms"
+        with _few_state_partitions(spark):
+            maintain_cms(
+                spark, _events_stream(spark, sf_dir), state, f"{workdir}/ck"
+            )
+        sketch = read_cms_sketch(spark, state)
+        stack_args = ", ".join(
+            f"{i}, {cms_bucket_sql('user_id', i)}" for i in range(CMS_D)
+        )
+        cand = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+            .orderBy(F.desc("exact_cnt"), "user_id")
+            .limit(10)
+        )
+        cp = cand.select(
+            "user_id",
+            "exact_cnt",
+            F.expr(f"stack({CMS_D}, {stack_args}) AS (i, bucket)"),
+        ).select("user_id", "exact_cnt", "i", "bucket")
+        result = (
+            cp.join(F.broadcast(sketch), ["i", "bucket"])
+            .groupBy("user_id", "exact_cnt")
+            .agg(F.min("c").cast("long").alias("cms_estimate"))
+            .select(
+                "user_id",
+                "exact_cnt",
+                "cms_estimate",
+                (F.col("cms_estimate") >= F.col("exact_cnt")).alias(
+                    "overestimate_ok"
+                ),
+            )
+            .orderBy(F.desc("exact_cnt"), "user_id")
+        )
+        # materialize before the state dir vanishes
+        return result.localCheckpoint(eager=True)

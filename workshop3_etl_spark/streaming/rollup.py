@@ -215,3 +215,106 @@ def compact_rollup(
         fold,
         partition_cols=("epoch", "day"),
     )
+
+
+# --------------------------------------------------------------------
+# Incremental COUNT-MIN SKETCH: streaming heavy-hitter state as
+# epoch-partitioned partial sketches. CMS is a MERGEABLE summary —
+# elementwise sums of partial counter grids equal the grid built over
+# the union of the inputs — so the same epoch-overwrite protocol that
+# makes the rollup replay-safe applies verbatim: each micro-batch
+# writes ITS OWN d x w partial (<= CMS_D * CMS_W rows per epoch,
+# state bounded regardless of key cardinality — the reason to ship a
+# sketch instead of exact per-key counts at 100 TB), a replayed batch
+# rewrites its own epoch, and the read-side merge is one bounded
+# groupBy. Compaction folds epochs through the shared crash-safe
+# manifest protocol (streaming/compaction.py).
+#
+# The sketch constants (operators/sketches.py) are shared verbatim
+# with the batch CMS query and its DuckDB oracle, so the streaming
+# state is hash-checkable against the batch answer — additive
+# integer counters, no order sensitivity anywhere.
+# --------------------------------------------------------------------
+
+from workshop3_etl_spark.operators.sketches import (  # noqa: E402
+    CMS_D,
+    CMS_W,
+    cms_bucket_sql,
+)
+
+
+def _batch_cms_partial(batch: DataFrame, key_col: str) -> DataFrame:
+    stack_args = ", ".join(
+        f"{i}, {cms_bucket_sql(key_col, i)}" for i in range(CMS_D)
+    )
+    return (
+        batch.select(key_col)
+        .select(F.expr(f"stack({CMS_D}, {stack_args}) AS (i, bucket)"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def write_cms_partial(
+    batch: DataFrame, epoch_id: int, state_path: str, key_col: str = "user_id"
+) -> None:
+    """foreachBatch body: one micro-batch's partial sketch under its
+    epoch partition (idempotent under replay)."""
+    from workshop3_etl_spark.sources.lakehouse import (
+        dynamic_partition_overwrite,
+    )
+
+    spark = batch.sparkSession
+    b = _batch_cms_partial(batch, key_col).withColumn(
+        "epoch", F.lit(int(epoch_id))
+    )
+    if not b.take(1):
+        return
+    with dynamic_partition_overwrite(spark):
+        b.write.mode("overwrite").partitionBy("epoch").parquet(state_path)
+
+
+def maintain_cms(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+) -> None:
+    """Run sketch maintenance to completion (availableNow)."""
+    (
+        events_stream.writeStream.foreachBatch(
+            lambda b, epoch: write_cms_partial(b, epoch, state_path, key_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_cms_sketch(spark: SparkSession, state_path: str) -> DataFrame:
+    """The merged sketch: elementwise-summed partials, bounded at
+    d x w rows."""
+    return (
+        _read_live(spark, state_path)
+        .groupBy("i", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def compact_cms(
+    spark: SparkSession, state_path: str, through_epoch: int
+) -> None:
+    """Fold committed sketch epochs into the base generation (shared
+    crash-safe protocol; counter sums are associative, so reads are
+    identical before and after)."""
+
+    def fold(old: DataFrame) -> DataFrame:
+        return old.groupBy("i", "bucket").agg(
+            F.sum("c").cast("long").alias("c")
+        )
+
+    compact_partials(
+        spark, state_path, through_epoch, fold, partition_cols=("epoch",)
+    )
