@@ -410,3 +410,27 @@ def test_explicit_bloom_probe_sits_below_the_verify_join(spark):
     # and the probe is constant-folded: a literal array, not a
     # per-row array construction
     assert "element_at([" in plan
+
+
+def test_semantic_dedup_broadcast_assignment_and_chunked_join(spark, monkeypatch):
+    """SemDeDup plan hygiene: the ONLY cross join is the broadcast of
+    the 16-row frozen cell frame (assignment is a map pass over the
+    corpus); the dominance stage is an equi-join keyed by
+    (cell, chunk) — never a cartesian/nested-loop pair expansion.
+    materialize_and_release is stubbed so the PRE-checkpoint pipeline
+    is what gets inspected (the ANN vacuous-test lesson)."""
+    from workshop3_etl_spark.operators import similarity
+
+    def passthrough(result, *frames):
+        for f in frames:
+            f.unpersist()
+        return result
+
+    monkeypatch.setattr(similarity, "materialize_and_release", passthrough)
+    plan = _plan(similarity.sim_semantic_dedup_clusters(spark, SF_CORRECT))
+    assert "Join" in plan  # the real pipeline survived (not a scan)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # dominance join keyed by (cell, chunk): some hashpartitioning or
+    # join condition mentions the chunk column
+    assert "chunk" in plan
