@@ -146,7 +146,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # SAME sketch constants, now proven through the streaming
     # maintenance path; sketch_ also keeps kmv_rolling_users_7d).
     "stream_cms_heavy_hitters",
-    "concurrency_shipping_orders_daily",
+    # Added in round 5 (bucketed co-located fact-fact join — the
+    # pay-partitioning-once layout, graduated from pytest-only to a
+    # driver row; funded by demoting r4-green
+    # concurrency_shipping_orders_daily — the interval/window family
+    # keeps window_rank_supplier_balance and the stream_* windows).
+    "lakehouse_bucketed_colocated_join",
     "corpus_pack_sequences",
     "stream_ingest_dedup",
     "pyds_documents_by_lang",

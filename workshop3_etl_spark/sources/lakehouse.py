@@ -369,3 +369,101 @@ def _register_schema_evolution() -> None:
 
 
 _register_schema_evolution()
+
+
+# --------------------------------------------------------------------
+# Bucketed co-located join: the recurring fact-fact join layout.
+# --------------------------------------------------------------------
+
+
+def _register_bucketed_join() -> None:
+    from workshop3_etl_spark.functions import metrics as M
+    from workshop3_etl_spark.plans.registry import register
+    from workshop3_etl_spark.sources.tables import load_table
+
+    oracle = f"""
+SELECT
+  o.o_orderpriority AS priority,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  {M.oracle_dsum('l.l_quantity', 'total_qty')},
+  {M.oracle_dsum('l.l_extendedprice', 'total_price')}
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+    @register("lakehouse_bucketed_colocated_join", oracle=oracle)
+    def lakehouse_bucketed_colocated_join(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Fact-fact join through tables BUCKETED on the join key:
+        both sides are written ``bucketBy(8, orderkey)`` (sorted
+        within buckets), so the SortMergeJoin consumes the bucketed
+        layout directly — no Exchange on either side
+        (tests/test_lakehouse.py and test_plans.py assert the
+        shuffle-free plan). Broadcast is disabled for the join scoped
+        to this query so the strategy decision is bucket-vs-shuffle,
+        not size.
+
+        This is the 100 TB recurring-join layout: pay the
+        partitioning ONCE at write time, then every nightly join of
+        the two facts is map-side. The oracle computes the same
+        aggregate from the raw tables — bucketing is pure layout and
+        must not change a single value.
+        """
+        import tempfile
+        import uuid
+
+        suffix = uuid.uuid4().hex[:8]
+        t_orders = f"b_orders_{suffix}"
+        t_li = f"b_lineitem_{suffix}"
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with tempfile.TemporaryDirectory() as root:
+            try:
+                o = load_table(spark, sf_dir, "orders").select(
+                    "o_orderkey", "o_orderpriority"
+                )
+                li = load_table(spark, sf_dir, "lineitem").select(
+                    "l_orderkey", "l_quantity", "l_extendedprice"
+                )
+                (
+                    o.write.bucketBy(8, "o_orderkey")
+                    .sortBy("o_orderkey")
+                    .option("path", f"{root}/orders")
+                    .mode("overwrite")
+                    .format("parquet")
+                    .saveAsTable(t_orders)
+                )
+                (
+                    li.write.bucketBy(8, "l_orderkey")
+                    .sortBy("l_orderkey")
+                    .option("path", f"{root}/lineitem")
+                    .mode("overwrite")
+                    .format("parquet")
+                    .saveAsTable(t_li)
+                )
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                result = (
+                    spark.table(t_li)
+                    .join(
+                        spark.table(t_orders),
+                        F.col("l_orderkey") == F.col("o_orderkey"),
+                    )
+                    .groupBy(F.col("o_orderpriority").alias("priority"))
+                    .agg(
+                        F.count(F.lit(1)).cast("long").alias("n_items"),
+                        M.dsum("l_quantity", "total_qty"),
+                        M.dsum("l_extendedprice", "total_price"),
+                    )
+                    .orderBy("priority")
+                )
+                # materialize before the external location vanishes
+                return result.localCheckpoint(eager=True)
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", prev_thresh
+                )
+                spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+                spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+
+
+_register_bucketed_join()
