@@ -80,3 +80,51 @@ def test_compare_outlier_treatments(spark):
     by_name = {r["variant"]: r for r in out}
     # IQR-drop trains/tests on fewer rows than baseline
     assert by_name["drop_iqr_1_5"]["n_test"] <= by_name["baseline"]["n_test"]
+
+
+def test_group_split_audit_detects_row_level_leakage(spark):
+    """The leakage audit must read 0 for the group-keyed split and
+    NONZERO when the hash is (wrongly) keyed per-row — i.e. the audit
+    detects the bug it exists for, rather than being structurally
+    zero."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.ml import ml_group_split_no_leakage
+    from workshop3_etl_spark.sources.tables import load_table
+
+    row = ml_group_split_no_leakage(spark, SF_SMOKE).collect()[0]
+    assert row["n_leaked_users"] == 0
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert row["n_train_users"] + row["n_test_users"] == n_users
+    assert (
+        row["n_train_events"] + row["n_test_events"] == ev.count()
+    )
+
+    # the buggy variant: hash keyed on event_id splits WITHIN users
+    leaked = (
+        ev.select(
+            "user_id",
+            (
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"), F.lit(":42")
+                        )
+                    ),
+                    1,
+                    2,
+                )
+                < "b3"
+            ).cast("int").alias("is_train"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_train").alias("a"),
+            F.sum(1 - F.col("is_train")).alias("b"),
+        )
+        .filter((F.col("a") > 0) & (F.col("b") > 0))
+        .count()
+    )
+    assert leaked > 0

@@ -845,3 +845,82 @@ def ml_calibration_deciles_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from workshop3_etl_spark.functions.cache import materialize_and_release
 
     return materialize_and_release(result, scored)
+
+
+# --------------------------------------------------------------------
+# Group-aware split + leakage audit: rows split by GROUP key, proven
+# leak-free from the data (not assumed from the construction).
+# --------------------------------------------------------------------
+
+_GROUP_SPLIT_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         CASE WHEN substring(
+                md5(CAST(user_id AS VARCHAR) || ':42'), 1, 2) < 'b3'
+              THEN 1 ELSE 0 END AS is_train
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(is_train) AS BIGINT) AS n_train_ev,
+         CAST(SUM(1 - is_train) AS BIGINT) AS n_test_ev
+  FROM e GROUP BY user_id
+)
+SELECT
+  CAST(SUM(CASE WHEN n_test_ev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_train_users,
+  CAST(SUM(CASE WHEN n_train_ev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_test_users,
+  CAST(SUM(CASE WHEN n_train_ev > 0 AND n_test_ev > 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_leaked_users,
+  CAST(SUM(n_train_ev) AS BIGINT) AS n_train_events,
+  CAST(SUM(n_test_ev) AS BIGINT) AS n_test_events
+FROM per_user
+"""
+
+
+@register("ml_group_split_no_leakage", oracle=_GROUP_SPLIT_ORACLE)
+def ml_group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/test split over events with a leakage AUDIT:
+    rows are assigned by the salted-md5 protocol keyed on user_id (the
+    GROUP — every row of a user lands in one side), and the audit
+    recomputes per-user membership from the assigned rows to count
+    users seen in both sides. The count is surfaced, not asserted —
+    a regression in the split key (e.g. keying on event_id) flips
+    n_leaked_users from 0 and fails the hash gate.
+
+    Row-level random splits leak entity-correlated signal between
+    train and test (the GroupKFold rationale); keying the hash on the
+    group is the distributed-scale fix — map-only assignment, one
+    user-keyed groupBy for the audit, 1-row result.
+    """
+    from workshop3_etl_spark.sources.tables import load_table
+
+    is_train = (
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":42"))),
+            1,
+            2,
+        )
+        < "b3"
+    ).cast("int")
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id"), is_train.alias("is_train"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_train").cast("long").alias("n_train_ev"),
+            F.sum(1 - F.col("is_train")).cast("long").alias("n_test_ev"),
+        )
+    )
+    return per_user.agg(
+        F.sum((F.col("n_test_ev") == 0).cast("int")).cast("long")
+        .alias("n_train_users"),
+        F.sum((F.col("n_train_ev") == 0).cast("int")).cast("long")
+        .alias("n_test_users"),
+        F.sum(
+            ((F.col("n_train_ev") > 0) & (F.col("n_test_ev") > 0)).cast("int")
+        ).cast("long").alias("n_leaked_users"),
+        F.sum("n_train_ev").cast("long").alias("n_train_events"),
+        F.sum("n_test_ev").cast("long").alias("n_test_events"),
+    )

@@ -827,3 +827,95 @@ def dq_observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_filled long, total_cents long,"
         " min_orderdate string, max_orderdate string",
     )
+
+
+# --------------------------------------------------------------------
+# Join-key skew profile: the "should I salt this join" advisor.
+# --------------------------------------------------------------------
+
+# (table, key) pairs a pipeline would join on. Hot-key and skew
+# verdicts are integer cross-multiplications (freq * n_keys vs
+# k * n_rows), never divisions — bit-stable by construction.
+_SKEW_SOURCES = (
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+)
+# Dials chosen so BOTH verdict branches are exercised on the
+# validation corpus (TPC-H-ish keys are near-uniform; production
+# web-scale keys are zipfian and would trip these at 10x/20x too —
+# the point is the report, the thresholds are the caller's dial).
+_HOT_X = 2  # hot key: freq > 2x the mean key frequency
+_SKEW_X = 2  # skewed source: max freq > 2x the mean
+
+
+def _skew_oracle() -> str:
+    legs = []
+    for tbl, col in _SKEW_SOURCES:
+        legs.append(f"""
+  SELECT '{tbl}.{col}' AS src, n_rows, n_keys, max_freq,
+         n_hot_keys, max_freq * n_keys > {_SKEW_X} * n_rows AS skewed
+  FROM (
+    SELECT
+      CAST(SUM(f) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) AS BIGINT) AS n_keys,
+      CAST(MAX(f) AS BIGINT) AS max_freq,
+      CAST(SUM(CASE WHEN f * (SELECT COUNT(*) FROM (
+              SELECT {col} FROM {tbl} GROUP BY {col}))
+            > {_HOT_X} * (SELECT COUNT(*) FROM {tbl})
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS f FROM {tbl} GROUP BY {col})
+  )""")
+    return "SELECT * FROM (" + "\nUNION ALL\n".join(legs) + ") ORDER BY src"
+
+
+@register("dq_join_key_skew_profile", oracle=_skew_oracle())
+def dq_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-frequency skew report for the joins a pipeline shuffles on
+    — the advisor that decides WHICH joins need salting / AQE skew
+    handling before a 100 TB run burns a day on one straggler task.
+
+    Per (table, key): row and key cardinalities, the hottest key's
+    frequency, how many keys exceed _HOT_X times the mean frequency,
+    and a skew verdict (max > _SKEW_X times the mean). All
+    comparisons are integer cross-multiplications (freq * n_keys vs
+    k * n_rows) — no divisions anywhere, so the report is bit-stable.
+
+    Plan: one pruned single-column scan + one groupBy per source; the
+    per-key frequency frame collapses to a 1-row stats aggregate
+    joined back (broadcast) for the hot-key count. Nothing keeps
+    per-key state beyond the groupBy."""
+    legs = []
+    for tbl, col in _SKEW_SOURCES:
+        freq = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        )
+        totals = freq.agg(
+            F.sum("f").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("f").cast("long").alias("max_freq"),
+        )
+        hot = (
+            freq.crossJoin(F.broadcast(totals))
+            .filter(F.col("f") * F.col("n_keys") > _HOT_X * F.col("n_rows"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hot_keys"))
+        )
+        legs.append(
+            totals.crossJoin(F.broadcast(hot)).select(
+                F.lit(f"{tbl}.{col}").alias("src"),
+                "n_rows",
+                "n_keys",
+                "max_freq",
+                "n_hot_keys",
+                (
+                    F.col("max_freq") * F.col("n_keys")
+                    > _SKEW_X * F.col("n_rows")
+                ).alias("skewed"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("src")

@@ -152,12 +152,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # concurrency_shipping_orders_daily — the interval/window family
     # keeps window_rank_supplier_balance and the stream_* windows).
     "lakehouse_bucketed_colocated_join",
-    "corpus_pack_sequences",
+    # Added in round 5 (join-key skew advisor; official first-time row
+    # funded by demoting r4-green corpus_pack_sequences — corpus_
+    # keeps the pii_scrub and shard_manifest first-timers).
+    "dq_join_key_skew_profile",
+    # Added in round 5 (group-aware split + leakage audit; official
+    # first-time row funded by demoting r4-green
+    # ml_onehot_mktsegment_table — ml_ keeps scaling_minmax_zscore).
+    "ml_group_split_no_leakage",
     "stream_ingest_dedup",
     "pyds_documents_by_lang",
     "sql_scripting_decayed_revenue",
     "q1_pricing_summary",
-    "ml_onehot_mktsegment_table",
     "ml_scaling_minmax_zscore",
     "udf_named_functions_docs",
     "multimodal_decode_bmp_wav",
