@@ -842,10 +842,28 @@ def test_streaming_cms_merge_replay_and_compaction(spark, tmp_path):
     )
     assert merged == batch_grid
 
-    # crash-replay: batch 0 rewrites its own epoch — state unchanged
-    write_cms_partial(
-        ev.filter(F.col("event_id") % 2 == 0), 0, state, "user_id"
+    # crash-replay: batch 0 rewrites its own epoch — state unchanged.
+    # Which half WAS batch 0 is a file-listing-order detail; identify
+    # it from the committed epoch instead of assuming, then replay
+    # exactly that input.
+    epoch0 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{state}/epoch=0")
+        .select("i", "bucket", "c")
+        .collect()
     )
+    halves = {
+        par: ev.filter(F.col("event_id") % 2 == par) for par in (0, 1)
+    }
+    batch0 = next(
+        h
+        for h in halves.values()
+        if sorted(
+            tuple(r) for r in _batch_cms_partial(h, "user_id").collect()
+        )
+        == epoch0
+    )
+    write_cms_partial(batch0, 0, state, "user_id")
     assert (
         sorted(tuple(r) for r in read_cms_sketch(spark, state).collect())
         == batch_grid

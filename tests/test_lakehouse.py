@@ -171,3 +171,60 @@ def test_jsonl_sink_source_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert fp(back) == fp(docs)
+
+
+def test_registered_colocated_join_plan_is_shuffle_free(spark, tmp_path):
+    """lakehouse_bucketed_colocated_join's own join frame (built via
+    the SAME shared helpers the registered query uses) must be a
+    SortMergeJoin with NO exchange on either join key — the property
+    the operator exists for. The only exchange allowed in the plan is
+    the final per-priority aggregation."""
+    import re
+    import uuid
+
+    from workshop3_etl_spark.sources.lakehouse import (
+        colocated_join_agg,
+        write_bucketed_fact_tables,
+    )
+
+    suffix = uuid.uuid4().hex[:8]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    t_li = t_orders = None
+    try:
+        t_li, t_orders = write_bucketed_fact_tables(
+            spark, SF_SMOKE, str(tmp_path), suffix
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        frame = colocated_join_agg(spark, t_li, t_orders)
+        plan = frame._sc._jvm.PythonSQLUtils.explainString(
+            frame._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        # no shuffle on either join key: every hashpartitioning in the
+        # plan is the final priority aggregation, never the orderkeys
+        for seg in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+            assert "orderkey" not in seg, plan
+        # and the values equal the raw-table join (layout only)
+        got = {r["priority"]: tuple(r)[1:] for r in frame.collect()}
+        from workshop3_etl_spark.functions import metrics as M
+
+        raw = (
+            load_table(spark, SF_SMOKE, "lineitem")
+            .join(
+                load_table(spark, SF_SMOKE, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                M.dsum("l_quantity", "total_qty"),
+                M.dsum("l_extendedprice", "total_price"),
+            )
+        )
+        exp = {r["priority"]: tuple(r)[1:] for r in raw.collect()}
+        assert got == exp
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in (t_orders, t_li):
+            if t:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")

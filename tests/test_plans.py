@@ -431,6 +431,12 @@ def test_semantic_dedup_broadcast_assignment_and_chunked_join(spark, monkeypatch
     assert "Join" in plan  # the real pipeline survived (not a scan)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    # dominance join keyed by (cell, chunk): some hashpartitioning or
-    # join condition mentions the chunk column
-    assert "chunk" in plan
+    # dominance join keyed by (cell, chunk): the equi-join's key list
+    # itself must carry the chunk column (a projection mentioning
+    # chunk is not enough — dropping chunk from the join breaks the
+    # O(n*cap) bound while still passing the assertions above)
+    import re
+
+    assert re.search(
+        r"keys \[2\]: \[cell#\d+, chunk#\d+", plan
+    ), plan[:2000]

@@ -896,17 +896,13 @@ def ml_group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from workshop3_etl_spark.sources.tables import load_table
 
-    is_train = (
-        F.substring(
-            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":42"))),
-            1,
-            2,
-        )
-        < "b3"
-    ).cast("int")
+    # the module's split protocol, keyed on the GROUP column only —
+    # one definition of (seed, threshold, hash shape) for the repo
+    flagged = with_split_flags(
+        load_table(spark, sf_dir, "events").select("user_id"), ["user_id"]
+    )
     per_user = (
-        load_table(spark, sf_dir, "events")
-        .select(F.col("user_id"), is_train.alias("is_train"))
+        flagged.select("user_id", "is_train")
         .groupBy("user_id")
         .agg(
             F.sum("is_train").cast("long").alias("n_train_ev"),

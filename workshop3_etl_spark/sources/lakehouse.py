@@ -44,12 +44,16 @@ def write_bucketed(
     n_buckets: int = 16,
     sort_col: str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Save as a bucketed managed table (bucket pruning + shuffle-free
-    joins between tables bucketed the same way)."""
+    """Save as a bucketed table (bucket pruning + shuffle-free joins
+    between tables bucketed the same way). ``path`` makes it external
+    (managed in the session warehouse otherwise)."""
     writer = df.write.bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
+    if path:
+        writer = writer.option("path", path)
     writer.mode(mode).format("parquet").saveAsTable(table_name)
 
 
@@ -376,10 +380,66 @@ _register_schema_evolution()
 # --------------------------------------------------------------------
 
 
+def write_bucketed_fact_tables(
+    spark: SparkSession, sf_dir: str, root: str, suffix: str
+) -> tuple[str, str]:
+    """Write the orders/lineitem join columns as external tables
+    bucketed (and sorted) on the join key. Returns (t_li, t_orders).
+    Shared by the registered query and its plan-shape test so the
+    layout under inspection is the layout that ships."""
+    from workshop3_etl_spark.sources.tables import load_table
+
+    t_orders = f"b_orders_{suffix}"
+    t_li = f"b_lineitem_{suffix}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        t_orders,
+        "o_orderkey",
+        n_buckets=8,
+        sort_col="o_orderkey",
+        path=f"{root}/orders",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        ),
+        t_li,
+        "l_orderkey",
+        n_buckets=8,
+        sort_col="l_orderkey",
+        path=f"{root}/lineitem",
+    )
+    return t_li, t_orders
+
+
+def colocated_join_agg(
+    spark: SparkSession, t_li: str, t_orders: str
+) -> DataFrame:
+    """The fact-fact join + per-priority aggregate over the bucketed
+    tables (pre-checkpoint — the frame the plan test inspects)."""
+    from workshop3_etl_spark.functions import metrics as M
+
+    return (
+        spark.table(t_li)
+        .join(
+            spark.table(t_orders),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            M.dsum("l_quantity", "total_qty"),
+            M.dsum("l_extendedprice", "total_price"),
+        )
+        .orderBy("priority")
+    )
+
+
 def _register_bucketed_join() -> None:
     from workshop3_etl_spark.functions import metrics as M
     from workshop3_etl_spark.plans.registry import register
-    from workshop3_etl_spark.sources.tables import load_table
 
     oracle = f"""
 SELECT
@@ -399,10 +459,10 @@ GROUP BY 1 ORDER BY 1
         both sides are written ``bucketBy(8, orderkey)`` (sorted
         within buckets), so the SortMergeJoin consumes the bucketed
         layout directly — no Exchange on either side
-        (tests/test_lakehouse.py and test_plans.py assert the
-        shuffle-free plan). Broadcast is disabled for the join scoped
-        to this query so the strategy decision is bucket-vs-shuffle,
-        not size.
+        (tests/test_lakehouse.test_registered_colocated_join_plan_is_shuffle_free
+        asserts THIS query's plan through the shared helpers).
+        Broadcast is disabled for the join scoped to this query so
+        the strategy decision is bucket-vs-shuffle, not size.
 
         This is the 100 TB recurring-join layout: pay the
         partitioning ONCE at write time, then every nightly join of
@@ -414,56 +474,24 @@ GROUP BY 1 ORDER BY 1
         import uuid
 
         suffix = uuid.uuid4().hex[:8]
-        t_orders = f"b_orders_{suffix}"
-        t_li = f"b_lineitem_{suffix}"
         prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         with tempfile.TemporaryDirectory() as root:
+            t_li = t_orders = None
             try:
-                o = load_table(spark, sf_dir, "orders").select(
-                    "o_orderkey", "o_orderpriority"
-                )
-                li = load_table(spark, sf_dir, "lineitem").select(
-                    "l_orderkey", "l_quantity", "l_extendedprice"
-                )
-                (
-                    o.write.bucketBy(8, "o_orderkey")
-                    .sortBy("o_orderkey")
-                    .option("path", f"{root}/orders")
-                    .mode("overwrite")
-                    .format("parquet")
-                    .saveAsTable(t_orders)
-                )
-                (
-                    li.write.bucketBy(8, "l_orderkey")
-                    .sortBy("l_orderkey")
-                    .option("path", f"{root}/lineitem")
-                    .mode("overwrite")
-                    .format("parquet")
-                    .saveAsTable(t_li)
+                t_li, t_orders = write_bucketed_fact_tables(
+                    spark, sf_dir, root, suffix
                 )
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-                result = (
-                    spark.table(t_li)
-                    .join(
-                        spark.table(t_orders),
-                        F.col("l_orderkey") == F.col("o_orderkey"),
-                    )
-                    .groupBy(F.col("o_orderpriority").alias("priority"))
-                    .agg(
-                        F.count(F.lit(1)).cast("long").alias("n_items"),
-                        M.dsum("l_quantity", "total_qty"),
-                        M.dsum("l_extendedprice", "total_price"),
-                    )
-                    .orderBy("priority")
-                )
+                result = colocated_join_agg(spark, t_li, t_orders)
                 # materialize before the external location vanishes
                 return result.localCheckpoint(eager=True)
             finally:
                 spark.conf.set(
                     "spark.sql.autoBroadcastJoinThreshold", prev_thresh
                 )
-                spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
-                spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+                for t in (t_orders, t_li):
+                    if t:
+                        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 _register_bucketed_join()

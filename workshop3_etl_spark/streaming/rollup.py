@@ -238,7 +238,6 @@ def compact_rollup(
 
 from workshop3_etl_spark.operators.sketches import (  # noqa: E402
     CMS_D,
-    CMS_W,
     cms_bucket_sql,
 )
 
@@ -265,11 +264,14 @@ def write_cms_partial(
     )
 
     spark = batch.sparkSession
+    # emptiness probe on the RAW batch (the grid is empty iff the
+    # batch is — no filter between them), so the stack+groupBy
+    # aggregation runs exactly once, in the write
+    if batch.isEmpty():
+        return
     b = _batch_cms_partial(batch, key_col).withColumn(
         "epoch", F.lit(int(epoch_id))
     )
-    if not b.take(1):
-        return
     with dynamic_partition_overwrite(spark):
         b.write.mode("overwrite").partitionBy("epoch").parquet(state_path)
 
