@@ -639,3 +639,107 @@ def concurrency_shipping_orders_daily(
         "net_change",
         F.sum("net_change").over(wr).cast("long").alias("open_orders"),
     ).orderBy("d")
+
+
+# --------------------------------------------------------------------
+# CUSUM change-point scores: sequential recurrence as two windows.
+# --------------------------------------------------------------------
+
+_CUSUM_TOPK = 10
+
+_CUSUM_ORACLE = f"""
+WITH hours AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT MIN(h) AS mn, MAX(h) AS mx, CAST(SUM(n) AS BIGINT) AS total
+  FROM hours
+),
+spine AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h,
+         total // (datediff('hour', mn, mx) + 1) AS k
+  FROM b
+),
+filled AS (
+  SELECT s.h, COALESCE(hours.n, CAST(0 AS BIGINT)) AS n, s.k
+  FROM spine s LEFT JOIN hours ON s.h = hours.h
+),
+rs AS (
+  SELECT h, n,
+         CAST(SUM(n - k) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS rsum
+  FROM filled
+),
+cusum AS (
+  SELECT h, n,
+         rsum - LEAST(CAST(0 AS BIGINT),
+                      MIN(rsum) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING))
+           AS s
+  FROM rs
+)
+SELECT h AS hour_ts, n AS n_events, CAST(s AS BIGINT) AS cusum
+FROM cusum
+ORDER BY s DESC, h
+LIMIT {_CUSUM_TOPK}
+"""
+
+
+@register("ts_cusum_changepoints", oracle=_CUSUM_ORACLE)
+def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top change-point hours by one-sided CUSUM score over the
+    hourly event-count series (gap hours count as 0 via the calendar
+    spine). The sequential recurrence s_t = max(0, s_{t-1} + (x_t-k))
+    is computed RELATIONALLY via its prefix identity
+    s_t = RS_t - min(0, min_{j<=t} RS_j) — a running sum and a
+    running min, both over the aggregated hour spine (two window
+    passes over calendar-bounded rows; the raw events see only the
+    hourly groupBy, the skyline/concurrency spine discipline). The
+    drift allowance k = total div n_hours is integer division, so
+    every value in the pipeline is an exact integer — bit-stable
+    under any partitioning.
+
+    At 100 TB the spine length is calendar hours (e.g. ~90k for a
+    decade), so the unpartitioned spine windows stay trivially small
+    no matter the corpus; the only corpus-scale work is the hourly
+    count shuffle."""
+    hours = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    b = hours.agg(
+        F.min("h").alias("mn"),
+        F.max("h").alias("mx"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    spine = b.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias(
+            "h"
+        ),
+        F.expr("total div (timestampdiff(HOUR, mn, mx) + 1)").alias("k"),
+    )
+    filled = spine.join(F.broadcast(hours), "h", "left").select(
+        "h", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"), "k"
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    rs = filled.select(
+        "h", "n", F.sum(F.col("n") - F.col("k")).over(w).alias("rsum")
+    )
+    cusum = rs.select(
+        "h",
+        "n",
+        (
+            F.col("rsum")
+            - F.least(F.lit(0).cast("long"), F.min("rsum").over(w))
+        ).alias("s"),
+    )
+    return (
+        cusum.orderBy(F.desc("s"), "h")
+        .limit(_CUSUM_TOPK)
+        .select(
+            F.col("h").alias("hour_ts"),
+            F.col("n").alias("n_events"),
+            F.col("s").cast("long").alias("cusum"),
+        )
+    )

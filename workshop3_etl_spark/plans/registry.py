@@ -139,7 +139,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ann_ivfpq_topk",
     "sim_ann_lsh_topk",
     "lakehouse_schema_evolution_merge",
-    "ts_seasonal_naive_mae",
+    # Added in round 5 (CUSUM change-point scores via the two-window
+    # prefix identity; official first-time row funded by demoting
+    # r4-green ts_seasonal_naive_mae — ts_ keeps the
+    # ohlc_hourly_downsample first-timer).
+    "ts_cusum_changepoints",
     # Added in round 5 (incrementally-maintained CMS heavy hitters on
     # the shared epoch/compaction protocol; official first-time row
     # funded by demoting r4-green sketch_cms_heavy_custkeys — the
