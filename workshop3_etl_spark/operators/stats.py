@@ -919,3 +919,74 @@ def dq_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("src")
+
+
+# --------------------------------------------------------------------
+# Bad-record quarantine: PERMISSIVE-parse ingestion audit.
+# --------------------------------------------------------------------
+
+_QUARANTINE_ORACLE = """
+WITH feed AS (
+  SELECT event_id,
+         CASE WHEN event_id % 16 = 0 THEN 'x' || props ELSE props END AS p
+  FROM events
+),
+parsed AS (
+  SELECT event_id, p, json_valid(p) AS ok,
+         CASE WHEN json_valid(p)
+              THEN CAST(p->>'k' AS INTEGER) END AS k
+  FROM feed
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined,
+  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+  CAST(SUM(CASE WHEN ok THEN k END) AS BIGINT) AS k_sum_good,
+  CAST(MAX(CASE WHEN ok THEN k END) AS INTEGER) AS k_max_good
+FROM parsed
+"""
+
+
+@register("dq_quarantine_bad_records", oracle=_QUARANTINE_ORACLE)
+def dq_quarantine_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-parse quarantine over a JSON feed: rows whose
+    payload fails to parse are counted OUT (quarantined), the rest
+    flow through with typed extraction — the ingest pattern that
+    keeps one poison record from failing a 100 TB batch while
+    keeping the loss observable.
+
+    The synthetic props column is 100% clean, so a dirty feed is
+    INJECTED deterministically (event_id-derived prefix corruption —
+    the corpus_pii_scrub_stats non-vacuousness idiom); badness is
+    then DERIVED by the parser (from_json's columnNameOfCorruptRecord
+    — malformed JSON yields a non-null corrupt column; note the bare
+    struct comes back as {NULL}, never NULL, so .isNull() cannot
+    detect it), which the oracle mirrors with json_valid. Map-only +
+    one 1-row aggregate; at scale the quarantined rows would fork to
+    a dead-letter sink in the same pass."""
+    parsed = F.from_json(
+        F.col("p"),
+        "k INT, _corrupt_record STRING",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    feed = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 16 == 0, F.concat(F.lit("x"), F.col("props"))
+        )
+        .otherwise(F.col("props"))
+        .alias("p"),
+    )
+    rows = feed.select(
+        parsed["_corrupt_record"].isNull().alias("ok"),
+        parsed["k"].alias("k"),
+    )
+    return rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum((~F.col("ok")).cast("int")).cast("long").alias("n_quarantined"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_good"),
+        F.sum(F.when(F.col("ok"), F.col("k"))).cast("long")
+        .alias("k_sum_good"),
+        F.max(F.when(F.col("ok"), F.col("k"))).cast("int")
+        .alias("k_max_good"),
+    )

@@ -128,7 +128,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r4-green sim_ann_ivf_topk — the sim_ family keeps the pq_adc,
     # ivfpq, lsh-topk and neardup representatives).
     "sim_semantic_dedup_clusters",
-    "dedup_levenshtein_blocked",
+    # Added in round 5 (PERMISSIVE-parse quarantine audit; official
+    # first-time row funded by demoting r4-green
+    # dedup_levenshtein_blocked — dedup_ keeps the crossdoc and
+    # SemDeDup first-timers plus stream_ingest_dedup).
+    "dq_quarantine_bad_records",
     "stats_welch_ttest_split_price",
     "happiness_unified_profile",
     "basket_part_pairs_lift",
