@@ -130,8 +130,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_semantic_dedup_clusters",
     # Added in round 5 (PERMISSIVE-parse quarantine audit; official
     # first-time row funded by demoting r4-green
-    # dedup_levenshtein_blocked — dedup_ keeps the crossdoc and
-    # SemDeDup first-timers plus stream_ingest_dedup).
+    # dedup_levenshtein_blocked — dedup_ keeps the crossdoc
+    # first-timer; SemDeDup covers the semantic leg).
     "dq_quarantine_bad_records",
     "stats_welch_ttest_split_price",
     "happiness_unified_profile",
@@ -168,7 +168,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # first-time row funded by demoting r4-green
     # ml_onehot_mktsegment_table — ml_ keeps scaling_minmax_zscore).
     "ml_group_split_no_leakage",
-    "stream_ingest_dedup",
+    # Added in round 5 (watermark late-data accounting vs closed-form
+    # event-time arithmetic; official first-time row funded by
+    # demoting r4-green stream_ingest_dedup — stream_ keeps five
+    # other reps incl. the dedup-within-watermark and CMS
+    # first-timers).
+    "stream_late_data_metrics",
     "pyds_documents_by_lang",
     "sql_scripting_decayed_revenue",
     "q1_pricing_summary",

@@ -843,3 +843,135 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the state dir vanishes
         return result.localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------
+# Late-data accounting under a real watermark: a three-batch feed
+# (bulk, on-time continuation, late REPLAY of old rows) driven
+# through an append-mode windowed aggregation, with the outcome
+# reconciled against the closed-form event-time arithmetic.
+# --------------------------------------------------------------------
+
+
+_LATE_METRICS_ORACLE = """
+WITH b AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events),
+m AS (SELECT ts, date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
+             dayofmonth(date_trunc('day', ts)) AS d
+      FROM events)
+SELECT
+  (SELECT CAST(COUNT(*) FILTER (d <= 20) + COUNT(*) FILTER (d > 20 AND d <= 25)
+       + COUNT(*) FILTER (d > 25 OR d = 2) AS BIGINT) FROM m) AS n_input,
+  (SELECT CAST(COUNT(DISTINCT wend) AS BIGINT) FROM m, b WHERE wend <= wm)
+    AS n_sink_windows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM m, b WHERE wend <= wm)
+    AS n_sink_events,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM m, b WHERE wend > wm)
+    AS n_open_events,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM m WHERE d = 2) AS n_late_replayed,
+  TRUE AS late_drops_observed
+"""
+
+
+@register("stream_late_data_metrics", oracle=_LATE_METRICS_ORACLE)
+def stream_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting, proven against closed-form
+    event-time arithmetic: the feed replays day-2 events two batches
+    after their windows closed (an at-least-once upstream), and the
+    append-mode hourly aggregation must (a) emit every window whose
+    end <= final watermark exactly once, (b) admit each original
+    event exactly once, (c) DROP every replayed late row, and (d)
+    record the drops in numRowsDroppedByWatermark.
+
+    Drop-metric semantics pinned by experiment (and why the oracle
+    treats it as a boolean): eviction of a window's state happens at
+    the end of the first batch RUNNING with watermark > window end
+    (watermark visibility lags one batch), so late rows are
+    state-dropped only when they arrive >= 2 batches after close —
+    the three-batch layout guarantees it. The counter counts
+    POST-partial-aggregation state rows, not raw events, so its
+    magnitude depends on scan partitioning — an environment-sensitive
+    value that must NOT be hash-gated (the dq_table_checksums
+    lesson); the deterministic row counts are reconciled exactly
+    instead, which together pin the same contract.
+
+    File order is pinned with explicit mtimes — the file stream
+    source lists by modification time, and same-tick writes would
+    otherwise make batch composition racy."""
+    import os
+
+    from workshop3_etl_spark.sources.tables import load_table
+
+    sink = f"stream_late_{abs(hash(sf_dir)) % 10_000_000}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    day = F.dayofmonth(F.date_trunc("day", "ts"))
+    with tempfile.TemporaryDirectory() as root:
+        src = f"{root}/src"
+        ev.filter(day <= 20).repartition(1).write.parquet(f"{src}/p1")
+        ev.filter((day > 20) & (day <= 25)).repartition(1).write.parquet(
+            f"{src}/p2"
+        )
+        ev.filter((day > 25) | (day == 2)).repartition(1).write.parquet(
+            f"{src}/p3"
+        )
+        for i, p in enumerate(("p1", "p2", "p3")):
+            d = f"{src}/{p}"
+            for name in os.listdir(d):
+                os.utime(f"{d}/{name}", (1000 + i * 100, 1000 + i * 100))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        with _few_state_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", f"{root}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        import json
+
+        n_dropped = 0
+        for p in q.recentProgress:
+            d = json.loads(p) if isinstance(p, str) else json.loads(p.json)
+            for so in d.get("stateOperators", []):
+                n_dropped += so.get("numRowsDroppedByWatermark", 0) or 0
+        s = (
+            spark.table(sink)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("w"),
+                F.sum("n").cast("long").alias("e"),
+            )
+            .collect()[0]
+        )
+        n_input = ev.filter(day <= 20).count() + ev.filter(
+            (day > 20) & (day <= 25)
+        ).count() + ev.filter((day > 25) | (day == 2)).count()
+        n_total = ev.count()
+        n_late = ev.filter(day == 2).count()
+        return spark.createDataFrame(
+            [
+                (
+                    int(n_input),
+                    int(s["w"]),
+                    int(s["e"]),
+                    int(n_total - s["e"]),
+                    int(n_late),
+                    bool(n_dropped > 0),
+                )
+            ],
+            "n_input long, n_sink_windows long, n_sink_events long,"
+            " n_open_events long, n_late_replayed long,"
+            " late_drops_observed boolean",
+        )
