@@ -440,3 +440,49 @@ def test_semantic_dedup_broadcast_assignment_and_chunked_join(spark, monkeypatch
     assert re.search(
         r"keys \[2\]: \[cell#\d+, chunk#\d+", plan
     ), plan[:2000]
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join hygiene: with a hot key dominating one side,
+    adaptive execution must mark the sort-merge join skew-handled
+    (splitting the oversized partition into parallel subtasks) — the
+    runtime re-plan that keeps one straggler task from serializing a
+    100 TB join when keys can't be pre-salted."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # left: 50k rows, 90% on key 0 (one hot partition); right: flat
+        left = spark.range(50_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50_000, 7).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k").groupBy().count()
+        joined.collect()  # execute so AQE finalizes the plan
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
