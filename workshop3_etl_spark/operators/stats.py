@@ -990,3 +990,89 @@ def dq_quarantine_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("ok"), F.col("k"))).cast("int")
         .alias("k_max_good"),
     )
+
+
+# --------------------------------------------------------------------
+# Benford first-digit profile: the fabricated-numbers DQ screen.
+# --------------------------------------------------------------------
+
+# log10(1 + 1/d), rounded to 6 places and FROZEN as literals (the
+# frozen-artifact idiom) — computing them engine-side would put a
+# transcendental log10 into the determinism contract.
+_BENFORD_EXPECTED = {
+    1: "0.30103", 2: "0.176091", 3: "0.124939", 4: "0.09691",
+    5: "0.079181", 6: "0.066947", 7: "0.057992", 8: "0.051153",
+    9: "0.045757",
+}
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN CAST({v} AS DOUBLE)"
+    for d, v in _BENFORD_EXPECTED.items()
+)
+
+_BENFORD_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(FLOOR(o_totalprice * 100e0 + 0.5e0) AS BIGINT) AS c
+  FROM orders
+),
+digits AS (
+  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM cents WHERE c > 0
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digits)
+SELECT
+  digit,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) AS DOUBLE) / CAST(tot.n AS DOUBLE) AS observed_share,
+  CASE digit {_BENFORD_CASE} END AS benford_share
+FROM digits, tot
+GROUP BY digit, tot.n
+ORDER BY digit
+"""
+
+
+@register("dq_benford_first_digit", oracle=_BENFORD_ORACLE)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit profile of order totals against the
+    Benford expectation — the classic fabricated-data screen for
+    financial columns. The digit comes from INTEGER CENTS rendered as
+    a string (cast(floor(x*100+0.5) as bigint) — the engine-stable
+    money canon from dq_table_checksums; casting the raw DOUBLE to a
+    string would hit engine-specific float formatting). Observed
+    shares are one exact-integer division; the Benford expectations
+    are frozen literals, not engine-side log10 calls.
+
+    TPC-H-ish uniform prices do NOT follow Benford — the report's job
+    is the comparison, and on this corpus it shows a strong
+    deviation, which is exactly what makes the check non-vacuous.
+    One pruned single-column scan, a 9-row groupBy, one broadcast
+    1-row total."""
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                "cast(floor(o_totalprice * 100e0 + 0.5e0) as bigint)"
+            ).alias("c")
+        )
+        .filter(F.col("c") > 0)
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int")
+        .alias("digit")
+    )
+    tot = digits.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("n").cast("double"))
+            .alias("observed_share"),
+            F.expr(f"CASE digit {_BENFORD_CASE} END").alias(
+                "benford_share"
+            ),
+        )
+        .orderBy("digit")
+    )

@@ -141,7 +141,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_neardup_lsh_buckets",
     "sim_ann_pq_adc_topk",
     "sim_ann_ivfpq_topk",
-    "sim_ann_lsh_topk",
+    # Added in round 5 (Benford first-digit DQ screen on the
+    # integer-cents money canon; official first-time row funded by
+    # demoting r4-green sim_ann_lsh_topk — sim_ keeps neardup,
+    # pq_adc, ivfpq and the SemDeDup first-timer).
+    "dq_benford_first_digit",
     "lakehouse_schema_evolution_merge",
     # Added in round 5 (CUSUM change-point scores via the two-window
     # prefix identity; official first-time row funded by demoting
