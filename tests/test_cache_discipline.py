@@ -105,3 +105,11 @@ def test_cluster_keepers_do_not_leak_round_checkpoints(spark):
     from workshop3_etl_spark.operators.dedup import dedup_cluster_keepers
 
     _assert_query_leaves_only_result_ckpt(spark, dedup_cluster_keepers)
+
+
+def test_pagerank_does_not_leak_round_checkpoints(spark):
+    from workshop3_etl_spark.operators.assoc import (
+        graph_pagerank_copurchase,
+    )
+
+    _assert_query_leaves_only_result_ckpt(spark, graph_pagerank_copurchase)

@@ -344,3 +344,75 @@ def test_triangle_orientation_matches_naive_count(spark):
     closing = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     got = _oriented_wedges(o).join(closing, ["v", "w"]).count()
     assert got == expected
+
+
+# --------------------------------------------------------------------
+# PageRank: the distributed integer-token power iteration must agree
+# with a sequential pure-Python recompute of the identical recurrence
+# on arbitrary graphs (floored division and all).
+# --------------------------------------------------------------------
+
+
+def _py_pagerank(edges, iters):
+    from workshop3_etl_spark.operators.assoc import (
+        _PR_SCALE,
+        _PR_TELEPORT,
+    )
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges}
+    nbrs = {}
+    for a, b in canon:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    deg = {n: len(v) for n, v in nbrs.items()}
+    rk = {n: _PR_SCALE for n in nbrs}
+    for _ in range(iters):
+        rk = {
+            i: _PR_TELEPORT
+            + sum((rk[j] * 85) // (100 * deg[j]) for j in nbrs[i])
+            for i in nbrs
+        }
+    return {n: (deg[n], rk[n]) for n in nbrs}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges_strategy)
+def test_pagerank_matches_sequential_recompute(spark, edges):
+    from workshop3_etl_spark.functions.cache import release_checkpoint
+    from workshop3_etl_spark.operators.assoc import pagerank_tokens
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges}
+    edf = spark.createDataFrame(sorted(canon), "p1 long, p2 long")
+    r = pagerank_tokens(edf, iters=2)
+    got = {row["node"]: (row["deg"], row["rk"]) for row in r.collect()}
+    release_checkpoint(r)
+    assert got == _py_pagerank(edges, iters=2)
+
+
+def test_pagerank_star_concentrates_rank_on_hub(spark):
+    """Star hub absorbs one floored 85% share from each spoke per
+    step while each spoke gets back only its 1/k slice — after any
+    step the hub must strictly dominate, and the exact token counts
+    are hand-derivable from the recurrence."""
+    from workshop3_etl_spark.functions.cache import release_checkpoint
+    from workshop3_etl_spark.operators.assoc import (
+        _PR_SCALE,
+        _PR_TELEPORT,
+        pagerank_tokens,
+    )
+
+    k = 10
+    edges = [(0, i) for i in range(1, k + 1)]
+    edf = spark.createDataFrame(edges, "p1 long, p2 long")
+    r = pagerank_tokens(edf, iters=1)
+    got = {row["node"]: row["rk"] for row in r.collect()}
+    release_checkpoint(r)
+    spoke_share = (_PR_SCALE * 85) // 100  # deg(spoke) = 1
+    hub_share = (_PR_SCALE * 85) // (100 * k)
+    assert got[0] == _PR_TELEPORT + k * spoke_share
+    assert all(got[i] == _PR_TELEPORT + hub_share for i in range(1, k + 1))
+    assert got[0] > max(got[i] for i in range(1, k + 1))

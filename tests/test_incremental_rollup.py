@@ -879,3 +879,74 @@ def test_streaming_cms_merge_replay_and_compaction(spark, tmp_path):
         sorted(tuple(r) for r in read_cms_sketch(spark, state).collect())
         == batch_grid
     )
+
+
+def test_streaming_hll_merge_duplication_and_compaction(spark, tmp_path):
+    """The incrementally-maintained HLL registers must equal the
+    batch-built registers for any micro-batch split (per-bucket max
+    is associative), AND — unlike the CMS counter sum — must survive
+    DUPLICATED delivery: feeding the same rows again under a brand-new
+    epoch leaves the merged state unchanged (max is idempotent), so
+    correctness does not depend on the replay protocol. Compaction
+    must preserve the merged registers."""
+    import os
+
+    from workshop3_etl_spark.operators.sketches import hll_register_partial
+    from workshop3_etl_spark.streaming.rollup import (
+        compact_hll,
+        maintain_hll,
+        read_hll_registers,
+        write_hll_partial,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "hll")
+    ck = str(tmp_path / "ck")
+    ev.filter(F.col("event_id") % 2 == 0).repartition(1).write.parquet(
+        f"{src}/p1"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).repartition(1).write.parquet(
+        f"{src}/p2"
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    maintain_hll(spark, stream(), state, ck)
+    n_epochs = sum(1 for n in os.listdir(state) if n.startswith("epoch="))
+    assert n_epochs >= 2  # the merge below spans real partials
+
+    batch_regs = sorted(
+        tuple(r) for r in hll_register_partial(ev, "user_id").collect()
+    )
+    merged = sorted(
+        tuple(r) for r in read_hll_registers(spark, state).collect()
+    )
+    assert merged == batch_regs
+
+    # duplicated delivery: the WHOLE input lands again under a fresh
+    # epoch (not a replay of an existing one — a genuinely duplicated
+    # at-least-once feed). A CMS would double every counter; the
+    # register max must not move.
+    write_hll_partial(ev, 99, state, "user_id")
+    assert (
+        sorted(tuple(r) for r in read_hll_registers(spark, state).collect())
+        == batch_regs
+    )
+
+    # compaction folds epochs without changing the merged registers
+    compact_hll(spark, state, through_epoch=10_000)
+    compact_hll(spark, state, through_epoch=10_000)  # deferred GC run
+    assert [n for n in os.listdir(state) if n.startswith("epoch=")] == [
+        "epoch=-2"
+    ]
+    assert (
+        sorted(tuple(r) for r in read_hll_registers(spark, state).collect())
+        == batch_regs
+    )

@@ -667,6 +667,143 @@ def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# PageRank over the co-purchase graph — the canonical "importance"
+# power iteration, made bit-stable: ranks are INTEGER TOKENS
+# (1,000,000 per node) and each step distributes
+# (rank * 85) div (100 * deg) tokens to every neighbor plus a flat
+# 150,000-token teleport. Floored integer division makes every
+# iteration a sum of integers — order-independent under any
+# partitioning — where the textbook double-valued iteration would be
+# shuffle-order-sensitive (float sums) and engine-divergent. The
+# floor loses a bounded trickle of mass per step (< deg tokens per
+# node), which perturbs ranks uniformly and preserves the ordering
+# the operator exists to produce.
+# --------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000  # initial tokens per node
+_PR_TELEPORT = 150_000  # (1 - 0.85) * scale, flat per node
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        f"""WITH e0 AS MATERIALIZED ({_EDGES_SQL}),
+sym AS (
+  SELECT p1 AS src, p2 AS dst FROM e0
+  UNION ALL
+  SELECT p2 AS src, p1 AS dst FROM e0
+),
+deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM sym GROUP BY 1
+),
+r0 AS (
+  SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rk, deg FROM deg
+)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT d.node,
+         CAST({_PR_TELEPORT}
+              + SUM((r.rk * 85) // (100 * r.deg)) AS BIGINT) AS rk,
+         d.deg
+  FROM sym s
+  JOIN r{i - 1} r ON r.node = s.src
+  JOIN deg d ON d.node = s.dst
+  GROUP BY d.node, d.deg
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, deg AS degree, rk AS rank_tokens
+FROM r{_PR_ITERS}
+ORDER BY rank_tokens DESC, node
+LIMIT 40"""
+    )
+    return "".join(parts)
+
+
+def pagerank_tokens(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
+    """Integer-token PageRank over a canonical (p1 < p2) edge list:
+    returns the full (node, deg, rk) frame after ``iters`` steps of
+    rk'(i) = teleport + sum over neighbors j of
+    (rk(j) * 85) div (100 * deg(j)), all bigint arithmetic.
+
+    The returned frame is an eager tracked checkpoint (caller owns
+    it — wrap with materialize_and_release or release_checkpoint);
+    intermediate round state and the edge/degree index frames are
+    released internally once the final round is materialized."""
+    e = edges.select("p1", "p2")
+    sym = tracked_local_checkpoint(
+        e.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
+            e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+        )
+    )
+    deg = tracked_local_checkpoint(
+        sym.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+    )
+    r = deg.select("node", F.lit(_PR_SCALE).cast("long").alias("rk"), "deg")
+    for _ in range(iters):
+        contrib = (
+            sym.join(r, sym["src"] == r["node"])
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr("(rk * 85) div (100 * deg)"))
+                .cast("long")
+                .alias("c")
+            )
+        )
+        r = supersede(
+            deg.join(contrib, deg["node"] == contrib["dst"]).select(
+                "node",
+                (F.lit(_PR_TELEPORT).cast("long") + F.col("c")).alias("rk"),
+                "deg",
+            ),
+            r,  # round 0's plain select makes this a no-op release
+        )
+    release_checkpoint(sym)
+    release_checkpoint(deg)
+    return r
+
+
+@register("graph_pagerank_copurchase", oracle=_pagerank_oracle())
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 co-purchase parts by integer-token PageRank after 3
+    power-iteration steps (damping 85/100, flat teleport), matched
+    against an unrolled chained-CTE oracle computing the identical
+    integer recurrence.
+
+    Spark shape: each iteration is exactly the sparse matrix-vector
+    product — one join of the (symmetrized, persisted) edge list with
+    the node-sized rank frame on src, one groupBy on dst (map-side
+    combinable integer sum), one join back to the degree frame. Cost
+    per step is one edge-proportional shuffle; the rank frame never
+    exceeds one row per node, and no step depends on iteration count
+    (lineage is cut per round via tracked localCheckpoints, the
+    BFS/k-core discipline). At 100 TB the edge list would be
+    pre-partitioned by src once (done here via persist) so the
+    per-iteration join reuses the layout and only the dst-keyed
+    transpose shuffle remains — the irreducible cost of the
+    multiply. Dangling nodes cannot occur (nodes are defined by the
+    symmetrized edge list, so every node has deg >= 1)."""
+    r = pagerank_tokens(_copurchase_edges(spark, sf_dir))
+    result = (
+        r.select(
+            "node",
+            F.col("deg").alias("degree"),
+            F.col("rk").alias("rank_tokens"),
+        )
+        .orderBy(F.desc("rank_tokens"), "node")
+        .limit(40)
+    )
+    return materialize_and_release(result, r)
+
+
+# --------------------------------------------------------------------
 # Markov next-event transition matrix: P(next event type | current)
 # per user timeline — journey statistics for behavioral features and
 # synthetic-session generation.

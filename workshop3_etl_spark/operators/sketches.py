@@ -578,17 +578,23 @@ def sketch_kmv_rolling_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer sum(2^(53-M_b)) (<= 256 * 2^53 = 2^61, fits bigint).
 # --------------------------------------------------------------------
 
-_HLL_M = 256
+HLL_M = 256
 
-_HLL_REG_ORACLE = f"""
+
+def hll_register_oracle(table: str, key: str) -> str:
+    """DuckDB twin of the explicit-register HLL summary, parameterized
+    on (table, key) so the batch query (orders, o_custkey) and the
+    streaming-maintenance query (events, user_id) assert the SAME
+    register arithmetic from one definition."""
+    return f"""
 WITH h AS (
   SELECT CAST(CAST(concat('0x',
-         substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+         substr(md5(CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)
          AS BIGINT) AS hv
-  FROM orders
+  FROM {table}
 ),
 bw AS (
-  SELECT hv % {_HLL_M} AS b, hv // {_HLL_M} AS w FROM h
+  SELECT hv % {HLL_M} AS b, hv // {HLL_M} AS w FROM h
 ),
 r AS (
   SELECT b,
@@ -603,21 +609,88 @@ agg AS (
   FROM r
 ),
 ex AS (
-  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
-  FROM orders
+  SELECT CAST(COUNT(DISTINCT {key}) AS BIGINT) AS exact_distinct
+  FROM {table}
 )
 SELECT
-  CAST({_HLL_M} AS BIGINT) AS m,
-  CAST({_HLL_M} - n_filled AS BIGINT) AS n_zero_registers,
+  CAST({HLL_M} AS BIGINT) AS m,
+  CAST({HLL_M} - n_filled AS BIGINT) AS n_zero_registers,
   register_sum,
-  s_filled + ({_HLL_M} - n_filled) * (CAST(1 AS BIGINT) << 53) AS s_scaled,
-  (0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M}.0 * {_HLL_M}.0
+  s_filled + ({HLL_M} - n_filled) * (CAST(1 AS BIGINT) << 53) AS s_scaled,
+  (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
     * 9007199254740992.0
-    / CAST(s_filled + ({_HLL_M} - n_filled) * (CAST(1 AS BIGINT) << 53)
+    / CAST(s_filled + ({HLL_M} - n_filled) * (CAST(1 AS BIGINT) << 53)
            AS DOUBLE) AS hll_estimate,
   exact_distinct
 FROM agg CROSS JOIN ex
 """
+
+
+_HLL_REG_ORACLE = hll_register_oracle("orders", "o_custkey")
+
+
+def hll_register_partial(df: DataFrame, key_col: str) -> DataFrame:
+    """The (b, m_b) HLL register partial over ``df``'s rows — THE
+    mergeable sketch state: merging partials from ANY partition of
+    the input by per-bucket ``max(m_b)`` yields the registers of the
+    whole input. ``max`` is commutative, associative, and — unlike
+    the CMS counter sum — IDEMPOTENT, so even duplicated inputs
+    (an at-least-once upstream) cannot corrupt the merged state.
+
+    One map-only hash/bucket/rank projection + one <=256-group max
+    (map-side combinable), so a partial is at most 256 rows no
+    matter how many input rows feed it.
+    """
+    h = df.selectExpr(
+        f"cast(conv(substring(md5(cast({key_col} as string)), 1, 15), 16, 10)"
+        " as bigint) as hv"
+    )
+    bw = h.select(
+        (F.col("hv") % HLL_M).alias("b"),
+        F.expr(f"hv div {HLL_M}").alias("w"),
+    )
+    return bw.groupBy("b").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(53)).otherwise(
+                F.lit(53) - F.length(F.expr("conv(w, 10, 2)"))
+            )
+        ).alias("m_b")
+    )
+
+
+def hll_summary(registers: DataFrame, exact: DataFrame) -> DataFrame:
+    """One-row HLL summary (zero registers, rank sum, exact-integer
+    harmonic denominator, raw estimate) from a (b, m_b) register
+    frame plus a 1-row ``exact_distinct`` ride-along. The estimate
+    divides exact integers under one literal IEEE expression tree,
+    so even the float is bit-identical cross-engine."""
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.sum("m_b").cast("long").alias("register_sum"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - m_b as int))"))
+        .cast("long")
+        .alias("s_filled"),
+    )
+    s_scaled = F.col("s_filled") + (
+        F.lit(HLL_M) - F.col("n_filled")
+    ).cast("long") * F.lit(1 << 53).cast("long")
+    alpha_num = 0.7213 / (1.0 + 1.079 / float(HLL_M))
+    return agg.crossJoin(exact).select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        (F.lit(HLL_M) - F.col("n_filled")).cast("long").alias(
+            "n_zero_registers"
+        ),
+        "register_sum",
+        s_scaled.alias("s_scaled"),
+        (
+            F.lit(alpha_num)
+            * F.lit(float(HLL_M))
+            * F.lit(float(HLL_M))
+            * F.lit(9007199254740992.0)
+            / s_scaled.cast("double")
+        ).alias("hll_estimate"),
+        "exact_distinct",
+    )
 
 
 @register("sketch_hll_registers_custkeys", oracle=_HLL_REG_ORACLE)
@@ -639,52 +712,12 @@ def sketch_hll_registers_custkeys(
     (which needs ln); n_zero_registers is there so a caller can apply
     it.
     """
-    h = load_table(spark, sf_dir, "orders").selectExpr(
-        "cast(conv(substring(md5(cast(o_custkey as string)), 1, 15), 16, 10)"
-        " as bigint) as hv"
+    orders = load_table(spark, sf_dir, "orders")
+    r = hll_register_partial(orders, "o_custkey")
+    ex = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
     )
-    bw = h.select(
-        (F.col("hv") % _HLL_M).alias("b"),
-        F.expr(f"hv div {_HLL_M}").alias("w"),
-    )
-    r = bw.groupBy("b").agg(
-        F.max(
-            F.when(F.col("w") == 0, F.lit(53)).otherwise(
-                F.lit(53) - F.length(F.expr("conv(w, 10, 2)"))
-            )
-        ).alias("m_b")
-    )
-    agg = r.agg(
-        F.count(F.lit(1)).alias("n_filled"),
-        F.sum("m_b").cast("long").alias("register_sum"),
-        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - m_b as int))"))
-        .cast("long")
-        .alias("s_filled"),
-    )
-    ex = (
-        load_table(spark, sf_dir, "orders")
-        .agg(F.countDistinct("o_custkey").cast("long").alias("exact_distinct"))
-    )
-    s_scaled = F.col("s_filled") + (
-        F.lit(_HLL_M) - F.col("n_filled")
-    ).cast("long") * F.lit(1 << 53).cast("long")
-    alpha_num = 0.7213 / (1.0 + 1.079 / float(_HLL_M))
-    return agg.crossJoin(ex).select(
-        F.lit(_HLL_M).cast("long").alias("m"),
-        (F.lit(_HLL_M) - F.col("n_filled")).cast("long").alias(
-            "n_zero_registers"
-        ),
-        "register_sum",
-        s_scaled.alias("s_scaled"),
-        (
-            F.lit(alpha_num)
-            * F.lit(float(_HLL_M))
-            * F.lit(float(_HLL_M))
-            * F.lit(9007199254740992.0)
-            / s_scaled.cast("double")
-        ).alias("hll_estimate"),
-        "exact_distinct",
-    )
+    return hll_summary(r, ex)
 
 
 # --------------------------------------------------------------------

@@ -137,10 +137,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "happiness_unified_profile",
     "basket_part_pairs_lift",
     "text_bigram_pmi",
-    "graph_triangle_count_copurchase",
+    # Added in round 5 (integer-token PageRank — bit-stable power
+    # iteration over the co-purchase graph; official first-time row
+    # funded by demoting r4-green graph_triangle_count_copurchase —
+    # graph_ keeps the degree_distribution first-timer).
+    "graph_pagerank_copurchase",
     "sim_neardup_lsh_buckets",
     "sim_ann_pq_adc_topk",
-    "sim_ann_ivfpq_topk",
+    # Added in round 5 (incrementally-maintained HLL registers on the
+    # shared epoch/compaction protocol — the idempotent-merge
+    # counterpart of the CMS row; official first-time row funded by
+    # demoting r4-green sim_ann_ivfpq_topk — sim_ keeps neardup,
+    # pq_adc and the SemDeDup first-timer; sketch arithmetic is
+    # shared verbatim with r3-green sketch_hll_registers_custkeys).
+    "stream_hll_distinct_users",
     # Added in round 5 (Benford first-digit DQ screen on the
     # integer-cents money canon; official first-time row funded by
     # demoting r4-green sim_ann_lsh_topk — sim_ keeps neardup,

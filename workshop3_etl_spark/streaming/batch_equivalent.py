@@ -846,6 +846,60 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Incrementally-maintained HyperLogLog (streaming/rollup.py
+# maintain_hll) summarized as the one-row register report and
+# hash-compared against the batch-built registers. The merge identity
+# here is per-bucket MAX — associative like the CMS sum but also
+# IDEMPOTENT, so the streaming state equals the batch registers for
+# any micro-batch split AND under duplicated delivery; the oracle
+# claim is bit-exact equality of every integer (and of the estimate,
+# which divides exact integers under one literal expression tree).
+# --------------------------------------------------------------------
+
+
+def _stream_hll_oracle() -> str:
+    from workshop3_etl_spark.operators.sketches import hll_register_oracle
+
+    return hll_register_oracle("events", "user_id")
+
+
+@register("stream_hll_distinct_users", oracle=_stream_hll_oracle())
+def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user HLL summary probed from the register state
+    maintained by the foreachBatch job (streaming/rollup.maintain_hll),
+    next to the exact count: the streaming counterpart of
+    sketch_hll_registers_custkeys, sharing its register arithmetic
+    (operators/sketches.hll_register_partial) and oracle verbatim.
+
+    The multi-epoch merge, duplicated-delivery idempotence, and
+    compaction story is pinned by tests/test_incremental_rollup.py;
+    this query proves the composed job lands on the batch registers
+    inside the driver's gate. State is <=256 rows per epoch at ANY
+    key cardinality — the reason registers beat exact distinct at
+    100 TB (exact COUNT(DISTINCT) shuffles every key; this shuffles
+    256 integers per partition)."""
+    from workshop3_etl_spark.operators.sketches import hll_summary
+    from workshop3_etl_spark.sources.tables import load_table
+    from workshop3_etl_spark.streaming.rollup import (
+        maintain_hll,
+        read_hll_registers,
+    )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        state = f"{workdir}/hll"
+        with _few_state_partitions(spark):
+            maintain_hll(
+                spark, _events_stream(spark, sf_dir), state, f"{workdir}/ck"
+            )
+        regs = read_hll_registers(spark, state)
+        ex = load_table(spark, sf_dir, "events").agg(
+            F.countDistinct("user_id").cast("long").alias("exact_distinct")
+        )
+        # materialize before the state dir vanishes
+        return hll_summary(regs, ex).localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------
 # Late-data accounting under a real watermark: a three-batch feed
 # (bulk, on-time continuation, late REPLAY of old rows) driven
 # through an append-mode windowed aggregation, with the outcome

@@ -320,3 +320,88 @@ def compact_cms(
     compact_partials(
         spark, state_path, through_epoch, fold, partition_cols=("epoch",)
     )
+
+
+# --------------------------------------------------------------------
+# Incrementally-maintained HyperLogLog registers: the other mergeable-
+# sketch identity. CMS partials merge by elementwise SUM (additive —
+# exactness requires each input row to land exactly once, which the
+# epoch-overwrite replay protocol provides); HLL registers merge by
+# per-bucket MAX, which is additionally IDEMPOTENT: a duplicated
+# partial — an at-least-once upstream that delivered the same rows in
+# two different micro-batches — cannot change the merged state. The
+# maintenance job still rides the shared epoch/compaction protocol
+# (uniform layout, space reclamation), but its correctness does not
+# depend on it. State is <= 256 rows per epoch regardless of key
+# cardinality.
+#
+# The register arithmetic (operators/sketches.py hll_register_partial)
+# is shared verbatim with the batch HLL query and its DuckDB oracle,
+# so the streaming state is hash-checkable against the batch answer.
+# --------------------------------------------------------------------
+
+
+def write_hll_partial(
+    batch: DataFrame, epoch_id: int, state_path: str, key_col: str = "user_id"
+) -> None:
+    """foreachBatch body: one micro-batch's (b, m_b) register partial
+    under its epoch partition (idempotent under replay — and, because
+    the merge is a max, harmless even if the same rows were fed to a
+    second epoch)."""
+    from workshop3_etl_spark.operators.sketches import hll_register_partial
+    from workshop3_etl_spark.sources.lakehouse import (
+        dynamic_partition_overwrite,
+    )
+
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return
+    b = hll_register_partial(batch, key_col).withColumn(
+        "epoch", F.lit(int(epoch_id))
+    )
+    with dynamic_partition_overwrite(spark):
+        b.write.mode("overwrite").partitionBy("epoch").parquet(state_path)
+
+
+def maintain_hll(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+) -> None:
+    """Run HLL register maintenance to completion (availableNow)."""
+    (
+        events_stream.writeStream.foreachBatch(
+            lambda b, epoch: write_hll_partial(b, epoch, state_path, key_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_hll_registers(spark: SparkSession, state_path: str) -> DataFrame:
+    """The merged registers: per-bucket max over the live partials,
+    bounded at 256 rows."""
+    return (
+        _read_live(spark, state_path)
+        .groupBy("b")
+        .agg(F.max("m_b").alias("m_b"))
+    )
+
+
+def compact_hll(
+    spark: SparkSession, state_path: str, through_epoch: int
+) -> None:
+    """Fold committed register epochs into the base generation (shared
+    crash-safe protocol; per-bucket max is associative and idempotent,
+    so reads are identical before and after)."""
+
+    def fold(old: DataFrame) -> DataFrame:
+        return old.groupBy("b").agg(F.max("m_b").alias("m_b"))
+
+    compact_partials(
+        spark, state_path, through_epoch, fold, partition_cols=("epoch",)
+    )
