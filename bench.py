@@ -97,6 +97,18 @@ def main() -> None:
         # folds; O(n*cap) by the chunk contract, cost rationale in
         # NOTES).
         "sim_semantic_dedup_clusters",
+        # round-5 fourth-session flagships: integer-token PageRank
+        # (~2.6s steady at sf0.1 — edge-list build plus 3 sparse
+        # matrix-vector shuffles, the iterative-graph representative
+        # next to the one-shot triangle count); the incrementally-
+        # maintained HLL (~1.1s — streaming harness + 256-row state
+        # merge, the idempotent-merge counterpart of the CMS row);
+        # and the Poisson bootstrap (~2.3s — ONE corpus pass carrying
+        # all 16 replicates; cost is the 16 salted md5 folds per row,
+        # linear in R by design). Cost rationale in NOTES.
+        "graph_pagerank_copurchase",
+        "stream_hll_distinct_users",
+        "stats_poisson_bootstrap_ci",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

@@ -114,3 +114,51 @@ def test_checksum_cents_canon_engine_stable(spark):
         assert got_spark == got_duck
 
     check()
+
+
+def test_poisson_bootstrap_weights_and_ci(spark):
+    """The hash-derived multiplicities must (a) reproduce a pure-Python
+    recompute of the threshold comparison, (b) behave like Poisson(1)
+    draws in aggregate — each replicate's effective n within a few
+    percent of the corpus size — and (c) produce a bootstrap spread
+    that brackets the point estimate (the CI's job for a well-behaved
+    mean)."""
+    import hashlib
+
+    from workshop3_etl_spark.operators.stats import (
+        _BOOT_R,
+        _POIS_T,
+        stats_poisson_bootstrap_ci,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    rows = stats_poisson_bootstrap_ci(spark, SF_CORRECT).collect()
+    assert len(rows) == _BOOT_R
+    n = load_table(spark, SF_CORRECT, "orders").count()
+
+    # (a) n_eff of one replicate == sequential recompute of the
+    # same hash/threshold arithmetic over all orderkeys
+    keys = [
+        r["o_orderkey"]
+        for r in load_table(spark, SF_CORRECT, "orders")
+        .select("o_orderkey")
+        .collect()
+    ]
+
+    def weight(key: int, rep: int) -> int:
+        u = int(
+            hashlib.md5(f"{key}:{rep}".encode()).hexdigest()[:15], 16
+        )
+        return sum(1 for t in _POIS_T if u >= t)
+
+    assert rows[0]["n_eff"] == sum(weight(k, 0) for k in keys)
+
+    # (b) Poisson(1) multiplicities: E[n_eff] = n, sd = sqrt(n);
+    # 6-sigma band is a non-flaky determinism-friendly bound
+    for r in rows:
+        assert abs(r["n_eff"] - n) <= 6 * n**0.5 + 1
+
+    # (c) the replicate means straddle the point estimate
+    means = sorted(r["boot_mean_cents"] for r in rows)
+    point = rows[0]["point_mean_cents"]
+    assert means[0] < point < means[-1]

@@ -1076,3 +1076,134 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------
+# Poisson bootstrap — THE resampling scheme that scales: classical
+# bootstrap draws R full samples-with-replacement (R shuffles of the
+# corpus); the Poisson approximation gives every row an independent
+# Poisson(1) multiplicity per replicate, so all R replicates ride ONE
+# map-side pass and one R-row aggregate. Multiplicities are derived,
+# not random: a 60-bit salted hash compared against FROZEN integer
+# thresholds floor(PoissonCDF_1(k) * 2^60) (computed once offline —
+# the frozen-artifact idiom, no engine-side exp()/factorials), so the
+# whole query is deterministic, replayable, and bit-identical
+# cross-engine. Replicate means divide exact integer-cents sums under
+# one IEEE division — the engine-stable money canon.
+# --------------------------------------------------------------------
+
+# floor(CDF_Poisson(1)(k) * 2^60) for k = 0..7; multiplicity is the
+# count of thresholds <= u (u uniform on [0, 2^60)), capped at 8
+# (tail mass ~1e-5).
+_POIS_T = (
+    424136118829305329,
+    848272237658610659,
+    1060340297073263324,
+    1131029650211480879,
+    1148701988496035267,
+    1152236456152946145,
+    1152825534095764625,
+    1152909688087595836,
+)
+_BOOT_R = 16
+
+_POIS_W = " + ".join(
+    f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _POIS_T
+)
+
+_BOOTSTRAP_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, {_cents('o_totalprice')} AS cents FROM orders
+),
+reps AS (
+  SELECT o_orderkey, cents, r.rep
+  FROM base CROSS JOIN (SELECT unnest(range(0, {_BOOT_R})) AS rep) r
+),
+u AS (
+  SELECT rep, cents,
+         CAST(CAST(concat('0x', substr(md5(concat(
+              CAST(o_orderkey AS VARCHAR), ':', CAST(rep AS VARCHAR)
+         )), 1, 15)) AS BIGINT) AS BIGINT) AS u
+  FROM reps
+),
+w AS (SELECT rep, cents, {_POIS_W} AS w FROM u),
+agg AS (
+  SELECT rep,
+         CAST(SUM(w) AS BIGINT) AS n_eff,
+         CAST(SUM(w * cents) AS BIGINT) AS sum_cents
+  FROM w GROUP BY rep
+),
+point AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS tot_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM base
+)
+SELECT rep AS replicate, n_eff, sum_cents,
+       CAST(sum_cents AS DOUBLE) / CAST(n_eff AS DOUBLE)
+         AS boot_mean_cents,
+       CAST(tot_cents AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         AS point_mean_cents
+FROM agg CROSS JOIN point
+ORDER BY replicate
+"""
+
+
+@register("stats_poisson_bootstrap_ci", oracle=_BOOTSTRAP_ORACLE)
+def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap distribution of mean order value: 16
+    deterministic replicates (per-row Poisson(1) multiplicities from
+    salted 60-bit hashes vs frozen CDF thresholds), each row carrying
+    the replicate's effective n, integer-cents sum, mean, and the
+    full-sample point estimate; the middle 14 of the sorted means ARE
+    the ~90% percentile CI.
+
+    Spark shape: one scan, a x16 replicate expansion INSIDE the map
+    stage (explode of a literal sequence — no join, no extra scan),
+    and one 16-group aggregate whose partial rows collapse to 16 per
+    partition before the shuffle. At 100 TB this costs one pass over
+    the fact table regardless of R — the reason Poisson bootstrap
+    displaced resample-shuffle bootstraps for web-scale CIs — and the
+    multiplicity column is pure codegen integer arithmetic (no
+    Python, no RNG state, no engine random() whose stream would be
+    partitioning-dependent)."""
+    base = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", f"{_cents('o_totalprice')} as cents"
+    )
+    reps = base.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("rep"),
+    )
+    u = reps.selectExpr(
+        "rep",
+        "cents",
+        "cast(conv(substring(md5(concat("
+        "cast(o_orderkey as string), ':', cast(rep as string)"
+        ")), 1, 15), 16, 10) as bigint) as u",
+    )
+    w = u.selectExpr("rep", "cents", f"{_POIS_W} as w")
+    agg = w.groupBy("rep").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("sum_cents"),
+    )
+    point = base.agg(
+        F.sum("cents").cast("long").alias("tot_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(point))
+        .select(
+            F.col("rep").alias("replicate"),
+            "n_eff",
+            "sum_cents",
+            (
+                F.col("sum_cents").cast("double")
+                / F.col("n_eff").cast("double")
+            ).alias("boot_mean_cents"),
+            (
+                F.col("tot_cents").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("point_mean_cents"),
+        )
+        .orderBy("replicate")
+    )

@@ -133,7 +133,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # dedup_levenshtein_blocked — dedup_ keeps the crossdoc
     # first-timer; SemDeDup covers the semantic leg).
     "dq_quarantine_bad_records",
-    "stats_welch_ttest_split_price",
+    # Added in round 5 (Poisson-bootstrap CI — the one-pass web-scale
+    # resampling scheme with hash-derived multiplicities vs frozen
+    # CDF thresholds; official first-time row funded by demoting
+    # r4-green stats_welch_ttest_split_price — the stats_ family slot
+    # passes to the new operator).
+    "stats_poisson_bootstrap_ci",
     "happiness_unified_profile",
     "basket_part_pairs_lift",
     "text_bigram_pmi",
