@@ -109,6 +109,13 @@ def main() -> None:
         "graph_pagerank_copurchase",
         "stream_hll_distinct_users",
         "stats_poisson_bootstrap_ci",
+        # round-5 fourth-session, continued: the incrementally-trained
+        # OLS (~1.5s steady at sf0.1 — streaming harness + one
+        # 6-integer sum; the model-from-mergeable-state shape) and the
+        # zone-map pruning advisor (~1.4s uncached / sub-second warm —
+        # one orders scan feeding a 2x64-bucket min/max aggregate).
+        "stream_ols_incremental",
+        "layout_zonemap_prune_stats",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

@@ -950,3 +950,75 @@ def test_streaming_hll_merge_duplication_and_compaction(spark, tmp_path):
         sorted(tuple(r) for r in read_hll_registers(spark, state).collect())
         == batch_regs
     )
+
+
+def test_streaming_ols_merge_replay_and_compaction(spark, tmp_path):
+    """The incrementally-maintained OLS sufficient statistics must
+    equal the batch-computed sums EXACTLY for any micro-batch split
+    (integer additivity), a replayed batch must overwrite its own
+    epoch (no double counting), and compaction must preserve the
+    merged statistics."""
+    import os
+
+    from workshop3_etl_spark.streaming.rollup import (
+        _batch_ols_partial,
+        compact_ols,
+        maintain_ols,
+        read_ols_stats,
+        write_ols_partial,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "value"
+    )
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "ols")
+    ck = str(tmp_path / "ck")
+    ev.filter(F.col("event_id") % 2 == 0).repartition(1).write.parquet(
+        f"{src}/p1"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).repartition(1).write.parquet(
+        f"{src}/p2"
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    maintain_ols(spark, stream(), state, ck)
+    n_epochs = sum(1 for n in os.listdir(state) if n.startswith("epoch="))
+    assert n_epochs >= 2  # the merge below spans real partials
+
+    batch_stats = tuple(_batch_ols_partial(ev).collect()[0])
+    merged = tuple(read_ols_stats(spark, state).collect()[0])
+    assert merged == batch_stats
+
+    # crash-replay: a batch rewrites its own epoch — state unchanged.
+    # Identify batch 0's input from its committed partial row.
+    epoch0 = tuple(
+        spark.read.parquet(f"{state}/epoch=0")
+        .select("n", "sx", "sy", "sxx", "sxy", "syy")
+        .collect()[0]
+    )
+    halves = {
+        par: ev.filter(F.col("event_id") % 2 == par) for par in (0, 1)
+    }
+    batch0 = next(
+        h
+        for h in halves.values()
+        if tuple(_batch_ols_partial(h).collect()[0]) == epoch0
+    )
+    write_ols_partial(batch0, 0, state)
+    assert tuple(read_ols_stats(spark, state).collect()[0]) == batch_stats
+
+    # compaction folds epochs without changing the merged statistics
+    compact_ols(spark, state, through_epoch=10_000)
+    compact_ols(spark, state, through_epoch=10_000)  # deferred GC run
+    assert [n for n in os.listdir(state) if n.startswith("epoch=")] == [
+        "epoch=-2"
+    ]
+    assert tuple(read_ols_stats(spark, state).collect()[0]) == batch_stats

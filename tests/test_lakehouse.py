@@ -228,3 +228,29 @@ def test_registered_colocated_join_plan_is_shuffle_free(spark, tmp_path):
         for t in (t_orders, t_li):
             if t:
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_zonemap_advisor_both_verdicts_are_real(spark):
+    """The advisor only means something if the two layouts actually
+    diverge on this corpus: the range-partitioned layout must prune
+    most files for the one-month predicate while the hash layout
+    scans every file — and both must agree on the true match count
+    (pruning never changes results, only bytes read)."""
+    from workshop3_etl_spark.sources.lakehouse import _ZM_FILES
+
+    from workshop3_etl_spark.plans.registry import get
+
+    rows = {
+        r["layout"]: r
+        for r in get("layout_zonemap_prune_stats")
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    rng, hsh = rows["range_partitioned"], rows["hash_partitioned"]
+    assert hsh["n_files_scanned"] == _ZM_FILES  # no pruning possible
+    assert hsh["scan_fraction"] == 1.0
+    assert rng["n_files_scanned"] <= 4  # zone maps prune the rest
+    assert 0.0 < rng["scan_fraction"] < 0.2
+    assert rng["n_rows_matching"] == hsh["n_rows_matching"] > 0
+    # every matching row lives in a scanned file
+    assert rng["n_rows_scanned"] >= rng["n_rows_matching"]

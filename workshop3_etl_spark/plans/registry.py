@@ -161,7 +161,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # demoting r4-green sim_ann_lsh_topk — sim_ keeps neardup,
     # pq_adc, ivfpq and the SemDeDup first-timer).
     "dq_benford_first_digit",
-    "lakehouse_schema_evolution_merge",
+    # Added in round 5 (zone-map pruning advisor — quantified
+    # range-vs-hash layout file skipping; official first-time row
+    # funded by demoting r4-green lakehouse_schema_evolution_merge —
+    # lakehouse keeps the bucketed_colocated_join first-timer).
+    "layout_zonemap_prune_stats",
     # Added in round 5 (CUSUM change-point scores via the two-window
     # prefix identity; official first-time row funded by demoting
     # r4-green ts_seasonal_naive_mae — ts_ keeps the
@@ -196,7 +200,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pyds_documents_by_lang",
     "sql_scripting_decayed_revenue",
     "q1_pricing_summary",
-    "ml_scaling_minmax_zscore",
+    # Added in round 5 (OLS trained incrementally from additive
+    # integer sufficient statistics on the shared epoch/compaction
+    # protocol — the streaming-model-training shape; official
+    # first-time row funded by demoting r4-green
+    # ml_scaling_minmax_zscore — ml_ keeps the group_split
+    # first-timer).
+    "stream_ols_incremental",
     "udf_named_functions_docs",
     "multimodal_decode_bmp_wav",
 )

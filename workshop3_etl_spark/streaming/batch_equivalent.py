@@ -900,6 +900,93 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Incrementally-trained OLS (streaming/rollup.py maintain_ols): the
+# model's 6-integer sufficient statistic maintained per micro-batch
+# and solved in closed form from the merged sums — "retrain after new
+# data" without rescanning the stream. The integer sums are the
+# bit-exact claim; slope/intercept are one literal IEEE expression
+# tree over them (exact doubles at validation SFs: every sum < 2^53).
+# --------------------------------------------------------------------
+
+
+def _stream_ols_oracle() -> str:
+    from workshop3_etl_spark.operators.stats import _cents
+    from workshop3_etl_spark.streaming.rollup import OLS_BASE_HOUR
+
+    return f"""
+WITH xy AS (
+  SELECT epoch_us(ts) // 3600000000 - {OLS_BASE_HOUR} AS x,
+         {_cents('value')} AS y
+  FROM events
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM xy
+)
+SELECT n, sx, sy, sxx, sxy, syy,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents_per_hour,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept_cents
+FROM s
+"""
+
+
+@register("stream_ols_incremental", oracle=_stream_ols_oracle())
+def stream_ols_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly value-trend OLS (value cents ~ hour index) solved from
+    the sufficient statistics maintained by the foreachBatch job
+    (streaming/rollup.maintain_ols), verified against the batch
+    closed form: the streaming-model-training shape — each new
+    micro-batch adds one 6-integer partial row, and refreshing the
+    model is a sum over O(#epochs) rows plus literal arithmetic,
+    never a rescan of the fact stream. The multi-epoch merge, replay
+    and compaction story is pinned by tests/test_incremental_rollup;
+    this query proves the composed job lands on the batch statistics
+    inside the driver's gate."""
+    from workshop3_etl_spark.streaming.rollup import (
+        maintain_ols,
+        read_ols_stats,
+    )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        state = f"{workdir}/ols"
+        with _few_state_partitions(spark):
+            maintain_ols(
+                spark, _events_stream(spark, sf_dir), state, f"{workdir}/ck"
+            )
+        s = read_ols_stats(spark, state)
+        nd = F.col("n").cast("double")
+        sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+        sxxd, sxyd = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+        slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+        result = s.select(
+            "n",
+            "sx",
+            "sy",
+            "sxx",
+            "sxy",
+            "syy",
+            slope.alias("slope_cents_per_hour"),
+            ((syd - slope * sxd) / nd).alias("intercept_cents"),
+        )
+        # materialize before the state dir vanishes
+        return result.localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------
 # Late-data accounting under a real watermark: a three-batch feed
 # (bulk, on-time continuation, late REPLAY of old rows) driven
 # through an append-mode windowed aggregation, with the outcome

@@ -405,3 +405,113 @@ def compact_hll(
     compact_partials(
         spark, state_path, through_epoch, fold, partition_cols=("epoch",)
     )
+
+
+# --------------------------------------------------------------------
+# Incrementally-trained OLS: the streaming "model training" shape.
+# A linear fit has a 6-number sufficient statistic
+# (n, Sx, Sy, Sxx, Sxy, Syy), every component a plain integer SUM —
+# additive, order-independent, map-side combinable — so the model is
+# maintained exactly like the CMS grid: one tiny partial row per
+# micro-batch under an epoch partition, merged by summation at read,
+# folded by the shared crash-safe compaction. The coefficients are a
+# closed-form expression over the merged sums, so "retraining" after
+# any number of new batches costs one 6-column sum over
+# O(#epochs) rows — never a rescan of the fact stream. x is the
+# integer hour index (frozen base), y is integer cents (the
+# engine-stable money canon); at the validation SFs every sum is
+# < 2^53 so even the double closed form is exact IEEE. Beyond ~sf100
+# the sums would graduate to decimal(38,0) — same protocol.
+# --------------------------------------------------------------------
+
+# hours-since-epoch of 2024-01-01 00:00 UTC — the testdata calendar
+# origin; a fixed literal so x stays O(hours-of-history).
+OLS_BASE_HOUR = 473_352
+
+
+def _batch_ols_partial(batch: DataFrame) -> DataFrame:
+    from workshop3_etl_spark.operators.stats import _cents
+
+    xy = batch.selectExpr(
+        f"unix_micros(ts) div 3600000000 - {OLS_BASE_HOUR} as x",
+        f"{_cents('value')} as y",
+    )
+    return xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+
+
+def write_ols_partial(
+    batch: DataFrame, epoch_id: int, state_path: str
+) -> None:
+    """foreachBatch body: one micro-batch's sufficient-statistic row
+    under its epoch partition (idempotent under replay)."""
+    from workshop3_etl_spark.sources.lakehouse import (
+        dynamic_partition_overwrite,
+    )
+
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return
+    b = _batch_ols_partial(batch).withColumn("epoch", F.lit(int(epoch_id)))
+    with dynamic_partition_overwrite(spark):
+        b.write.mode("overwrite").partitionBy("epoch").parquet(state_path)
+
+
+def maintain_ols(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Run sufficient-statistic maintenance to completion
+    (availableNow)."""
+    (
+        events_stream.writeStream.foreachBatch(
+            lambda b, epoch: write_ols_partial(b, epoch, state_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_ols_stats(spark: SparkSession, state_path: str) -> DataFrame:
+    """The merged sufficient statistics: one row, summed over the
+    live partials."""
+    return _read_live(spark, state_path).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").cast("long").alias("sx"),
+        F.sum("sy").cast("long").alias("sy"),
+        F.sum("sxx").cast("long").alias("sxx"),
+        F.sum("sxy").cast("long").alias("sxy"),
+        F.sum("syy").cast("long").alias("syy"),
+    )
+
+
+def compact_ols(
+    spark: SparkSession, state_path: str, through_epoch: int
+) -> None:
+    """Fold committed partial rows into the base generation (shared
+    crash-safe protocol; integer sums are associative, so reads are
+    identical before and after)."""
+
+    def fold(old: DataFrame) -> DataFrame:
+        return old.agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sx").cast("long").alias("sx"),
+            F.sum("sy").cast("long").alias("sy"),
+            F.sum("sxx").cast("long").alias("sxx"),
+            F.sum("sxy").cast("long").alias("sxy"),
+            F.sum("syy").cast("long").alias("syy"),
+        )
+
+    compact_partials(
+        spark, state_path, through_epoch, fold, partition_cols=("epoch",)
+    )
