@@ -416,3 +416,20 @@ def test_pagerank_star_concentrates_rank_on_hub(spark):
     assert got[0] == _PR_TELEPORT + k * spoke_share
     assert all(got[i] == _PR_TELEPORT + hub_share for i in range(1, k + 1))
     assert got[0] > max(got[i] for i in range(1, k + 1))
+
+
+def test_pagerank_iters_zero_returns_initial_tokens(spark):
+    """iters=0 must return the initial uniform token frame — and the
+    returned frame must be collectable AFTER the helper released its
+    internal index checkpoints (the caller-owns-result contract)."""
+    from workshop3_etl_spark.functions.cache import release_checkpoint
+    from workshop3_etl_spark.operators.assoc import (
+        _PR_SCALE,
+        pagerank_tokens,
+    )
+
+    edf = spark.createDataFrame([(1, 2), (2, 3)], "p1 long, p2 long")
+    r = pagerank_tokens(edf, iters=0)
+    got = {row["node"]: (row["deg"], row["rk"]) for row in r.collect()}
+    release_checkpoint(r)
+    assert got == {1: (1, _PR_SCALE), 2: (2, _PR_SCALE), 3: (1, _PR_SCALE)}

@@ -765,6 +765,9 @@ def pagerank_tokens(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
             ),
             r,  # round 0's plain select makes this a no-op release
         )
+    if not getattr(r, "_ckpt_rdd_ids", None):
+        # iters == 0: materialize round 0 before its inputs are freed
+        r = tracked_local_checkpoint(r)
     release_checkpoint(sym)
     release_checkpoint(deg)
     return r

@@ -1128,22 +1128,21 @@ u AS (
 ),
 w AS (SELECT rep, cents, {_POIS_W} AS w FROM u),
 agg AS (
+  -- each rep group holds every base row exactly once, so the
+  -- point-estimate moments ride the same aggregate (no second scan)
   SELECT rep,
          CAST(SUM(w) AS BIGINT) AS n_eff,
-         CAST(SUM(w * cents) AS BIGINT) AS sum_cents
+         CAST(SUM(w * cents) AS BIGINT) AS sum_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(cents) AS BIGINT) AS tot_cents
   FROM w GROUP BY rep
-),
-point AS (
-  SELECT CAST(SUM(cents) AS BIGINT) AS tot_cents,
-         CAST(COUNT(*) AS BIGINT) AS n_rows
-  FROM base
 )
 SELECT rep AS replicate, n_eff, sum_cents,
        CAST(sum_cents AS DOUBLE) / CAST(n_eff AS DOUBLE)
          AS boot_mean_cents,
        CAST(tot_cents AS DOUBLE) / CAST(n_rows AS DOUBLE)
          AS point_mean_cents
-FROM agg CROSS JOIN point
+FROM agg
 ORDER BY replicate
 """
 
@@ -1182,16 +1181,16 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ")), 1, 15), 16, 10) as bigint) as u",
     )
     w = u.selectExpr("rep", "cents", f"{_POIS_W} as w")
+    # each rep group holds every base row exactly once, so the
+    # point-estimate moments ride the same aggregate (no second scan)
     agg = w.groupBy("rep").agg(
         F.sum("w").cast("long").alias("n_eff"),
         F.sum(F.col("w") * F.col("cents")).cast("long").alias("sum_cents"),
-    )
-    point = base.agg(
-        F.sum("cents").cast("long").alias("tot_cents"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("tot_cents"),
     )
     return (
-        agg.crossJoin(F.broadcast(point))
+        agg
         .select(
             F.col("rep").alias("replicate"),
             "n_eff",

@@ -125,8 +125,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_dim_profile",
     # Added in round 5 (SemDeDup-style semantic dedup over the frozen
     # quantizer clusters; official first-time row funded by demoting
-    # r4-green sim_ann_ivf_topk — the sim_ family keeps the pq_adc,
-    # ivfpq, lsh-topk and neardup representatives).
+    # r4-green sim_ann_ivf_topk — the sim_ family keeps the pq_adc
+    # and neardup representatives (ivfpq/lsh-topk were demoted later
+    # this round to fund stream_hll and benford)).
     "sim_semantic_dedup_clusters",
     # Added in round 5 (PERMISSIVE-parse quarantine audit; official
     # first-time row funded by demoting r4-green
@@ -159,7 +160,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Added in round 5 (Benford first-digit DQ screen on the
     # integer-cents money canon; official first-time row funded by
     # demoting r4-green sim_ann_lsh_topk — sim_ keeps neardup,
-    # pq_adc, ivfpq and the SemDeDup first-timer).
+    # pq_adc and the SemDeDup first-timer).
     "dq_benford_first_digit",
     # Added in round 5 (zone-map pruning advisor — quantified
     # range-vs-hash layout file skipping; official first-time row
