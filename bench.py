@@ -116,6 +116,19 @@ def main() -> None:
         # one orders scan feeding a 2x64-bucket min/max aggregate).
         "stream_ols_incremental",
         "layout_zonemap_prune_stats",
+        # round-5 fifth-session flagships: exact integer ACF over the
+        # daily revenue spine (one orders groupBy + calendar-spine
+        # self-join), the bucketed-prefix Mann-Whitney U (one lineitem
+        # groupBy to distinct prices + two-level rank prefix), and the
+        # integer-grid exact correlation pairs (map-side 2080-pair
+        # expansion, one tiny exchange). Measured steady at sf0.1:
+        # 0.7s / 1.6s / 1.8s — ACF is scan+spine; MWU pays the
+        # distinct-price groupBy plus the bucketed rank windows; corr
+        # pays ~4.2M interpreted element_at products (the documented
+        # interpreted-fold cost family, one-shot monitor query).
+        "ts_acf_daily_revenue",
+        "stats_mannwhitney_u_returnflag",
+        "embedding_corr_pairs",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

@@ -484,3 +484,38 @@ def test_semantic_dedup_matches_sequential_recompute(spark):
     assert got == expected
     # the report must cover the whole corpus
     assert sum(v[0] for v in got.values()) == len(vecs)
+
+
+def test_embedding_corr_matches_numpy(spark):
+    """The integer-grid exact correlation must match a float64 numpy
+    Pearson correlation of the same vectors to quantization accuracy
+    (O(2^-21)), and the returned pairs must be the true top-|corr|."""
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.similarity import (
+        _CORR_TOPK,
+        embedding_corr_pairs,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    vecs = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, SF_SMOKE, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    ref = np.corrcoef(vecs, rowvar=False)
+    got = embedding_corr_pairs(spark, SF_SMOKE).collect()
+    assert len(got) == _CORR_TOPK
+    for r in got:
+        i, j = r["dim_i"] - 1, r["dim_j"] - 1
+        assert abs(r["corr"] - ref[i, j]) < 1e-5, (i, j)
+    # the selected pairs are the true top-k by |corr| (allow boundary
+    # swaps within quantization error of the k-th magnitude)
+    mags = np.abs(ref[np.triu_indices_from(ref, k=1)])
+    kth = np.sort(mags)[-_CORR_TOPK]
+    assert all(abs(r["corr"]) >= kth - 1e-5 for r in got)

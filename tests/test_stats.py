@@ -162,3 +162,53 @@ def test_poisson_bootstrap_weights_and_ci(spark):
     means = sorted(r["boot_mean_cents"] for r in rows)
     point = rows[0]["point_mean_cents"]
     assert means[0] < point < means[-1]
+
+
+def test_mannwhitney_matches_sequential_ranking(spark):
+    """The two-level bucketed prefix rank sums must equal a textbook
+    sequential average-rank computation in pure Python (and the z
+    must match scipy's tie-corrected formula shape)."""
+    from workshop3_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .where(F.col("l_returnflag").isin("A", "R"))
+        .select(
+            (F.col("l_extendedprice").cast("decimal(27,2)") * 100)
+            .cast("long")
+            .alias("v"),
+            (F.col("l_returnflag") == "A").alias("is_a"),
+        )
+        .collect()
+    )
+    sample = sorted((r["v"], r["is_a"]) for r in rows)
+    n = len(sample)
+    # sequential average ranks with ties
+    r1x2 = 0  # 2 * rank-sum of group A
+    i = 0
+    tie = 0
+    while i < n:
+        j = i
+        while j < n and sample[j][0] == sample[i][0]:
+            j += 1
+        t = j - i
+        # doubled average rank of this tie group: (i+1) + j = 2*avg
+        avg2 = (i + 1) + j
+        n1_here = sum(1 for k in range(i, j) if sample[k][1])
+        r1x2 += n1_here * avg2
+        tie += t * t * t - t
+        i = j
+    n1 = sum(1 for _, a in sample if a)
+    n2 = n - n1
+    u_x2 = r1x2 - n1 * (n1 + 1)
+    got = stats.stats_mannwhitney_u_returnflag(spark, SF_SMOKE).collect()[0]
+    assert (got["n_flag_a"], got["n_flag_r"]) == (n1, n2)
+    assert got["u_a_x2"] == u_x2
+    assert got["tie_term"] == tie
+    import math
+
+    var_u = n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u_x2 - n1 * n2) / (2 * math.sqrt(var_u))
+    assert abs(got["z_stat"] - z) < 1e-12

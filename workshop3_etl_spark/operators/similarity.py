@@ -1878,3 +1878,164 @@ def sim_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cluster")
     )
     return materialize_and_release(result, v, ch)
+
+
+# --------------------------------------------------------------------
+# Exact cross-dimension correlation: the anisotropy monitor.
+# --------------------------------------------------------------------
+
+# Quantization scale for exact covariance sums: multiplying a float by
+# 2^21 is exponent arithmetic (no mantissa rounding), and floor() is
+# unambiguous in both engines — unlike round(), whose half-way rule
+# differs subtly across engines. 2^21 keeps |q| < 2^22 for unit-range
+# embeddings, so q_i*q_j < 2^44 and the decimal sums are exact to
+# ~10^9 vectors per partition chain.
+_CORR_SCALE = 2_097_152
+_CORR_TOPK = 15
+
+_CORR_PAIRS_ORACLE = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_CORR_SCALE}) AS BIGINT))
+           AS ql
+  FROM embeddings
+),
+dims AS (
+  SELECT a.i, b.j
+  FROM (SELECT UNNEST(range(1, 65)) AS i) a
+  JOIN (SELECT UNNEST(range(1, 65)) AS j) b ON b.j >= a.i
+),
+x AS (
+  SELECT d.i, d.j,
+         CAST(q.ql[d.i] AS DECIMAL(38,0)) * q.ql[d.j] AS p
+  FROM q, dims d
+),
+p AS (SELECT i, j, SUM(p) AS p FROM x GROUP BY i, j),
+s AS (
+  SELECT d.i AS dim, CAST(SUM(q.ql[d.i]) AS DECIMAL(38,0)) AS s
+  FROM q, (SELECT UNNEST(range(1, 65)) AS i) d
+  GROUP BY d.i
+),
+g AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n FROM q),
+m AS (
+  SELECT p.i, p.j, g.n * p.p - si.s * sj.s AS m
+  FROM p, g, s si, s sj
+  WHERE si.dim = p.i AND sj.dim = p.j
+),
+diag AS (SELECT i AS dim, m AS v FROM m WHERE i = j)
+SELECT CAST(m.i AS BIGINT) AS dim_i, CAST(m.j AS BIGINT) AS dim_j,
+       CAST(m.m AS DOUBLE)
+         / (SQRT(CAST(di.v AS DOUBLE)) * SQRT(CAST(dj.v AS DOUBLE)))
+         AS corr
+FROM m, diag di, diag dj
+WHERE di.dim = m.i AND dj.dim = m.j AND m.i < m.j
+ORDER BY ABS(corr) DESC, dim_i, dim_j
+LIMIT {_CORR_TOPK}
+"""
+
+
+@register("embedding_corr_pairs", oracle=_CORR_PAIRS_ORACLE)
+def embedding_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 most-correlated embedding dimension pairs — the
+    anisotropy monitor: strongly correlated dimensions mean the
+    representation wastes capacity (a rotation would compact it) and
+    cosine neighborhoods are dominated by a few directions.
+
+    embedding_dim_profile deliberately avoids mean/std because double
+    sums are shuffle-order-sensitive; this operator gets EXACT second
+    moments anyway by quantizing each float onto an integer grid
+    (floor(x * 2^21) — exponent-shift multiply, no rounding) so every
+    covariance sum is an order-independent integer:
+    N^2*cov_ij = N * sum(q_i q_j) - sum(q_i) * sum(q_j), and the
+    correlation is one shared IEEE tree over exactly-represented
+    decimals. Pearson correlation of the quantized grid differs from
+    the float-valued correlation by O(2^-21) — far below any signal.
+
+    Spark-first shape: the 2080 (i<=j) products expand INSIDE the map
+    stage (nested array transform + one explode — no self-join, no
+    corpus shuffle); partial aggregation collapses each partition to
+    2080 rows before the only exchange. The per-dim sums ride a
+    second 64-row aggregate over the same persisted quantized frame,
+    and the diagonal join is a broadcast of 64 rows. At 100 TB the
+    exchange still moves 2080 x n_partitions rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {_CORR_SCALE}) as bigint))"
+        ).alias("ql")
+    ).persist()
+    try:
+        pairs = q.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, 64), i ->"
+                    " transform(sequence(i, 64), j -> struct("
+                    " i as i, j as j,"
+                    " element_at(ql, i) * element_at(ql, j) as p))))"
+                )
+            ).alias("e")
+        ).select("e.i", "e.j", F.col("e.p").cast("decimal(38,0)").alias("p"))
+        p = pairs.groupBy("i", "j").agg(F.sum("p").alias("p"))
+        s = (
+            q.select(F.posexplode("ql").alias("pos", "qv"))
+            .select((F.col("pos") + 1).alias("dim"), "qv")
+            .groupBy("dim")
+            .agg(F.sum("qv").cast("decimal(38,0)").alias("s"))
+        )
+        g = q.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+        m = (
+            p.crossJoin(F.broadcast(g))
+            .join(
+                F.broadcast(s.select(F.col("dim").alias("i"),
+                                     F.col("s").alias("si"))),
+                "i",
+            )
+            .join(
+                F.broadcast(s.select(F.col("dim").alias("j"),
+                                     F.col("s").alias("sj"))),
+                "j",
+            )
+            .select(
+                "i",
+                "j",
+                (F.col("n") * F.col("p") - F.col("si") * F.col("sj")).alias(
+                    "m"
+                ),
+            )
+        )
+        diag = m.where(F.col("i") == F.col("j")).select(
+            F.col("i").alias("dim"), F.col("m").alias("v")
+        )
+        out = (
+            m.where(F.col("i") < F.col("j"))
+            .join(
+                F.broadcast(diag.select(F.col("dim").alias("i"),
+                                        F.col("v").alias("vi"))),
+                "i",
+            )
+            .join(
+                F.broadcast(diag.select(F.col("dim").alias("j"),
+                                        F.col("v").alias("vj"))),
+                "j",
+            )
+            .select(
+                F.col("i").cast("long").alias("dim_i"),
+                F.col("j").cast("long").alias("dim_j"),
+                (
+                    F.col("m").cast("double")
+                    / (
+                        F.sqrt(F.col("vi").cast("double"))
+                        * F.sqrt(F.col("vj").cast("double"))
+                    )
+                ).alias("corr"),
+            )
+            .orderBy(F.abs(F.col("corr")).desc(), "dim_i", "dim_j")
+            .limit(_CORR_TOPK)
+        )
+        out = materialize_and_release(out, q)
+    except Exception:
+        q.unpersist()
+        raise
+    return out

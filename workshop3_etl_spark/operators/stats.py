@@ -1206,3 +1206,178 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("replicate")
     )
+
+
+# --------------------------------------------------------------------
+# Mann-Whitney U: rank-based two-sample test, exact integer rank sums
+# via a two-level (bucketed) prefix so no corpus-sized global window.
+# --------------------------------------------------------------------
+
+_MWU_BUCKET = 65536  # cents per rank bucket; spine = price_range / 2^16
+
+_MWU_ORACLE = """
+WITH f AS (
+  SELECT CAST(CAST(l_extendedprice AS decimal(27,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS g
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+),
+pv AS (
+  SELECT v, CAST(SUM(g) AS BIGINT) AS n1, CAST(COUNT(*) AS BIGINT) AS t
+  FROM f GROUP BY v
+),
+rk AS (
+  SELECT v, n1, t,
+         COALESCE(CAST(SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           CAST(0 AS BIGINT)) AS lt
+  FROM pv
+),
+agg AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS n1,
+         CAST(SUM(t - n1) AS BIGINT) AS n2,
+         SUM(CAST(n1 AS DECIMAL(38,0)) * (2 * lt + t + 1)) AS r1x2,
+         SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie
+  FROM rk
+)
+SELECT n1 AS n_flag_a, n2 AS n_flag_r,
+       CAST(r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)
+         AS u_a_x2,
+       CAST(tie AS BIGINT) AS tie_term,
+       (CAST(CAST(r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)
+             AS DOUBLE)
+        - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+       / (2.0 * SQRT(
+           CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+           * (CAST(n1 + n2 + 1 AS DOUBLE)
+              - CAST(CAST(tie AS BIGINT) AS DOUBLE)
+                / (CAST(n1 + n2 AS DOUBLE)
+                   * CAST(n1 + n2 - 1 AS DOUBLE))))) AS z_stat
+FROM agg
+"""
+
+
+@register("stats_mannwhitney_u_returnflag", oracle=_MWU_ORACLE)
+def stats_mannwhitney_u_returnflag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney U between returned (A) and refused (R) lineitem
+    prices: the
+    non-parametric partner of the Welch t-test (rank-based, no
+    normality assumption), with the tie-corrected normal
+    approximation z.
+
+    Exactness: average ranks introduce halves, so every rank quantity
+    is carried DOUBLED — 2*R1 = sum over distinct values of
+    n1(v) * (2*count_less(v) + t(v) + 1) is an exact integer, as is
+    the tie term sum(t^3 - t); z is then one shared IEEE expression
+    tree over exactly-represented integers (the Welch discipline).
+
+    Spark-first scale shape: ranking does NOT sort the corpus — rows
+    collapse to one row per distinct price (map-side-combinable
+    groupBy), and count_less(v) is a TWO-LEVEL prefix sum: a running
+    sum within each 2^16-cent bucket (window PARTITIONED by bucket)
+    plus per-bucket offsets accumulated on the bucket spine, whose
+    length is price_range / 2^16 (~160 rows at ANY corpus size — the
+    calendar-spine discipline applied to the value domain). The
+    DuckDB oracle uses one global window over distinct values; the
+    two formulations agree exactly because all arithmetic is integer.
+
+    Magnitude bound: u_a_x2 < 2*n1*n — bigint-safe through ~sf100;
+    the decimal(38,0) internals hold far beyond.
+
+    Reference parity: the reference's EDA compares group means only
+    (notebook describe() cells); this adds the distribution-free test
+    over the same grouping surface.
+    """
+    from pyspark.sql import Window
+
+    f = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag").isin("A", "R"))
+        .select(
+            (F.col("l_extendedprice").cast("decimal(27,2)") * 100)
+            .cast("long")
+            .alias("v"),
+            F.when(F.col("l_returnflag") == "A", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    pv = (
+        f.groupBy("v")
+        .agg(
+            F.sum("g").cast("long").alias("n1"),
+            F.count(F.lit(1)).cast("long").alias("t"),
+        )
+        .withColumn("bucket", F.expr(f"v div {_MWU_BUCKET}"))
+        # O(distinct prices) index frame, read twice (ranks + bucket
+        # offsets): persist so the corpus is scanned exactly once
+        .persist()
+    )
+    # level 1: running count strictly-before within the bucket
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # level 2: bucket offsets on the bounded bucket spine
+    btot = pv.groupBy("bucket").agg(F.sum("t").alias("bt"))
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    off = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bt").over(wo), F.lit(0)).cast("long").alias("off"),
+    )
+    rk = pv.join(F.broadcast(off), "bucket").select(
+        "n1",
+        "t",
+        (
+            F.col("off")
+            + F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long")
+        ).alias("lt"),
+    )
+    agg = rk.agg(
+        F.sum("n1").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("n1")).cast("long").alias("n2"),
+        F.sum(
+            F.col("n1").cast("decimal(38,0)")
+            * (2 * F.col("lt") + F.col("t") + 1)
+        ).alias("r1x2"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie"),
+    )
+    u_x2 = (
+        F.col("r1x2")
+        - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+    ).cast("long")
+    tie_b = F.col("tie").cast("long")
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    var_u = (
+        n1d
+        * n2d
+        / 12.0
+        * (
+            (F.col("n1") + F.col("n2") + 1).cast("double")
+            - tie_b.cast("double")
+            / (
+                (F.col("n1") + F.col("n2")).cast("double")
+                * (F.col("n1") + F.col("n2") - 1).cast("double")
+            )
+        )
+    )
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+
+    out = agg.select(
+        F.col("n1").alias("n_flag_a"),
+        F.col("n2").alias("n_flag_r"),
+        u_x2.alias("u_a_x2"),
+        tie_b.alias("tie_term"),
+        (
+            (u_x2.cast("double") - n1d * n2d) / (2.0 * F.sqrt(var_u))
+        ).alias("z_stat"),
+    )
+    return materialize_and_release(out, pv)

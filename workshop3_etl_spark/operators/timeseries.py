@@ -743,3 +743,158 @@ def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("long").alias("cusum"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Exact autocorrelation function of the daily revenue series.
+# --------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(CAST(o_totalprice AS decimal(27,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+spine AS (
+  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM b
+),
+filled AS (
+  SELECT s.d, COALESCE(daily.x, CAST(0 AS BIGINT)) AS x
+  FROM spine s LEFT JOIN daily ON s.d = daily.d
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS s,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS q
+  FROM filled
+),
+lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+pairs AS (
+  SELECT l.lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(a.x AS DECIMAL(38,0)) * b.x) AS p,
+         CAST(SUM(a.x) AS DECIMAL(38,0)) AS h,
+         CAST(SUM(b.x) AS DECIMAL(38,0)) AS t
+  FROM lags l
+  JOIN filled a ON TRUE
+  JOIN filled b ON b.d = a.d + CAST(l.lag AS INTEGER) * INTERVAL 1 DAY
+  GROUP BY l.lag
+)
+SELECT p.lag, p.n_pairs,
+       CAST(CAST(g.n_days AS DECIMAL(38,0)) * g.n_days * p.p
+              - CAST(g.n_days AS DECIMAL(38,0)) * g.s * (p.h + p.t)
+              + (CAST(g.n_days AS DECIMAL(38,0)) - p.lag) * g.s * g.s
+            AS DOUBLE)
+         / CAST(CAST(g.n_days AS DECIMAL(38,0)) * g.n_days * g.q
+                  - CAST(g.n_days AS DECIMAL(38,0)) * g.s * g.s
+                AS DOUBLE) AS autocorr
+FROM pairs p CROSS JOIN g
+ORDER BY p.lag
+"""
+
+
+@register("ts_acf_daily_revenue", oracle=_ACF_ORACLE)
+def ts_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily order-revenue series at lags
+    1..7, computed EXACTLY: the centered cross-products are expanded
+    into raw integer-cents moments scaled by N^2,
+
+        N^2 * c_k = N^2 * P_k - N * S * (H_k + T_k) + (N - k) * S^2
+
+    (P_k = sum x_t*x_{t+k}, H/T = head/tail sums, S = series total),
+    so every numerator and the variance denominator is an exact
+    decimal(38,0) integer and r_k = c_k / c_0 is ONE double division
+    of two exactly-represented integers -- bit-identical across
+    engines and partitionings. Weekly seasonality in order flow shows
+    up as a positive r_7 spike vs its neighbors.
+
+    Spark-first shape: corpus-scale work is a single map-side-
+    combinable groupBy(o_orderdate); everything after rides the
+    calendar-day spine (gap days filled with 0, the CUSUM/skyline
+    spine discipline). The lag pairing is an equi-join of the spine
+    against itself on a shifted date key -- no window state, no
+    theta join. At 100 TB the spine is still ~2.4k rows.
+
+    Magnitude bound: exactness needs N^2*Q < 10^38 -- holds through
+    ~sf3000; re-audit if the driver ever hash-checks beyond that
+    (same bound family as the other decimal-moment operators).
+
+    Reference parity: generalizes the reference's per-year KPI trend
+    eyeballing (notebook EDA cells) into a first-class seasonality
+    statistic.
+    """
+    cents = (
+        F.col("o_totalprice").cast("decimal(27,2)") * 100
+    ).cast("long")
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").alias("d"), cents.alias("xc"))
+        .groupBy("d")
+        .agg(F.sum("xc").cast("long").alias("x"))
+    )
+    b = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = b.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    filled = spine.join(F.broadcast(daily), "d", "left").select(
+        "d", F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x")
+    )
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
+    filled = filled.persist()
+    try:
+        g = filled.agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("x").cast("decimal(38,0)").alias("s"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
+        )
+        lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+            F.col("id").alias("lag")
+        )
+        a = filled.crossJoin(F.broadcast(lags)).select(
+            "lag",
+            F.col("x").alias("xa"),
+            F.expr("date_add(d, cast(lag as int))").alias("d2"),
+        )
+        pairs = (
+            a.join(
+                F.broadcast(filled.select(F.col("d").alias("d2"),
+                                          F.col("x").alias("xb"))),
+                "d2",
+            )
+            .groupBy("lag")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias(
+                    "p"
+                ),
+                F.sum("xa").cast("decimal(38,0)").alias("h"),
+                F.sum("xb").cast("decimal(38,0)").alias("t"),
+            )
+        )
+        nd = F.col("n_days").cast("decimal(38,0)")
+        num = (
+            nd * F.col("n_days") * F.col("p")
+            - nd * F.col("s") * (F.col("h") + F.col("t"))
+            + (nd - F.col("lag")) * F.col("s") * F.col("s")
+        )
+        den = nd * F.col("n_days") * F.col("q") - nd * F.col("s") * F.col("s")
+        out = (
+            pairs.crossJoin(F.broadcast(g))
+            .select(
+                "lag",
+                "n_pairs",
+                (num.cast("double") / den.cast("double")).alias("autocorr"),
+            )
+            .orderBy("lag")
+        )
+        out = materialize_and_release(out, filled)
+    except Exception:
+        filled.unpersist()
+        raise
+    return out

@@ -141,8 +141,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # passes to the new operator).
     "stats_poisson_bootstrap_ci",
     "happiness_unified_profile",
-    "basket_part_pairs_lift",
-    "text_bigram_pmi",
+    # Added in round 5, fifth session (exact integer ACF on the daily
+    # revenue spine; official first-time row funded by demoting
+    # r4-green basket_part_pairs_lift — the association family keeps
+    # its lifetime-green record plus the markov/attribution reps in
+    # rotation).
+    "ts_acf_daily_revenue",
+    # Added in round 5, fifth session (bucketed-prefix Mann-Whitney U
+    # — the rank-based partner of the Welch t-test; official
+    # first-time row funded by demoting r2-green text_bigram_pmi —
+    # text_ keeps the bpe_merge_candidates first-timer).
+    "stats_mannwhitney_u_returnflag",
     # Added in round 5 (integer-token PageRank — bit-stable power
     # iteration over the co-purchase graph; official first-time row
     # funded by demoting r4-green graph_triangle_count_copurchase —
