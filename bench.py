@@ -129,6 +129,14 @@ def main() -> None:
         "ts_acf_daily_revenue",
         "stats_mannwhitney_u_returnflag",
         "embedding_corr_pairs",
+        # round-5 fifth session, continued: the TPC-H fill-in set's
+        # two headline-worthy plans — Q8 (widest star: 2 fact
+        # shuffles + 4 broadcasts under a conditional-share agg) and
+        # Q10 (aggregate-then-enrich top-k). The other four fill-ins
+        # (q15/q18/q19/q22) are variations of already-benched shapes
+        # and stay out of the headline.
+        "q8_market_share",
+        "q10_returned_items",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

@@ -486,3 +486,48 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    """Catalyst must derive per-side supersets of the OR-of-AND
+    predicate and push them into BOTH parquet scans: the part scan
+    carries the brand IN-list plus the size-band disjunction, and the
+    lineitem scan carries the quantity-band disjunction — so at
+    100 TB the join sees only candidate rows from either side."""
+    from workshop3_etl_spark.operators.relational import (
+        q19_disjunctive_revenue,
+    )
+
+    plan = _plan(q19_disjunctive_revenue(spark, SF_CORRECT))
+    assert "In(p_brand" in plan
+    assert plan.count("GreaterThanOrEqual(l_quantity") >= 3
+    assert plan.count("GreaterThanOrEqual(p_size") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_aggregates_before_joining_parents(spark):
+    """The HAVING aggregate must run on lineitem ALONE (quantity sums
+    shuffle two columns), with orders and customer joining the tiny
+    survivor frame afterwards — never a pre-aggregation 3-way join."""
+    from workshop3_etl_spark.operators.relational import (
+        q18_large_volume_customers,
+    )
+
+    plan = _plan(q18_large_volume_customers(spark, SF_CORRECT))
+    tree = plan.split("(1) Scan parquet")[0]
+    # dataflow: Scan -> partial agg -> Exchange -> final agg -> Filter
+    # (the HAVING), and only THEN the parent joins — i.e. in the
+    # printed tree every Join line sits ABOVE the aggregate lines,
+    # and the aggregate subtree bottoms out directly on a scan.
+    join_lines = [
+        i for i, ln in enumerate(tree.splitlines()) if "Join" in ln
+    ]
+    agg_lines = [
+        i for i, ln in enumerate(tree.splitlines())
+        if "HashAggregate" in ln
+    ]
+    assert join_lines and agg_lines
+    assert max(join_lines) < min(agg_lines), tree
+    # the shuffle below the aggregate is the only fact exchange
+    assert "Exchange" in tree
+    assert "TakeOrderedAndProject" in tree

@@ -1038,3 +1038,447 @@ def bitmask_priority_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority_mask")
     )
+
+
+# --------------------------------------------------------------------
+# Q8: national market share — a two-level conditional-share aggregate
+# over the full 7-table star (the widest join in the TPC-H set that
+# this testdata's schema supports).
+# --------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT
+  CAST(year(o.o_orderdate) AS INT) AS o_year,
+  CAST(SUM(CASE WHEN s.s_nationkey = 9
+       THEN CAST(CAST(l.l_extendedprice AS DOUBLE)
+            * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))
+       ELSE CAST(0 AS decimal(27,4)) END) AS DOUBLE)
+  / CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE)
+         * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE)
+    AS mkt_share,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY year(o.o_orderdate)
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share per year (TPC-H Q8 shape; share nation =
+    nationkey 9, market = region AMERICA, part type ECONOMY).
+
+    Plan shape: the region->nation->customer chain attaches the
+    market filter to orders via one custkey join; part (type-filtered)
+    and supplier broadcast onto lineitem map-side; the only
+    corpus-scale shuffle is lineitem<->orders on orderkey. The share
+    is a conditional/total pair of exact decimal sums and ONE double
+    division per year row (the Q14 discipline).
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nat_am = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat_am), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate")
+             >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate")
+               < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    revenue = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(27,4)")
+    nation_rev = F.when(F.col("s_nationkey") == 9, revenue).otherwise(
+        F.lit(0).cast("decimal(27,4)")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.sum(nation_rev).cast("double")
+             / F.sum(revenue).cast("double")).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------
+# Q10: returned-item reporting — aggregate-then-enrich top-k.
+# --------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT
+  c.c_custkey, c.c_name,
+  CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE)
+       * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE)
+    AS revenue,
+  c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned-item revenue in a quarter (TPC-H
+    Q10 shape).
+
+    Plan shape: aggregate FIRST (per-custkey revenue from the
+    orders<->lineitem join — the only corpus-scale shuffle), THEN
+    enrich the ~|custkey| aggregate with customer attributes and the
+    broadcast nation name; TakeOrderedAndProject caps the result at
+    20. Joining customer after the aggregation keeps the wide name/
+    acctbal columns off the fact shuffle.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    revenue = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(27,4)")
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# Q15: top supplier — a revenue view + scalar-subquery max filter.
+# --------------------------------------------------------------------
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+              * (1.0 - CAST(l_discount AS DOUBLE)) AS decimal(27,4)))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum quarterly revenue (TPC-H Q15
+    shape: view + scalar-subquery equality, ties preserved).
+
+    The revenue view is persisted and read twice (max + filter) so
+    the corpus is scanned once; the max rides a broadcast 1-row
+    aggregate (the scalar_subquery_above_avg protocol). Equality on
+    the double revenue is sound because both sides derive from the
+    same exact decimal sum.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue_col = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(27,4)")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(revenue_col).cast("double").alias("total_revenue"))
+        .persist()
+    )
+    try:
+        mx = rev.agg(F.max("total_revenue").alias("mx"))
+        supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+        out = (
+            rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("mx"))
+            .join(F.broadcast(supp),
+                  F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey")
+        )
+        from workshop3_etl_spark.functions.cache import (
+            materialize_and_release,
+        )
+
+        out = materialize_and_release(out, rev)
+    except Exception:
+        rev.unpersist()
+        raise
+    return out
+
+
+# --------------------------------------------------------------------
+# Q18: large-volume customers — HAVING-filtered fact aggregate joined
+# back to both parents.
+# --------------------------------------------------------------------
+
+_Q18_QTY = 300
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS decimal(27,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS decimal(27,2))) > {_Q18_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, big.sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_volume_customers", oracle=_Q18_ORACLE)
+def q18_large_volume_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customers behind orders totalling > 300 units (TPC-H Q18
+    shape).
+
+    Plan shape: the HAVING aggregate runs on lineitem alone
+    (map-side-combinable, two columns on the shuffle) and survives as
+    a tiny frame; orders joins it on orderkey and customer enriches
+    the survivors. No corpus-scale row ever carries customer
+    attributes. Quantity sums are exact decimals surfaced as doubles.
+    """
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("q"))
+        .filter(F.col("q") > _Q18_QTY)
+        .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------
+# Q19: disjunctive-predicate revenue (adapted: this testdata's part
+# has no p_container and lineitem no l_shipmode/l_shipinstruct, so
+# the three conjunct arms pair brand with size/quantity bands).
+# --------------------------------------------------------------------
+
+_Q19_ORACLE = """
+SELECT
+  CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE)
+       * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE)
+    AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE
+  (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+   AND l.l_quantity BETWEEN 1 AND 11)
+  OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+      AND l.l_quantity BETWEEN 10 AND 20)
+  OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+      AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_disjunctive_revenue", oracle=_Q19_ORACLE)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under a 3-arm disjunction of brand x size x
+    quantity conjuncts (TPC-H Q19 shape, adapted to this schema —
+    docstring note in the module header).
+
+    Plan shape: the common superset predicate (brand IN the 3 values)
+    prunes the broadcast part side BEFORE the join, and the residual
+    disjunction evaluates post-join inside the same stage — the
+    pushdown decomposition Catalyst applies to OR-of-AND predicates.
+    One scan each side, no shuffle beyond the final 1-row aggregate.
+    """
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(27,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arm)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Q22: dormant high-balance customers (adapted: this testdata has no
+# c_phone and every customer has SOME order, so the anti-join targets
+# orders SINCE a cutoff and the country grouping is the nationkey).
+# --------------------------------------------------------------------
+
+_Q22_NATIONS = (1, 6, 11, 16, 21)  # the AMERICA nations
+_Q22_CUTOFF = "2000-01-01 00:00:00"
+
+_Q22_ORACLE = f"""
+WITH sel AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(c_acctbal AS decimal(27,2)) AS bal
+  FROM customer
+  WHERE c_nationkey IN {_Q22_NATIONS}
+),
+avg_bal AS (
+  SELECT CAST(SUM(bal) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ab
+  FROM sel WHERE bal > 0
+),
+dormant AS (
+  SELECT s.c_nationkey, s.bal
+  FROM sel s CROSS JOIN avg_bal
+  WHERE CAST(s.bal AS DOUBLE) > avg_bal.ab
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = s.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'
+    )
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal) AS DOUBLE) AS totacctbal
+FROM dormant
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("q22_sales_opportunity", oracle=_Q22_ORACLE)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant above-average-balance customers per nation (TPC-H Q22
+    shape: scalar subquery + NOT EXISTS anti-join, adapted — see the
+    section comment).
+
+    Plan shape: the scalar average rides a broadcast 1-row aggregate;
+    the NOT EXISTS decorrelates to a LEFT ANTI join against the
+    cutoff-filtered DISTINCT order custkeys (aggregated before the
+    join so the anti probe is key-only). Balances are exact decimals;
+    the average is one double division.
+    """
+    sel = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(*_Q22_NATIONS))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("c_acctbal").cast("decimal(27,2)").alias("bal"),
+        )
+    )
+    avg_bal = sel.filter(F.col("bal") > 0).agg(
+        (F.sum("bal").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("ab")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    dormant = (
+        sel.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal").cast("double") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -158,7 +158,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # graph_ keeps the degree_distribution first-timer).
     "graph_pagerank_copurchase",
     "sim_neardup_lsh_buckets",
-    "sim_ann_pq_adc_topk",
+    # Added in round 5, fifth session (TPC-H Q8 — the widest star
+    # join the testdata schema supports; official first-time row
+    # funded by demoting r4-green sim_ann_pq_adc_topk — sim_ keeps
+    # the neardup and SemDeDup reps).
+    "q8_market_share",
     # Added in round 5 (incrementally-maintained HLL registers on the
     # shared epoch/compaction protocol — the idempotent-merge
     # counterpart of the CMS row; official first-time row funded by
@@ -208,7 +212,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # first-timers).
     "stream_late_data_metrics",
     "pyds_documents_by_lang",
-    "sql_scripting_decayed_revenue",
+    # Added in round 5, fifth session (TPC-H Q22 — scalar subquery +
+    # decorrelated NOT EXISTS anti-join; official first-time row
+    # funded by demoting r4-green sql_scripting_decayed_revenue —
+    # sql_ keeps the lateral first-timer).
+    "q22_sales_opportunity",
     "q1_pricing_summary",
     # Added in round 5 (OLS trained incrementally from additive
     # integer sufficient statistics on the shared epoch/compaction
