@@ -137,6 +137,11 @@ def main() -> None:
         # and stay out of the headline.
         "q8_market_share",
         "q10_returned_items",
+        # round-5 fifth session: MMR diversified rerank — pool
+        # retrieval (one broadcast-query scan + TakeOrdered 20) plus
+        # 7 pool-bounded greedy steps; the per-step localCheckpoints
+        # dominate its wall time, constant in corpus size.
+        "search_mmr_diversified_topk",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

@@ -2039,3 +2039,188 @@ def embedding_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.unpersist()
         raise
     return out
+
+
+# --------------------------------------------------------------------
+# MMR (maximal marginal relevance) diversified rerank — the curation
+# step between retrieval and selection: trade relevance against
+# redundancy so the picked set isn't K copies of the same document.
+# --------------------------------------------------------------------
+
+_MMR_POOL = 20  # candidate pool from the retrieval stage
+_MMR_K = 8  # picks
+_MMR_LAM = "0.7e0"  # relevance weight (1 - lam penalizes redundancy)
+
+
+def _mmr_oracle() -> str:
+    cos_qc = (
+        f"{_dot_duck('q.qv', 'e.embedding')}"
+        f" / (SQRT(q.qn) * SQRT({_norm2_duck('e.embedding')}))"
+    )
+    steps = []
+    prev = "s0"
+    for t in range(1, _MMR_K):
+        steps.append(f"""
+pick{t} AS MATERIALIZED (
+  SELECT {t + 1} AS sel_rank, x.cid, x.rel, x.score FROM (
+    SELECT c.cid, c.rel,
+           {_MMR_LAM} * c.rel - (1.0e0 - {_MMR_LAM}) * (
+             SELECT MAX(p.sim) FROM pair p
+             JOIN {prev} s ON p.bid = s.cid
+             WHERE p.aid = c.cid) AS score
+    FROM cand c
+    WHERE c.cid NOT IN (SELECT cid FROM {prev})
+  ) x ORDER BY x.score DESC, x.cid LIMIT 1
+),
+sel{t} AS MATERIALIZED (SELECT sel_rank, cid, rel, score FROM {prev}
+           UNION ALL SELECT sel_rank, cid, rel, score FROM pick{t})""")
+        prev = f"sel{t}"
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT embedding AS qv, {_norm2_duck('embedding')} AS qn
+  FROM embeddings WHERE vec_id = 0
+),
+cand AS MATERIALIZED (
+  SELECT e.vec_id AS cid, e.embedding AS cv,
+         {_norm2_duck('e.embedding')} AS cn,
+         {cos_qc} AS rel
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+  ORDER BY rel DESC, cid LIMIT {_MMR_POOL}
+),
+pair AS MATERIALIZED (
+  SELECT a.cid AS aid, b.cid AS bid,
+         {_dot_duck('a.cv', 'b.cv')} / (SQRT(a.cn) * SQRT(b.cn)) AS sim
+  FROM cand a JOIN cand b ON a.cid <> b.cid
+),
+s0 AS MATERIALIZED (
+  SELECT 1 AS sel_rank, cid, rel, {_MMR_LAM} * rel AS score
+  FROM cand ORDER BY rel DESC, cid LIMIT 1
+),{','.join(steps)}
+SELECT CAST(sel_rank AS INT) AS sel_rank, cid AS vec_id,
+       rel AS relevance, score AS mmr_score
+FROM {prev} ORDER BY sel_rank
+"""
+
+
+@register("search_mmr_diversified_topk", oracle=_mmr_oracle())
+def search_mmr_diversified_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MMR-diversified top-8 for query vector 0: greedy
+    argmax of lam*rel(d) - (1-lam)*max_{s in S} sim(d, s) over a
+    relevance-retrieved pool of 20.
+
+    The greedy recurrence is unrolled into K-1 relational steps (the
+    PageRank unrolling discipline): each step anti-joins the selected
+    set, attaches max-similarity-to-selected from the 20x20 pairwise
+    frame, and takes the deterministic argmax (score DESC, id ASC).
+    Every score is the same shared IEEE expression tree over the
+    deterministic dot-product fold both engines evaluate identically,
+    so selection — comparisons included — is bit-stable.
+
+    Scale shape: the ONLY corpus-scale work is the pool retrieval
+    (one broadcast-query scan + TakeOrdered 20 — at 100 TB this stage
+    is served by the ANN index operators instead); the pairwise frame
+    and all K greedy steps are pool-bounded (400 rows) broadcast
+    no-shuffle plans, so MMR cost is independent of corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        dot_fold("embedding", "embedding").alias("qn"),
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            dot_fold("embedding", "embedding").alias("cn"),
+            (
+                dot_fold("qv", "embedding")
+                / (F.sqrt("qn") * F.sqrt(dot_fold("embedding", "embedding")))
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("cid"))
+        .limit(_MMR_POOL)
+        .persist()
+    )
+    try:
+        a = cand.select(
+            F.col("cid").alias("aid"), F.col("cv").alias("av"),
+            F.col("cn").alias("an"),
+        )
+        b = cand.select(
+            F.col("cid").alias("bid"), F.col("cv").alias("bv"),
+            F.col("cn").alias("bn"),
+        )
+        pair = (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("aid") != F.col("bid"))
+            .select(
+                "aid",
+                "bid",
+                (
+                    dot_fold("av", "bv")
+                    / (F.sqrt("an") * F.sqrt("bn"))
+                ).alias("sim"),
+            )
+        )
+        lam = F.lit(0.7)
+        # each greedy step references the running selected set three
+        # times (anti-join, max-sim probe, union) — without a
+        # checkpoint the plan tree grows 3^K subtree copies and the
+        # analyzer OOMs; the supersede() discipline (PageRank/BFS)
+        # pins each round to an 8-row materialized frame instead.
+        from workshop3_etl_spark.functions.cache import supersede
+
+        selected = supersede(
+            cand.orderBy(F.desc("rel"), F.asc("cid"))
+            .limit(1)
+            .select(
+                F.lit(1).alias("sel_rank"),
+                "cid",
+                "rel",
+                (lam * F.col("rel")).alias("score"),
+            ),
+            None,
+        )
+        for t in range(1, _MMR_K):
+            rem = cand.join(
+                selected.select(F.col("cid").alias("scid")),
+                F.col("cid") == F.col("scid"),
+                "left_anti",
+            )
+            ms = (
+                pair.join(
+                    F.broadcast(selected.select(F.col("cid").alias("bid"))),
+                    "bid",
+                )
+                .groupBy("aid")
+                .agg(F.max("sim").alias("maxsim"))
+            )
+            pick = (
+                rem.join(F.broadcast(ms), F.col("cid") == F.col("aid"))
+                .select(
+                    F.lit(t + 1).alias("sel_rank"),
+                    "cid",
+                    "rel",
+                    (lam * F.col("rel")
+                     - (F.lit(1.0) - lam) * F.col("maxsim")).alias("score"),
+                )
+                .orderBy(F.desc("score"), F.asc("cid"))
+                .limit(1)
+            )
+            selected = supersede(selected.unionByName(pick), selected)
+        out = selected.select(
+            F.col("sel_rank").cast("int").alias("sel_rank"),
+            F.col("cid").alias("vec_id"),
+            F.col("rel").alias("relevance"),
+            F.col("score").alias("mmr_score"),
+        ).orderBy("sel_rank")
+        out = materialize_and_release(out, cand, selected)
+    except Exception:
+        cand.unpersist()
+        raise
+    return out
