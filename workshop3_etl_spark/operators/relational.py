@@ -37,6 +37,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Exercises A1 count, A2-style averages, P8 predicate, T2 ordering —
 # the same operator set as the reference's KPI-by-year query
 # (`Reporte_Tecnico.md:507-524`), on the lineitem fact table.
+def _rev() -> F.Column:
+    """The discounted-revenue money canon shared by every TPC-H-shaped
+    query: price * (1 - discount), summed as exact decimal(27,4) and
+    surfaced as double. Single-sourced so a precision change cannot
+    silently diverge between queries (driver hash-checks the canon)."""
+    return (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(27,4)")
+
+
+def _rev_sql(p: str = "") -> str:
+    """DuckDB twin of :func:`_rev`; ``p`` is the lineitem alias prefix
+    (e.g. ``"l."``)."""
+    return (
+        f"CAST(CAST({p}l_extendedprice AS DOUBLE)"
+        f" * (1.0 - CAST({p}l_discount AS DOUBLE)) AS decimal(27,4))"
+    )
+
+
 # --------------------------------------------------------------------
 
 _Q1_ORACLE = f"""
@@ -122,10 +141,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference has none; this is the §7 build-plan extension).
 # --------------------------------------------------------------------
 
-_Q3_ORACLE = """
+_Q3_ORACLE = f"""
 SELECT
   l.l_orderkey,
-  CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE) * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE) AS revenue,
+  CAST(SUM({_rev_sql('l.')}) AS DOUBLE) AS revenue,
   o.o_orderdate,
   o.o_orderpriority
 FROM customer c
@@ -154,12 +173,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
-    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    revenue = _rev()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue.cast("decimal(27,4)")).cast("double").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -171,10 +190,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # facts + supplier co-location condition).
 # --------------------------------------------------------------------
 
-_Q5_ORACLE = """
+_Q5_ORACLE = f"""
 SELECT
   n.n_name,
-  CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE) * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE) AS revenue
+  CAST(SUM({_rev_sql('l.')}) AS DOUBLE) AS revenue
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -200,7 +219,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
-    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    revenue = _rev()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -211,7 +230,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(revenue.cast("decimal(27,4)")).cast("double").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -712,14 +731,12 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-decimal conditional sums.
 # --------------------------------------------------------------------
 
-_Q14_ORACLE = """
+_Q14_ORACLE = f"""
 SELECT
   CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
-       THEN CAST(CAST(l.l_extendedprice AS DOUBLE)
-            * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))
+       THEN {_rev_sql('l.')}
        ELSE CAST(0 AS decimal(27,4)) END) AS DOUBLE)
-  / CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE)
-         * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE)
+  / CAST(SUM({_rev_sql('l.')}) AS DOUBLE)
   AS promo_share,
   CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem l
@@ -738,9 +755,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    revenue = (
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    ).cast("decimal(27,4)")
+    revenue = _rev()
     promo = F.when(
         F.col("p_type").like("PROMO%"), revenue
     ).otherwise(F.lit(0).cast("decimal(27,4)"))
@@ -759,13 +774,12 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 5-way join, grouped by both nations and ship year).
 # --------------------------------------------------------------------
 
-_Q7_ORACLE = """
+_Q7_ORACLE = f"""
 SELECT
   n1.n_name AS supp_nation,
   n2.n_name AS cust_nation,
   CAST(year(l.l_shipdate) AS INT) AS ship_year,
-  CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE)
-       * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE)
+  CAST(SUM({_rev_sql('l.')}) AS DOUBLE)
     AS volume
 FROM supplier s
 JOIN lineitem l ON s.s_suppkey = l.l_suppkey
@@ -802,7 +816,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
-    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    revenue = _rev()
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | (
@@ -1046,15 +1060,13 @@ def bitmask_priority_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this testdata's schema supports).
 # --------------------------------------------------------------------
 
-_Q8_ORACLE = """
+_Q8_ORACLE = f"""
 SELECT
   CAST(year(o.o_orderdate) AS INT) AS o_year,
   CAST(SUM(CASE WHEN s.s_nationkey = 9
-       THEN CAST(CAST(l.l_extendedprice AS DOUBLE)
-            * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))
+       THEN {_rev_sql('l.')}
        ELSE CAST(0 AS decimal(27,4)) END) AS DOUBLE)
-  / CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE)
-         * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE)
+  / CAST(SUM({_rev_sql('l.')}) AS DOUBLE)
     AS mkt_share,
   CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem l
@@ -1112,9 +1124,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    revenue = (
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    ).cast("decimal(27,4)")
+    revenue = _rev()
     nation_rev = F.when(F.col("s_nationkey") == 9, revenue).otherwise(
         F.lit(0).cast("decimal(27,4)")
     )
@@ -1137,11 +1147,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q10: returned-item reporting — aggregate-then-enrich top-k.
 # --------------------------------------------------------------------
 
-_Q10_ORACLE = """
+_Q10_ORACLE = f"""
 SELECT
   c.c_custkey, c.c_name,
-  CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE)
-       * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE)
+  CAST(SUM({_rev_sql('l.')}) AS DOUBLE)
     AS revenue,
   c.c_acctbal, n.n_name
 FROM customer c
@@ -1176,9 +1185,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     ).select("l_orderkey", "l_extendedprice", "l_discount")
-    revenue = (
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    ).cast("decimal(27,4)")
+    revenue = _rev()
     per_cust = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
@@ -1202,11 +1209,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q15: top supplier — a revenue view + scalar-subquery max filter.
 # --------------------------------------------------------------------
 
-_Q15_ORACLE = """
+_Q15_ORACLE = f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
-              * (1.0 - CAST(l_discount AS DOUBLE)) AS decimal(27,4)))
+         CAST(SUM({_rev_sql('')})
               AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1235,9 +1241,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
-    revenue_col = (
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    ).cast("decimal(27,4)")
+    revenue_col = _rev()
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(revenue_col).cast("double").alias("total_revenue"))
@@ -1332,10 +1336,9 @@ def q18_large_volume_customers(
 # the three conjunct arms pair brand with size/quantity bands).
 # --------------------------------------------------------------------
 
-_Q19_ORACLE = """
+_Q19_ORACLE = f"""
 SELECT
-  CAST(SUM(CAST(CAST(l.l_extendedprice AS DOUBLE)
-       * (1.0 - CAST(l.l_discount AS DOUBLE)) AS decimal(27,4))) AS DOUBLE)
+  CAST(SUM({_rev_sql('l.')}) AS DOUBLE)
     AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem l
@@ -1387,9 +1390,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
-    revenue = (
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    ).cast("decimal(27,4)")
+    revenue = _rev()
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(arm)

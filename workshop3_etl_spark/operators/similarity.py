@@ -2133,13 +2133,23 @@ def search_mmr_diversified_topk(
     cand = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
+        # two-stage projection so the interpreted self-norm fold runs
+        # ONCE per corpus row (inlining it into rel's denominator
+        # would evaluate the 64-element fold twice per row in the
+        # operator's only corpus-scale stage)
         .select(
             F.col("vec_id").alias("cid"),
             F.col("embedding").alias("cv"),
+            "qv",
+            "qn",
             dot_fold("embedding", "embedding").alias("cn"),
+        )
+        .select(
+            "cid",
+            "cv",
+            "cn",
             (
-                dot_fold("qv", "embedding")
-                / (F.sqrt("qn") * F.sqrt(dot_fold("embedding", "embedding")))
+                dot_fold("qv", "cv") / (F.sqrt("qn") * F.sqrt("cn"))
             ).alias("rel"),
         )
         .orderBy(F.desc("rel"), F.asc("cid"))
