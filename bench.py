@@ -142,6 +142,9 @@ def main() -> None:
         # 7 pool-bounded greedy steps; the per-step localCheckpoints
         # dominate its wall time, constant in corpus size.
         "search_mmr_diversified_topk",
+        # round-5 fifth session: key-sample join-size estimator (one
+        # lineitem scan + per-key groupBy carrying a boolean).
+        "dq_join_size_estimate_keysample",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

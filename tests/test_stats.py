@@ -212,3 +212,43 @@ def test_mannwhitney_matches_sequential_ranking(spark):
     var_u = n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1)))
     z = (u_x2 - n1 * n2) / (2 * math.sqrt(var_u))
     assert abs(got["z_stat"] - z) < 1e-12
+
+
+def test_join_size_estimator_matches_sequential(spark):
+    """The key-sample estimator must equal a pure-Python recompute of
+    the same salted-hash key sampling (exact per-key frequencies,
+    x16 scale-up), and the exact side must be sum(f^2)."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.stats import (
+        _JSE_RATE,
+        _JSE_T,
+        dq_join_size_estimate_keysample,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    keys = [
+        r["l_orderkey"]
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey")
+        .collect()
+    ]
+    freq = Counter(keys)
+
+    def sampled(k: int) -> bool:
+        h = hashlib.md5(f"{k}:jse42".encode()).hexdigest()[:15]
+        return int(h, 16) < _JSE_T
+
+    exact = sum(c * c for c in freq.values())
+    est = _JSE_RATE * sum(c * c for k, c in freq.items() if sampled(k))
+    n_sampled = sum(1 for k in freq if sampled(k))
+    got = dq_join_size_estimate_keysample(spark, SF_SMOKE).collect()[0]
+    assert got["n_keys"] == len(freq)
+    assert got["n_sampled_keys"] == n_sampled
+    assert got["exact_size"] == exact
+    assert got["est_size"] == est
+    # the estimator should be in the right ballpark even at sf0.001
+    assert abs(got["rel_err_pct"]) < 50

@@ -1381,3 +1381,112 @@ def stats_mannwhitney_u_returnflag(
         ).alias("z_stat"),
     )
     return materialize_and_release(out, pv)
+
+
+# --------------------------------------------------------------------
+# Join-size estimation by key sampling — the optimizer-cardinality
+# primitive: predict a self-join's output size from 1/R of the keys
+# BEFORE paying for the join.
+# --------------------------------------------------------------------
+
+_JSE_RATE = 16  # sample 1/16 of the key space
+# keep every row whose KEY hashes under 2^60 / rate (end-biased /
+# correlated sampling: all rows of a sampled key survive together, so
+# per-key frequencies inside the sample are EXACT, not subsampled)
+_JSE_T = (1 << 60) // _JSE_RATE
+
+_JSE_HASH = (
+    "cast(conv(substring(md5(concat(cast(l_orderkey as string),"
+    " ':jse42')), 1, 15), 16, 10) as bigint)"
+)
+_JSE_HASH_DUCK = (
+    "CAST(CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)"
+    " || ':jse42'), 1, 15)) AS BIGINT) AS BIGINT)"
+)
+
+_JSE_ORACLE = f"""
+WITH f AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c,
+         {_JSE_HASH_DUCK} < {_JSE_T} AS sampled
+  FROM lineitem GROUP BY 1, 3
+),
+agg AS (
+  SELECT
+    CAST(SUM(c * c) AS BIGINT) AS exact_size,
+    CAST(SUM(CASE WHEN sampled THEN c * c ELSE 0 END)
+         * {_JSE_RATE} AS BIGINT) AS est_size,
+    CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_sampled_keys,
+    CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM f
+)
+SELECT n_keys, n_sampled_keys, exact_size, est_size,
+       (CAST(est_size AS DOUBLE) - CAST(exact_size AS DOUBLE))
+         / CAST(exact_size AS DOUBLE) * 100.0 AS rel_err_pct
+FROM agg
+"""
+
+
+@register("dq_join_size_estimate_keysample", oracle=_JSE_ORACLE)
+def dq_join_size_estimate_keysample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Self-join size of lineitem on l_orderkey (the basket
+    co-purchase join's input cardinality: sum over keys of f(k)^2),
+    estimated from a 1/16 hash-sample of the KEY SPACE next to the
+    exact reference.
+
+    End-biased (correlated) sampling is the part that makes this
+    sound: the salted-md5 threshold samples KEYS, not rows, so every
+    surviving key carries its exact frequency and
+    E[16 * sum_sampled f^2] = sum_all f^2 — an unbiased estimator
+    with no per-key undercount bias (row-level sampling would need a
+    quadratic bias correction). The hash protocol is the engine's
+    split-flag idiom (conv/0x-cast 60-bit md5 prefix vs a frozen
+    integer threshold) — deterministic, engine-identical, and
+    pushable to a map-side filter.
+
+    Scale shape: the estimator path at 100 TB is the sampled branch
+    only — a map-side filter that drops 15/16 of rows BEFORE the
+    per-key groupBy shuffle; the exact side here is the verification
+    ride-along (the CMS-heavy-hitters pattern). All sums are exact
+    integers; the relative error is one double expression.
+    """
+    f = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            (F.expr(_JSE_HASH) < F.lit(_JSE_T)).alias("sampled"),
+        )
+        .groupBy("l_orderkey", "sampled")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = f.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_size"),
+        (
+            F.sum(
+                F.when(F.col("sampled"), F.col("c") * F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
+            * _JSE_RATE
+        )
+        .cast("long")
+        .alias("est_size"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return agg.select(
+        "n_keys",
+        "n_sampled_keys",
+        "exact_size",
+        "est_size",
+        (
+            (F.col("est_size").cast("double")
+             - F.col("exact_size").cast("double"))
+            / F.col("exact_size").cast("double")
+            * 100.0
+        ).alias("rel_err_pct"),
+    )
