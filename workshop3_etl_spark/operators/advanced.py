@@ -1110,3 +1110,51 @@ def sql_params_priority_revenue(
     markers (spark.sql(..., args=...))."""
     register_views(spark, sf_dir, only=("orders",))
     return spark.sql(_PARAM_SQL, args=_PARAM_ARGS)
+
+
+# --------------------------------------------------------------------
+# SQL pipe syntax (Spark 4.x |> operators): the linear relational
+# style — each stage names exactly one operation in dataflow order.
+# --------------------------------------------------------------------
+
+_PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+|> EXTEND CAST(CAST(l_extendedprice AS DOUBLE)
+     * (1.0 - CAST(l_discount AS DOUBLE)) AS decimal(27,4)) AS disc
+|> AGGREGATE SUM(disc) AS rev, COUNT(*) AS n_items
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n_items > 10
+|> SELECT l_returnflag, l_linestatus, CAST(rev AS DOUBLE) AS revenue,
+   CAST(n_items AS BIGINT) AS n_items
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+# DuckDB has no pipe parser; the oracle is the semantic twin in plain
+# ANSI SQL (same expressions, same HAVING, same order).
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+            * (1.0 - CAST(l_discount AS DOUBLE)) AS decimal(27,4)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 10
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_pipe_syntax_revenue", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly revenue by return flag/line status written in Spark 4's
+    SQL pipe syntax (FROM ... |> WHERE |> EXTEND |> AGGREGATE |>
+    SELECT |> ORDER BY) — the linear dataflow dialect; the oracle is
+    the plain-ANSI twin, so the check proves the pipe program lowers
+    to the identical relational plan. Catalyst output is the same
+    pushed-filter single-scan aggregate q1 produces."""
+    register_views(spark, sf_dir, only=("lineitem",))
+    return spark.sql(_PIPE_SQL)
