@@ -145,6 +145,10 @@ def main() -> None:
         # round-5 fifth session: key-sample join-size estimator (one
         # lineitem scan + per-key groupBy carrying a boolean).
         "dq_join_size_estimate_keysample",
+        # round-5 fifth session: bootstrap median CI — one orders
+        # scan with x17 in-stage replicate expansion feeding the
+        # (rep, bucket)-partitioned weighted-median crossing.
+        "stats_bootstrap_median_ci",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

@@ -252,3 +252,58 @@ def test_join_size_estimator_matches_sequential(spark):
     assert got["est_size"] == est
     # the estimator should be in the right ballpark even at sf0.001
     assert abs(got["rel_err_pct"]) < 50
+
+
+def test_bootstrap_median_matches_sequential(spark):
+    """Point and replicate medians must equal a pure-Python weighted-
+    median recompute over the same hash-derived Poisson weights, and
+    the replicate range must bracket sanely."""
+    import hashlib
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.stats import (
+        _BOOT_R,
+        _POIS_T,
+        stats_bootstrap_median_ci,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .selectExpr(
+            "o_orderkey",
+            "cast(cast(o_totalprice as decimal(27,2)) * 100 as bigint)"
+            " as cents",
+        )
+        .collect()
+    )
+
+    def pois_w(key: int, rep: int) -> int:
+        u = int(
+            hashlib.md5(f"{key}:{rep}".encode()).hexdigest()[:15], 16
+        )
+        return sum(1 for t in _POIS_T if u >= t)
+
+    def wmedian(pairs):  # [(cents, w)] -> min v with 2*cumw >= total
+        total = sum(w for _, w in pairs)
+        cum = 0
+        for v, w in sorted(pairs):
+            cum += w
+            if 2 * cum >= total:
+                return v
+        raise AssertionError("no crossing")
+
+    point = wmedian([(r["cents"], 1) for r in rows])
+    meds = []
+    for rep in range(_BOOT_R):
+        pairs = [
+            (r["cents"], pois_w(r["o_orderkey"], rep))
+            for r in rows
+        ]
+        meds.append(wmedian([p for p in pairs if p[1] > 0]))
+    got = stats_bootstrap_median_ci(spark, SF_SMOKE).collect()[0]
+    assert got["n_reps"] == _BOOT_R
+    assert got["point_median_cents"] == point
+    assert got["boot_lo_cents"] == min(meds)
+    assert got["boot_hi_cents"] == max(meds)
+    assert got["boot_lo_cents"] <= got["point_median_cents"] <= got["boot_hi_cents"]

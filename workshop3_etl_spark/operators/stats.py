@@ -1490,3 +1490,152 @@ def dq_join_size_estimate_keysample(
             * 100.0
         ).alias("rel_err_pct"),
     )
+
+
+# --------------------------------------------------------------------
+# Bootstrap CI for the MEDIAN: the Poisson-replicate machinery above
+# composed with the bucketed weighted-median crossing — quantile
+# uncertainty in one corpus pass, zero doubles anywhere.
+# --------------------------------------------------------------------
+
+_BMED_BUCKET = 1 << 19  # cents per rank bucket (~$5.2k)
+
+_BMED_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, {{cents}} AS cents FROM orders
+),
+reps AS (
+  SELECT o_orderkey, cents, r.rep
+  FROM base CROSS JOIN (SELECT unnest(range(-1, {_BOOT_R})) AS rep) r
+),
+u AS (
+  SELECT rep, cents,
+         CAST(CAST(concat('0x', substr(md5(concat(
+              CAST(o_orderkey AS VARCHAR), ':', CAST(rep AS VARCHAR)
+         )), 1, 15)) AS BIGINT) AS BIGINT) AS u
+  FROM reps
+),
+w AS (
+  SELECT rep, cents,
+         CASE WHEN rep = -1 THEN 1 ELSE {_POIS_W} END AS w
+  FROM u
+),
+wv AS (
+  SELECT rep, cents, CAST(SUM(w) AS BIGINT) AS wt
+  FROM w GROUP BY 1, 2 HAVING SUM(w) > 0
+),
+tot AS (SELECT rep, CAST(SUM(wt) AS BIGINT) AS tw FROM wv GROUP BY 1),
+cum AS (
+  SELECT rep, cents,
+         CAST(SUM(wt) OVER (PARTITION BY rep ORDER BY cents
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw
+  FROM wv
+),
+med AS (
+  SELECT c.rep, MIN(c.cents) AS med
+  FROM cum c JOIN tot t ON t.rep = c.rep
+  WHERE 2 * c.cumw >= t.tw
+  GROUP BY c.rep
+)
+SELECT CAST({_BOOT_R} AS BIGINT) AS n_reps,
+       CAST(MAX(CASE WHEN rep = -1 THEN med END) AS BIGINT)
+         AS point_median_cents,
+       CAST(MIN(CASE WHEN rep >= 0 THEN med END) AS BIGINT)
+         AS boot_lo_cents,
+       CAST(MAX(CASE WHEN rep >= 0 THEN med END) AS BIGINT)
+         AS boot_hi_cents
+FROM med
+"""
+
+
+@register(
+    "stats_bootstrap_median_ci",
+    oracle=_BMED_ORACLE.format(cents=_cents("o_totalprice")),
+)
+def stats_bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap range for the MEDIAN order value: the 16 Poisson
+    replicates (same frozen hash/threshold protocol as the mean CI)
+    each get a weighted median, computed for ALL replicates in ONE
+    pass via the bucketed-prefix crossing (profile_weighted_median's
+    two-level machinery with (rep, bucket) partitions). Every value
+    in the pipeline is an exact integer — the median of integer
+    cents needs no doubles at all, so this is bit-stable by
+    construction rather than by careful IEEE discipline.
+
+    Scale shape: one corpus scan; the x17 replicate expansion happens
+    INSIDE the map stage; the per-(rep, value) collapse is map-side
+    combinable; rank windows partition by (rep, bucket) and the
+    offset spine by rep — nothing unpartitioned, nothing
+    corpus-sorted. The quantile analogue of the mean-CI operator
+    (quantile uncertainty is where resampling is actually needed:
+    the mean has a CLT formula, the median doesn't at finite n).
+    """
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", f"{_cents('o_totalprice')} as cents"
+    )
+    reps = base.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(-1), F.lit(_BOOT_R - 1))).alias("rep"),
+    )
+    u = reps.selectExpr(
+        "rep",
+        "cents",
+        "cast(conv(substring(md5(concat("
+        "cast(o_orderkey as string), ':', cast(rep as string)"
+        ")), 1, 15), 16, 10) as bigint) as u",
+    )
+    w = u.selectExpr(
+        "rep", "cents", f"case when rep = -1 then 1 else {_POIS_W} end as w"
+    )
+    wv = (
+        w.groupBy("rep", "cents")
+        .agg(F.sum("w").cast("long").alias("wt"))
+        .filter(F.col("wt") > 0)
+        .withColumn("b", F.expr(f"cents div {_BMED_BUCKET}"))
+    )
+    win = (
+        Window.partitionBy("rep", "b")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = wv.select(
+        "rep", "b", "cents", "wt", F.sum("wt").over(win).alias("local_cumw")
+    )
+    totals = wv.groupBy("rep", "b").agg(F.sum("wt").cast("long").alias("bw"))
+    spine = (
+        Window.partitionBy("rep")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "rep",
+        "b",
+        F.coalesce(F.sum("bw").over(spine), F.lit(0))
+        .cast("long")
+        .alias("off"),
+    )
+    tot = totals.groupBy("rep").agg(F.sum("bw").cast("long").alias("tw"))
+    ranked = local.join(F.broadcast(offsets), ["rep", "b"]).select(
+        "rep", "cents", (F.col("local_cumw") + F.col("off")).alias("cumw")
+    )
+    med = (
+        ranked.join(F.broadcast(tot), "rep")
+        .filter(F.lit(2) * F.col("cumw") >= F.col("tw"))
+        .groupBy("rep")
+        .agg(F.min("cents").alias("med"))
+    )
+    return med.agg(
+        F.lit(_BOOT_R).cast("long").alias("n_reps"),
+        F.max(F.when(F.col("rep") == -1, F.col("med")))
+        .cast("long")
+        .alias("point_median_cents"),
+        F.min(F.when(F.col("rep") >= 0, F.col("med")))
+        .cast("long")
+        .alias("boot_lo_cents"),
+        F.max(F.when(F.col("rep") >= 0, F.col("med")))
+        .cast("long")
+        .alias("boot_hi_cents"),
+    )
