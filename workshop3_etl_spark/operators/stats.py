@@ -1595,6 +1595,10 @@ def stats_bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").cast("long").alias("wt"))
         .filter(F.col("wt") > 0)
         .withColumn("b", F.expr(f"cents div {_BMED_BUCKET}"))
+        # O(reps x distinct cents) index frame read three times
+        # (ranks, offsets, totals): persist so the x17 explode and
+        # the 16 md5 folds per row run over orders exactly ONCE
+        .persist()
     )
     win = (
         Window.partitionBy("rep", "b")
@@ -1627,7 +1631,11 @@ def stats_bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("rep")
         .agg(F.min("cents").alias("med"))
     )
-    return med.agg(
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+
+    out = med.agg(
         F.lit(_BOOT_R).cast("long").alias("n_reps"),
         F.max(F.when(F.col("rep") == -1, F.col("med")))
         .cast("long")
@@ -1639,3 +1647,4 @@ def stats_bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("boot_hi_cents"),
     )
+    return materialize_and_release(out, wv)

@@ -211,7 +211,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # other reps incl. the dedup-within-watermark and CMS
     # first-timers).
     "stream_late_data_metrics",
-    "pyds_documents_by_lang",
     # Added in round 5, fifth session (TPC-H Q22 — scalar subquery +
     # decorrelated NOT EXISTS anti-join; official first-time row
     # funded by demoting r4-green sql_scripting_decayed_revenue —
@@ -226,7 +225,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # first-timer).
     "stream_ols_incremental",
     "udf_named_functions_docs",
-    "multimodal_decode_bmp_wav",
+    # Added in round 5, fifth session (bootstrap median CI — the
+    # all-integer quantile-uncertainty capstone; official first-time
+    # row funded by demoting r4-green multimodal_decode_bmp_wav —
+    # multimodal_ keeps the frame_sample and resize_stats
+    # first-timers).
+    "stats_bootstrap_median_ci",
+    # Added in round 5, fifth session (MMR diversified rerank — the
+    # retrieval-curation step, unrolled greedy with checkpointed
+    # selected set; official first-time row funded by demoting
+    # r4-green pyds_documents_by_lang — the pyds surface keeps its
+    # lifetime-green record + pytest coverage).
+    "search_mmr_diversified_topk",
 )
 
 
