@@ -1111,6 +1111,14 @@ _POIS_W = " + ".join(
     f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _POIS_T
 )
 
+# 60-bit salted replicate hash shared by BOTH bootstrap operators —
+# the "same frozen protocol" guarantee is structural, not a copy.
+_POIS_U_EXPR = (
+    "cast(conv(substring(md5(concat("
+    "cast(o_orderkey as string), ':', cast(rep as string)"
+    ")), 1, 15), 16, 10) as bigint) as u"
+)
+
 _BOOTSTRAP_ORACLE = f"""
 WITH base AS (
   SELECT o_orderkey, {_cents('o_totalprice')} AS cents FROM orders
@@ -1176,9 +1184,7 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = reps.selectExpr(
         "rep",
         "cents",
-        "cast(conv(substring(md5(concat("
-        "cast(o_orderkey as string), ':', cast(rep as string)"
-        ")), 1, 15), 16, 10) as bigint) as u",
+        _POIS_U_EXPR,
     )
     w = u.selectExpr("rep", "cents", f"{_POIS_W} as w")
     # each rep group holds every base row exactly once, so the
@@ -1583,9 +1589,7 @@ def stats_bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = reps.selectExpr(
         "rep",
         "cents",
-        "cast(conv(substring(md5(concat("
-        "cast(o_orderkey as string), ':', cast(rep as string)"
-        ")), 1, 15), 16, 10) as bigint) as u",
+        _POIS_U_EXPR,
     )
     w = u.selectExpr(
         "rep", "cents", f"case when rep = -1 then 1 else {_POIS_W} end as w"
