@@ -138,3 +138,95 @@ def test_document_feed_restart_resumes_from_checkpoint(spark, tmp_path):
     }
     assert final.count() == len(native)  # exactly once: no dups, no gaps
     assert {tuple(r) for r in final.collect()} == native
+
+
+def test_writer_commit_publishes_manifest_atomically(spark, tmp_path):
+    """A successful write publishes shards + manifest whose totals and
+    checksum match a direct recompute; shard files are complete JSONL."""
+    import json
+    import os
+
+    from workshop3_etl_spark.sources.pyds import (
+        WRITER_FORMAT_NAME,
+        _row_checksum,
+        register_writer_format,
+    )
+
+    register_writer_format(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .repartition(3, "doc_id")
+    )
+    docs.write.format(WRITER_FORMAT_NAME).mode("append").save(out)
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    rows = docs.collect()
+    assert manifest["total_rows"] == len(rows)
+    assert int(manifest["checksum"]) == sum(
+        _row_checksum(r["doc_id"], r["text"]) for r in rows
+    )
+    assert len(manifest["shards"]) == 3
+    n_lines = 0
+    for s in manifest["shards"]:
+        p = os.path.join(out, s["shard"])
+        with open(p, encoding="utf-8") as f:
+            lines = [json.loads(ln) for ln in f]
+        assert len(lines) == s["n_rows"]
+        n_lines += len(lines)
+    assert n_lines == len(rows)
+    assert not [p for p in os.listdir(out) if p.startswith("_tmp-")]
+
+
+def test_writer_failure_leaves_no_manifest_and_retry_supersedes(
+    spark, tmp_path
+):
+    """The manifest is the correctness boundary: a failed write leaves
+    NO manifest (Spark 4.1 does not invoke abort() on task failure, so
+    orphan shards MAY remain — manifest readers never see them), and a
+    subsequent successful write to the same directory publishes a
+    manifest whose listed shards reproduce the source exactly."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.sources.pyds import (
+        WRITER_FORMAT_NAME,
+        register_writer_format,
+    )
+
+    register_writer_format(spark)
+    out = str(tmp_path / "sink_abort")
+    os.makedirs(out)
+    base = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .repartition(3, "doc_id")
+    )
+    poisoned = base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 0, F.raise_error(F.lit("poisoned row"))
+        ).otherwise(F.col("text")),
+    )
+    with pytest.raises(Exception):
+        poisoned.write.format(WRITER_FORMAT_NAME).mode("append").save(out)
+    left = os.listdir(out)
+    assert "manifest.json" not in left  # nothing is visible
+    # retry: a clean write to the SAME dir supersedes orphans by
+    # idempotent shard naming; manifest readers get exact content
+    import json
+
+    base.write.format(WRITER_FORMAT_NAME).mode("append").save(out)
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["total_rows"] == base.count()
+    shard_paths = [os.path.join(out, s["shard"]) for s in manifest["shards"]]
+    readback = spark.read.schema("doc_id long, lang string, text string").json(
+        shard_paths
+    )
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in readback.collect()
+    ) == sorted((r["doc_id"], r["text"]) for r in base.collect())

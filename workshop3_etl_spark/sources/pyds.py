@@ -36,8 +36,10 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "ws_arrow_parquet"
@@ -279,3 +281,217 @@ def stream_pyds_feed_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang")
             .localCheckpoint(eager=True)
         )
+
+
+# --------------------------------------------------------------------
+# Python DataSource WRITER (the third V2 surface next to the batch and
+# stream readers): a JSONL-shard sink with a two-phase commit — each
+# task writes its shard and returns a WriterCommitMessage; the driver
+# commits by atomically publishing a manifest (the same
+# tmp-write + os.replace idiom as streaming/compaction.py). A reader
+# that trusts only manifest-listed shards gets all-or-nothing
+# visibility: a failed job leaves no manifest, so its orphan shards
+# are invisible. abort() best-effort-removes orphans, but Spark 4.1's
+# batch write exec does NOT invoke it on task failure (verified
+# empirically) — which is exactly why readers must resolve files via
+# the manifest, never by globbing the directory.
+#
+# Scale notes: in local mode every task sees one filesystem; on a
+# cluster the path must be shared storage (the manifest protocol is
+# what object-store committers do). Shard names derive from the
+# partition id, so a retried task overwrites its own shard
+# idempotently rather than duplicating it.
+# --------------------------------------------------------------------
+
+WRITER_FORMAT_NAME = "ws_jsonl_manifest"
+
+# 60-bit per-row content hash; summed (unbounded python int / SQL
+# decimal) it is an order- and partitioning-independent content
+# checksum shared by the writer, the Spark readback, and the oracle.
+_ROW_HASH_PREFIX = 15
+
+
+def _row_checksum(doc_id: int, text: str) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{doc_id}:{text}".encode("utf-8")).hexdigest()
+    return int(h[:_ROW_HASH_PREFIX], 16)
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    shard: str
+    n_rows: int
+    checksum: int
+
+
+class JsonlManifestWriter(DataSourceWriter):
+    """DataSourceWriter: task-side shard write, driver-side manifest
+    commit, abort-side cleanup."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        shard = f"shard-{pid:05d}.jsonl"
+        tmp = os.path.join(self.path, f"_tmp-{shard}")
+        final = os.path.join(self.path, shard)
+        n = 0
+        chk = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(
+                    json.dumps(
+                        {
+                            "doc_id": row.doc_id,
+                            "lang": row.lang,
+                            "text": row.text,
+                        },
+                        ensure_ascii=False,
+                        sort_keys=True,
+                    )
+                    + "\n"
+                )
+                chk += _row_checksum(row.doc_id, row.text)
+                n += 1
+        os.replace(tmp, final)  # task-local atomic publish
+        return _ShardCommit(shard, n, chk)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "shards": sorted(
+                [
+                    {"shard": m.shard, "n_rows": m.n_rows,
+                     "checksum": str(m.checksum)}
+                    for m in messages
+                ],
+                key=lambda s: s["shard"],
+            ),
+            "total_rows": sum(m.n_rows for m in messages),
+            "checksum": str(sum(m.checksum for m in messages)),
+        }
+        tmp = os.path.join(self.path, "_tmp-manifest.json")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+
+    def abort(self, messages):
+        import glob
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.shard))
+                except OSError:
+                    pass
+        for tmp in glob.glob(os.path.join(self.path, "_tmp-*")):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+
+class JsonlManifestDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return WRITER_FORMAT_NAME
+
+    def writer(self, schema, overwrite):
+        return JsonlManifestWriter(self.options)
+
+
+def register_writer_format(spark: SparkSession) -> None:
+    """Idempotently register the sink format with the session."""
+    spark.dataSource.register(JsonlManifestDataSource)
+
+
+_WRITER_SHARDS = 4
+
+_WRITER_ORACLE = f"""
+SELECT CAST({_WRITER_SHARDS} AS BIGINT) AS n_shards,
+       CAST(COUNT(*) AS BIGINT) AS manifest_rows,
+       CAST(COUNT(*) AS BIGINT) AS read_rows,
+       CAST(SUM(CAST(CAST(concat('0x',
+            substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                   1, {_ROW_HASH_PREFIX})) AS BIGINT) AS DECIMAL(38,0)))
+            AS DECIMAL(38,0)) AS checksum,
+       TRUE AS manifest_match
+FROM documents
+"""
+
+
+@register("pyds_writer_manifest_roundtrip", oracle=_WRITER_ORACLE)
+def pyds_writer_manifest_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Write documents through the custom two-phase-commit JSONL sink,
+    then read the shards back natively and verify the manifest: shard
+    count, row totals, and the order-independent 60-bit content
+    checksum — recomputed BY SPARK SQL over the readback and compared
+    against the manifest's python-int sum (and against the oracle's
+    DuckDB sum over the source table). A mismatch anywhere —
+    writer-side hashing, manifest arithmetic, JSONL round-trip
+    fidelity (ensure_ascii=False), readback parsing — fails the hash
+    compare, so the whole writer protocol is inside the correctness
+    gate, not just demonstrated.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from workshop3_etl_spark.sources.tables import load_table
+
+    register_writer_format(spark)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .repartition(_WRITER_SHARDS, "doc_id")
+    )
+    outdir = tempfile.mkdtemp(prefix="ws_jsonl_manifest_")
+    try:
+        docs.write.format(WRITER_FORMAT_NAME).mode("append").save(outdir)
+        with open(os.path.join(outdir, "manifest.json"), encoding="utf-8") as f:
+            manifest = json.load(f)
+        # resolve files via the manifest, NOT a glob — orphan shards
+        # from failed earlier jobs are invisible to manifest readers
+        shard_paths = [
+            os.path.join(outdir, s["shard"]) for s in manifest["shards"]
+        ]
+        readback = spark.read.schema(
+            "doc_id long, lang string, text string"
+        ).json(shard_paths)
+        chk = (
+            "cast(conv(substring(md5(concat(cast(doc_id as string), ':',"
+            f" text)), 1, {_ROW_HASH_PREFIX}), 16, 10) as decimal(38,0))"
+        )
+        agg = readback.agg(
+            F.lit(len(manifest["shards"])).cast("long").alias("n_shards"),
+            F.lit(int(manifest["total_rows"])).cast("long").alias(
+                "manifest_rows"
+            ),
+            F.count(F.lit(1)).cast("long").alias("read_rows"),
+            F.sum(F.expr(chk)).cast("decimal(38,0)").alias("checksum"),
+        ).select(
+            "n_shards",
+            "manifest_rows",
+            "read_rows",
+            "checksum",
+            (
+                F.col("checksum").cast("string")
+                == F.lit(manifest["checksum"])
+            ).alias("manifest_match"),
+        )
+        return agg.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
