@@ -230,3 +230,62 @@ def test_writer_failure_leaves_no_manifest_and_retry_supersedes(
     assert sorted(
         (r["doc_id"], r["text"]) for r in readback.collect()
     ) == sorted((r["doc_id"], r["text"]) for r in base.collect())
+
+
+def test_stream_sink_commit_is_replay_idempotent(spark, tmp_path):
+    """Re-staging and re-committing the SAME batch id (what a
+    crash-replay does, whether the crash hit before or after the sink
+    commit) must leave identical epoch files — and the epoch reader
+    must ignore uncommitted _pending orphans."""
+    import json
+    import os
+
+    from workshop3_etl_spark.sources.pyds import (
+        JsonlEpochStreamWriter,
+        _row_checksum,
+        read_epoch_sink,
+    )
+
+    out = str(tmp_path / "epoch_sink")
+    os.makedirs(out)
+    w = JsonlEpochStreamWriter({"path": out})
+    rows = [(1, "en", "alpha"), (2, "de", "beta")]
+
+    def stage(pid, rws):
+        pending = os.path.join(out, f"_pending-{pid:05d}")
+        with open(pending, "w", encoding="utf-8") as f:
+            for doc_id, lang, text in rws:
+                f.write(
+                    json.dumps(
+                        {"doc_id": doc_id, "lang": lang, "text": text},
+                        ensure_ascii=False,
+                        sort_keys=True,
+                    )
+                    + "\n"
+                )
+        from workshop3_etl_spark.sources.pyds import _ShardCommit
+
+        return _ShardCommit(
+            f"_pending-{pid:05d}",
+            len(rws),
+            sum(_row_checksum(d, t) for d, _, t in rws),
+        )
+
+    m = stage(0, rows)
+    w.commit([m], batchId=7)
+    first = {
+        p: open(os.path.join(out, p)).read()
+        for p in os.listdir(out)
+    }
+    # replay: stage + commit the same batch again
+    m2 = stage(0, rows)
+    w.commit([m2], batchId=7)
+    second = {
+        p: open(os.path.join(out, p)).read()
+        for p in os.listdir(out)
+    }
+    assert first == second  # byte-identical epoch state
+    # an uncommitted orphan from a failed later batch is invisible
+    stage(0, [(99, "xx", "orphan")])
+    visible = {r["doc_id"] for r in read_epoch_sink(spark, out).collect()}
+    assert visible == {1, 2}

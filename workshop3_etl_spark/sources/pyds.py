@@ -36,6 +36,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -495,3 +496,187 @@ def pyds_writer_manifest_roundtrip(
         return agg.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(outdir, ignore_errors=True)
+
+
+# --------------------------------------------------------------------
+# Python DataSource STREAMING writer — the fourth and last V2 surface:
+# per-micro-batch two-phase commit onto epoch-numbered manifests (the
+# engine's epoch-overwrite replay protocol expressed through the
+# public sink API). Tasks stage `_pending-{partition}` files (safe:
+# micro-batches are serial, partition ids unique within one);
+# commit(messages, batchId) renames them to
+# `epoch={batchId}-shard-{partition}.jsonl` and atomically replaces
+# `manifest-epoch-{batchId}.json`. A replayed batch — crash before OR
+# after the sink commit — re-stages and re-commits the SAME epoch
+# files with identical content, so delivery is effectively-once for
+# any reader that resolves shards via the epoch manifests.
+# --------------------------------------------------------------------
+
+STREAM_WRITER_FORMAT_NAME = "ws_jsonl_epochs"
+
+
+class JsonlEpochStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pending = os.path.join(self.path, f"_pending-{pid:05d}")
+        n = 0
+        chk = 0
+        with open(pending, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(
+                    json.dumps(
+                        {
+                            "doc_id": row.doc_id,
+                            "lang": row.lang,
+                            "text": row.text,
+                        },
+                        ensure_ascii=False,
+                        sort_keys=True,
+                    )
+                    + "\n"
+                )
+                chk += _row_checksum(row.doc_id, row.text)
+                n += 1
+        return _ShardCommit(f"_pending-{pid:05d}", n, chk)
+
+    def commit(self, messages, batchId):
+        import json
+        import os
+
+        shards = []
+        for m in messages:
+            if m is None:
+                continue
+            final = f"epoch={batchId}-shard-{m.shard.split('-')[-1]}.jsonl"
+            os.replace(
+                os.path.join(self.path, m.shard),
+                os.path.join(self.path, final),
+            )
+            shards.append(
+                {"shard": final, "n_rows": m.n_rows,
+                 "checksum": str(m.checksum)}
+            )
+        manifest = {
+            "batch_id": batchId,
+            "shards": sorted(shards, key=lambda s: s["shard"]),
+            "total_rows": sum(s["n_rows"] for s in shards),
+        }
+        tmp = os.path.join(self.path, f"_tmp-manifest-{batchId}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        os.replace(
+            tmp, os.path.join(self.path, f"manifest-epoch-{batchId}.json")
+        )
+
+    def abort(self, messages, batchId):
+        import glob
+        import os
+
+        for p in glob.glob(os.path.join(self.path, "_pending-*")):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+
+class JsonlEpochSinkDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return STREAM_WRITER_FORMAT_NAME
+
+    def streamWriter(self, schema, overwrite):
+        return JsonlEpochStreamWriter(self.options)
+
+
+def register_stream_writer_format(spark: SparkSession) -> None:
+    """Idempotently register the streaming sink format."""
+    spark.dataSource.register(JsonlEpochSinkDataSource)
+
+
+def read_epoch_sink(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a JsonlEpochStreamWriter directory: only shards
+    listed by committed epoch manifests are visible (orphan _pending
+    files from failed batches are not)."""
+    import glob
+    import json
+    import os
+
+    schema = "doc_id long, lang string, text string"
+    shard_paths = []
+    for mp in sorted(glob.glob(os.path.join(path, "manifest-epoch-*.json"))):
+        with open(mp, encoding="utf-8") as f:
+            man = json.load(f)
+        shard_paths.extend(
+            os.path.join(path, s["shard"]) for s in man["shards"]
+        )
+    if not shard_paths:  # no committed epoch yet (reader racing writer)
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(shard_paths)
+
+
+@register("stream_pyds_sink_by_lang", oracle=_FEED_ORACLE)
+def stream_pyds_sink_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full custom-connector pipeline: documents streamed through
+    the PYTHON stream source (offset chunks) into the PYTHON stream
+    sink (epoch-manifest two-phase commit), then read back via the
+    epoch manifests and aggregated per language — hash-equal to the
+    batch table, which proves exactly-once through BOTH custom
+    surfaces composed."""
+    import os
+    import tempfile
+
+    register_stream_format(spark)
+    register_stream_writer_format(spark)
+    path = f"{sf_dir}/documents.parquet"
+    n_total = spark.read.parquet(path).count()
+    stream = (
+        spark.readStream.format(STREAM_FORMAT_NAME)
+        .option("path", path)
+        .option("chunk", str(max(200, -(-n_total // 4))))
+        .load()
+        .select("doc_id", "lang", "text")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "sink")
+        os.makedirs(out)
+        ck = os.path.join(tmp, "ck")
+        q = (
+            stream.writeStream.format(STREAM_WRITER_FORMAT_NAME)
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        # the simple stream reader feeds one offset chunk per batch;
+        # poll the committed-epoch total until the corpus drains
+        import time
+
+        deadline = time.time() + 120
+        while (
+            time.time() < deadline
+            and read_epoch_sink(spark, out).count() < n_total
+        ):
+            time.sleep(0.25)
+        q.stop()
+        q.awaitTermination()
+        got = read_epoch_sink(spark, out)
+        n_sunk = got.count()
+        if n_sunk != n_total:
+            raise TimeoutError(
+                f"epoch sink holds {n_sunk}/{n_total} rows — failing "
+                "instead of returning a partial aggregate"
+            )
+        return (
+            got.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .orderBy("lang")
+            .localCheckpoint(eager=True)
+        )
