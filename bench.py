@@ -149,6 +149,9 @@ def main() -> None:
         # scan with x17 in-stage replicate expansion feeding the
         # (rep, bucket)-partitioned weighted-median crossing.
         "stats_bootstrap_median_ci",
+        # round-5 fifth session: temperature resampling materialized
+        # (two map-side passes over documents + 5-row broadcast dims).
+        "corpus_resample_temperature",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

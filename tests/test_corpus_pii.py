@@ -81,3 +81,70 @@ def test_crossdoc_ngram_fraction_detects_planted_duplicates(spark):
     # 1/3 > 30% -> both flagged. doc3: 1 shingle, unique, unflagged.
     assert got["en"] == (2, 6, 2)
     assert got["fr"] == (0, 1, 0)
+
+
+def test_resample_temperature_acceptance_matches_python(spark):
+    """Acceptance must equal a pure-Python recompute of the same
+    thresholds+hashes; the max-oversample language keeps everything;
+    achieved composition tracks the alpha=0.5 target."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.corpus import (
+        _RESAMPLE_SALT,
+        corpus_resample_temperature,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    n = Counter(r["lang"] for r in rows)
+    import decimal
+
+    denom = sum(
+        float(
+            decimal.Decimal(repr(math.sqrt(c))).quantize(
+                decimal.Decimal("0.000001"),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+        for c in n.values()
+    )
+    total = sum(n.values())
+    ovf = {
+        lg: (math.sqrt(c) / denom) / (c / total) for lg, c in n.items()
+    }
+    mxv = max(ovf.values())
+    t60 = {lg: math.floor(v / mxv * float(1 << 60)) for lg, v in ovf.items()}
+    acc = Counter()
+    for r in rows:
+        u = int(
+            hashlib.md5(
+                f"{r['doc_id']}:{_RESAMPLE_SALT}".encode()
+            ).hexdigest()[:15],
+            16,
+        )
+        if u < t60[r["lang"]]:
+            acc[r["lang"]] += 1
+    got = {
+        r["lang"]: r for r in corpus_resample_temperature(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert {lg: g["n_accepted"] for lg, g in got.items()} == dict(acc)
+    # the max-oversample language is kept whole
+    keep_all = max(ovf, key=lambda lg: ovf[lg])
+    assert got[keep_all]["n_accepted"] == n[keep_all]
+    # achieved composition tracks the target within sampling noise
+    ta = sum(acc.values())
+    for lg, g in got.items():
+        sigma = math.sqrt(max(g["target_share"] * (1 - g["target_share"])
+                              / ta, 1e-12))
+        assert abs(g["achieved_share"] - g["target_share"]) < 6 * sigma + 0.02

@@ -924,3 +924,143 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------
+# Temperature resampling MATERIALIZED: the step between "mixture
+# weights" (corpus_mixture_weights_sqrt) and an actual training
+# corpus. Downsample-only acceptance: the language with the largest
+# oversample factor keeps everything (acceptance 1) and every other
+# language keeps the fraction that lands the ACCEPTED corpus exactly
+# on the alpha=0.5 target composition — the maximal corpus achievable
+# without replication.
+# --------------------------------------------------------------------
+
+_RESAMPLE_SALT = "mix42"
+
+_RESAMPLE_ORACLE = f"""
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+t AS (
+  SELECT CAST(SUM(CAST(SQRT(CAST(n_docs AS DOUBLE)) AS decimal(27,6)))
+              AS DOUBLE) AS denom,
+         CAST(SUM(n_docs) AS BIGINT) AS total_docs
+  FROM c
+),
+ov AS (
+  SELECT c.lang, c.n_docs,
+         SQRT(CAST(c.n_docs AS DOUBLE)) / t.denom AS target_share,
+         SQRT(CAST(c.n_docs AS DOUBLE)) / t.denom
+           / (CAST(c.n_docs AS DOUBLE) / CAST(t.total_docs AS DOUBLE))
+           AS ovf
+  FROM c, t
+),
+mx AS (SELECT MAX(ovf) AS mx FROM ov),
+thr AS (
+  SELECT lang, n_docs, target_share,
+         CAST(FLOOR(ovf / mx.mx * 1152921504606846976e0) AS BIGINT) AS t60
+  FROM ov, mx
+),
+acc AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_accepted
+  FROM documents d JOIN thr ON thr.lang = d.lang
+  WHERE CAST(CAST(concat('0x', substr(md5(
+          CAST(d.doc_id AS VARCHAR) || ':{_RESAMPLE_SALT}'
+        ), 1, 15)) AS BIGINT) AS BIGINT) < thr.t60
+  GROUP BY d.lang
+),
+tot AS (SELECT CAST(SUM(n_accepted) AS BIGINT) AS ta FROM acc)
+SELECT thr.lang, thr.n_docs,
+       COALESCE(acc.n_accepted, CAST(0 AS BIGINT)) AS n_accepted,
+       thr.target_share,
+       CAST(COALESCE(acc.n_accepted, CAST(0 AS BIGINT)) AS DOUBLE)
+         / CAST(tot.ta AS DOUBLE) AS achieved_share
+FROM thr LEFT JOIN acc ON acc.lang = thr.lang, tot
+ORDER BY thr.lang
+"""
+
+
+@register("corpus_resample_temperature", oracle=_RESAMPLE_ORACLE)
+def corpus_resample_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialize the alpha=0.5 temperature mixture by deterministic
+    hash acceptance: per-language acceptance probability
+    ovf / max(ovf) frozen into a 60-bit integer threshold, each doc
+    kept iff its salted 60-bit hash lands under its language's
+    threshold. Per language: corpus size, accepted size, target vs
+    achieved share — achieved tracks target to sampling noise, with
+    the max-oversample language kept whole (downsample-only; rows
+    are never replicated, so the result is the LARGEST corpus with
+    the target composition).
+
+    Deterministic end to end: thresholds are one shared IEEE tree
+    over exact counts (floor(double * 2^60) is identical in both
+    engines), the hash is the split-flag idiom, and acceptance is an
+    integer compare — rerunnable, partition-independent, and
+    hash-checked against DuckDB. One corpus scan for the counts, one
+    for the acceptance (broadcast 5-row threshold dim); at 100 TB
+    the acceptance pass is map-only and writes the curated corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    t = c.agg(
+        F.sum(F.sqrt(F.col("n_docs").cast("double")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("denom"),
+        F.sum("n_docs").cast("long").alias("total_docs"),
+    )
+    sw = F.sqrt(F.col("n_docs").cast("double"))
+    ov = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        (sw / F.col("denom")).alias("target_share"),
+        (
+            (sw / F.col("denom"))
+            / (
+                F.col("n_docs").cast("double")
+                / F.col("total_docs").cast("double")
+            )
+        ).alias("ovf"),
+    )
+    mx = ov.agg(F.max("ovf").alias("mx"))
+    thr = ov.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "n_docs",
+        "target_share",
+        F.floor(F.col("ovf") / F.col("mx") * F.lit(float(1 << 60)))
+        .cast("long")
+        .alias("t60"),
+    )
+    u = (
+        "cast(conv(substring(md5(concat(cast(doc_id as string),"
+        f" ':{_RESAMPLE_SALT}')), 1, 15), 16, 10) as bigint)"
+    )
+    acc = (
+        docs.join(F.broadcast(thr.select("lang", "t60")), "lang")
+        .filter(F.expr(u) < F.col("t60"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_accepted"))
+    )
+    tot = acc.agg(F.sum("n_accepted").cast("long").alias("ta"))
+    return (
+        thr.join(F.broadcast(acc), "lang", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce(F.col("n_accepted"), F.lit(0).cast("long")).alias(
+                "n_accepted"
+            ),
+            "target_share",
+            (
+                F.coalesce(F.col("n_accepted"), F.lit(0).cast("long"))
+                .cast("double")
+                / F.col("ta").cast("double")
+            ).alias("achieved_share"),
+        )
+        .orderBy("lang")
+    )
