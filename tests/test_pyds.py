@@ -176,15 +176,16 @@ def test_writer_commit_publishes_manifest_atomically(spark, tmp_path):
         assert len(lines) == s["n_rows"]
         n_lines += len(lines)
     assert n_lines == len(rows)
-    assert not [p for p in os.listdir(out) if p.startswith("_tmp-")]
+    assert not [p for p in os.listdir(out) if p.startswith("_pending-")]
 
 
 def test_writer_failure_leaves_no_manifest_and_retry_supersedes(
     spark, tmp_path
 ):
     """The manifest is the correctness boundary: a failed write leaves
-    NO manifest (Spark 4.1 does not invoke abort() on task failure, so
-    orphan shards MAY remain — manifest readers never see them), and a
+    NO manifest and NO final shards (tasks only stage `_pending-*`
+    files, and Spark 4.1 does not invoke abort() on task failure, so
+    staged orphans MAY remain — invisible to manifest readers), and a
     subsequent successful write to the same directory publishes a
     manifest whose listed shards reproduce the source exactly."""
     import os
@@ -251,8 +252,8 @@ def test_stream_sink_commit_is_replay_idempotent(spark, tmp_path):
     w = JsonlEpochStreamWriter({"path": out})
     rows = [(1, "en", "alpha"), (2, "de", "beta")]
 
-    def stage(pid, rws):
-        pending = os.path.join(out, f"_pending-{pid:05d}")
+    def stage(pid, rws, attempt=0):
+        pending = os.path.join(out, f"_pending-s-{pid:05d}-{attempt}")
         with open(pending, "w", encoding="utf-8") as f:
             for doc_id, lang, text in rws:
                 f.write(
@@ -266,7 +267,7 @@ def test_stream_sink_commit_is_replay_idempotent(spark, tmp_path):
         from workshop3_etl_spark.sources.pyds import _ShardCommit
 
         return _ShardCommit(
-            f"_pending-{pid:05d}",
+            f"_pending-s-{pid:05d}-{attempt}|{pid}",
             len(rws),
             sum(_row_checksum(d, t) for d, _, t in rws),
         )
@@ -277,8 +278,8 @@ def test_stream_sink_commit_is_replay_idempotent(spark, tmp_path):
         p: open(os.path.join(out, p)).read()
         for p in os.listdir(out)
     }
-    # replay: stage + commit the same batch again
-    m2 = stage(0, rows)
+    # replay: stage (a fresh attempt) + commit the same batch again
+    m2 = stage(0, rows, attempt=1)
     w.commit([m2], batchId=7)
     second = {
         p: open(os.path.join(out, p)).read()
@@ -289,3 +290,41 @@ def test_stream_sink_commit_is_replay_idempotent(spark, tmp_path):
     stage(0, [(99, "xx", "orphan")])
     visible = {r["doc_id"] for r in read_epoch_sink(spark, out).collect()}
     assert visible == {1, 2}
+
+
+def test_writer_append_accumulates_and_overwrite_replaces(spark, tmp_path):
+    """mode('append') merges generations (job-token shard names never
+    clobber); mode('overwrite') replaces the manifest and GCs the
+    superseded generation's shards."""
+    import json
+    import os
+
+    from workshop3_etl_spark.sources.pyds import (
+        WRITER_FORMAT_NAME,
+        register_writer_format,
+    )
+
+    register_writer_format(spark)
+    out = str(tmp_path / "modes")
+    os.makedirs(out)
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .repartition(2, "doc_id")
+    )
+    half = docs.where("doc_id % 2 = 0")
+    rest = docs.where("doc_id % 2 = 1")
+    half.write.format(WRITER_FORMAT_NAME).mode("append").save(out)
+    rest.write.format(WRITER_FORMAT_NAME).mode("append").save(out)
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["total_rows"] == docs.count()  # both generations visible
+    assert len(man["shards"]) == 4
+    for s in man["shards"]:  # every listed shard exists on disk
+        assert os.path.exists(os.path.join(out, s["shard"]))
+    # overwrite: only the new generation remains listed AND on disk
+    half.write.format(WRITER_FORMAT_NAME).mode("overwrite").save(out)
+    man2 = json.load(open(os.path.join(out, "manifest.json")))
+    assert man2["total_rows"] == half.count()
+    assert len(man2["shards"]) == 2
+    on_disk = {p for p in os.listdir(out) if p.startswith("shard-")}
+    assert on_disk == {s["shard"] for s in man2["shards"]}

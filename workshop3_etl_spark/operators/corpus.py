@@ -485,7 +485,11 @@ def corpus_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-reproducible.
 # --------------------------------------------------------------------
 
-_MIXTURE_ORACLE = """
+# Shared CTE prefix: per-lang counts, the decimal(27,6)-quantized
+# sqrt denominator, and the oversample frame — consumed verbatim by
+# BOTH the weights query and the resampler so the load-bearing
+# rounding idiom lives in exactly one place.
+_MIXTURE_CTE = """
 WITH c AS (
   SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
 ),
@@ -494,7 +498,9 @@ t AS (
               AS DOUBLE) AS denom,
          CAST(SUM(n_docs) AS BIGINT) AS total_docs
   FROM c
-)
+)"""
+
+_MIXTURE_ORACLE = _MIXTURE_CTE + """
 SELECT
   c.lang,
   c.n_docs,
@@ -508,12 +514,15 @@ ORDER BY c.lang
 """
 
 
-@register("corpus_mixture_weights_sqrt", oracle=_MIXTURE_ORACLE)
-def corpus_mixture_weights_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language α=0.5 temperature sampling weights and the
-    oversample factor vs natural frequency."""
+def _mixture_ov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alpha=0.5 oversample frame (lang, n_docs, target_share,
+    ovf) — one shared IEEE tree (incl. the decimal(27,6) denominator
+    quantization) consumed by BOTH the weights query and the
+    resampler, mirroring _MIXTURE_CTE."""
     docs = load_table(spark, sf_dir, "documents")
-    c = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
     t = c.agg(
         F.sum(F.sqrt(F.col("n_docs").cast("double")).cast("decimal(27,6)"))
         .cast("double")
@@ -521,20 +530,33 @@ def corpus_mixture_weights_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").cast("long").alias("total_docs"),
     )
     sw = F.sqrt(F.col("n_docs").cast("double"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        sw.alias("sqrt_weight"),
+        (sw / F.col("denom")).alias("target_share"),
+        (
+            (sw / F.col("denom"))
+            / (
+                F.col("n_docs").cast("double")
+                / F.col("total_docs").cast("double")
+            )
+        ).alias("ovf"),
+    )
+
+
+@register("corpus_mixture_weights_sqrt", oracle=_MIXTURE_ORACLE)
+def corpus_mixture_weights_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language α=0.5 temperature sampling weights and the
+    oversample factor vs natural frequency."""
     return (
-        c.crossJoin(F.broadcast(t))
+        _mixture_ov(spark, sf_dir)
         .select(
             "lang",
             "n_docs",
-            sw.alias("sqrt_weight"),
-            (sw / F.col("denom")).alias("mixture_share"),
-            (
-                (sw / F.col("denom"))
-                / (
-                    F.col("n_docs").cast("double")
-                    / F.col("total_docs").cast("double")
-                )
-            ).alias("oversample_factor"),
+            "sqrt_weight",
+            F.col("target_share").alias("mixture_share"),
+            F.col("ovf").alias("oversample_factor"),
         )
         .orderBy("lang")
     )
@@ -938,16 +960,7 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RESAMPLE_SALT = "mix42"
 
-_RESAMPLE_ORACLE = f"""
-WITH c AS (
-  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
-),
-t AS (
-  SELECT CAST(SUM(CAST(SQRT(CAST(n_docs AS DOUBLE)) AS decimal(27,6)))
-              AS DOUBLE) AS denom,
-         CAST(SUM(n_docs) AS BIGINT) AS total_docs
-  FROM c
-),
+_RESAMPLE_ORACLE = _MIXTURE_CTE + f""",
 ov AS (
   SELECT c.lang, c.n_docs,
          SQRT(CAST(c.n_docs AS DOUBLE)) / t.denom AS target_share,
@@ -1004,27 +1017,8 @@ def corpus_resample_temperature(
     the acceptance pass is map-only and writes the curated corpus.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    c = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    t = c.agg(
-        F.sum(F.sqrt(F.col("n_docs").cast("double")).cast("decimal(27,6)"))
-        .cast("double")
-        .alias("denom"),
-        F.sum("n_docs").cast("long").alias("total_docs"),
-    )
-    sw = F.sqrt(F.col("n_docs").cast("double"))
-    ov = c.crossJoin(F.broadcast(t)).select(
-        "lang",
-        "n_docs",
-        (sw / F.col("denom")).alias("target_share"),
-        (
-            (sw / F.col("denom"))
-            / (
-                F.col("n_docs").cast("double")
-                / F.col("total_docs").cast("double")
-            )
-        ).alias("ovf"),
+    ov = _mixture_ov(spark, sf_dir).select(
+        "lang", "n_docs", "target_share", "ovf"
     )
     mx = ov.agg(F.max("ovf").alias("mx"))
     thr = ov.crossJoin(F.broadcast(mx)).select(

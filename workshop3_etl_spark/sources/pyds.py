@@ -261,7 +261,9 @@ def stream_pyds_feed_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         deadline = time.time() + 120
         while (
-            time.time() < deadline and spark.table(sink).count() < n_total
+            q.isActive
+            and time.time() < deadline
+            and spark.table(sink).count() < n_total
         ):
             time.sleep(0.25)
         q.stop()
@@ -299,9 +301,12 @@ def stream_pyds_feed_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale notes: in local mode every task sees one filesystem; on a
 # cluster the path must be shared storage (the manifest protocol is
-# what object-store committers do). Shard names derive from the
-# partition id, so a retried task overwrites its own shard
-# idempotently rather than duplicating it.
+# what object-store committers do). Tasks stage ATTEMPT-unique
+# `_pending-*` files and publish NOTHING; commit() renames the
+# winning attempts to job-token-unique final shards, so concurrent
+# attempts (retry/speculation) never share a file, failed jobs leave
+# only invisible staged orphans, and prior committed generations are
+# untouched until the manifest atomically changes hands.
 # --------------------------------------------------------------------
 
 WRITER_FORMAT_NAME = "ws_jsonl_manifest"
@@ -326,78 +331,132 @@ class _ShardCommit(WriterCommitMessage):
     checksum: int
 
 
-class JsonlManifestWriter(DataSourceWriter):
-    """DataSourceWriter: task-side shard write, driver-side manifest
-    commit, abort-side cleanup."""
+def _write_jsonl_shard(path: str, iterator) -> tuple:
+    """Serialize rows to a staged JSONL file; returns (n_rows,
+    checksum). Shared by the batch and streaming sinks so the wire
+    format and the checksum cannot drift between them."""
+    import json
 
-    def __init__(self, options):
+    n = 0
+    chk = 0
+    with open(path, "w", encoding="utf-8") as f:
+        for row in iterator:
+            f.write(
+                json.dumps(
+                    {
+                        "doc_id": row.doc_id,
+                        "lang": row.lang,
+                        "text": row.text,
+                    },
+                    ensure_ascii=False,
+                    sort_keys=True,
+                )
+                + "\n"
+            )
+            chk += _row_checksum(row.doc_id, row.text)
+            n += 1
+    return n, chk
+
+
+def _stage_name(token: str, pid: int) -> str:
+    """Attempt-unique staging name: two live attempts of one task
+    (retry or speculation) must never share a file, so the TASK
+    ATTEMPT id is part of the name; only commit() maps the winning
+    attempt's file to a stable final name."""
+    import os
+
+    from pyspark import TaskContext
+
+    attempt = TaskContext.get().taskAttemptId()
+    return f"_pending-{token}-{pid:05d}-{attempt}"
+
+
+class JsonlManifestWriter(DataSourceWriter):
+    """DataSourceWriter with true all-or-nothing visibility: tasks
+    only STAGE `_pending-*` files; commit() renames the winning
+    attempts to job-token-unique final shards and atomically
+    publishes the manifest. Nothing a failed job wrote is ever
+    reachable through a manifest, and a previously committed dataset
+    in the same directory is untouched until the new manifest
+    replaces the old one.
+
+    Save modes: overwrite=True replaces the manifest (and best-effort
+    deletes the superseded generation's shards — readers holding the
+    old manifest get a grace window, the compaction GC discipline);
+    overwrite=False (append) MERGES the existing manifest's shard
+    list with the new job's (shard names are job-token-unique, so
+    generations never clobber each other)."""
+
+    def __init__(self, options, overwrite):
+        import uuid
+
         self.path = options["path"]
+        self.overwrite = overwrite
+        # driver-generated, pickled to every task: one token per job
+        self.token = uuid.uuid4().hex[:8]
 
     def write(self, iterator):
-        import json
         import os
 
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        shard = f"shard-{pid:05d}.jsonl"
-        tmp = os.path.join(self.path, f"_tmp-{shard}")
-        final = os.path.join(self.path, shard)
-        n = 0
-        chk = 0
-        with open(tmp, "w", encoding="utf-8") as f:
-            for row in iterator:
-                f.write(
-                    json.dumps(
-                        {
-                            "doc_id": row.doc_id,
-                            "lang": row.lang,
-                            "text": row.text,
-                        },
-                        ensure_ascii=False,
-                        sort_keys=True,
-                    )
-                    + "\n"
-                )
-                chk += _row_checksum(row.doc_id, row.text)
-                n += 1
-        os.replace(tmp, final)  # task-local atomic publish
-        return _ShardCommit(shard, n, chk)
+        staged = _stage_name(self.token, pid)
+        n, chk = _write_jsonl_shard(
+            os.path.join(self.path, staged), iterator
+        )
+        return _ShardCommit(f"{staged}|{pid}", n, chk)
 
     def commit(self, messages):
         import json
         import os
 
+        shards = []
+        for m in messages:
+            staged, pid = m.shard.split("|")
+            final = f"shard-{self.token}-{int(pid):05d}.jsonl"
+            os.replace(
+                os.path.join(self.path, staged),
+                os.path.join(self.path, final),
+            )
+            shards.append(
+                {"shard": final, "n_rows": m.n_rows,
+                 "checksum": str(m.checksum)}
+            )
+        mpath = os.path.join(self.path, "manifest.json")
+        prev = None
+        if os.path.exists(mpath):
+            with open(mpath, encoding="utf-8") as f:
+                prev = json.load(f)
+        if prev is not None and not self.overwrite:
+            shards = prev["shards"] + shards
         manifest = {
-            "shards": sorted(
-                [
-                    {"shard": m.shard, "n_rows": m.n_rows,
-                     "checksum": str(m.checksum)}
-                    for m in messages
-                ],
-                key=lambda s: s["shard"],
-            ),
-            "total_rows": sum(m.n_rows for m in messages),
-            "checksum": str(sum(m.checksum for m in messages)),
+            "shards": sorted(shards, key=lambda s: s["shard"]),
+            "total_rows": sum(s["n_rows"] for s in shards),
+            "checksum": str(sum(int(s["checksum"]) for s in shards)),
         }
-        tmp = os.path.join(self.path, "_tmp-manifest.json")
+        tmp = os.path.join(self.path, f"_pending-{self.token}-manifest")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        os.replace(tmp, mpath)
+        if prev is not None and self.overwrite:
+            # superseded generation: best-effort GC after the commit
+            for s in prev["shards"]:
+                try:
+                    os.remove(os.path.join(self.path, s["shard"]))
+                except OSError:
+                    pass
 
     def abort(self, messages):
         import glob
         import os
 
-        for m in messages:
-            if m is not None:
-                try:
-                    os.remove(os.path.join(self.path, m.shard))
-                except OSError:
-                    pass
-        for tmp in glob.glob(os.path.join(self.path, "_tmp-*")):
+        # nothing was published; drop this job's staged files
+        for p in glob.glob(
+            os.path.join(self.path, f"_pending-{self.token}-*")
+        ):
             try:
-                os.remove(tmp)
+                os.remove(p)
             except OSError:
                 pass
 
@@ -408,7 +467,7 @@ class JsonlManifestDataSource(DataSource):
         return WRITER_FORMAT_NAME
 
     def writer(self, schema, overwrite):
-        return JsonlManifestWriter(self.options)
+        return JsonlManifestWriter(self.options, overwrite)
 
 
 def register_writer_format(spark: SparkSession) -> None:
@@ -520,32 +579,16 @@ class JsonlEpochStreamWriter(DataSourceStreamWriter):
         self.path = options["path"]
 
     def write(self, iterator):
-        import json
         import os
 
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        pending = os.path.join(self.path, f"_pending-{pid:05d}")
-        n = 0
-        chk = 0
-        with open(pending, "w", encoding="utf-8") as f:
-            for row in iterator:
-                f.write(
-                    json.dumps(
-                        {
-                            "doc_id": row.doc_id,
-                            "lang": row.lang,
-                            "text": row.text,
-                        },
-                        ensure_ascii=False,
-                        sort_keys=True,
-                    )
-                    + "\n"
-                )
-                chk += _row_checksum(row.doc_id, row.text)
-                n += 1
-        return _ShardCommit(f"_pending-{pid:05d}", n, chk)
+        staged = _stage_name("s", pid)
+        n, chk = _write_jsonl_shard(
+            os.path.join(self.path, staged), iterator
+        )
+        return _ShardCommit(f"{staged}|{pid}", n, chk)
 
     def commit(self, messages, batchId):
         import json
@@ -555,9 +598,10 @@ class JsonlEpochStreamWriter(DataSourceStreamWriter):
         for m in messages:
             if m is None:
                 continue
-            final = f"epoch={batchId}-shard-{m.shard.split('-')[-1]}.jsonl"
+            staged, pid = m.shard.split("|")
+            final = f"epoch={batchId}-shard-{int(pid):05d}.jsonl"
             os.replace(
-                os.path.join(self.path, m.shard),
+                os.path.join(self.path, staged),
                 os.path.join(self.path, final),
             )
             shards.append(
@@ -580,7 +624,7 @@ class JsonlEpochStreamWriter(DataSourceStreamWriter):
         import glob
         import os
 
-        for p in glob.glob(os.path.join(self.path, "_pending-*")):
+        for p in glob.glob(os.path.join(self.path, "_pending-s-*")):
             try:
                 os.remove(p)
             except OSError:
@@ -661,7 +705,8 @@ def stream_pyds_sink_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         deadline = time.time() + 120
         while (
-            time.time() < deadline
+            q.isActive
+            and time.time() < deadline
             and read_epoch_sink(spark, out).count() < n_total
         ):
             time.sleep(0.25)
