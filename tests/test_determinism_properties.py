@@ -433,3 +433,50 @@ def test_pagerank_iters_zero_returns_initial_tokens(spark):
     got = {row["node"]: (row["deg"], row["rk"]) for row in r.collect()}
     release_checkpoint(r)
     assert got == {1: (1, _PR_SCALE), 2: (2, _PR_SCALE), 3: (1, _PR_SCALE)}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # group
+            st.integers(min_value=-200_000, max_value=200_000),  # value
+            st.integers(min_value=1, max_value=9),  # weight
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    bucket=st.sampled_from([1, 7, 64, 65536]),
+)
+def test_two_level_prefix_equals_sequential(spark, data, bucket):
+    """The bucketed prefix decomposition must equal a sequential
+    sorted scan for ANY integer values (negatives included — `div`
+    truncation keeps buckets monotone), any weights, any group split,
+    and any bucket width, with one row per distinct value per group."""
+    from collections import defaultdict
+
+    from workshop3_etl_spark.functions.ranks import two_level_prefix
+
+    # collapse to one row per (group, value) — the helper's contract
+    agg = defaultdict(int)
+    for g, v, w in data:
+        agg[(g, v)] += w
+    rows = [(g, v, w) for (g, v), w in sorted(agg.items())]
+    sdf = spark.createDataFrame(rows, "g int, v long, wt long")
+    got = {
+        (r["g"], r["v"]): (r["lt"], r["cumw"])
+        for r in two_level_prefix(sdf, "v", "wt", bucket, ["g"]).collect()
+    }
+    want = {}
+    for g in {g for g, _, _ in rows}:
+        cum = 0
+        for gg, v, w in rows:
+            if gg != g:
+                continue
+            want[(g, v)] = (cum, cum + w)
+            cum += w
+    assert got == want

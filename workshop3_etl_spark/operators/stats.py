@@ -1295,8 +1295,6 @@ def stats_mannwhitney_u_returnflag(
     (notebook describe() cells); this adds the distribution-free test
     over the same grouping surface.
     """
-    from pyspark.sql import Window
-
     f = (
         load_table(spark, sf_dir, "lineitem")
         .where(F.col("l_returnflag").isin("A", "R"))
@@ -1309,38 +1307,19 @@ def stats_mannwhitney_u_returnflag(
             .alias("g"),
         )
     )
+    from workshop3_etl_spark.functions.ranks import two_level_prefix
+
     pv = (
         f.groupBy("v")
         .agg(
             F.sum("g").cast("long").alias("n1"),
             F.count(F.lit(1)).cast("long").alias("t"),
         )
-        .withColumn("bucket", F.expr(f"v div {_MWU_BUCKET}"))
         # O(distinct prices) index frame, read twice (ranks + bucket
         # offsets): persist so the corpus is scanned exactly once
         .persist()
     )
-    # level 1: running count strictly-before within the bucket
-    wb = (
-        Window.partitionBy("bucket")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # level 2: bucket offsets on the bounded bucket spine
-    btot = pv.groupBy("bucket").agg(F.sum("t").alias("bt"))
-    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    off = btot.select(
-        "bucket",
-        F.coalesce(F.sum("bt").over(wo), F.lit(0)).cast("long").alias("off"),
-    )
-    rk = pv.join(F.broadcast(off), "bucket").select(
-        "n1",
-        "t",
-        (
-            F.col("off")
-            + F.coalesce(F.sum("t").over(wb), F.lit(0)).cast("long")
-        ).alias("lt"),
-    )
+    rk = two_level_prefix(pv, "v", "t", _MWU_BUCKET).select("n1", "t", "lt")
     agg = rk.agg(
         F.sum("n1").cast("long").alias("n1"),
         F.sum(F.col("t") - F.col("n1")).cast("long").alias("n2"),
@@ -1576,8 +1555,6 @@ def stats_bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quantile uncertainty is where resampling is actually needed:
     the mean has a CLT formula, the median doesn't at finite n).
     """
-    from pyspark.sql import Window
-
     base = load_table(spark, sf_dir, "orders").selectExpr(
         "o_orderkey", f"{_cents('o_totalprice')} as cents"
     )
@@ -1594,41 +1571,21 @@ def stats_bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = u.selectExpr(
         "rep", "cents", f"case when rep = -1 then 1 else {_POIS_W} end as w"
     )
+    from workshop3_etl_spark.functions.ranks import two_level_prefix
+
     wv = (
         w.groupBy("rep", "cents")
         .agg(F.sum("w").cast("long").alias("wt"))
         .filter(F.col("wt") > 0)
-        .withColumn("b", F.expr(f"cents div {_BMED_BUCKET}"))
         # O(reps x distinct cents) index frame read three times
         # (ranks, offsets, totals): persist so the x17 explode and
         # the 16 md5 folds per row run over orders exactly ONCE
         .persist()
     )
-    win = (
-        Window.partitionBy("rep", "b")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = wv.select(
-        "rep", "b", "cents", "wt", F.sum("wt").over(win).alias("local_cumw")
-    )
-    totals = wv.groupBy("rep", "b").agg(F.sum("wt").cast("long").alias("bw"))
-    spine = (
-        Window.partitionBy("rep")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.select(
-        "rep",
-        "b",
-        F.coalesce(F.sum("bw").over(spine), F.lit(0))
-        .cast("long")
-        .alias("off"),
-    )
-    tot = totals.groupBy("rep").agg(F.sum("bw").cast("long").alias("tw"))
-    ranked = local.join(F.broadcast(offsets), ["rep", "b"]).select(
-        "rep", "cents", (F.col("local_cumw") + F.col("off")).alias("cumw")
-    )
+    tot = wv.groupBy("rep").agg(F.sum("wt").cast("long").alias("tw"))
+    ranked = two_level_prefix(
+        wv, "cents", "wt", _BMED_BUCKET, ["rep"]
+    ).select("rep", "cents", "cumw")
     med = (
         ranked.join(F.broadcast(tot), "rep")
         .filter(F.lit(2) * F.col("cumw") >= F.col("tw"))
