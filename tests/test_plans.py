@@ -531,3 +531,39 @@ def test_q18_aggregates_before_joining_parents(spark):
     # the shuffle below the aggregate is the only fact exchange
     assert "Exchange" in tree
     assert "TakeOrderedAndProject" in tree
+
+
+def test_source_cap_exact_window_rides_broadcast_candidates(spark):
+    """The per-source top-K window must run only over the broadcast
+    candidate prefix (two-level pruning), never over the full corpus:
+    every join in the plan is a broadcast join, and the row_number
+    window sits ABOVE a BroadcastHashJoin in the plan text (the
+    candidate semi-join feeds it)."""
+    from workshop3_etl_spark.plans import registry
+
+    fn = registry.get("corpus_source_cap_sample").fn
+    plan = _plan(fn(spark, SF_CORRECT))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    w_idx = plan.find("Window")
+    assert w_idx != -1
+    # the formatted tree lists children below their parent, so the
+    # candidate broadcast join must appear after the window operator
+    assert "BroadcastHashJoin" in plan[w_idx:]
+
+
+def test_range_partition_plan_no_data_scale_sort_or_smj(spark):
+    """The splitter planner must never globally sort the fact table:
+    its only windows ride the distinct-cents frame (bucket-partitioned
+    prefix + domain-bounded spine), and the planning joins
+    (splits x prefix, bounds x prev-bounds) are broadcast."""
+    from workshop3_etl_spark.plans import registry
+
+    fn = registry.get("layout_range_partition_plan").fn
+    plan = _plan(fn(spark, SF_CORRECT))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 3

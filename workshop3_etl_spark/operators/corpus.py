@@ -1058,3 +1058,110 @@ def corpus_resample_temperature(
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------
+# Source frequency cap — the per-domain document cap every web-scale
+# curation pipeline applies (RefinedWeb §3.2-style: no single domain
+# may contribute more than K documents) so one over-crawled site
+# cannot dominate the training mixture. Survivors are chosen by the
+# deterministic hash-rank order (the engine's sampling canon), NOT by
+# arrival order, so the cap is rerunnable and partition-independent.
+#
+# Scale contract — the hot-source problem: a naive row_number()
+# window partitioned by source sorts EVERY document of the hottest
+# domain on one task (a common-crawl megadomain = hundreds of
+# millions of rows through one reducer). Instead the top-K membership
+# is decided by the two-level bucketed prefix (functions/ranks.py):
+# per-(source, hash) counts fold into a bucket spine, and only hash
+# values whose strictly-before weight is < K — at most K distinct
+# values per source, since every value carries weight >= 1 — reach an
+# exact window. The windowed volume is therefore <= K + collision
+# surplus rows PER SOURCE regardless of corpus size, and the
+# candidate/keeper frames (<= sources x K rows) ride broadcast joins.
+# --------------------------------------------------------------------
+
+_SOURCE_CAP = 10
+# hv range is [0, 2^31); 2^24-wide buckets => 128-row spine per source.
+_SOURCE_CAP_BUCKET = 1 << 24
+
+_SOURCE_CAP_ORACLE = f"""
+WITH r AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY {_SAMPLE_HASH}, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= {_SOURCE_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(CASE WHEN rk <= {_SOURCE_CAP} THEN n_chars ELSE 0 END)
+            AS BIGINT) AS chars_kept
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("corpus_source_cap_sample", oracle=_SOURCE_CAP_ORACLE)
+def corpus_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at K=10 documents (deterministic hash-rank
+    survivors); per source: total docs, kept docs, total chars, kept
+    chars — the domain-balance report a curation run publishes.
+
+    The exact window runs only over the two-level-prefix candidate
+    rows (<= K distinct hash values per source), so no task ever
+    sorts a hot domain's full document list; see the module comment
+    for the scale contract.
+    """
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.functions.ranks import two_level_prefix
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("hv", F.expr(_SAMPLE_HASH))
+    )
+    per_hv = docs.groupBy("source", "hv").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    pre = two_level_prefix(
+        per_hv, "hv", "w", _SOURCE_CAP_BUCKET, partition_cols=("source",)
+    )
+    # Candidate hash values form a PREFIX of the per-source hv order:
+    # lt < K admits at most K distinct values, and every row ranked
+    # <= K lives at one of them (its value's strictly-before weight
+    # is <= rank-1 < K). row_number over candidates == the true rank.
+    cand_hv = pre.filter(F.col("lt") < _SOURCE_CAP).select("source", "hv")
+    cand = docs.join(F.broadcast(cand_hv), ["source", "hv"])
+    w = Window.partitionBy("source").orderBy(
+        F.col("hv").asc(), F.col("doc_id").asc()
+    )
+    kept = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SOURCE_CAP)
+        .select("source", "doc_id", F.lit(1).alias("k"))
+    )
+    flagged = docs.join(F.broadcast(kept), ["source", "doc_id"], "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("k"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum(
+                F.when(F.col("k").isNotNull(), F.col("n_chars")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("chars_kept"),
+        )
+        .orderBy("source")
+    )

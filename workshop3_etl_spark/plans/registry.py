@@ -76,8 +76,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "profile_histogram_quantile_price",
     "sketch_kmv_rolling_users_7d",
     "ts_ohlc_hourly_downsample",
-    "stream_append_closed_windows",
     "stream_decayed_counters",
+    # Added in round 5, sixth session (exact range-partition planner —
+    # the splitter-selection step of a 100 TB total sort, boundaries
+    # from the two-level bucketed prefix; official first-time row
+    # funded by deferring never-checked stream_append_closed_windows
+    # to a later rotation — the stream_ family keeps six other slots
+    # in the 50 and that query stays pytest + driver_sim green).
+    "layout_range_partition_plan",
     "variant_props_decade_counts",
     "sql_lateral_top_orders_per_segment",
     "graph_degree_distribution_copurchase",
@@ -157,7 +163,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # funded by demoting r4-green graph_triangle_count_copurchase —
     # graph_ keeps the degree_distribution first-timer).
     "graph_pagerank_copurchase",
-    "sim_neardup_lsh_buckets",
+    # Added in round 5, sixth session (RefinedWeb-style per-source
+    # document cap with two-level-prefix candidate pruning — no task
+    # sorts a hot domain's full list; official first-time row funded
+    # by demoting r4-green sim_neardup_lsh_buckets — sim_ keeps
+    # pq_adc via rotation history plus the SemDeDup first-timer, and
+    # neardup stays pytest+driver_sim green).
+    "corpus_source_cap_sample",
     # Added in round 5, fifth session (TPC-H Q8 — the widest star
     # join the testdata schema supports; official first-time row
     # funded by demoting r4-green sim_ann_pq_adc_topk — sim_ keeps

@@ -653,3 +653,136 @@ ORDER BY layout
 
 
 _register_zonemap_stats()
+
+
+# --------------------------------------------------------------------
+# Range-partition planner — the splitter-selection step of a 100 TB
+# total sort (Spark's RangePartitioner, TeraSort's sampler), made
+# EXACT: partition boundaries at the true i*n/P order statistics of
+# the sort key instead of a sample, plus the per-range row counts the
+# planner uses to prove balance before launching the write. Ties at a
+# boundary stay in the lower range (assignment is by VALUE, so equal
+# keys can never straddle two files — the property that makes range
+# layouts zone-map-prunable; see layout_zonemap_prune_stats).
+#
+# Scale contract: the key is the integer-cents money canon
+# (operators/stats._cents), so exact global order statistics come
+# from the two-level bucketed prefix (functions/ranks.py) — one
+# groupBy to distinct key values (domain-bounded: <= cents range
+# rows, independent of table size), a partitioned within-bucket
+# window over a ~763-row spine, and a P-row planning frame. No
+# corpus-wide sort, no unpartitioned window over data-scale rows.
+# --------------------------------------------------------------------
+
+
+def _register_range_partition_plan() -> None:
+    from workshop3_etl_spark.functions.ranks import two_level_prefix
+    from workshop3_etl_spark.operators.stats import _cents
+    from workshop3_etl_spark.plans.registry import register
+    from workshop3_etl_spark.sources.tables import load_table
+
+    n_parts = 8
+    bucket = 65536  # cents per rank bucket; spine = price_range / 2^16
+    cents = _cents("o_totalprice")
+
+    oracle = f"""
+WITH v AS (
+  SELECT {cents} AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT v, CAST(SUM(w) OVER (ORDER BY v) AS BIGINT) AS cumw FROM v
+),
+n AS (SELECT CAST(SUM(w) AS BIGINT) AS n FROM v),
+s AS (
+  SELECT CAST(i AS INTEGER) AS range_id,
+         (i * n.n + {n_parts - 1}) // {n_parts} AS target
+  FROM range(1, {n_parts + 1}) t(i), n
+),
+b AS (
+  SELECT s.range_id,
+         MIN(c.v) AS upper_cents,
+         MIN(c.cumw) AS bcum
+  FROM s JOIN c ON c.cumw >= s.target
+  GROUP BY s.range_id
+)
+SELECT b.range_id,
+       CAST(b.upper_cents AS BIGINT) AS upper_cents,
+       CAST(b.bcum - COALESCE(p.bcum, 0) AS BIGINT) AS n_rows,
+       CAST(b.bcum - COALESCE(p.bcum, 0) AS DOUBLE) * {n_parts}e0
+         / CAST(n.n AS DOUBLE) AS balance
+FROM b LEFT JOIN b p ON p.range_id = b.range_id - 1, n
+ORDER BY b.range_id
+"""
+
+    @register("layout_range_partition_plan", oracle=oracle)
+    def layout_range_partition_plan(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Exact 8-way range-partition plan for sorting orders by
+        total price: per range the upper boundary (integer cents,
+        inclusive), the row count, and the balance ratio vs the ideal
+        n/8 — the frame a sort-write job inspects before committing
+        to a layout, and the boundaries it broadcasts to the
+        partitioner.
+
+        Boundary r = the smallest key whose inclusive cumulative
+        count reaches ceil(r*n/8); its cumulative count IS the
+        end-of-range prefix, so per-range counts are boundary-prefix
+        differences — no second scan. Balance deviates from 1.0
+        only through boundary ties, which is exactly the skew a
+        value-assigned range layout cannot split.
+        """
+        o = load_table(spark, sf_dir, "orders").selectExpr(f"{cents} as v")
+        per_v = o.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("w"))
+        pre = two_level_prefix(per_v, "v", "w", bucket)
+        n1 = per_v.agg(F.sum("w").cast("long").alias("n"))
+        splits = (
+            spark.range(1, n_parts + 1)
+            .toDF("i")
+            .crossJoin(F.broadcast(n1))
+            .select(
+                F.col("i").cast("int").alias("range_id"),
+                F.expr(f"(i * n + {n_parts - 1}) div {n_parts}").alias(
+                    "target"
+                ),
+                "n",
+            )
+        )
+        bounds = (
+            pre.join(
+                F.broadcast(splits), F.col("cumw") >= F.col("target")
+            )
+            .groupBy("range_id", "n")
+            .agg(
+                F.min("v").cast("long").alias("upper_cents"),
+                F.min("cumw").cast("long").alias("bcum"),
+            )
+        )
+        prev = bounds.select(
+            (F.col("range_id") + F.lit(1)).alias("range_id"),
+            F.col("bcum").alias("prev_bcum"),
+        )
+        return (
+            bounds.join(F.broadcast(prev), "range_id", "left")
+            .select(
+                "range_id",
+                "upper_cents",
+                (F.col("bcum") - F.coalesce(F.col("prev_bcum"), F.lit(0)))
+                .cast("long")
+                .alias("n_rows"),
+                (
+                    (
+                        F.col("bcum")
+                        - F.coalesce(F.col("prev_bcum"), F.lit(0))
+                    ).cast("double")
+                    * F.lit(float(n_parts))
+                    / F.col("n").cast("double")
+                )
+                .alias("balance"),
+            )
+            .orderBy("range_id")
+        )
+
+
+_register_range_partition_plan()
