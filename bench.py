@@ -152,6 +152,14 @@ def main() -> None:
         # round-5 fifth session: temperature resampling materialized
         # (two map-side passes over documents + 5-row broadcast dims).
         "corpus_resample_temperature",
+        # round-5 sixth session: the per-source document cap (~1.4s
+        # steady at sf0.1) and the exact range-partition planner
+        # (~1.4s steady). Both are stage-count-dominated planning
+        # frames — two-level prefix spine + broadcast candidate
+        # joins — whose data-proportional work is one groupBy each;
+        # the local latency is fixed overhead, not scan cost.
+        "corpus_source_cap_sample",
+        "layout_range_partition_plan",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

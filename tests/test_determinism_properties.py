@@ -480,3 +480,41 @@ def test_two_level_prefix_equals_sequential(spark, data, bucket):
             want[(g, v)] = (cum, cum + w)
             cum += w
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # source
+            st.integers(min_value=0, max_value=6),  # hv (forced collisions)
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    cap=st.sampled_from([1, 3, 10]),
+)
+def test_source_cap_keepers_equals_plain_window(spark, data, cap):
+    """The two-level-pruned top-K keeper selection must equal a plain
+    per-source (hv, doc_id) sort for ANY hash distribution — including
+    heavy collisions straddling the cap boundary and sources both
+    below and far above the cap."""
+    from workshop3_etl_spark.operators.corpus import source_cap_keepers
+
+    rows = [(f"s{s}", i, hv) for i, (s, hv) in enumerate(data)]
+    sdf = spark.createDataFrame(rows, "source string, doc_id long, hv long")
+    got = {
+        (r["source"], r["doc_id"])
+        for r in source_cap_keepers(sdf, cap).collect()
+    }
+    want = set()
+    for s in {r[0] for r in rows}:
+        ranked = sorted(
+            (r for r in rows if r[0] == s), key=lambda r: (r[2], r[1])
+        )
+        want |= {(r[0], r[1]) for r in ranked[:cap]}
+    assert got == want

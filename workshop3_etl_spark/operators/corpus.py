@@ -1106,6 +1106,41 @@ ORDER BY source
 """
 
 
+def source_cap_keepers(docs: DataFrame, cap: int) -> DataFrame:
+    """Top-``cap`` (hv, doc_id)-ranked keepers per source via the
+    two-level candidate prune: returns (source, doc_id) of survivors,
+    bit-identical to a full per-source row_number window but with the
+    exact window confined to <= cap distinct hash values per source.
+    ``docs`` must carry (source, doc_id, hv). Adversarial-equivalence
+    tested (hash collisions, hot source) in
+    tests/test_determinism_properties.py."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.functions.ranks import two_level_prefix
+
+    per_hv = docs.groupBy("source", "hv").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    pre = two_level_prefix(
+        per_hv, "hv", "w", _SOURCE_CAP_BUCKET, partition_cols=("source",)
+    )
+    # Candidate hash values form a PREFIX of the per-source hv order:
+    # lt < cap admits at most cap distinct values, and every row
+    # ranked <= cap lives at one of them (its value's strictly-before
+    # weight is <= rank-1 < cap). row_number over candidates == the
+    # true rank.
+    cand_hv = pre.filter(F.col("lt") < cap).select("source", "hv")
+    cand = docs.join(F.broadcast(cand_hv), ["source", "hv"])
+    w = Window.partitionBy("source").orderBy(
+        F.col("hv").asc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select("source", "doc_id")
+    )
+
+
 @register("corpus_source_cap_sample", oracle=_SOURCE_CAP_ORACLE)
 def corpus_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap every source at K=10 documents (deterministic hash-rank
@@ -1117,34 +1152,13 @@ def corpus_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts a hot domain's full document list; see the module comment
     for the scale contract.
     """
-    from pyspark.sql import Window
-
-    from workshop3_etl_spark.functions.ranks import two_level_prefix
-
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", "n_chars")
         .withColumn("hv", F.expr(_SAMPLE_HASH))
     )
-    per_hv = docs.groupBy("source", "hv").agg(
-        F.count(F.lit(1)).cast("long").alias("w")
-    )
-    pre = two_level_prefix(
-        per_hv, "hv", "w", _SOURCE_CAP_BUCKET, partition_cols=("source",)
-    )
-    # Candidate hash values form a PREFIX of the per-source hv order:
-    # lt < K admits at most K distinct values, and every row ranked
-    # <= K lives at one of them (its value's strictly-before weight
-    # is <= rank-1 < K). row_number over candidates == the true rank.
-    cand_hv = pre.filter(F.col("lt") < _SOURCE_CAP).select("source", "hv")
-    cand = docs.join(F.broadcast(cand_hv), ["source", "hv"])
-    w = Window.partitionBy("source").orderBy(
-        F.col("hv").asc(), F.col("doc_id").asc()
-    )
-    kept = (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _SOURCE_CAP)
-        .select("source", "doc_id", F.lit(1).alias("k"))
+    kept = source_cap_keepers(docs, _SOURCE_CAP).withColumn(
+        "k", F.lit(1)
     )
     flagged = docs.join(F.broadcast(kept), ["source", "doc_id"], "left")
     return (
