@@ -160,6 +160,12 @@ def main() -> None:
         # the local latency is fixed overhead, not scan cost.
         "corpus_source_cap_sample",
         "layout_range_partition_plan",
+        # round-5 sixth session: the incrementally-maintained
+        # histogram quantile service (~2.4s steady at sf0.1 — the
+        # streaming availableNow harness dominates, as with the other
+        # maintained-state rows; the probe itself touches only the
+        # ~200-row merged bin frame).
+        "stream_histogram_quantiles",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

@@ -1022,3 +1022,82 @@ def test_streaming_ols_merge_replay_and_compaction(spark, tmp_path):
         "epoch=-2"
     ]
     assert tuple(read_ols_stats(spark, state).collect()[0]) == batch_stats
+
+
+def test_streaming_histogram_merge_replay_and_compaction(spark, tmp_path):
+    """The incrementally-maintained histogram must equal the
+    batch-built bin frame EXACTLY for any micro-batch split (per-bin
+    sums are an integer-additive identity), a replayed batch must
+    overwrite its own epoch (no double counting), and compaction must
+    preserve the merged frame."""
+    import os
+
+    from workshop3_etl_spark.streaming.rollup import (
+        _batch_hist_partial,
+        compact_histogram,
+        maintain_histogram,
+        read_histogram,
+        write_hist_partial,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "value")
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "hist")
+    ck = str(tmp_path / "ck")
+    ev.filter(F.col("event_id") % 2 == 0).repartition(1).write.parquet(
+        f"{src}/p1"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).repartition(1).write.parquet(
+        f"{src}/p2"
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    maintain_histogram(spark, stream(), state, ck)
+    n_epochs = sum(1 for n in os.listdir(state) if n.startswith("epoch="))
+    assert n_epochs >= 2  # the merge below spans real partials
+
+    batch_bins = sorted(
+        tuple(r) for r in _batch_hist_partial(ev).collect()
+    )
+    merged = sorted(tuple(r) for r in read_histogram(spark, state).collect())
+    assert merged == batch_bins
+
+    # crash-replay: batch 0 rewrites its own epoch — state unchanged.
+    epoch0 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{state}/epoch=0")
+        .select("bin", "cnt")
+        .collect()
+    )
+    halves = {
+        par: ev.filter(F.col("event_id") % 2 == par) for par in (0, 1)
+    }
+    batch0 = next(
+        h
+        for h in halves.values()
+        if sorted(tuple(r) for r in _batch_hist_partial(h).collect())
+        == epoch0
+    )
+    write_hist_partial(batch0, 0, state)
+    assert (
+        sorted(tuple(r) for r in read_histogram(spark, state).collect())
+        == batch_bins
+    )
+
+    # compaction folds epochs without changing the merged frame
+    compact_histogram(spark, state, through_epoch=10_000)
+    compact_histogram(spark, state, through_epoch=10_000)  # deferred GC
+    assert [n for n in os.listdir(state) if n.startswith("epoch=")] == [
+        "epoch=-2"
+    ]
+    assert (
+        sorted(tuple(r) for r in read_histogram(spark, state).collect())
+        == batch_bins
+    )

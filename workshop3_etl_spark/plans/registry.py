@@ -73,7 +73,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue_share",
     "q13_customer_distribution",
     "profile_weighted_median_price",
-    "profile_histogram_quantile_price",
+    # Added in round 5, sixth session (quantile service from the
+    # incrementally-maintained fixed-grid histogram — the mergeable
+    # quantile state completing the CMS/HLL/OLS family; official
+    # first-time row funded by deferring never-checked
+    # profile_histogram_quantile_price, its batch cousin, to a later
+    # rotation — profile_ keeps the weighted_median slot and the
+    # batch percentile service stays pytest + driver_sim green).
+    "stream_histogram_quantiles",
     "sketch_kmv_rolling_users_7d",
     "ts_ohlc_hourly_downsample",
     "stream_decayed_counters",

@@ -1116,3 +1116,118 @@ def stream_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_open_events long, n_late_replayed long,"
             " late_drops_observed boolean",
         )
+
+
+# --------------------------------------------------------------------
+# Incrementally-maintained quantile service (streaming/rollup.py
+# maintain_histogram): the fixed-grid histogram is the mergeable
+# quantile state — per-bin integer sums, so the streaming state
+# equals the batch-built histogram EXACTLY for any micro-batch split,
+# and a probe needs only the domain-bounded bin frame. The p-quantile
+# bracket is the first bin whose running count reaches ceil(p*n/100);
+# every step is integer arithmetic shared with the oracle, so the
+# whole service — state AND probe — is hash-checked, with the bracket
+# width (HIST_BIN_CENTS) as the explicit error bound.
+# --------------------------------------------------------------------
+
+_HIST_PCTS = (50, 90, 99)
+
+
+def _stream_hist_oracle() -> str:
+    from workshop3_etl_spark.streaming.rollup import HIST_BIN_CENTS
+
+    w = HIST_BIN_CENTS
+    pcts = ", ".join(f"({p})" for p in _HIST_PCTS)
+    return f"""
+WITH h AS (
+  SELECT (CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) // {w}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM h
+),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+p AS (SELECT pct FROM (VALUES {pcts}) t(pct)),
+t AS (SELECT p.pct, (p.pct * n.n + 99) // 100 AS target, n.n FROM p, n),
+b AS (
+  SELECT t.pct, t.n, t.target, MIN(c.bin) AS bin
+  FROM t JOIN c ON c.cum >= t.target
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(pct AS INTEGER) AS pct,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(target AS BIGINT) AS target_rank,
+       CAST(bin AS BIGINT) AS bin,
+       CAST(bin * {w} AS BIGINT) AS lo_cents,
+       CAST((bin + 1) * {w} AS BIGINT) AS hi_cents
+FROM b
+ORDER BY pct
+"""
+
+
+@register("stream_histogram_quantiles", oracle=_stream_hist_oracle())
+def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 brackets of the event value served from the
+    histogram state maintained by the foreachBatch job
+    (streaming/rollup.maintain_histogram): per percentile the rank
+    target, the bracketing bin, and its [lo, hi) cents bounds. The
+    multi-epoch merge, replay, and compaction story is pinned by
+    tests/test_incremental_rollup.py; this query proves the composed
+    job lands on the batch histogram inside the driver's gate.
+
+    The probe touches only the merged bin frame (domain-bounded, here
+    ~200 rows): its running count rides the bin spine — the one
+    global-ordered state, scale-independent — and the 3-row percent
+    frame joins against it broadcast."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.streaming.rollup import (
+        HIST_BIN_CENTS,
+        maintain_histogram,
+        read_histogram,
+    )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        state = f"{workdir}/hist"
+        with _few_state_partitions(spark):
+            maintain_histogram(
+                spark, _events_stream(spark, sf_dir), state, f"{workdir}/ck"
+            )
+        bins = read_histogram(spark, state)
+        spine = Window.orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = bins.select(
+            "bin", F.sum("cnt").over(spine).cast("long").alias("cum")
+        )
+        n1 = bins.agg(F.sum("cnt").cast("long").alias("n"))
+        targets = (
+            spark.createDataFrame(
+                [(p,) for p in _HIST_PCTS], "pct int"
+            )
+            .crossJoin(F.broadcast(n1))
+            .selectExpr(
+                "pct", "n", f"(pct * n + 99) div 100 as target"
+            )
+        )
+        result = (
+            cum.join(F.broadcast(targets), F.col("cum") >= F.col("target"))
+            .groupBy("pct", "n", "target")
+            .agg(F.min("bin").cast("long").alias("bin"))
+            .select(
+                "pct",
+                F.col("n").alias("n_rows"),
+                F.col("target").alias("target_rank"),
+                "bin",
+                (F.col("bin") * F.lit(HIST_BIN_CENTS))
+                .cast("long")
+                .alias("lo_cents"),
+                ((F.col("bin") + F.lit(1)) * F.lit(HIST_BIN_CENTS))
+                .cast("long")
+                .alias("hi_cents"),
+            )
+            .orderBy("pct")
+        )
+        # materialize before the state dir vanishes
+        return result.localCheckpoint(eager=True)

@@ -515,3 +515,108 @@ def compact_ols(
     compact_partials(
         spark, state_path, through_epoch, fold, partition_cols=("epoch",)
     )
+
+
+# --------------------------------------------------------------------
+# Incrementally-maintained equi-width histogram: the mergeable
+# QUANTILE state, completing the sketch-maintenance family (CMS = sum,
+# HLL = max, OLS = moment sums, histogram = per-bin sum). Bins are
+# fixed-width over the integer-cents canon — floor(cents / width) —
+# so the state is DOMAIN-bounded (value range / width rows per epoch,
+# independent of row count) and partials merge by per-bin addition:
+# the streaming state equals the batch-built histogram exactly for
+# any micro-batch split. A quantile probe then needs only the merged
+# bin frame: the p-quantile's bracket is the first bin whose running
+# count reaches ceil(p*n/100) — every step integer arithmetic, so the
+# whole service is hash-checkable against a batch oracle.
+#
+# Bracket width IS the error bound: the true quantile lies inside
+# [bin*width, (bin+1)*width) cents by construction. Tightening costs
+# state linearly (width 256 => ~$2.56 brackets, <=200 live rows for
+# this domain) — the classic fixed-grid/t-digest trade made explicit.
+# --------------------------------------------------------------------
+
+HIST_BIN_CENTS = 256
+
+# Engine-stable integer cents (the dq_table_checksums canon): both
+# factors exact doubles, multiply/add/floor IEEE-defined identically
+# in Spark and DuckDB.
+HIST_BIN_SQL = (
+    "(cast(floor(value * 100e0 + 0.5e0) as bigint) div {w})".format(
+        w=HIST_BIN_CENTS
+    )
+)
+
+
+def _batch_hist_partial(batch: DataFrame, value_col: str = "value") -> DataFrame:
+    bin_sql = HIST_BIN_SQL.replace("value", value_col)
+    return (
+        batch.selectExpr(f"{bin_sql} as bin")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def write_hist_partial(
+    batch: DataFrame, epoch_id: int, state_path: str, value_col: str = "value"
+) -> None:
+    """foreachBatch body: one micro-batch's per-bin counts under its
+    epoch partition (idempotent under replay)."""
+    from workshop3_etl_spark.sources.lakehouse import (
+        dynamic_partition_overwrite,
+    )
+
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return
+    b = _batch_hist_partial(batch, value_col).withColumn(
+        "epoch", F.lit(int(epoch_id))
+    )
+    with dynamic_partition_overwrite(spark):
+        b.write.mode("overwrite").partitionBy("epoch").parquet(state_path)
+
+
+def maintain_histogram(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+) -> None:
+    """Run histogram maintenance to completion (availableNow)."""
+    (
+        events_stream.writeStream.foreachBatch(
+            lambda b, epoch: write_hist_partial(
+                b, epoch, state_path, value_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_histogram(spark: SparkSession, state_path: str) -> DataFrame:
+    """The merged histogram: per-bin summed partials, domain-bounded
+    row count."""
+    return (
+        _read_live(spark, state_path)
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def compact_histogram(
+    spark: SparkSession, state_path: str, through_epoch: int
+) -> None:
+    """Fold committed bin epochs into the base generation (shared
+    crash-safe protocol; per-bin sums are associative, so reads are
+    identical before and after)."""
+
+    def fold(old: DataFrame) -> DataFrame:
+        return old.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+    compact_partials(
+        spark, state_path, through_epoch, fold, partition_cols=("epoch",)
+    )
