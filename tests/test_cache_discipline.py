@@ -113,3 +113,13 @@ def test_pagerank_does_not_leak_round_checkpoints(spark):
     )
 
     _assert_query_leaves_only_result_ckpt(spark, graph_pagerank_copurchase)
+
+
+def test_label_propagation_does_not_leak_round_checkpoints(spark):
+    from workshop3_etl_spark.operators.assoc import (
+        graph_label_propagation_copurchase,
+    )
+
+    _assert_query_leaves_only_result_ckpt(
+        spark, graph_label_propagation_copurchase
+    )

@@ -518,3 +518,49 @@ def test_source_cap_keepers_equals_plain_window(spark, data, cap):
         )
         want |= {(r[0], r[1]) for r in ranked[:cap]}
     assert got == want
+
+
+# --------------------------------------------------------------------
+# Label propagation: the distributed synchronous-mode recompute must
+# agree with a sequential pure-Python recompute of the identical
+# recurrence (mode with smallest-label ties) on arbitrary graphs.
+# --------------------------------------------------------------------
+
+
+def _py_lpa(edges, iters):
+    from collections import Counter
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges}
+    nbrs = {}
+    for a, b in canon:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lbl = {n: n for n in nbrs}
+    for _ in range(iters):
+        lbl = {
+            n: min(
+                c.items(), key=lambda kv: (-kv[1], kv[0])
+            )[0]
+            for n, c in (
+                (n, Counter(lbl[j] for j in js)) for n, js in nbrs.items()
+            )
+        }
+    return lbl
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges_strategy)
+def test_label_propagation_matches_sequential_recompute(spark, edges):
+    from workshop3_etl_spark.functions.cache import release_checkpoint
+    from workshop3_etl_spark.operators.assoc import lpa_labels
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges}
+    edf = spark.createDataFrame(sorted(canon), "p1 long, p2 long")
+    r = lpa_labels(edf, iters=2)
+    got = {row["node"]: row["lbl"] for row in r.collect()}
+    release_checkpoint(r)
+    assert got == _py_lpa(edges, iters=2)

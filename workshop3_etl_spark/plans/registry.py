@@ -93,7 +93,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "layout_range_partition_plan",
     "variant_props_decade_counts",
     "sql_lateral_top_orders_per_segment",
-    "graph_degree_distribution_copurchase",
+    # Swapped in round 5, sixth session: the synchronous label-
+    # propagation operator is new code and takes the graph rotation
+    # slot from never-checked graph_degree_distribution_copurchase
+    # (a one-groupBy shape that stays driver_sim + pytest green;
+    # graph_ keeps the pagerank slot too).
+    "graph_label_propagation_copurchase",
     "rfm_customer_segments",
     "window_rank_supplier_balance",
     # Round-4 additions graduating from rows-only to fully oracled
