@@ -567,3 +567,16 @@ def test_range_partition_plan_no_data_scale_sort_or_smj(spark):
     assert plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin"
     ) >= 3
+
+
+def test_bloom_index_stats_joins_are_broadcast(spark):
+    """The file-bloom prune telemetry must keep every join broadcast
+    (index, probes, truth, and candidates are all bounded frames) and
+    never fall back to a sort-merge or cartesian plan."""
+    from workshop3_etl_spark.plans import registry
+
+    fn = registry.get("layout_bloom_prune_stats").fn
+    plan = _plan(fn(spark, SF_CORRECT))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3

@@ -104,7 +104,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Round-4 additions graduating from rows-only to fully oracled
     # this round (byte-math DuckDB twins over hex(encode(text))).
     "multimodal_frame_sample",
-    "multimodal_resize_stats",
+    # Added in round 5, sixth session (file-level bloom index prune
+    # telemetry — the point-predicate data-skipping complement of the
+    # zone-map advisor; official first-time row funded by deferring
+    # never-checked multimodal_resize_stats, the byte-math twin of
+    # frame_sample above, to a later rotation — multimodal_ keeps the
+    # frame_sample slot and resize_stats stays driver_sim green).
+    "layout_bloom_prune_stats",
     # Retained green rows: per-family flagships and queries whose
     # implementation changed recently enough to keep on the record.
     # Added in round 5 (new operator this session -> official first-time

@@ -786,3 +786,215 @@ ORDER BY b.range_id
 
 
 _register_range_partition_plan()
+
+
+# --------------------------------------------------------------------
+# File-level Bloom index — the data-skipping primitive for POINT
+# predicates on columns the layout does NOT sort: zone maps prune
+# nothing when every file's [min, max] spans the key domain (the
+# hash-layout half of layout_zonemap_prune_stats), but a per-file
+# Bloom filter over the column's distinct values still skips every
+# file whose bloom lacks the probed key — false positives cost an
+# extra file scan, never a wrong answer. This is the parquet
+# bloom_filter_enabled / Delta-Iceberg bloom index, expressed
+# explicitly so the prune telemetry is observable and cross-engine
+# checkable (the operational question it answers: how many of the
+# layout's files does a customer-lookup actually touch?).
+#
+# Cross-engine contract: file assignment models a hash layout
+# (o_orderkey % 64 — insertion-order writes, the layout that defeats
+# zone maps) and the bloom arithmetic is the runtime filter's shared
+# double-hashing (operators/runtime_filter.bloom_pos_sql) — exact
+# integer math both engines execute identically, 32 payload bits per
+# BIGINT word.
+#
+# Scale design: the index is one distinct-project + one bit_or
+# aggregate, bounded at n_files x M_WORDS rows regardless of table
+# size; probes join the (tiny, broadcast) exploded position frame
+# against the index on widx; truth for the telemetry is one
+# aggregate over the probed keys' rows only.
+# --------------------------------------------------------------------
+
+
+def _register_bloom_index_stats() -> None:
+    from workshop3_etl_spark.operators.runtime_filter import (
+        N_HASHES,
+        bloom_pos_sql,
+    )
+    from workshop3_etl_spark.plans.registry import register
+    from workshop3_etl_spark.sources.tables import load_table
+
+    n_files = 64
+    n_probes = 3
+    file_sql = f"(o_orderkey % {n_files})"
+
+    pos_union = " UNION ALL ".join(
+        f"SELECT file_id, {bloom_pos_sql('o_custkey', i)} AS pos FROM fk"
+        for i in range(N_HASHES)
+    )
+    probe_pos_union = " UNION ALL ".join(
+        f"SELECT o_custkey, {bloom_pos_sql('o_custkey', i)} AS pos"
+        " FROM probes"
+        for i in range(N_HASHES)
+    )
+
+    oracle = f"""
+WITH fk AS (
+  SELECT DISTINCT {file_sql} AS file_id, o_custkey FROM orders
+),
+pos AS ({pos_union}),
+idx AS (
+  SELECT file_id, pos // 32 AS widx,
+         BIT_OR(CAST(1 AS BIGINT) << (pos % 32)) AS word
+  FROM pos GROUP BY 1, 2
+),
+probes AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+  ORDER BY n_orders DESC, o_custkey
+  LIMIT {n_probes}
+),
+pp AS ({probe_pos_union}),
+hits AS (
+  SELECT i.file_id, p.o_custkey,
+         CAST(SUM(CASE WHEN (i.word & (CAST(1 AS BIGINT) << (p.pos % 32)))
+                       <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+  FROM pp p JOIN idx i ON i.widx = p.pos // 32
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS files_scanned
+  FROM hits WHERE n_set = {N_HASHES} GROUP BY 1
+),
+truth AS (
+  SELECT fk.o_custkey, CAST(COUNT(*) AS BIGINT) AS files_with_key
+  FROM fk JOIN probes p ON p.o_custkey = fk.o_custkey
+  GROUP BY 1
+)
+SELECT p.o_custkey AS custkey,
+       p.n_orders,
+       t.files_with_key,
+       c.files_scanned,
+       CAST(c.files_scanned - t.files_with_key AS BIGINT)
+         AS false_positive_files,
+       CAST(c.files_scanned AS DOUBLE) / {n_files}e0 AS scan_fraction
+FROM probes p
+JOIN truth t ON t.o_custkey = p.o_custkey
+JOIN cand c ON c.o_custkey = p.o_custkey
+ORDER BY custkey
+"""
+
+    @register("layout_bloom_prune_stats", oracle=oracle)
+    def layout_bloom_prune_stats(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-file Bloom-index pruning telemetry for customer point
+        lookups against a 64-file hash layout of orders: for the 3
+        busiest customers, the files that truly hold their orders,
+        the files a bloom probe would scan, the false-positive file
+        count, and the scan fraction — the number that justifies
+        enabling column bloom filters where zone maps cannot help.
+
+        A file passes for a key iff all probe bits are set; a
+        missing index word rejects (bit_or of nothing = no row =
+        unset word). Bloom skipping is one-sided by construction:
+        files_scanned >= files_with_key always, false positives are
+        surfaced, false negatives are impossible (the same planted
+        guarantee tests/test_runtime_filter.py pins for the
+        semi-join bloom)."""
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        fk = o.selectExpr(
+            f"{file_sql} as file_id", "o_custkey"
+        ).distinct()
+        pos = fk.select(
+            "file_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(bloom_pos_sql("o_custkey", i))
+                        for i in range(N_HASHES)
+                    ]
+                )
+            ).alias("pos"),
+        )
+        idx = (
+            pos.select(
+                "file_id",
+                F.expr("pos div 32").alias("widx"),
+                F.expr("shiftleft(cast(1 as bigint), pos % 32)").alias(
+                    "bit"
+                ),
+            )
+            .groupBy("file_id", "widx")
+            .agg(F.expr("bit_or(bit)").alias("word"))
+        )
+        probes = (
+            o.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+            .orderBy(F.desc("n_orders"), "o_custkey")
+            .limit(n_probes)
+        )
+        pp = probes.select(
+            "o_custkey",
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(bloom_pos_sql("o_custkey", i))
+                        for i in range(N_HASHES)
+                    ]
+                )
+            ).alias("pos"),
+        )
+        hits = (
+            idx.join(
+                F.broadcast(pp.withColumn("widx", F.expr("pos div 32"))),
+                "widx",
+            )
+            .groupBy("file_id", "o_custkey")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.expr(
+                            "(word & shiftleft(cast(1 as bigint),"
+                            " pos % 32)) <> 0"
+                        ),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("n_set")
+            )
+        )
+        cand = (
+            hits.filter(F.col("n_set") == N_HASHES)
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("files_scanned"))
+        )
+        truth = (
+            fk.join(F.broadcast(probes.select("o_custkey")), "o_custkey")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("files_with_key"))
+        )
+        return (
+            probes.join(F.broadcast(truth), "o_custkey")
+            .join(F.broadcast(cand), "o_custkey")
+            .select(
+                F.col("o_custkey").alias("custkey"),
+                "n_orders",
+                "files_with_key",
+                "files_scanned",
+                (F.col("files_scanned") - F.col("files_with_key"))
+                .cast("long")
+                .alias("false_positive_files"),
+                (
+                    F.col("files_scanned").cast("double")
+                    / F.lit(float(n_files))
+                ).alias("scan_fraction"),
+            )
+            .orderBy("custkey")
+        )
+
+
+_register_bloom_index_stats()
