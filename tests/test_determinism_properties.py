@@ -564,3 +564,53 @@ def test_label_propagation_matches_sequential_recompute(spark, edges):
     got = {row["node"]: row["lbl"] for row in r.collect()}
     release_checkpoint(r)
     assert got == _py_lpa(edges, iters=2)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=0.0,
+            max_value=500.0,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_histogram_bracket_contains_true_quantile(values):
+    """The fixed-grid quantile bracket must CONTAIN the exact
+    quantile for any data: the rank-target element's cents value lies
+    in [bin*W, (bin+1)*W) of the bin the probe arithmetic selects —
+    the bracket-width error bound the operator's contract states.
+    Pure-Python recompute of the same integer arithmetic (no Spark
+    roundtrip needed: the cross-engine leg is the parity gate)."""
+    import math
+
+    from workshop3_etl_spark.streaming.rollup import HIST_BIN_CENTS
+
+    w = HIST_BIN_CENTS
+    cents = sorted(
+        int(math.floor(v * 100.0 + 0.5)) for v in values
+    )
+    n = len(cents)
+    from collections import Counter
+
+    bins = Counter(c // w for c in cents)
+    for pct in (50, 90, 99):
+        target = (pct * n + 99) // 100
+        cum = 0
+        chosen = None
+        for b in sorted(bins):
+            cum += bins[b]
+            if cum >= target:
+                chosen = b
+                break
+        true_q = cents[target - 1]  # rank `target` in sorted order
+        assert chosen is not None
+        assert chosen * w <= true_q < (chosen + 1) * w
