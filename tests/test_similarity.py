@@ -581,3 +581,54 @@ def test_mmr_matches_sequential_greedy(spark):
     assert got == sel
     # non-vacuous: diversification reorders vs pure relevance
     assert got != pool[:_MMR_K]
+
+
+def test_containment_candidates_are_complete_vs_bruteforce(spark):
+    """No-false-negative check for the containment prefix filter: the
+    operator's output at sf0.001 must equal the FILTER-FREE ground
+    truth — every directed pair with |A∩B|/|A| >= 4/5 computed by a
+    full quadratic intersection in DuckDB, no prefix pruning
+    anywhere."""
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.dedup import (
+        _CT_DEN,
+        _CT_NUM,
+        dedup_containment_pairs,
+    )
+
+    got = {
+        (r["contained_doc"], r["container_doc"], r["n_inter"])
+        for r in dedup_containment_pairs(spark, SF_SMOKE).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_SMOKE}/documents.parquet'"
+    )
+    truth = con.execute(
+        f"""
+WITH tk AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(
+      generate_series(1, greatest(1, length(text) - 4)),
+      i -> substr(text, CAST(i AS INT), 5))) AS token
+  FROM documents
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM tk GROUP BY 1),
+inter AS (
+  SELECT t1.doc_id AS d_in, t2.doc_id AS d_out, COUNT(*) AS n
+  FROM tk t1 JOIN tk t2
+    ON t2.token = t1.token AND t2.doc_id <> t1.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.d_in, i.d_out, i.n
+FROM inter i JOIN sz s ON s.doc_id = i.d_in
+WHERE {_CT_DEN} * i.n >= {_CT_NUM} * s.sz
+"""
+    ).fetchall()
+    want = {(d_in, d_out, n) for d_in, d_out, n in truth}
+    assert want, "smoke corpus must contain containment pairs"
+    assert got == want
