@@ -123,3 +123,19 @@ def test_label_propagation_does_not_leak_round_checkpoints(spark):
     _assert_query_leaves_only_result_ckpt(
         spark, graph_label_propagation_copurchase
     )
+
+
+def test_range_partition_plan_does_not_leak_checkpoints(spark):
+    from workshop3_etl_spark.plans import registry
+
+    _assert_query_leaves_only_result_ckpt(
+        spark, registry.get("layout_range_partition_plan").fn
+    )
+
+
+def test_bloom_index_stats_does_not_leak_checkpoints(spark):
+    from workshop3_etl_spark.plans import registry
+
+    _assert_query_leaves_only_result_ckpt(
+        spark, registry.get("layout_bloom_prune_stats").fn
+    )

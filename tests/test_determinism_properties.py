@@ -574,7 +574,7 @@ def test_label_propagation_matches_sequential_recompute(spark, edges):
 @given(
     values=st.lists(
         st.floats(
-            min_value=0.0,
+            min_value=-500.0,
             max_value=500.0,
             allow_nan=False,
             allow_infinity=False,
@@ -585,11 +585,13 @@ def test_label_propagation_matches_sequential_recompute(spark, edges):
 )
 def test_histogram_bracket_contains_true_quantile(values):
     """The fixed-grid quantile bracket must CONTAIN the exact
-    quantile for any data: the rank-target element's cents value lies
-    in [bin*W, (bin+1)*W) of the bin the probe arithmetic selects —
-    the bracket-width error bound the operator's contract states.
-    Pure-Python recompute of the same integer arithmetic (no Spark
-    roundtrip needed: the cross-engine leg is the parity gate)."""
+    quantile for any data — negative values included (the bin is a
+    double-domain FLOOR, not a truncating integer div, precisely so
+    the bracket invariant holds below zero): the rank-target
+    element's cents value lies in [bin*W, (bin+1)*W) of the bin the
+    probe arithmetic selects. Pure-Python recompute of the same
+    arithmetic (no Spark roundtrip needed: the cross-engine leg is
+    the parity gate)."""
     import math
 
     from workshop3_etl_spark.streaming.rollup import HIST_BIN_CENTS
@@ -601,6 +603,8 @@ def test_histogram_bracket_contains_true_quantile(values):
     n = len(cents)
     from collections import Counter
 
+    # floor division == floor((v*100+0.5)/w) by the nested-floor
+    # identity, mirroring rollup.hist_bin_sql
     bins = Counter(c // w for c in cents)
     for pct in (50, 90, 99):
         target = (pct * n + 99) // 100
@@ -614,3 +618,57 @@ def test_histogram_bracket_contains_true_quantile(values):
         true_q = cents[target - 1]  # rank `target` in sorted order
         assert chosen is not None
         assert chosen * w <= true_q < (chosen + 1) * w
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # value
+            st.integers(min_value=1, max_value=9),  # weight
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_targets=st.integers(min_value=1, max_value=6),
+)
+def test_cum_crossing_equals_sequential_scan(spark, data, n_targets):
+    """cum_crossing must select, per target, the smallest value whose
+    inclusive cumulative weight reaches the target AND report the
+    cumulative weight at exactly that value — for any weights and any
+    achievable target."""
+    from collections import defaultdict
+
+    from workshop3_etl_spark.functions.ranks import cum_crossing
+
+    agg = defaultdict(int)
+    for v, w in data:
+        agg[v] += w
+    rows = sorted(agg.items())
+    total = sum(w for _, w in rows)
+    targets = [1 + (i * total) // n_targets for i in range(n_targets)]
+    cum_rows, c = [], 0
+    want = {}
+    for v, w in rows:
+        c += w
+        cum_rows.append((v, c))
+    for i, t in enumerate(targets):
+        c = 0
+        for v, w in rows:
+            c += w
+            if c >= t:
+                want[i] = (v, c)
+                break
+    cdf = spark.createDataFrame(cum_rows, "v long, cumw long")
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(targets)], "tid int, target long"
+    )
+    got = {
+        r["tid"]: (r["v"], r["cumw"])
+        for r in cum_crossing(cdf, tdf, "v", "cumw", ("tid",)).collect()
+    }
+    assert got == want

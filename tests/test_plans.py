@@ -553,15 +553,31 @@ def test_source_cap_exact_window_rides_broadcast_candidates(spark):
     assert "BroadcastHashJoin" in plan[w_idx:]
 
 
-def test_range_partition_plan_no_data_scale_sort_or_smj(spark):
+def _stub_checkpoints(monkeypatch):
+    """Expose the PRE-checkpoint pipeline for plan inspection: the
+    registry fns checkpoint intermediate planning frames and their
+    result (collapsing explain output to a bare RDD scan), so both
+    cache helpers are stubbed to identity — nothing executes, we only
+    explain (the ANN plan-test pattern)."""
+    from workshop3_etl_spark.functions import cache
+
+    monkeypatch.setattr(cache, "tracked_local_checkpoint", lambda df: df)
+    monkeypatch.setattr(
+        cache, "materialize_and_release", lambda result, *frames: result
+    )
+
+
+def test_range_partition_plan_no_data_scale_sort_or_smj(spark, monkeypatch):
     """The splitter planner must never globally sort the fact table:
     its only windows ride the distinct-cents frame (bucket-partitioned
     prefix + domain-bounded spine), and the planning joins
     (splits x prefix, bounds x prev-bounds) are broadcast."""
     from workshop3_etl_spark.plans import registry
 
+    _stub_checkpoints(monkeypatch)
     fn = registry.get("layout_range_partition_plan").fn
     plan = _plan(fn(spark, SF_CORRECT))
+    assert "Join" in plan  # real pipeline present, not a bare RDD scan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") + plan.count(
@@ -569,14 +585,16 @@ def test_range_partition_plan_no_data_scale_sort_or_smj(spark):
     ) >= 3
 
 
-def test_bloom_index_stats_joins_are_broadcast(spark):
+def test_bloom_index_stats_joins_are_broadcast(spark, monkeypatch):
     """The file-bloom prune telemetry must keep every join broadcast
     (index, probes, truth, and candidates are all bounded frames) and
     never fall back to a sort-merge or cartesian plan."""
     from workshop3_etl_spark.plans import registry
 
+    _stub_checkpoints(monkeypatch)
     fn = registry.get("layout_bloom_prune_stats").fn
     plan = _plan(fn(spark, SF_CORRECT))
+    assert "Join" in plan  # real pipeline present, not a bare RDD scan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3

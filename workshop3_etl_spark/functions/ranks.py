@@ -72,3 +72,31 @@ def two_level_prefix(
         .withColumn("lt", (F.col("cumw") - F.col(weight_col)).cast("long"))
         .drop("__b", "__off")
     )
+
+
+def cum_crossing(
+    cum: DataFrame,
+    targets: DataFrame,
+    value_col: str,
+    cum_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """First-crossing selection shared by the quantile probe and the
+    range-partition splitter: for each target row, the smallest
+    ``value_col`` whose inclusive cumulative weight ``cum_col``
+    reaches ``target`` — plus the cumulative weight AT that value
+    (which IS the end-of-range prefix, so callers derive per-range
+    counts without a second scan).
+
+    ``targets`` must carry a ``target`` column and the ``group_cols``
+    identifying each probe; it is broadcast (targets are P-row
+    planning frames). Requires ``cum_col`` strictly increasing in
+    ``value_col`` (one row per distinct value, positive weights), so
+    min(cum) and min(value) select the same crossing row. Property-
+    tested against a sequential scan in
+    tests/test_determinism_properties.py."""
+    joined = cum.join(F.broadcast(targets), F.col(cum_col) >= F.col("target"))
+    return joined.groupBy(*group_cols).agg(
+        F.min(value_col).alias(value_col),
+        F.min(cum_col).alias(cum_col),
+    )

@@ -1437,7 +1437,7 @@ ranked AS (
 ),
 pfx AS (
   SELECT doc_id, token, sz, rn FROM ranked
-  WHERE rn <= sz - ({_CT_NUM} * sz + {_CT_NUM}) // {_CT_DEN} + 1
+  WHERE rn <= sz - ({_CT_NUM} * sz + {_CT_DEN} - 1) // {_CT_DEN} + 1
 ),
 cand AS (
   SELECT DISTINCT p.doc_id AS d_in, r.doc_id AS d_out
@@ -1476,10 +1476,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment asymmetry: prefixes are extracted for the CONTAINED
     side only (one partitioned window in rarest-first order), the
     candidate equi-join keys on those rare prefix tokens against the
-    full token index, and verification is the candidate-bounded
-    array_intersect against the per-doc sorted shingle arrays. No
-    length filter applies (a container may be any size) — that, not
-    the prefix bound, is the cost difference vs the symmetric join,
+    full token index (with the containment length bound
+    szB >= ceil(t*szA) and the positional bound — see the module
+    comment), and verification is the candidate-bounded
+    array_intersect against the per-doc sorted shingle arrays. The
+    symmetric join's TWO-SIDED size filter does not apply (a
+    container may be arbitrarily larger) — that one-sidedness, not
+    the prefix bound, is the cost difference vs the Jaccard join,
     and it is inherent to the predicate.
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -1499,7 +1502,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pfx = ranked.filter(
         F.col("rn")
         <= F.col("sz")
-        - F.expr(f"({_CT_NUM} * sz + {_CT_NUM}) div {_CT_DEN}")
+        # ceil(t*sz) = (NUM*sz + DEN - 1) div DEN — the general ceil
+        # encoding, not the NUM == DEN-1 coincidence
+        - F.expr(f"({_CT_NUM} * sz + {_CT_DEN} - 1) div {_CT_DEN}")
         + 1
     ).select(
         F.col("doc_id").alias("d_in"),

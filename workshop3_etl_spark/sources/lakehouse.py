@@ -749,21 +749,30 @@ ORDER BY b.range_id
                 "n",
             )
         )
-        bounds = (
-            pre.join(
-                F.broadcast(splits), F.col("cumw") >= F.col("target")
-            )
-            .groupBy("range_id", "n")
-            .agg(
-                F.min("v").cast("long").alias("upper_cents"),
-                F.min("cumw").cast("long").alias("bcum"),
+        from workshop3_etl_spark.functions.cache import (
+            materialize_and_release,
+            tracked_local_checkpoint,
+        )
+        from workshop3_etl_spark.functions.ranks import cum_crossing
+
+        # checkpoint the 8-row bounds frame: the prev self-join below
+        # would otherwise re-execute the entire upstream pipeline
+        # (orders scan + distinct-cents + prefix windows) a second time
+        bounds = tracked_local_checkpoint(
+            cum_crossing(
+                pre, splits, "v", "cumw", ("range_id", "n")
+            ).select(
+                "range_id",
+                "n",
+                F.col("v").cast("long").alias("upper_cents"),
+                F.col("cumw").cast("long").alias("bcum"),
             )
         )
         prev = bounds.select(
             (F.col("range_id") + F.lit(1)).alias("range_id"),
             F.col("bcum").alias("prev_bcum"),
         )
-        return (
+        result = (
             bounds.join(F.broadcast(prev), "range_id", "left")
             .select(
                 "range_id",
@@ -783,6 +792,7 @@ ORDER BY b.range_id
             )
             .orderBy("range_id")
         )
+        return materialize_and_release(result, bounds)
 
 
 _register_range_partition_plan()
@@ -930,7 +940,15 @@ ORDER BY custkey
             .groupBy("file_id", "widx")
             .agg(F.expr("bit_or(bit)").alias("word"))
         )
-        probes = (
+        from workshop3_etl_spark.functions.cache import (
+            materialize_and_release,
+            tracked_local_checkpoint,
+        )
+
+        # checkpoint the 3-row probe frame: it feeds pp, truth, and
+        # the final join — unpersisted it would re-run the full orders
+        # scan + groupBy + TakeOrdered three times
+        probes = tracked_local_checkpoint(
             o.groupBy("o_custkey")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
             .orderBy(F.desc("n_orders"), "o_custkey")
@@ -977,7 +995,7 @@ ORDER BY custkey
             .groupBy("o_custkey")
             .agg(F.count(F.lit(1)).cast("long").alias("files_with_key"))
         )
-        return (
+        result = (
             probes.join(F.broadcast(truth), "o_custkey")
             .join(F.broadcast(cand), "o_custkey")
             .select(
@@ -995,6 +1013,7 @@ ORDER BY custkey
             )
             .orderBy("custkey")
         )
+        return materialize_and_release(result, probes)
 
 
 _register_bloom_index_stats()

@@ -1134,13 +1134,16 @@ _HIST_PCTS = (50, 90, 99)
 
 
 def _stream_hist_oracle() -> str:
-    from workshop3_etl_spark.streaming.rollup import HIST_BIN_CENTS
+    from workshop3_etl_spark.streaming.rollup import (
+        HIST_BIN_CENTS,
+        hist_bin_sql,
+    )
 
     w = HIST_BIN_CENTS
     pcts = ", ".join(f"({p})" for p in _HIST_PCTS)
     return f"""
 WITH h AS (
-  SELECT (CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) // {w}) AS bin,
+  SELECT {hist_bin_sql("value")} AS bin,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM events GROUP BY 1
 ),
@@ -1211,15 +1214,17 @@ def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pct", "n", f"(pct * n + 99) div 100 as target"
             )
         )
+        from workshop3_etl_spark.functions.ranks import cum_crossing
+
         result = (
-            cum.join(F.broadcast(targets), F.col("cum") >= F.col("target"))
-            .groupBy("pct", "n", "target")
-            .agg(F.min("bin").cast("long").alias("bin"))
+            cum_crossing(
+                cum, targets, "bin", "cum", ("pct", "n", "target")
+            )
             .select(
                 "pct",
                 F.col("n").alias("n_rows"),
                 F.col("target").alias("target_rank"),
-                "bin",
+                F.col("bin").cast("long").alias("bin"),
                 (F.col("bin") * F.lit(HIST_BIN_CENTS))
                 .cast("long")
                 .alias("lo_cents"),

@@ -538,20 +538,27 @@ def compact_ols(
 
 HIST_BIN_CENTS = 256
 
-# Engine-stable integer cents (the dq_table_checksums canon): both
-# factors exact doubles, multiply/add/floor IEEE-defined identically
-# in Spark and DuckDB.
-HIST_BIN_SQL = (
-    "(cast(floor(value * 100e0 + 0.5e0) as bigint) div {w})".format(
-        w=HIST_BIN_CENTS
+
+def hist_bin_sql(value_col: str) -> str:
+    """Engine-stable bin of the integer-cents canon (the
+    dq_table_checksums discipline): cents = floor(x*100 + 0.5) in
+    exact double arithmetic, and the bin division is done as a
+    DOUBLE floor too — ``floor(floor(y)/w) == floor(y/w)`` for
+    integer w, and dividing by a power of two is exact — because
+    integer division syntax is NOT engine-stable on negatives
+    (Spark's ``div`` truncates toward zero, DuckDB's ``//`` floors).
+    This expression runs verbatim in both engines and keeps the
+    bracket invariant [bin*w, (bin+1)*w) for negative values (a
+    refund column) as well as positive ones."""
+    return (
+        f"cast(floor(({value_col} * 100e0 + 0.5e0)"
+        f" / {HIST_BIN_CENTS}e0) as bigint)"
     )
-)
 
 
 def _batch_hist_partial(batch: DataFrame, value_col: str = "value") -> DataFrame:
-    bin_sql = HIST_BIN_SQL.replace("value", value_col)
     return (
-        batch.selectExpr(f"{bin_sql} as bin")
+        batch.selectExpr(f"{hist_bin_sql(value_col)} as bin")
         .groupBy("bin")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
