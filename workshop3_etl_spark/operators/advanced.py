@@ -1158,3 +1158,58 @@ def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed-filter single-scan aggregate q1 produces."""
     register_views(spark, sf_dir, only=("lineitem",))
     return spark.sql(_PIPE_SQL)
+
+
+# --------------------------------------------------------------------
+# Dynamic SQL (EXECUTE IMMEDIATE + IDENTIFIER): the remaining Spark 4
+# dynamic-SQL surface next to scripting / parameter markers / pipe
+# syntax — a statement whose TEXT is data, with the table name bound
+# through IDENTIFIER() and scalars through USING parameters, so
+# neither is string-spliced (injection-safe templating for generated
+# per-tenant / per-table jobs). The oracle inlines the same constants
+# into plain ANSI.
+# --------------------------------------------------------------------
+
+_EXEC_INNER = (
+    "SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,"
+    " CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)"
+    " AS total_price"
+    " FROM IDENTIFIER(:tbl) o"
+    " JOIN customer c ON c.c_custkey = o.o_custkey"
+    " JOIN nation n ON n.n_nationkey = c.c_nationkey"
+    " JOIN region r ON r.r_regionkey = n.n_regionkey"
+    " WHERE r.r_name = :region AND YEAR(o.o_orderdate) = :yr"
+    " GROUP BY n.n_name ORDER BY n.n_name"
+)
+
+_EXEC_ORACLE = """
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+         AS total_price
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA' AND YEAR(o.o_orderdate) = 1995
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
+@register("sql_execute_immediate_nation_revenue", oracle=_EXEC_ORACLE)
+def sql_execute_immediate_nation_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1995 order count and revenue per ASIA nation, executed as
+    DYNAMIC SQL: the statement text is a string value run through
+    EXECUTE IMMEDIATE, its table name bound via IDENTIFIER(:tbl) and
+    its scalars via USING parameters. Lowered by Catalyst to the
+    identical star-join plan the static text produces — the check
+    proves the dynamic path adds binding, not different semantics."""
+    register_views(
+        spark, sf_dir, only=("orders", "customer", "nation", "region")
+    )
+    stmt = _EXEC_INNER.replace("'", "\\'")
+    return spark.sql(
+        f"EXECUTE IMMEDIATE '{stmt}'"
+        " USING 'orders' AS tbl, 'ASIA' AS region, 1995 AS yr"
+    )

@@ -1236,3 +1236,65 @@ def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the state dir vanishes
         return result.localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------
+# Materialized-view rewrite consistency: a MONTHLY revenue question
+# answered FROM the incrementally-maintained DAILY rollup (the MV),
+# hash-compared against computing the month directly from raw events.
+# This is the contract that makes MV query rewrite legal at all —
+# re-aggregating a coarser grain from the maintained finer grain must
+# equal the direct aggregate — and it holds here by integer-sum
+# re-association: the rollup's day cells are exact bigint
+# (count, cents) pairs, so summing days into months loses nothing.
+# At 100 TB the rewrite reads days x types rows instead of the event
+# stream — the whole point of maintaining the rollup.
+# --------------------------------------------------------------------
+
+_MV_MONTHLY_ORACLE = """
+SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT))
+            AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY month, event_type
+"""
+
+
+@register("mv_monthly_from_daily_rollup", oracle=_MV_MONTHLY_ORACLE)
+def mv_monthly_from_daily_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly event counts and value cents per type, answered from
+    the DAILY rollup maintained by the foreachBatch job
+    (streaming/rollup.maintain_rollup) — the materialized-view
+    rewrite, proven against the direct monthly aggregate over raw
+    events. The probe touches only the day x type rollup frame; the
+    maintenance job's replay/compaction story is pinned by
+    tests/test_incremental_rollup.py."""
+    from workshop3_etl_spark.streaming.rollup import (
+        maintain_rollup,
+        read_rollup,
+    )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        state = f"{workdir}/rollup"
+        with _few_state_partitions(spark):
+            maintain_rollup(
+                spark, _events_stream(spark, sf_dir), state, f"{workdir}/ck"
+            )
+        mv = read_rollup(spark, state)
+        result = (
+            mv.groupBy(
+                F.trunc("day", "month").alias("month"), "event_type"
+            )
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("value_cents").cast("long").alias("value_cents"),
+            )
+            .orderBy("month", "event_type")
+        )
+        # materialize before the state dir vanishes
+        return result.localCheckpoint(eager=True)
