@@ -598,3 +598,36 @@ def test_bloom_index_stats_joins_are_broadcast(spark, monkeypatch):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_dpp_join_injects_dynamic_partition_filter(spark, tmp_path):
+    """The DPP demonstration's fact scan must carry a runtime
+    dynamicpruning expression in its PartitionFilters — proof the
+    filtered dim aggregate reaches the partitioned scan at execution
+    time instead of a full 7-year read."""
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.sources.lakehouse import write_partitioned
+    from workshop3_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    yd = (
+        load_table(spark, SF_CORRECT, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2000)
+    )
+    root = str(tmp_path / "li_part")
+    write_partitioned(li, root, ["ship_year"])
+    fact = spark.read.parquet(root)
+    q = (
+        fact.join(yd, fact["ship_year"] == yd["yr"])
+        .groupBy("ship_year")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _plan(q)
+    assert "dynamicpruningexpression" in plan.lower()
+    assert "PartitionFilters" in plan

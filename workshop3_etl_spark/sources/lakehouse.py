@@ -1017,3 +1017,94 @@ ORDER BY custkey
 
 
 _register_bloom_index_stats()
+
+
+# --------------------------------------------------------------------
+# Dynamic partition pruning (DPP): the runtime half of partition
+# pruning. Static pruning needs the partition predicate as a literal;
+# when the qualifying partitions are only known by JOINING a filtered
+# dimension, Spark injects the dim-side result as a runtime subquery
+# into the fact scan's PartitionFilters — at 100 TB the difference
+# between scanning 7 years and scanning the 2 qualifying ones,
+# decided at execution time. This query demonstrates the real
+# mechanism end-to-end: a ship_year-partitioned lineitem joined to a
+# (derived, filtered) year dimension, with the plan test asserting
+# the injected `dynamicpruning` expression reached the fact scan.
+# --------------------------------------------------------------------
+
+
+def _register_dpp_join() -> None:
+    from workshop3_etl_spark.plans.registry import register
+    from workshop3_etl_spark.sources.tables import load_table
+
+    # The dimension's filter: order-years whose order count crosses a
+    # threshold — knowable only by aggregating orders, so the fact
+    # scan CANNOT be statically pruned. Cross-engine deterministic.
+    min_orders = 2000
+
+    oracle = f"""
+WITH li AS (
+  SELECT YEAR(l_shipdate) AS ship_year,
+         CAST(l_extendedprice AS DECIMAL(18, 2)) AS price
+  FROM lineitem
+),
+yd AS (
+  SELECT YEAR(o_orderdate) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+  HAVING COUNT(*) >= {min_orders}
+)
+SELECT li.ship_year,
+       yd.n_orders AS n_dim_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(price) AS DOUBLE) AS total_price
+FROM li JOIN yd ON yd.yr = li.ship_year
+GROUP BY li.ship_year, yd.n_orders
+ORDER BY ship_year
+"""
+
+    @register("lakehouse_dpp_partitioned_join", oracle=oracle)
+    def lakehouse_dpp_partitioned_join(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-year lineitem revenue restricted to years whose ORDER
+        count crosses a threshold — the qualifying years exist only
+        as a filtered aggregate of another table, so the
+        ship_year-partitioned fact can only be pruned at RUNTIME:
+        Catalyst injects the dim result as a dynamicpruning subquery
+        into the fact scan's PartitionFilters (plan-asserted in
+        tests/test_plans.py).
+
+        The partitioned snapshot is written per call here (testdata
+        is unpartitioned parquet); a deployment reads the standing
+        partitioned table and pays only the pruned scan.
+        """
+        import tempfile
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        )
+        yd = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+            .filter(F.col("n_orders") >= min_orders)
+        )
+        with tempfile.TemporaryDirectory() as root:
+            write_partitioned(li, root, ["ship_year"])
+            fact = spark.read.parquet(root)
+            result = (
+                fact.join(yd, fact["ship_year"] == yd["yr"])
+                .groupBy("ship_year", F.col("n_orders").alias("n_dim_orders"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_items"),
+                    F.sum("price").cast("double").alias("total_price"),
+                )
+                .orderBy("ship_year")
+            )
+            # materialize before the partitioned tempdir vanishes
+            return result.localCheckpoint(eager=True)
+
+
+_register_dpp_join()
