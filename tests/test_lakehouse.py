@@ -254,3 +254,41 @@ def test_zonemap_advisor_both_verdicts_are_real(spark):
     assert rng["n_rows_matching"] == hsh["n_rows_matching"] > 0
     # every matching row lives in a scanned file
     assert rng["n_rows_scanned"] >= rng["n_rows_matching"]
+
+
+def test_bucket_pruning_on_equality_filter(spark, tmp_path):
+    """An equality filter on the bucket column must prune the scan to
+    ONE bucket (SelectedBucketsCount 1 out of 8) — the read-side
+    payoff of bucketing beyond shuffle-free joins: a point lookup
+    touches 1/8 of the files."""
+    import uuid
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.sources.lakehouse import write_bucketed
+    from workshop3_etl_spark.sources.tables import load_table
+
+    name = f"orders_bp_{uuid.uuid4().hex[:8]}"
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    # autoBucketedScan drops the bucketed layout when no join/agg
+    # needs the distribution — but bucket PRUNING rides the bucketed
+    # scan, so a point-lookup workload pins it on.
+    auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(auto)
+    try:
+        spark.conf.set(auto, "false")
+        write_bucketed(
+            o, name, "o_orderkey", n_buckets=8,
+            path=str(tmp_path / name),
+        )
+        key = o.limit(1).collect()[0]["o_orderkey"]
+        q = spark.table(name).filter(F.col("o_orderkey") == int(key))
+        plan = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "formatted"
+        )
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        assert q.count() >= 1
+    finally:
+        spark.conf.set(auto, prev)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

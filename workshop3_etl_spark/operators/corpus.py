@@ -1179,3 +1179,104 @@ def corpus_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# Epoch / repeat-factor planning — the data-constrained step AFTER
+# mixture weights: the weights say what SHARE of the training budget
+# each language should get; this plan says how many PASSES (epochs)
+# over each language's available tokens that implies, and where the
+# budget exceeds what repetition is worth, how many tokens are
+# actually served. Repetition is capped at 4 epochs (past a handful
+# of passes, repeated data stops teaching — the data-constrained
+# scaling result), so effective_tokens = min(desired, 4 * available)
+# and the shortfall is surfaced instead of silently over-repeating.
+#
+# Every column is one shared arithmetic tree: shares come from the
+# SAME alpha=0.5 IEEE expression as corpus_mixture_weights_sqrt
+# (_mixture_ov / _MIXTURE_CTE), available tokens from the SAME
+# whitespace-token canon as text_token_stats, and the epoch count is
+# exact bigint ceil-division — all hash-checkable.
+# --------------------------------------------------------------------
+
+_EPOCH_BUDGET_TOKENS = 2_000_000
+_EPOCH_CAP = 4
+
+# text.py's whitespace-token canon (shared verbatim).
+_EP_TOKENS = "filter(split(text, ' '), x -> x != '')"
+_EP_TOKENS_DUCK = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_EPOCH_PLAN_ORACLE = _MIXTURE_CTE + f""",
+avail AS (
+  SELECT lang, CAST(SUM(len({_EP_TOKENS_DUCK})) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY lang
+)
+SELECT
+  c.lang,
+  a.avail_tokens,
+  SQRT(CAST(c.n_docs AS DOUBLE)) / t.denom AS target_share,
+  CAST(FLOOR(SQRT(CAST(c.n_docs AS DOUBLE)) / t.denom
+             * {_EPOCH_BUDGET_TOKENS}e0) AS BIGINT) AS desired_tokens,
+  CAST(LEAST(
+    (CAST(FLOOR(SQRT(CAST(c.n_docs AS DOUBLE)) / t.denom
+                * {_EPOCH_BUDGET_TOKENS}e0) AS BIGINT)
+     + a.avail_tokens - 1) // a.avail_tokens,
+    {_EPOCH_CAP}) AS BIGINT) AS n_epochs,
+  CAST(LEAST(
+    CAST(FLOOR(SQRT(CAST(c.n_docs AS DOUBLE)) / t.denom
+               * {_EPOCH_BUDGET_TOKENS}e0) AS BIGINT),
+    {_EPOCH_CAP} * a.avail_tokens) AS BIGINT) AS effective_tokens
+FROM c JOIN avail a ON a.lang = c.lang, t
+ORDER BY c.lang
+"""
+
+
+@register("corpus_epoch_repeat_plan", oracle=_EPOCH_PLAN_ORACLE)
+def corpus_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language epoch/repeat plan for a 2M-token training budget
+    under the alpha=0.5 mixture: available tokens, target share,
+    desired tokens, epochs needed (ceil, capped at 4), and the
+    effective tokens actually served under the repetition cap.
+
+    Two map-side-combinable aggregates over documents (doc counts for
+    the shares, token counts for availability) joined on the 5-row
+    language frame — at 100 TB the plan costs one corpus scan and
+    the planning arithmetic is free.
+    """
+    avail = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.expr(f"size({_EP_TOKENS})"))
+            .cast("long")
+            .alias("avail_tokens")
+        )
+    )
+    ov = _mixture_ov(spark, sf_dir).select("lang", "target_share")
+    desired = F.expr(
+        f"cast(floor(target_share * {_EPOCH_BUDGET_TOKENS}e0) as bigint)"
+    )
+    return (
+        avail.join(F.broadcast(ov), "lang")
+        .select(
+            "lang",
+            "avail_tokens",
+            "target_share",
+            desired.alias("desired_tokens"),
+            F.least(
+                F.expr(
+                    f"(cast(floor(target_share * {_EPOCH_BUDGET_TOKENS}e0)"
+                    " as bigint) + avail_tokens - 1) div avail_tokens"
+                ),
+                F.lit(_EPOCH_CAP).cast("long"),
+            )
+            .cast("long")
+            .alias("n_epochs"),
+            F.least(
+                desired, F.lit(_EPOCH_CAP) * F.col("avail_tokens")
+            )
+            .cast("long")
+            .alias("effective_tokens"),
+        )
+        .orderBy("lang")
+    )
