@@ -1108,3 +1108,126 @@ ORDER BY ship_year
 
 
 _register_dpp_join()
+
+
+# --------------------------------------------------------------------
+# Compaction (OPTIMIZE) planner — the maintenance step that turns a
+# small-file-riddled table into target-sized files: given per-file
+# row counts, assign files to REWRITE GROUPS whose combined size
+# lands near the target. Bin assignment is the same deterministic
+# contiguous-fill used by corpus_pack_sequences (a doc belongs to the
+# bin its running-sum START offset falls in): first-fit-decreasing
+# packs marginally tighter but is inherently sequential, while
+# contiguous fill over the size-descending order is one window pass —
+# the distributed-friendly choice, with per-group fill ratios
+# surfacing exactly what the trade costs. Files already at or above
+# the target are left alone (rewriting them is wasted IO).
+#
+# File sizes are modeled from the testdata as a deterministic 64-file
+# hash layout of orders (the same o_orderkey % 64 layout the bloom
+# index uses) so both engines derive identical inputs; a deployment
+# feeds real file-listing stats. The planning frame is n_files rows —
+# the window is over file STATS, never data.
+# --------------------------------------------------------------------
+
+
+def _register_compaction_plan() -> None:
+    from workshop3_etl_spark.plans.registry import register
+    from workshop3_etl_spark.sources.tables import load_table
+
+    n_files = 64
+    # target = 4x the mean file size, derived from the table itself
+    # (scale-free: a fixed row count would exclude every file at one
+    # SF and none at another — the vacuous-check trap). Integer
+    # ceil-division, identical in both engines.
+    oracle = f"""
+WITH files AS (
+  SELECT (o_orderkey % {n_files}) AS file_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT CAST((SUM(n_rows) + {n_files - 1}) // {n_files} * 4 AS BIGINT)
+    AS target_rows
+  FROM files
+),
+small AS (
+  SELECT f.file_id, f.n_rows, t.target_rows,
+         CAST(COALESCE(SUM(f.n_rows) OVER (
+           ORDER BY f.n_rows DESC, f.file_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_off
+  FROM files f, t WHERE f.n_rows < t.target_rows
+)
+SELECT CAST(start_off // target_rows AS BIGINT) AS rewrite_group,
+       CAST(COUNT(*) AS BIGINT) AS n_files_in,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows_out,
+       CAST(SUM(n_rows) AS DOUBLE) / CAST(MIN(target_rows) AS DOUBLE)
+         AS fill_ratio
+FROM small
+GROUP BY 1
+ORDER BY rewrite_group
+"""
+
+    @register("lakehouse_compaction_plan", oracle=oracle)
+    def lakehouse_compaction_plan(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Rewrite groups for compacting a 64-file hash layout toward
+        the derived target (4x mean file size): per group the
+        input-file count, output rows, and fill ratio — the frame an
+        OPTIMIZE job turns into rewrite tasks. Files already at the
+        target are excluded (rewriting them is pure write
+        amplification).
+
+        One groupBy for the file stats; the contiguous-fill window
+        runs over the n_files-row stats frame (never data rows), so
+        the plan costs one scan at any table size.
+        """
+        from pyspark.sql import Window
+
+        files = (
+            load_table(spark, sf_dir, "orders")
+            .selectExpr(f"(o_orderkey % {n_files}) as file_id")
+            .groupBy("file_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        )
+        tgt = files.agg(
+            F.expr(
+                f"cast((sum(n_rows) + {n_files - 1}) div {n_files} * 4"
+                " as bigint)"
+            ).alias("target_rows")
+        )
+        w = (
+            Window.orderBy(F.desc("n_rows"), F.asc("file_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        small = (
+            files.crossJoin(F.broadcast(tgt))
+            .filter(F.col("n_rows") < F.col("target_rows"))
+            .select(
+                "file_id",
+                "n_rows",
+                "target_rows",
+                F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+                .cast("long")
+                .alias("start_off"),
+            )
+        )
+        return (
+            small.groupBy(
+                F.expr("start_off div target_rows").alias("rewrite_group")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_files_in"),
+                F.sum("n_rows").cast("long").alias("n_rows_out"),
+                (
+                    F.sum("n_rows").cast("double")
+                    / F.min("target_rows").cast("double")
+                ).alias("fill_ratio"),
+            )
+            .orderBy("rewrite_group")
+        )
+
+
+_register_compaction_plan()
