@@ -558,13 +558,19 @@ def _stub_checkpoints(monkeypatch):
     registry fns checkpoint intermediate planning frames and their
     result (collapsing explain output to a bare RDD scan), so both
     cache helpers are stubbed to identity — nothing executes, we only
-    explain (the ANN plan-test pattern)."""
+    explain (the ANN plan-test pattern). lakehouse binds the helpers
+    at module level (for tools/dump_plans.py), so both the cache
+    module AND lakehouse's bindings are patched."""
     from workshop3_etl_spark.functions import cache
+    from workshop3_etl_spark.sources import lakehouse
 
-    monkeypatch.setattr(cache, "tracked_local_checkpoint", lambda df: df)
-    monkeypatch.setattr(
-        cache, "materialize_and_release", lambda result, *frames: result
-    )
+    for mod in (cache, lakehouse):
+        monkeypatch.setattr(
+            mod, "tracked_local_checkpoint", lambda df: df
+        )
+        monkeypatch.setattr(
+            mod, "materialize_and_release", lambda result, *frames: result
+        )
 
 
 def test_range_partition_plan_no_data_scale_sort_or_smj(spark, monkeypatch):
@@ -607,19 +613,13 @@ def test_dpp_join_injects_dynamic_partition_filter(spark, tmp_path):
     time instead of a full 7-year read."""
     from pyspark.sql import functions as F
 
-    from workshop3_etl_spark.sources.lakehouse import write_partitioned
-    from workshop3_etl_spark.sources.tables import load_table
+    from workshop3_etl_spark.sources.lakehouse import (
+        dpp_join_frames,
+        write_partitioned,
+    )
 
-    li = load_table(spark, SF_CORRECT, "lineitem").select(
-        F.year("l_shipdate").cast("int").alias("ship_year"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
-    )
-    yd = (
-        load_table(spark, SF_CORRECT, "orders")
-        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-        .filter(F.col("n_orders") >= 2000)
-    )
+    # the SAME frames the registered query joins (shared builder)
+    li, yd = dpp_join_frames(spark, SF_CORRECT)
     root = str(tmp_path / "li_part")
     write_partitioned(li, root, ["ship_year"])
     fact = spark.read.parquet(root)

@@ -92,7 +92,10 @@ HEADLINE = [
     "layout_bloom_prune_stats",
     "dedup_containment_pairs",
     "sql_execute_immediate_nation_revenue",
-    "lakehouse_dpp_partitioned_join",
+    # lakehouse_dpp_partitioned_join is deliberately NOT dumped: it
+    # materializes over a per-call tempdir (the dumped plan would be
+    # a bare RDD scan); its dynamicpruning evidence is asserted by
+    # tests/test_plans.py::test_dpp_join_injects_dynamic_partition_filter
     "corpus_epoch_repeat_plan",
     "lakehouse_compaction_plan",
 ]
@@ -124,6 +127,17 @@ def main() -> None:
             mod, "materialize_and_release"
         ):
             mod.materialize_and_release = _passthrough
+        # lakehouse's intermediate planning-frame checkpoints (range
+        # planner bounds, bloom probes) would likewise collapse their
+        # upstream pipeline to an RDD scan — stub to identity THERE
+        # ONLY (nothing executes during a dump). The iterative-graph
+        # modules keep their real checkpoints: unrolling per-round
+        # lineage cuts explodes the dumped plan (the
+        # unroll-checkpointing lesson).
+        if mod_name == "workshop3_etl_spark.sources.lakehouse" and hasattr(
+            mod, "tracked_local_checkpoint"
+        ):
+            mod.tracked_local_checkpoint = lambda df: df
     out = [
         "# EXPLAINS — optimized physical plans (generated by",
         f"# tools/dump_plans.py at {sf_dir})",

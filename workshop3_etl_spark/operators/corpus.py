@@ -1202,32 +1202,41 @@ def corpus_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EPOCH_BUDGET_TOKENS = 2_000_000
 _EPOCH_CAP = 4
 
-# text.py's whitespace-token canon (shared verbatim).
-_EP_TOKENS = "filter(split(text, ' '), x -> x != '')"
-_EP_TOKENS_DUCK = "list_filter(string_split(text, ' '), x -> x <> '')"
-
+# desired_tokens is computed ONCE in a `d` CTE and every downstream
+# column references it — n_epochs/effective_tokens can never drift
+# from desired_tokens (or from the Spark side, which mirrors the
+# same two-step shape). The whitespace-token canon is the module's
+# _TOKENS/_TOKENS_DUCK, shared with chunking/decontamination (and
+# textually identical to text.py's). Zero availability (a language
+# whose documents all tokenize empty) is guarded with NULLIF: the
+# ceil-division yields NULL instead of a division error, and the
+# epoch cap applies (desired > 0 with nothing available means every
+# pass is a full repeat — the cap IS the answer).
 _EPOCH_PLAN_ORACLE = _MIXTURE_CTE + f""",
 avail AS (
-  SELECT lang, CAST(SUM(len({_EP_TOKENS_DUCK})) AS BIGINT) AS avail_tokens
+  SELECT lang, CAST(SUM(len({_TOKENS_DUCK})) AS BIGINT) AS avail_tokens
   FROM documents GROUP BY lang
+),
+d AS (
+  SELECT c.lang, a.avail_tokens,
+         SQRT(CAST(c.n_docs AS DOUBLE)) / t.denom AS target_share,
+         CAST(FLOOR(SQRT(CAST(c.n_docs AS DOUBLE)) / t.denom
+                    * {_EPOCH_BUDGET_TOKENS}e0) AS BIGINT)
+           AS desired_tokens
+  FROM c JOIN avail a ON a.lang = c.lang, t
 )
 SELECT
-  c.lang,
-  a.avail_tokens,
-  SQRT(CAST(c.n_docs AS DOUBLE)) / t.denom AS target_share,
-  CAST(FLOOR(SQRT(CAST(c.n_docs AS DOUBLE)) / t.denom
-             * {_EPOCH_BUDGET_TOKENS}e0) AS BIGINT) AS desired_tokens,
-  CAST(LEAST(
-    (CAST(FLOOR(SQRT(CAST(c.n_docs AS DOUBLE)) / t.denom
-                * {_EPOCH_BUDGET_TOKENS}e0) AS BIGINT)
-     + a.avail_tokens - 1) // a.avail_tokens,
-    {_EPOCH_CAP}) AS BIGINT) AS n_epochs,
-  CAST(LEAST(
-    CAST(FLOOR(SQRT(CAST(c.n_docs AS DOUBLE)) / t.denom
-               * {_EPOCH_BUDGET_TOKENS}e0) AS BIGINT),
-    {_EPOCH_CAP} * a.avail_tokens) AS BIGINT) AS effective_tokens
-FROM c JOIN avail a ON a.lang = c.lang, t
-ORDER BY c.lang
+  lang,
+  avail_tokens,
+  target_share,
+  desired_tokens,
+  CAST(LEAST(COALESCE(
+    (desired_tokens + avail_tokens - 1) // NULLIF(avail_tokens, 0),
+    {_EPOCH_CAP}), {_EPOCH_CAP}) AS BIGINT) AS n_epochs,
+  CAST(LEAST(desired_tokens, {_EPOCH_CAP} * avail_tokens) AS BIGINT)
+    AS effective_tokens
+FROM d
+ORDER BY lang
 """
 
 
@@ -1247,36 +1256,44 @@ def corpus_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .groupBy("lang")
         .agg(
-            F.sum(F.expr(f"size({_EP_TOKENS})"))
+            F.sum(F.expr(f"size({_TOKENS})"))
             .cast("long")
             .alias("avail_tokens")
         )
     )
     ov = _mixture_ov(spark, sf_dir).select("lang", "target_share")
-    desired = F.expr(
-        f"cast(floor(target_share * {_EPOCH_BUDGET_TOKENS}e0) as bigint)"
+    # two-step select mirrors the oracle's `d` CTE: desired_tokens is
+    # computed once and referenced by name downstream
+    d = avail.join(F.broadcast(ov), "lang").select(
+        "lang",
+        "avail_tokens",
+        "target_share",
+        F.expr(
+            f"cast(floor(target_share * {_EPOCH_BUDGET_TOKENS}e0)"
+            " as bigint)"
+        ).alias("desired_tokens"),
     )
-    return (
-        avail.join(F.broadcast(ov), "lang")
-        .select(
-            "lang",
-            "avail_tokens",
-            "target_share",
-            desired.alias("desired_tokens"),
-            F.least(
+    return d.select(
+        "lang",
+        "avail_tokens",
+        "target_share",
+        "desired_tokens",
+        F.least(
+            F.coalesce(
                 F.expr(
-                    f"(cast(floor(target_share * {_EPOCH_BUDGET_TOKENS}e0)"
-                    " as bigint) + avail_tokens - 1) div avail_tokens"
+                    "(desired_tokens + avail_tokens - 1)"
+                    " div nullif(avail_tokens, 0)"
                 ),
                 F.lit(_EPOCH_CAP).cast("long"),
-            )
-            .cast("long")
-            .alias("n_epochs"),
-            F.least(
-                desired, F.lit(_EPOCH_CAP) * F.col("avail_tokens")
-            )
-            .cast("long")
-            .alias("effective_tokens"),
+            ),
+            F.lit(_EPOCH_CAP).cast("long"),
         )
-        .orderBy("lang")
-    )
+        .cast("long")
+        .alias("n_epochs"),
+        F.least(
+            F.col("desired_tokens"),
+            F.lit(_EPOCH_CAP) * F.col("avail_tokens"),
+        )
+        .cast("long")
+        .alias("effective_tokens"),
+    ).orderBy("lang")

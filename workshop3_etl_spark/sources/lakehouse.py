@@ -19,6 +19,14 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# module-level binding (not call-time import) so tools/dump_plans.py
+# can stub THIS module's checkpoint helpers without touching the
+# iterative operators' lineage cuts
+from workshop3_etl_spark.functions.cache import (
+    materialize_and_release,
+    tracked_local_checkpoint,
+)
+
 
 def write_partitioned(
     df: DataFrame,
@@ -749,10 +757,6 @@ ORDER BY b.range_id
                 "n",
             )
         )
-        from workshop3_etl_spark.functions.cache import (
-            materialize_and_release,
-            tracked_local_checkpoint,
-        )
         from workshop3_etl_spark.functions.ranks import cum_crossing
 
         # checkpoint the 8-row bounds frame: the prev self-join below
@@ -940,11 +944,6 @@ ORDER BY custkey
             .groupBy("file_id", "widx")
             .agg(F.expr("bit_or(bit)").alias("word"))
         )
-        from workshop3_etl_spark.functions.cache import (
-            materialize_and_release,
-            tracked_local_checkpoint,
-        )
-
         # checkpoint the 3-row probe frame: it feeds pp, truth, and
         # the final join — unpersisted it would re-run the full orders
         # scan + groupBy + TakeOrdered three times
@@ -1033,14 +1032,38 @@ _register_bloom_index_stats()
 # --------------------------------------------------------------------
 
 
-def _register_dpp_join() -> None:
-    from workshop3_etl_spark.plans.registry import register
+# The dimension's filter: order-years whose order count crosses a
+# threshold — knowable only by aggregating orders, so the fact scan
+# CANNOT be statically pruned. Cross-engine deterministic.
+DPP_MIN_ORDERS = 2000
+
+
+def dpp_join_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The DPP demonstration's two inputs — (fact projection to
+    partition, filtered year dimension) — shared by the registered
+    query and its plan-shape test so the pipeline under inspection is
+    the pipeline that ships (the write_bucketed_fact_tables rule)."""
     from workshop3_etl_spark.sources.tables import load_table
 
-    # The dimension's filter: order-years whose order count crosses a
-    # threshold — knowable only by aggregating orders, so the fact
-    # scan CANNOT be statically pruned. Cross-engine deterministic.
-    min_orders = 2000
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    yd = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= DPP_MIN_ORDERS)
+    )
+    return li, yd
+
+
+def _register_dpp_join() -> None:
+    from workshop3_etl_spark.plans.registry import register
+
+    min_orders = DPP_MIN_ORDERS
 
     oracle = f"""
 WITH li AS (
@@ -1081,16 +1104,7 @@ ORDER BY ship_year
         """
         import tempfile
 
-        li = load_table(spark, sf_dir, "lineitem").select(
-            F.year("l_shipdate").cast("int").alias("ship_year"),
-            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
-        )
-        yd = (
-            load_table(spark, sf_dir, "orders")
-            .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-            .filter(F.col("n_orders") >= min_orders)
-        )
+        li, yd = dpp_join_frames(spark, sf_dir)
         with tempfile.TemporaryDirectory() as root:
             write_partitioned(li, root, ["ship_year"])
             fact = spark.read.parquet(root)
