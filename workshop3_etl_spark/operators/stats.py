@@ -1609,3 +1609,143 @@ def stats_bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("boot_hi_cents"),
     )
     return materialize_and_release(out, wv)
+
+
+# --------------------------------------------------------------------
+# Range-level checksum diff — the drill-down dq_table_checksums
+# needs when it fires: a whole-table checksum says THAT two systems
+# diverged; the repair job needs to know WHERE. This is the level-1
+# Merkle comparison anti-entropy protocols run: bucket rows by key
+# range, compare per-bucket order-independent checksums, and resync
+# only the differing ranges — at 100 TB the difference between
+# re-copying the table and re-copying a few key ranges.
+#
+# The "remote" side is a deterministic perturbation of orders (the
+# snapshot-diff idiom: ~2% of keys get their price bumped by 1.00,
+# chosen by a salted md5 flag both engines compute identically), so
+# the diff is non-vacuous and exactly reproducible. Row identity
+# reuses the ENGINE-STABLE orders canon (integer-cents money — the
+# dq_table_checksums fix), and the per-bucket aggregate is the same
+# overflow-free sum of 60-bit md5 prefixes.
+# --------------------------------------------------------------------
+
+_RCD_BUCKET = 1024  # orderkeys per checksum range
+_RCD_FLAG = "substr(md5(concat(cast(o_orderkey as string), ':rd')), 1, 2)"
+_RCD_FLAG_DUCK = "substr(md5(CAST(o_orderkey AS VARCHAR) || ':rd'), 1, 2)"
+_RCD_THRESH = "'05'"  # ~2% of keys perturbed
+
+
+def _rcd_bucket_cte_duck(src_price: str) -> str:
+    canon = _orders_canon_duck().replace(
+        "o_totalprice", src_price
+    )
+    return f"""
+  SELECT (o_orderkey // {_RCD_BUCKET}) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(CAST(CAST('0x' || substring(md5({canon}), 1, 15)
+                       AS BIGINT) AS decimal(38,0))) AS checksum
+  FROM perturbed GROUP BY 1
+"""
+
+
+_RCD_ORACLE = f"""
+WITH perturbed AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+         o_orderpriority, o_totalprice,
+         CASE WHEN {_RCD_FLAG_DUCK} < {_RCD_THRESH}
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS p2
+  FROM orders
+),
+src AS ({_rcd_bucket_cte_duck("o_totalprice")}),
+dst AS ({_rcd_bucket_cte_duck("p2")})
+SELECT s.bucket,
+       CAST(s.bucket * {_RCD_BUCKET} AS BIGINT) AS range_lo_key,
+       s.n_rows AS n_rows_src,
+       d.n_rows AS n_rows_dst,
+       CAST(SUM(CASE WHEN {_RCD_FLAG_DUCK} < {_RCD_THRESH}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_divergent
+FROM src s
+JOIN dst d ON d.bucket = s.bucket
+JOIN perturbed p ON (p.o_orderkey // {_RCD_BUCKET}) = s.bucket
+WHERE s.checksum <> d.checksum
+GROUP BY s.bucket, s.n_rows, d.n_rows
+ORDER BY s.bucket
+"""
+
+
+@register("dq_range_checksum_diff", oracle=_RCD_ORACLE)
+def dq_range_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key ranges whose content checksums differ between orders and
+    its deterministically-perturbed twin: per differing 1024-key
+    bucket the row counts on both sides and the number of truly
+    divergent rows — the resync work list a repair job executes
+    after dq_table_checksums fires.
+
+    Both sides are one map-only hash pass into a bucket-bounded
+    aggregate (keyspace / 1024 rows); the diff join runs over those
+    bucket frames, never rows. The divergent-row count rides the
+    same scan for verification — a production run against a real
+    remote would know only the bucket list.
+    """
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    perturbed = base.withColumn(
+        "p2",
+        F.when(
+            F.expr(_RCD_FLAG) < F.lit("05"),
+            F.col("o_totalprice") + F.lit(1.0),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    perturbed = perturbed.persist()
+
+    def side(price_col: str) -> DataFrame:
+        canon = _orders_canon_spark().replace("o_totalprice", price_col)
+        return (
+            perturbed.selectExpr(
+                f"(o_orderkey div {_RCD_BUCKET}) as bucket",
+                f"cast(conv(substring(md5({canon}), 1, 15), 16, 10)"
+                " as bigint) as h",
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"),
+            )
+        )
+
+    src = side("o_totalprice")
+    dst = side("p2").select(
+        F.col("bucket"),
+        F.col("n_rows").alias("n_rows_dst"),
+        F.col("checksum").alias("checksum_dst"),
+    )
+    divergent = (
+        perturbed.filter(F.expr(_RCD_FLAG) < F.lit("05"))
+        .selectExpr(f"(o_orderkey div {_RCD_BUCKET}) as bucket")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows_divergent"))
+    )
+    result = (
+        src.join(dst, "bucket")
+        .filter(F.col("checksum") != F.col("checksum_dst"))
+        .join(F.broadcast(divergent), "bucket")
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(_RCD_BUCKET))
+            .cast("long")
+            .alias("range_lo_key"),
+            F.col("n_rows").alias("n_rows_src"),
+            "n_rows_dst",
+            "n_rows_divergent",
+        )
+        .orderBy("bucket")
+    )
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
+    return materialize_and_release(result, perturbed)
