@@ -1298,3 +1298,69 @@ def mv_monthly_from_daily_rollup(
         )
         # materialize before the state dir vanishes
         return result.localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------
+# State Data Source (Spark 4): the streaming state store read
+# OFFLINE as a DataFrame — the debugging/auditing surface for
+# production streams ("what exactly is this job holding?"). The
+# query below proves the surface end-to-end: run the tumbling-count
+# aggregate, then read its checkpoint's state store with
+# spark.read.format("statestore") and show the state IS the answer —
+# hash-equal to the batch GROUP BY the stream is equivalent to. At
+# scale this is how an operator inspects skewed/leaking state
+# without touching the running query.
+# --------------------------------------------------------------------
+
+_STATE_INSPECT_ORACLE = """
+SELECT
+  date_trunc('hour', ts) AS window_start,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@register("stream_state_store_inspect", oracle=_STATE_INSPECT_ORACLE)
+def stream_state_store_inspect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The tumbling-count job's state store, read offline through the
+    Spark 4 State Data Source and projected to (window_start,
+    event_type, n_events) — proven hash-equal to the batch aggregate.
+    With a finite input and complete mode, every window's state row
+    is the final count, so the offline state read IS the query
+    answer; on a live stream the same read diagnoses state size and
+    skew per key without stopping the job.
+    """
+    sink = f"state_inspect_{abs(hash(sf_dir)) % 10_000_000}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        with _few_state_partitions(spark):
+            (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        state = spark.read.format("statestore").load(ckpt)
+        result = (
+            state.select(
+                F.col("key.window.start").alias("window_start"),
+                F.col("key.event_type").alias("event_type"),
+                F.col("value.count").cast("long").alias("n_events"),
+            )
+            .orderBy("window_start", "event_type")
+        )
+        # materialize before the checkpoint dir vanishes
+        return result.localCheckpoint(eager=True)
