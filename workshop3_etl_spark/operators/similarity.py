@@ -2234,3 +2234,108 @@ def search_mmr_diversified_topk(
         cand.unpersist()
         raise
     return out
+
+
+# --------------------------------------------------------------------
+# Scalar int8 quantization (SQ8) error audit — the OTHER standard
+# vector-compression path next to the PQ codebooks above: each vector
+# is stored as 64 uint8 codes plus (min, scale), a fixed 4x shrink
+# with per-element reconstruction error bounded by (scale/2)^2. This
+# query quantizes, dequantizes, and audits the reconstruction error
+# per label group — the acceptance gate a vector store runs before
+# switching its raw float tier to SQ8.
+#
+# Determinism discipline (the embedding_dim_profile rule): never sum
+# raw doubles across rows — per-element squared errors are FLOORED
+# onto a 2^40 integer grid inside the row, and everything that
+# crosses rows is a bigint sum / max, order-independent under any
+# partitioning. The quantizer arithmetic ((x-mn)/scale, +0.5, floor)
+# is the same IEEE expression tree in both engines; a zero range
+# (constant vector) quantizes exactly via the NULLIF guard.
+# --------------------------------------------------------------------
+
+_SQ8_GRID = float(1 << 40)  # squared-error grid: floor(se * 2^40)
+
+
+def _sq8_err_spark() -> str:
+    mn = "cast(array_min(embedding) as double)"
+    mx = "cast(array_max(embedding) as double)"
+    scale = f"nullif(({mx} - {mn}) / 255e0, 0e0)"
+    deq = (
+        f"({mn} + floor((cast(v as double) - {mn}) / {scale} + 0.5e0)"
+        f" * {scale})"
+    )
+    se = f"(cast(v as double) - {deq}) * (cast(v as double) - {deq})"
+    return (
+        "aggregate(transform(embedding, v ->"
+        f" coalesce(cast(floor({se} * {_SQ8_GRID:.0f}e0) as bigint), 0)),"
+        " cast(0 as bigint), (a, e) -> a + e)"
+    )
+
+
+def _sq8_err_duck() -> str:
+    mn = "CAST(list_min(embedding) AS DOUBLE)"
+    mx = "CAST(list_max(embedding) AS DOUBLE)"
+    scale = f"NULLIF(({mx} - {mn}) / 255e0, 0e0)"
+    deq = (
+        f"({mn} + floor((CAST(v AS DOUBLE) - {mn}) / {scale} + 0.5e0)"
+        f" * {scale})"
+    )
+    se = f"(CAST(v AS DOUBLE) - {deq}) * (CAST(v AS DOUBLE) - {deq})"
+    return (
+        "list_aggregate(list_transform(embedding, v ->"
+        f" COALESCE(CAST(floor({se} * {_SQ8_GRID:.0f}e0) AS BIGINT), 0)),"
+        " 'sum')"
+    )
+
+
+_SQ8_ORACLE = f"""
+WITH e AS (
+  SELECT label, {_sq8_err_duck()} AS err_grid FROM embeddings
+)
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(err_grid) AS BIGINT) AS err_grid_sum,
+       CAST(SUM(err_grid) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * 64e0 * {_SQ8_GRID:.0f}e0)
+         AS avg_mse,
+       CAST(MAX(err_grid) AS BIGINT) AS max_vec_err_grid
+FROM e
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("embedding_sq8_quantization_error", oracle=_SQ8_ORACLE)
+def embedding_sq8_quantization_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label SQ8 reconstruction-error audit: vectors quantized to
+    64 uint8 codes + (min, scale), dequantized, and the squared
+    error accumulated on an integer grid — vector count, total and
+    worst-vector gridded error, and the derived mean squared error.
+
+    Map-only per-row quantize/dequantize/error fold into a
+    per-label integer aggregate — one scan, no shuffle beyond the
+    4-row combine, bit-stable under any partitioning.
+    """
+    e = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "label", f"{_sq8_err_spark()} as err_grid"
+    )
+    return (
+        e.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("err_grid").cast("long").alias("err_grid_sum"),
+            (
+                F.sum("err_grid").cast("double")
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.lit(64.0)
+                    * F.lit(_SQ8_GRID)
+                )
+            ).alias("avg_mse"),
+            F.max("err_grid").cast("long").alias("max_vec_err_grid"),
+        )
+        .orderBy("label")
+    )
