@@ -631,3 +631,25 @@ def test_dpp_join_injects_dynamic_partition_filter(spark, tmp_path):
     plan = _plan(q)
     assert "dynamicpruningexpression" in plan.lower()
     assert "PartitionFilters" in plan
+
+
+def test_containment_join_no_cartesian_and_rare_key_candidates(spark, monkeypatch):
+    """The containment join's candidate stage must be an equi-join on
+    prefix tokens (never a cartesian/nested-loop of doc-sized sides),
+    and the whole pipeline must stay free of Python eval operators."""
+    from workshop3_etl_spark.plans import registry
+
+    _stub_checkpoints(monkeypatch)
+    from workshop3_etl_spark.operators import dedup
+
+    monkeypatch.setattr(
+        dedup, "materialize_and_release",
+        lambda result, *frames: ([f.unpersist() for f in frames], result)[1],
+    )
+    fn = registry.get("dedup_containment_pairs").fn
+    plan = _plan(fn(spark, SF_CORRECT))
+    assert "Join" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
