@@ -1,6 +1,18 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line with per-query
-wall times. The driver records this as BENCH_r{N}.json.
+(default /root/testdata/sf0.1), writes the full per-query report to a
+sidecar JSON file (default ./bench_detail.json, override via
+$SPARK_GRAFT_BENCH_DETAIL), and prints ONE COMPACT JSON line (<512
+bytes) on stdout. The driver records the stdout line as BENCH_r{N}.json
+— rounds 1-6 proved its tail capture truncates anything larger, which
+left every official bench record machine-unreadable ("parsed": null);
+the per-query dict therefore lives in the sidecar only.
+
+Protocol: 1 untimed warmup run per query, then N timed samples
+(default 5, $SPARK_GRAFT_BENCH_SAMPLES) reported as the MEDIAN. Round
+6 ran byte-identical code twice and measured per-query swings up to
++-4x at best-of-2 on this shared-CPU host, so best-of-small-N is not
+evidence; the median of 5 is the declared regression-tracking
+statistic (sidecar also records min/max per query).
 
 Headline set = the queries that exercise every physical-operator class:
 scan-agg, multi-join, top-k, window, dedup, similarity, text.
@@ -202,11 +214,13 @@ def main() -> None:
         )
     setup_sec = round(time.perf_counter() - t_setup0, 4)
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     t_total0 = time.perf_counter()
     # This host shows 4-18% hypervisor CPU steal in bursts (vmstat
-    # 'st'), which can triple a single sample. Best-of-2 per query,
-    # reported as such, keeps the number about the engine.
-    samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2"))
+    # 'st'), which can triple a single sample; round 6's accidental
+    # A/B (identical code benched twice) measured +-4x per-query
+    # swings at 2 samples. Median of 5 is the regression statistic.
+    samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "5"))
     # One untimed warmup run per query before the timed samples:
     # whole-stage codegen + JIT for a SPECIFIC plan costs ~0.5-1s on
     # its first execution (measured: asof first-sample 1.43s vs
@@ -217,11 +231,13 @@ def main() -> None:
     # engine's steady-state throughput (the quantity BASELINE
     # comparisons care about) and is declared in the output JSON.
     warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+    import statistics
+
     for name in headline:
         fn = all_queries[name]
         for _ in range(warmup):
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = None
+        runs: list[float] = []
         for _ in range(samples):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -229,29 +245,54 @@ def main() -> None:
             # let Catalyst prune un-consumed aggregate/projection
             # expressions and under-measure the query.
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+        spreads[name] = [round(min(runs), 4), round(max(runs), 4)]
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
     loop_wall = round(time.perf_counter() - t_total0, 4)
-    # headline value = sum of per-query best times (the loop wall
+    # headline value = sum of per-query median times (the loop wall
     # includes the extra samples)
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    detail_file = os.path.abspath(
+        os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    )
+    with open(detail_file, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "query_min_max": spreads,
+                "stat": "median",
+                "samples_per_query": samples,
+                "warmup_runs_per_query": warmup,
+                "loop_wall_sec": loop_wall,
+                "setup_sec": setup_sec,
+                "sf": sf_val,
+            },
+            f,
+        )
+    # stdout: ONE compact line (<512 bytes) the driver's tail capture
+    # can always parse; the per-query dict lives in detail_file.
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "stat": "median",
                 "samples_per_query": samples,
-                "warmup_runs_per_query": warmup,
-                "loop_wall_sec": loop_wall,
                 "setup_sec": setup_sec,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
+                "loop_wall_sec": loop_wall,
+                "sf": sf_val,
+                "detail_file": detail_file,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -146,6 +146,7 @@ def test_writer_commit_publishes_manifest_atomically(spark, tmp_path):
     import json
     import os
 
+    from workshop3_etl_spark.functions import canon
     from workshop3_etl_spark.sources.pyds import (
         WRITER_FORMAT_NAME,
         _row_checksum,
@@ -164,9 +165,13 @@ def test_writer_commit_publishes_manifest_atomically(spark, tmp_path):
     manifest = json.load(open(os.path.join(out, "manifest.json")))
     rows = docs.collect()
     assert manifest["total_rows"] == len(rows)
-    assert int(manifest["checksum"]) == sum(
-        _row_checksum(r["doc_id"], r["text"]) for r in rows
-    )
+    sums = (0, 0, 0, 0)
+    for r in rows:
+        sums = canon.fp_add_limbs(
+            sums, canon.fp_limbs(_row_checksum(r["doc_id"], r["text"]))
+        )
+    assert int(manifest["checksum"]) == canon.fp_fold(sums)
+    assert 0 <= int(manifest["checksum"]) < canon.FP_PRIME  # int64-safe
     assert len(manifest["shards"]) == 3
     n_lines = 0
     for s in manifest["shards"]:
@@ -264,12 +269,18 @@ def test_stream_sink_commit_is_replay_idempotent(spark, tmp_path):
                     )
                     + "\n"
                 )
+        from workshop3_etl_spark.functions import canon
         from workshop3_etl_spark.sources.pyds import _ShardCommit
 
+        sums = (0, 0, 0, 0)
+        for d, _, t in rws:
+            sums = canon.fp_add_limbs(
+                sums, canon.fp_limbs(_row_checksum(d, t))
+            )
         return _ShardCommit(
             f"_pending-s-{pid:05d}-{attempt}|{pid}",
             len(rws),
-            sum(_row_checksum(d, t) for d, _, t in rws),
+            sums,
         )
 
     m = stage(0, rows)
@@ -328,3 +339,29 @@ def test_writer_append_accumulates_and_overwrite_replaces(spark, tmp_path):
     assert len(man2["shards"]) == 2
     on_disk = {p for p in os.listdir(out) if p.startswith("shard-")}
     assert on_disk == {s["shard"] for s in man2["shards"]}
+
+
+def test_stream_sink_abort_is_scoped_to_own_query(tmp_path):
+    """Two streaming queries writing to the SAME directory: one
+    query's abort() must remove only ITS OWN staged files — the
+    pre-fix glob ('_pending-s-*') deleted the concurrent writer's
+    staged shards, losing the other micro-batch's data."""
+    import os
+
+    from workshop3_etl_spark.sources.pyds import JsonlEpochStreamWriter
+
+    out = str(tmp_path / "shared_sink")
+    os.makedirs(out)
+    wa = JsonlEpochStreamWriter({"path": out})
+    wb = JsonlEpochStreamWriter({"path": out})
+    assert wa.token != wb.token  # per-query uuid tokens
+
+    a_staged = os.path.join(out, f"_pending-{wa.token}-00000-0")
+    b_staged = os.path.join(out, f"_pending-{wb.token}-00000-0")
+    for p in (a_staged, b_staged):
+        with open(p, "w", encoding="utf-8") as f:
+            f.write('{"doc_id": 1, "lang": "en", "text": "t"}\n')
+
+    wb.abort([], batchId=3)
+    assert os.path.exists(a_staged), "abort deleted a foreign query's shard"
+    assert not os.path.exists(b_staged), "abort left its own staged file"

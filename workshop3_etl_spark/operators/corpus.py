@@ -20,6 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from workshop3_etl_spark.functions.canon import (
+    fp_fold_agg_sql,
+    fp_hash_duck,
+    fp_hash_spark,
+)
 from workshop3_etl_spark.plans.registry import register
 from workshop3_etl_spark.sources.tables import load_table
 
@@ -899,17 +904,23 @@ _SHARD_CANON = (
 )
 
 _SHARD_MANIFEST_ORACLE = f"""
+WITH d AS (
+  SELECT CAST({_shard_sql('doc_id')} AS BIGINT) AS shard,
+         doc_id,
+         octet_length(encode(text)) AS nb,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt,
+         {fp_hash_duck(_SHARD_CANON)} AS h
+  FROM documents
+)
 SELECT
-  CAST({_shard_sql('doc_id')} AS BIGINT) AS shard,
+  shard,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
-  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-  CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
-    AS total_tokens,
+  CAST(SUM(nb) AS BIGINT) AS total_bytes,
+  CAST(SUM(nt) AS BIGINT) AS total_tokens,
   CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
   CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
-  SUM(CAST(CAST('0x' || substring(md5({_SHARD_CANON}), 1, 15) AS BIGINT)
-           AS decimal(38,0))) AS content_fingerprint
-FROM documents
+  {fp_fold_agg_sql('h')} AS content_fingerprint
+FROM d
 GROUP BY 1
 ORDER BY 1
 """
@@ -919,8 +930,11 @@ ORDER BY 1
 def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 16-shard export manifest over documents: per
     shard, doc count, byte/token totals, doc_id range, and an
-    order-independent content fingerprint (commutative decimal sum of
-    md5-prefix hashes). One scan, one 16-key groupBy."""
+    order-independent content fingerprint — the int64-safe commutative
+    limb fold of md5-prefix hashes (functions/canon.py; the old
+    DECIMAL(38,0) hash sum exceeded int64 and the official driver
+    cannot round-trip >64-bit decimals). One scan, one 16-key
+    groupBy."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(
@@ -928,12 +942,7 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("octet_length(text)").alias("nb"),
             F.expr("size(filter(split(text, ' '), x -> x != ''))").alias("nt"),
             F.col("doc_id"),
-            F.expr(
-                f"cast(conv(substring(md5({_SHARD_CANON}), 1, 15), 16, 10)"
-                " as bigint)"
-            )
-            .cast("decimal(38,0)")
-            .alias("fp"),
+            F.expr(fp_hash_spark(_SHARD_CANON)).alias("h"),
         )
         .groupBy("shard")
         .agg(
@@ -942,7 +951,7 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").cast("long").alias("total_tokens"),
             F.min("doc_id").cast("long").alias("min_doc_id"),
             F.max("doc_id").cast("long").alias("max_doc_id"),
-            F.sum("fp").alias("content_fingerprint"),
+            F.expr(fp_fold_agg_sql("h")).alias("content_fingerprint"),
         )
         .orderBy("shard")
     )

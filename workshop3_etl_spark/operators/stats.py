@@ -40,6 +40,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from workshop3_etl_spark.functions.canon import (
+    cents_sql,
+    fp_fold_agg_sql,
+    fp_hash_duck,
+    fp_hash_spark,
+)
 from workshop3_etl_spark.plans.registry import register
 from workshop3_etl_spark.sources.tables import load_table
 
@@ -68,7 +74,7 @@ def _with_split(df: DataFrame) -> DataFrame:
 
 _WELCH_ORACLE = f"""
 WITH f AS (
-  SELECT CAST(CAST(o_totalprice AS decimal(27,2)) * 100 AS BIGINT) AS xc,
+  SELECT {cents_sql('o_totalprice')} AS xc,
          {_SPLIT_SQL} AS g
   FROM orders
 ),
@@ -131,9 +137,7 @@ def stats_welch_ttest_split_price(spark: SparkSession, sf_dir: str) -> DataFrame
     exposed to at unlucky magnitudes.
     """
     f = _with_split(load_table(spark, sf_dir, "orders")).select(
-        (F.col("o_totalprice").cast("decimal(27,2)") * 100)
-        .cast("long")
-        .alias("xc"),
+        F.expr(cents_sql("o_totalprice")).alias("xc"),
         "g",
     )
     mo = f.groupBy("g").agg(
@@ -554,26 +558,26 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Order-independent table checksums — the migration/replication
 # validation primitive: two systems holding "the same" table compare
 # one row each. Row identity = md5 of a canonical projection; the
-# aggregate is an exact decimal SUM of 60-bit hash prefixes, so it is
-# associative/commutative (partition- and order-independent) and
-# overflow-free. The hex→int step differs textually per engine
-# (Spark conv(), DuckDB 0x-cast) but yields the same integer.
+# aggregate is the int64-safe commutative limb fold (functions/
+# canon.py): four 15-bit limb SUMs recombined mod 2^31-1, so it is
+# associative/commutative (partition- and order-independent), exact
+# to 2^48 rows, and — critically — BIGINT end to end: the previous
+# SUM(60-bit prefix) AS DECIMAL(38,0) exceeded int64 and the official
+# driver's canonicalization does not round-trip >64-bit decimals
+# identically across its Spark and DuckDB fetch paths (the r4-r6 red
+# rows). The hex→int step differs textually per engine (Spark
+# conv(), DuckDB 0x-cast) but yields the same integer.
 #
 # DOUBLE canonicalization must be ENGINE-STABLE: any path through a
 # decimal rounding mode or a shortest-repr float formatter can differ
 # between engines (and between DuckDB releases — the r4 official red
 # row). So money doubles are canonicalized as integer cents computed
 # with pure IEEE-754 arithmetic that every engine executes
-# identically: floor(x * 100e0 + 0.5e0) → BIGINT. Both factors are
-# exact doubles, multiply/add/floor are IEEE-defined, and BIGINT→
-# string formatting has no engine freedom.
+# identically: floor(x * 100e0 + 0.5e0) → BIGINT (functions/canon.py
+# cents_sql, shared repo-wide).
 # --------------------------------------------------------------------
 
-def _cents(col: str) -> str:
-    # Engine-neutral SQL: exponent literals are DOUBLE in both Spark
-    # and DuckDB; floor(double) may be DOUBLE (DuckDB) or BIGINT
-    # (Spark), so the explicit bigint cast pins the final type.
-    return f"cast(floor({col} * 100e0 + 0.5e0) as bigint)"
+_cents = cents_sql
 
 
 def _orders_canon_spark() -> str:
@@ -613,17 +617,17 @@ def _li_canon_duck() -> str:
 
 
 _CHECKSUM_ORACLE = f"""
+WITH oh AS (SELECT {fp_hash_duck(_orders_canon_duck())} AS h FROM orders),
+     lh AS (SELECT {fp_hash_duck(_li_canon_duck())} AS h FROM lineitem)
 SELECT 'orders' AS table_name,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       SUM(CAST(CAST('0x' || substring(md5({_orders_canon_duck()}), 1, 15)
-                     AS BIGINT) AS decimal(38,0))) AS checksum
-FROM orders
+       {fp_fold_agg_sql('h')} AS checksum
+FROM oh
 UNION ALL
 SELECT 'lineitem',
        CAST(COUNT(*) AS BIGINT),
-       SUM(CAST(CAST('0x' || substring(md5({_li_canon_duck()}), 1, 15)
-                     AS BIGINT) AS decimal(38,0)))
-FROM lineitem
+       {fp_fold_agg_sql('h')}
+FROM lh
 ORDER BY table_name
 """
 
@@ -634,22 +638,21 @@ def dq_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-system "did the migration copy every row byte-for-byte"
     check, one row per table.
 
-    Map-only hashing + a commutative exact-decimal sum per table: at
-    100 TB this is the cheapest possible full-content comparison (one
-    scan, no shuffle beyond a 1-row aggregate), and any single-row
-    difference changes the checksum.
+    Map-only hashing + the commutative int64-safe limb fold
+    (functions/canon.py) per table: at 100 TB this is the cheapest
+    possible full-content comparison (one scan, no shuffle beyond a
+    1-row aggregate), any single-row difference changes the checksum
+    w.p. ~1-2^-31, and every surfaced value is BIGINT (the driver's
+    hash protocol does not round-trip >int64 decimals).
     """
     def one(table: str, canon: str) -> DataFrame:
         return (
             load_table(spark, sf_dir, table)
-            .selectExpr(
-                f"cast(conv(substring(md5({canon}), 1, 15), 16, 10) as bigint)"
-                " as h"
-            )
+            .selectExpr(f"{fp_hash_spark(canon)} as h")
             .agg(
                 F.lit(table).alias("table_name"),
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"),
+                F.expr(fp_fold_agg_sql("h")).alias("checksum"),
             )
         )
 
@@ -1221,9 +1224,9 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MWU_BUCKET = 65536  # cents per rank bucket; spine = price_range / 2^16
 
-_MWU_ORACLE = """
+_MWU_ORACLE = f"""
 WITH f AS (
-  SELECT CAST(CAST(l_extendedprice AS decimal(27,2)) * 100 AS BIGINT) AS v,
+  SELECT {cents_sql('l_extendedprice')} AS v,
          CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS g
   FROM lineitem WHERE l_returnflag IN ('A', 'R')
 ),
@@ -1299,9 +1302,7 @@ def stats_mannwhitney_u_returnflag(
         load_table(spark, sf_dir, "lineitem")
         .where(F.col("l_returnflag").isin("A", "R"))
         .select(
-            (F.col("l_extendedprice").cast("decimal(27,2)") * 100)
-            .cast("long")
-            .alias("v"),
+            F.expr(cents_sql("l_extendedprice")).alias("v"),
             F.when(F.col("l_returnflag") == "A", 1)
             .otherwise(0)
             .alias("g"),

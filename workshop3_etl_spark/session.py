@@ -55,6 +55,9 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout clean for JSON-line consumers (bench.py, the
+        # round driver's tail capture)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
     for k, v in (extra_conf or {}).items():

@@ -113,6 +113,7 @@ def register_format(spark: SparkSession) -> None:
 from pyspark.sql import DataFrame  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+from workshop3_etl_spark.functions import canon  # noqa: E402
 from workshop3_etl_spark.plans.registry import register  # noqa: E402
 
 _PYDS_ORACLE = """
@@ -311,10 +312,15 @@ def stream_pyds_feed_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WRITER_FORMAT_NAME = "ws_jsonl_manifest"
 
-# 60-bit per-row content hash; summed (unbounded python int / SQL
-# decimal) it is an order- and partitioning-independent content
-# checksum shared by the writer, the Spark readback, and the oracle.
-_ROW_HASH_PREFIX = 15
+# 60-bit per-row content hash, carried as four 15-bit limb sums and
+# folded to one int64-safe value (functions/canon.py): an order- and
+# partitioning-independent content checksum shared by the writer, the
+# Spark readback, and the oracle. Limb sums (plain integer sums) are
+# the ASSOCIATIVE merge — shard partials add elementwise into a
+# manifest total — while the folded checksum stays within int64 (the
+# official driver cannot round-trip >64-bit decimals; the old raw
+# 60-bit-hash sum was exactly that).
+_ROW_HASH_PREFIX = canon.FP_HEX_DIGITS
 
 
 def _row_checksum(doc_id: int, text: str) -> int:
@@ -328,17 +334,17 @@ def _row_checksum(doc_id: int, text: str) -> int:
 class _ShardCommit(WriterCommitMessage):
     shard: str
     n_rows: int
-    checksum: int
+    h_sums: tuple  # four 15-bit limb sums (canon.fp_limbs order)
 
 
 def _write_jsonl_shard(path: str, iterator) -> tuple:
     """Serialize rows to a staged JSONL file; returns (n_rows,
-    checksum). Shared by the batch and streaming sinks so the wire
+    h_sums). Shared by the batch and streaming sinks so the wire
     format and the checksum cannot drift between them."""
     import json
 
     n = 0
-    chk = 0
+    sums = (0, 0, 0, 0)
     with open(path, "w", encoding="utf-8") as f:
         for row in iterator:
             f.write(
@@ -353,9 +359,11 @@ def _write_jsonl_shard(path: str, iterator) -> tuple:
                 )
                 + "\n"
             )
-            chk += _row_checksum(row.doc_id, row.text)
+            sums = canon.fp_add_limbs(
+                sums, canon.fp_limbs(_row_checksum(row.doc_id, row.text))
+            )
             n += 1
-    return n, chk
+    return n, sums
 
 
 def _stage_name(token: str, pid: int) -> str:
@@ -421,7 +429,8 @@ class JsonlManifestWriter(DataSourceWriter):
             )
             shards.append(
                 {"shard": final, "n_rows": m.n_rows,
-                 "checksum": str(m.checksum)}
+                 "h_sums": list(m.h_sums),
+                 "checksum": str(canon.fp_fold(m.h_sums))}
             )
         mpath = os.path.join(self.path, "manifest.json")
         prev = None
@@ -430,10 +439,14 @@ class JsonlManifestWriter(DataSourceWriter):
                 prev = json.load(f)
         if prev is not None and not self.overwrite:
             shards = prev["shards"] + shards
+        # associative merge: limb sums add across shards, fold once
+        total = (0, 0, 0, 0)
+        for s in shards:
+            total = canon.fp_add_limbs(total, s["h_sums"])
         manifest = {
             "shards": sorted(shards, key=lambda s: s["shard"]),
             "total_rows": sum(s["n_rows"] for s in shards),
-            "checksum": str(sum(int(s["checksum"]) for s in shards)),
+            "checksum": str(canon.fp_fold(total)),
         }
         tmp = os.path.join(self.path, f"_pending-{self.token}-manifest")
         with open(tmp, "w", encoding="utf-8") as f:
@@ -478,15 +491,16 @@ def register_writer_format(spark: SparkSession) -> None:
 _WRITER_SHARDS = 4
 
 _WRITER_ORACLE = f"""
+WITH hh AS (
+  SELECT {canon.fp_hash_duck("CAST(doc_id AS VARCHAR) || ':' || text")} AS h
+  FROM documents
+)
 SELECT CAST({_WRITER_SHARDS} AS BIGINT) AS n_shards,
        CAST(COUNT(*) AS BIGINT) AS manifest_rows,
        CAST(COUNT(*) AS BIGINT) AS read_rows,
-       CAST(SUM(CAST(CAST(concat('0x',
-            substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
-                   1, {_ROW_HASH_PREFIX})) AS BIGINT) AS DECIMAL(38,0)))
-            AS DECIMAL(38,0)) AS checksum,
+       {canon.fp_fold_agg_sql('h')} AS checksum,
        TRUE AS manifest_match
-FROM documents
+FROM hh
 """
 
 
@@ -497,9 +511,10 @@ def pyds_writer_manifest_roundtrip(
     """Write documents through the custom two-phase-commit JSONL sink,
     then read the shards back natively and verify the manifest: shard
     count, row totals, and the order-independent 60-bit content
-    checksum — recomputed BY SPARK SQL over the readback and compared
-    against the manifest's python-int sum (and against the oracle's
-    DuckDB sum over the source table). A mismatch anywhere —
+    checksum — recomputed BY SPARK SQL over the readback (limb-fold,
+    functions/canon.py) and compared against the manifest's
+    python-int fold (and against the oracle's DuckDB fold over the
+    source table). A mismatch anywhere —
     writer-side hashing, manifest arithmetic, JSONL round-trip
     fidelity (ensure_ascii=False), readback parsing — fails the hash
     compare, so the whole writer protocol is inside the correctness
@@ -531,17 +546,16 @@ def pyds_writer_manifest_roundtrip(
         readback = spark.read.schema(
             "doc_id long, lang string, text string"
         ).json(shard_paths)
-        chk = (
-            "cast(conv(substring(md5(concat(cast(doc_id as string), ':',"
-            f" text)), 1, {_ROW_HASH_PREFIX}), 16, 10) as decimal(38,0))"
+        h = canon.fp_hash_spark(
+            "concat(cast(doc_id as string), ':', text)"
         )
-        agg = readback.agg(
+        agg = readback.selectExpr(f"{h} as h").agg(
             F.lit(len(manifest["shards"])).cast("long").alias("n_shards"),
             F.lit(int(manifest["total_rows"])).cast("long").alias(
                 "manifest_rows"
             ),
             F.count(F.lit(1)).cast("long").alias("read_rows"),
-            F.sum(F.expr(chk)).cast("decimal(38,0)").alias("checksum"),
+            F.expr(canon.fp_fold_agg_sql("h")).alias("checksum"),
         ).select(
             "n_shards",
             "manifest_rows",
@@ -576,7 +590,14 @@ STREAM_WRITER_FORMAT_NAME = "ws_jsonl_epochs"
 
 class JsonlEpochStreamWriter(DataSourceStreamWriter):
     def __init__(self, options):
+        import uuid
+
         self.path = options["path"]
+        # per-QUERY token (driver-generated, pickled to tasks): abort()
+        # may only clean THIS query's staged files — a shared
+        # "_pending-s-*" glob would delete a concurrent writer's
+        # staged shards in the same directory.
+        self.token = f"s{uuid.uuid4().hex[:8]}"
 
     def write(self, iterator):
         import os
@@ -584,7 +605,7 @@ class JsonlEpochStreamWriter(DataSourceStreamWriter):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        staged = _stage_name("s", pid)
+        staged = _stage_name(self.token, pid)
         n, chk = _write_jsonl_shard(
             os.path.join(self.path, staged), iterator
         )
@@ -606,7 +627,8 @@ class JsonlEpochStreamWriter(DataSourceStreamWriter):
             )
             shards.append(
                 {"shard": final, "n_rows": m.n_rows,
-                 "checksum": str(m.checksum)}
+                 "h_sums": list(m.h_sums),
+                 "checksum": str(canon.fp_fold(m.h_sums))}
             )
         manifest = {
             "batch_id": batchId,
@@ -624,7 +646,13 @@ class JsonlEpochStreamWriter(DataSourceStreamWriter):
         import glob
         import os
 
-        for p in glob.glob(os.path.join(self.path, "_pending-s-*")):
+        # scoped to THIS query's token: concurrent writers sharing the
+        # directory keep their staged files (their own commit/abort
+        # owns them); orphans from crashed foreign writers stay on
+        # disk but are invisible to manifest readers.
+        for p in glob.glob(
+            os.path.join(self.path, f"_pending-{self.token}-*")
+        ):
             try:
                 os.remove(p)
             except OSError:
