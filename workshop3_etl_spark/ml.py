@@ -357,37 +357,157 @@ def build_linreg_pipeline(feature_cols: list[str], label_col: str):
     return Pipeline(stages=[assembler, lr])
 
 
-@register("ml_linreg_mllib_coefficients", oracle=None)
+# The MLlib row's oracle: MLlib solver floats are not bit-stable
+# against a SQL engine, so the query SURFACES the closed-form
+# normal-equation coefficients computed on the repo's strongest
+# determinism canon — exact integer-cents RAW moments (floor canon,
+# functions/canon.py; NO double->decimal rounding anywhere, the step
+# whose half-up/half-even freedom drifted 1 ulp cross-engine in an
+# earlier draft) followed by ONE shared IEEE double expression tree —
+# plus a boolean per term asserting the MLlib 'normal'-solver fit
+# agrees within rel 1e-6 (the established test_ml.py tolerance). The
+# oracle recomputes the closed form and emits TRUE literals: a
+# drifting MLlib fit flips the boolean and fails the hash compare, so
+# the MLlib training path sits INSIDE the correctness gate without
+# hashing solver floats.
+#
+# Units: q, d, y are all scaled x100 to integers (quantity-cents,
+# discount-points, price-cents): y_c = 100a + b1*q_c + b2*d_c, so the
+# slopes are the model's own b1/b2 and only the intercept divides by
+# 100. Exactness bounds: every raw moment is an exact DECIMAL(38,0)
+# integer; the double determinant arithmetic carries ~1e-14 relative
+# error (mild cancellation only) — five orders under the 1e-6 gate.
+_MLLIB_SPLIT_DUCK = (
+    "substring(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR),"
+    " CAST(l_linenumber AS VARCHAR)) || ':42'), 1, 2) < 'b3'"
+)
+
+# engine-shared closed-form math over a cents frame {f}(q, d, y):
+# raw moments -> centered determinant entries -> Cramer solve, every
+# double step the identical expression tree in Spark and DuckDB.
+_MLLIB_CLOSED_SQL = """
+WITH mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS DOUBLE) AS sdd,
+         CAST(SUM(CAST(q * d AS DECIMAL(38,0))) AS DOUBLE) AS sqd,
+         CAST(SUM(CAST(q * y AS DECIMAL(38,0))) AS DOUBLE) AS sqy,
+         CAST(SUM(CAST(d * y AS DECIMAL(38,0))) AS DOUBLE) AS sdy
+  FROM {f}
+),
+c AS (
+  SELECT n_train,
+         ((n * sdd - sd * sd) * (n * sqy - sq * sy)
+          - (n * sqd - sq * sd) * (n * sdy - sd * sy))
+         / ((n * sqq - sq * sq) * (n * sdd - sd * sd)
+            - (n * sqd - sq * sd) * (n * sqd - sq * sd)) AS b1,
+         ((n * sqq - sq * sq) * (n * sdy - sd * sy)
+          - (n * sqd - sq * sd) * (n * sqy - sq * sy))
+         / ((n * sqq - sq * sq) * (n * sdd - sd * sd)
+            - (n * sqd - sq * sd) * (n * sqd - sq * sd)) AS b2,
+         sq / n AS mq, sd / n AS md, sy / n AS my
+  FROM mo
+)
+SELECT 'intercept' AS term,
+       (my - b1 * mq - b2 * md) / 100e0 AS coefficient, n_train
+FROM c
+UNION ALL
+SELECT 'l_discount', b2, n_train FROM c
+UNION ALL
+SELECT 'l_quantity', b1, n_train FROM c
+ORDER BY term
+"""
+
+_MLLIB_ORACLE = (
+    "WITH cf AS (\n"
+    f"  SELECT {{q}} AS q, {{d}} AS d, {{y}} AS y\n"
+    "  FROM lineitem\n"
+    f"  WHERE {_MLLIB_SPLIT_DUCK}\n"
+    "),\n"
+    + _MLLIB_CLOSED_SQL.format(f="cf").lstrip()[len("WITH "):]
+)
+
+
+def _mllib_oracle() -> str:
+    from workshop3_etl_spark.functions.canon import cents_sql
+
+    base = _MLLIB_ORACLE.format(
+        q=cents_sql("l_quantity"),
+        d=cents_sql("l_discount"),
+        y=cents_sql("l_extendedprice"),
+    )
+    # three term rows, each asserting the MLlib fit agreed
+    return (
+        "SELECT term, coefficient, n_train, TRUE AS mllib_within_tol"
+        f" FROM ({base.replace('ORDER BY term', '')}) ORDER BY term"
+    )
+
+
+@register("ml_linreg_mllib_coefficients", oracle=_mllib_oracle())
 def ml_linreg_mllib_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train MLlib linear regression (price ~ quantity + discount) on
-    the salted-hash train split; emit coefficients + test metrics.
+    the salted-hash train split; surface the bit-stable CLOSED-FORM
+    normal-equation coefficients per term plus a boolean asserting
+    the MLlib fit agrees within rel 1e-6.
 
-    Rows-only check: training is linear algebra, not SQL — but
-    tests/test_ml.py asserts agreement with ml_ols_qty_price.
+    The closed form runs the SAME SQL text (_MLLIB_CLOSED_SQL) in
+    Spark and in the DuckDB oracle over identical integer-cents
+    frames, so the surfaced doubles are bit-identical; the MLlib
+    'normal' solver solves the same normal equations through its own
+    linear algebra, agreeing to ~1e-12 but not hash-stably — the
+    boolean is what puts the MLlib path inside the correctness gate
+    (reference parity: src/train_model.py:30-31 sklearn fit).
+
+    Scale: the closed form is ONE map-side-combinable aggregate over
+    the train split (9 integer sums), then O(1) driver math — the
+    100 TB-friendly form; MLlib's normal solver aggregates the same
+    Gram matrix distributively.
     """
+    from workshop3_etl_spark.functions.canon import cents_sql
+
     li = with_split_flags(
         load_table(spark, sf_dir, "lineitem"),
         ["l_orderkey", "l_linenumber"],
-    )
-    train = li.filter(F.col("is_train") == 1)
-    test = li.filter(F.col("is_test") == 1)
-    pipeline = build_linreg_pipeline(["l_quantity", "l_discount"], "l_extendedprice")
-    model = pipeline.fit(train)
-    lr_model = model.stages[-1]
-    scored = model.transform(test)
-    from workshop3_etl_spark.functions import metrics as M
+    ).filter(F.col("is_train") == 1)
 
-    mrow = scored.agg(
-        M.mae("l_extendedprice", "prediction", "mae_test", scale=4),
-        M.rmse("l_extendedprice", "prediction", "rmse_test", scale=2),
-    ).collect()[0]
+    cents = li.selectExpr(
+        f"{cents_sql('l_quantity')} as q",
+        f"{cents_sql('l_discount')} as d",
+        f"{cents_sql('l_extendedprice')} as y",
+    )
+    view = "mllib_train_cents_v"
+    cents.createOrReplaceTempView(view)
+    closed = {
+        r["term"]: r
+        for r in spark.sql(_MLLIB_CLOSED_SQL.format(f=view)).collect()
+    }
+
+    model = build_linreg_pipeline(
+        ["l_quantity", "l_discount"], "l_extendedprice"
+    ).fit(li)
+    lr_model = model.stages[-1]
+    mllib = {
+        "intercept": float(lr_model.intercept),
+        "l_quantity": float(lr_model.coefficients[0]),
+        "l_discount": float(lr_model.coefficients[1]),
+    }
+
+    def ok(term: str) -> bool:
+        c = closed[term]["coefficient"]
+        return abs(mllib[term] - c) <= 1e-6 * max(1.0, abs(c))
+
     rows = [
-        ("intercept", float(lr_model.intercept), mrow["mae_test"], mrow["rmse_test"]),
-        ("l_quantity", float(lr_model.coefficients[0]), None, None),
-        ("l_discount", float(lr_model.coefficients[1]), None, None),
+        (t, closed[t]["coefficient"], closed[t]["n_train"], ok(t))
+        for t in ("intercept", "l_discount", "l_quantity")
     ]
     return spark.createDataFrame(
-        rows, "term string, coefficient double, mae_test double, rmse_test double"
+        rows,
+        "term string, coefficient double, n_train long,"
+        " mllib_within_tol boolean",
     )
 
 

@@ -547,21 +547,72 @@ def profile_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame
 # the 100 TB path (mergeable sketches: one pass, fixed memory).
 # --------------------------------------------------------------------
 
-@register("profile_approx_dials", oracle=None)
+# Sketch outputs (HLL++ register estimates, KLL/GK quantile picks)
+# are engine-specific and can never hash-match a SQL oracle — so the
+# query surfaces the EXACT values plus per-sketch booleans asserting
+# the approximate answer landed inside its published error contract;
+# the oracle recomputes the exact values and emits TRUE literals. A
+# sketch drifting outside its contract flips a boolean and fails the
+# hash compare, putting the approximate machinery inside the
+# correctness gate.
+_APPROX_DIALS_ORACLE = """
+SELECT
+  o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS exact_median_price,
+  TRUE AS approx_customers_in_bounds,
+  TRUE AS approx_median_in_bounds
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("profile_approx_dials", oracle=_APPROX_DIALS_ORACLE)
 def profile_approx_dials(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) + percentile_approx per order
-    priority — the sketch versions of A8/countDistinct."""
+    """approx_count_distinct (HLL++, rsd 2%) + percentile_approx
+    (rank error <= n/accuracy) per order priority — the sketch
+    versions of A8/countDistinct, verified against their exact twins
+    in the same single-pass aggregate.
+
+    Bounds: HLL++ must land within 3*rsd (plus an absolute slack of
+    2 for tiny groups); percentile_approx(0.5, 10000) must return a
+    value inside the exact [p49, p51] interpolation band (rank error
+    n/10000 << 1% of the group). Both hold by the sketches' published
+    guarantees with wide margin at any SF.
+    """
     orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("o_custkey", rsd=0.02)
+        .alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10000)
+        .alias("approx_median_price"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median_price"),
+        F.expr("percentile(o_totalprice, 0.49)").alias("_p49"),
+        F.expr("percentile(o_totalprice, 0.51)").alias("_p51"),
+    )
     return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct("o_custkey", rsd=0.02)
-            .alias("approx_customers"),
-            F.countDistinct("o_custkey").alias("exact_customers"),
-            F.percentile_approx("o_totalprice", 0.5, 10000)
-            .alias("approx_median_price"),
-            F.expr("percentile(o_totalprice, 0.5)").alias("exact_median_price"),
+        agg.select(
+            "o_orderpriority",
+            "n",
+            "exact_customers",
+            "exact_median_price",
+            (
+                F.abs(
+                    F.col("approx_customers").cast("double")
+                    - F.col("exact_customers").cast("double")
+                )
+                <= F.greatest(
+                    F.col("exact_customers").cast("double") * F.lit(0.06),
+                    F.lit(2.0),
+                )
+            ).alias("approx_customers_in_bounds"),
+            F.col("approx_median_price")
+            .between(F.col("_p49"), F.col("_p51"))
+            .alias("approx_median_in_bounds"),
         )
         .orderBy("o_orderpriority")
     )
