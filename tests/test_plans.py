@@ -653,3 +653,31 @@ def test_containment_join_no_cartesian_and_rare_key_candidates(spark, monkeypatc
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_broadcast_if_small_is_size_conditional(spark):
+    """The TPC-H dim hints must be conditional: hint when Catalyst
+    estimates the side under the threshold, fall back to AQE (no
+    hint) when it does not — a dimension outgrowing executor memory
+    at 100 TB must never be force-broadcast."""
+    from workshop3_etl_spark.functions.joins import (
+        broadcast_if_small,
+        plan_size_estimate,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    part = load_table(spark, SF_SMOKE, "part").select("p_partkey", "p_type")
+    est = plan_size_estimate(part)
+    assert est is not None and est > 0
+
+    def is_hinted(df) -> bool:
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    # under the threshold: hinted
+    assert is_hinted(broadcast_if_small(part, threshold_bytes=est + 1))
+    # over the threshold: left to AQE
+    assert not is_hinted(broadcast_if_small(part, threshold_bytes=est - 1))
+    # broadcasting disabled session-wide: never hint
+    assert not is_hinted(broadcast_if_small(part, threshold_bytes=0))

@@ -631,7 +631,7 @@ _SCALING_ORACLE = """
 WITH f AS (
   SELECT l_returnflag, l_orderkey, l_linenumber,
          CAST(l_extendedprice AS DOUBLE) AS x,
-         CAST(CAST(l_extendedprice AS decimal(27,2)) * 100 AS BIGINT) AS xc
+         cast(floor(l_extendedprice * 100e0 + 0.5e0) as bigint) AS xc
   FROM lineitem
 ),
 g AS (
@@ -684,9 +684,9 @@ def ml_scaling_minmax_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.col("l_extendedprice").cast("double").alias("x"),
-        (F.col("l_extendedprice").cast("decimal(27,2)") * 100)
-        .cast("long")
-        .alias("xc"),
+        F.expr(
+            "cast(floor(l_extendedprice * 100e0 + 0.5e0) as bigint)"
+        ).alias("xc"),
     )
     g = f.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

@@ -439,7 +439,7 @@ WITH tch AS (
 ),
 p AS (
   SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
-         CAST(CAST(value AS decimal(27,2)) * 100 AS BIGINT) AS cents
+         cast(floor(value * 100e0 + 0.5e0) as bigint) AS cents
   FROM events WHERE event_type = 'purchase'
 ),
 pr AS (
@@ -489,9 +489,9 @@ def attribution_time_decay_revenue(
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.unix_micros("ts").alias("p_us"),
-        (F.col("value").cast("decimal(27,2)") * 100)
-        .cast("long")
-        .alias("cents"),
+        F.expr("cast(floor(value * 100e0 + 0.5e0) as bigint)").alias(
+            "cents"
+        ),
     )
     pr = (
         p.join(tch, "user_id")

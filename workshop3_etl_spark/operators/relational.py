@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from workshop3_etl_spark.functions import metrics as M
+from workshop3_etl_spark.functions.joins import broadcast_if_small
 from workshop3_etl_spark.plans.registry import register
 from workshop3_etl_spark.sources.tables import load_table
 
@@ -176,7 +177,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _rev()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -224,7 +225,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            broadcast_if_small(supp),
             (supp.s_suppkey == li.l_suppkey) & (supp.s_nationkey == cust.c_nationkey),
         )
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -760,7 +761,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").like("PROMO%"), revenue
     ).otherwise(F.lit(0).cast("decimal(27,4)"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
         .agg(
             (F.sum(promo).cast("double") / F.sum(revenue).cast("double"))
             .alias("promo_share"),
@@ -823,7 +824,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(broadcast_if_small(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -1130,8 +1131,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast_if_small(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast_if_small(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
@@ -1253,7 +1254,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = (
             rev.crossJoin(F.broadcast(mx))
             .filter(F.col("total_revenue") == F.col("mx"))
-            .join(F.broadcast(supp),
+            .join(broadcast_if_small(supp),
                   F.col("supplier_no") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name", "total_revenue")
             .orderBy("s_suppkey")
@@ -1392,7 +1393,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = _rev()
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(broadcast_if_small(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(arm)
         .agg(
             F.sum(revenue).cast("double").alias("revenue"),

@@ -754,8 +754,8 @@ _ACF_MAX_LAG = 7
 _ACF_ORACLE = f"""
 WITH daily AS (
   SELECT o_orderdate AS d,
-         CAST(SUM(CAST(CAST(o_totalprice AS decimal(27,2)) * 100
-                       AS BIGINT)) AS BIGINT) AS x
+         CAST(SUM(cast(floor(o_totalprice * 100e0 + 0.5e0) as bigint))
+              AS BIGINT) AS x
   FROM orders GROUP BY 1
 ),
 b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
@@ -828,9 +828,9 @@ def ts_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     eyeballing (notebook EDA cells) into a first-class seasonality
     statistic.
     """
-    cents = (
-        F.col("o_totalprice").cast("decimal(27,2)") * 100
-    ).cast("long")
+    from workshop3_etl_spark.functions.canon import cents_sql
+
+    cents = F.expr(cents_sql("o_totalprice"))
     daily = (
         load_table(spark, sf_dir, "orders")
         .select(F.col("o_orderdate").alias("d"), cents.alias("xc"))
