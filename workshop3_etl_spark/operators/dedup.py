@@ -1588,3 +1588,136 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return materialize_and_release(result, tk, ranked)
+
+
+# --------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+# MOSS algorithm): LOCAL document fingerprinting with a detection
+# guarantee the global-sketch family (minhash/simhash) cannot give —
+# any shared token run of at least W_WINNOW + K_WINNOW - 1 tokens
+# between two documents shares at least one selected fingerprint.
+# Pipeline: word-token k-grams -> 60-bit md5-prefix hashes -> min of
+# each sliding window of W_WINNOW hashes -> distinct per doc. The
+# whole selection happens INSIDE the row via array higher-order
+# functions (transform/slice/array_min/array_distinct): zero shuffle
+# until the per-(lang, fingerprint) count, which moves ids+hashes
+# only. DuckDB mirrors it with list_transform/list_min — verified
+# bit-identical (shared md5 canon, exact integer mins).
+#
+# Scale: extraction is map-only and embarrassingly parallel by doc;
+# the one exchange is a groupBy on (lang, fp) whose payload is two
+# integers. Fingerprint density is ~2/(W+1) of k-gram count, so the
+# shuffled volume is a small fraction of token count — the property
+# that makes winnowing the standard local-dup screen for code/corpus
+# datasets at crawl scale.
+# --------------------------------------------------------------------
+
+K_WINNOW = 4  # tokens per k-gram
+W_WINNOW = 8  # k-grams per winnowing window
+
+_WINNOW_TOKS_SPARK = "filter(split(text, ' '), x -> x != '')"
+_WINNOW_TOKS_DUCK = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+# layered so the k-gram hash array materializes once per row: the
+# hs projection feeds the windowed-min projection (inlining it into
+# both size() and slice() would evaluate the md5 folds twice)
+_WINNOW_HS_SPARK = (
+    f"transform(sequence(1, size(toks) - {K_WINNOW - 1}),"
+    " i -> cast(conv(substring(md5("
+    f"concat_ws(' ', slice(toks, i, {K_WINNOW}))"
+    "), 1, 15), 16, 10) as bigint))"
+)
+_WINNOW_FPS_SPARK = (
+    f"array_distinct(transform("
+    f"sequence(1, greatest(1, size(hs) - {W_WINNOW - 1})),"
+    f" p -> array_min(slice(hs, p, {W_WINNOW}))))"
+)
+
+
+_WINNOW_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, lang, {_WINNOW_TOKS_DUCK} AS toks FROM documents
+),
+hs AS (
+  SELECT doc_id, lang,
+         list_transform(generate_series(1, len(toks) - {K_WINNOW - 1}),
+           i -> CAST('0x' || substring(md5(
+                  array_to_string(toks[i:i+{K_WINNOW - 1}], ' ')), 1, 15)
+                AS BIGINT)) AS hs
+  FROM tk WHERE len(toks) >= {K_WINNOW}
+),
+fps AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(1, len(hs) - {W_WINNOW - 1})),
+           p -> list_min(hs[p:p+{W_WINNOW - 1}])))) AS fp
+  FROM hs
+),
+per_fp AS (
+  SELECT lang, fp, CAST(COUNT(*) AS BIGINT) AS nd
+  FROM fps GROUP BY lang, fp
+),
+nd AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM hs GROUP BY lang
+)
+SELECT
+  nd.lang,
+  nd.n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_fps,
+  CAST(SUM(per_fp.nd) AS BIGINT) AS n_fingerprints,
+  CAST(SUM(CASE WHEN per_fp.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_shared_fps,
+  CAST(MAX(per_fp.nd) AS BIGINT) AS max_docs_per_fp
+FROM per_fp JOIN nd ON per_fp.lang = nd.lang
+GROUP BY nd.lang, nd.n_docs
+ORDER BY nd.lang
+"""
+
+
+@register("dedup_winnowing_fingerprints", oracle=_WINNOW_ORACLE)
+def dedup_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language winnowing fingerprint profile: document counts,
+    distinct/total selected fingerprints, fingerprints shared by >= 2
+    documents, and the hottest fingerprint's document count — the
+    corpus-level signal for how much locally-duplicated text (boiler-
+    plate, licenses, templates) survives the exact/near-dup passes.
+
+    Local fingerprinting guarantees any shared run of
+    W_WINNOW + K_WINNOW - 1 = 11 tokens is caught; the minhash/simhash
+    family only scores whole-document similarity. Reference parity:
+    extends the reference's whole-row duplicate drop (src/etl.py
+    drop_duplicates) to sub-document granularity.
+    """
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", f"{_WINNOW_TOKS_SPARK} as toks"
+    ).filter(F.expr(f"size(toks) >= {K_WINNOW}"))
+    fps = docs.selectExpr(
+        "doc_id", "lang", f"{_WINNOW_HS_SPARK} as hs"
+    ).selectExpr("doc_id", "lang", f"explode({_WINNOW_FPS_SPARK}) as fp")
+    per_fp = fps.groupBy("lang", "fp").agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    n_docs = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        per_fp.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_fps"),
+            F.sum("nd").cast("long").alias("n_fingerprints"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_fps"),
+            F.max("nd").cast("long").alias("max_docs_per_fp"),
+        )
+        .join(F.broadcast(n_docs), "lang")
+        .select(
+            "lang", "n_docs", "n_distinct_fps", "n_fingerprints",
+            "n_shared_fps", "max_docs_per_fp",
+        )
+        .orderBy("lang")
+    )
