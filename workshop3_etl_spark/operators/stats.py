@@ -1640,12 +1640,16 @@ def _rcd_bucket_cte_duck(src_price: str) -> str:
     canon = _orders_canon_duck().replace(
         "o_totalprice", src_price
     )
+    # bucket checksums on the same int64-safe limb fold as
+    # dq_table_checksums (internal-only here, but one canon repo-wide)
     return f"""
-  SELECT (o_orderkey // {_RCD_BUCKET}) AS bucket,
+  SELECT bucket,
          CAST(COUNT(*) AS BIGINT) AS n_rows,
-         SUM(CAST(CAST('0x' || substring(md5({canon}), 1, 15)
-                       AS BIGINT) AS decimal(38,0))) AS checksum
-  FROM perturbed GROUP BY 1
+         {fp_fold_agg_sql('h')} AS checksum
+  FROM (SELECT (o_orderkey // {_RCD_BUCKET}) AS bucket,
+               {fp_hash_duck(canon)} AS h
+        FROM perturbed)
+  GROUP BY 1
 """
 
 
@@ -1710,13 +1714,12 @@ def dq_range_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             perturbed.selectExpr(
                 f"(o_orderkey div {_RCD_BUCKET}) as bucket",
-                f"cast(conv(substring(md5({canon}), 1, 15), 16, 10)"
-                " as bigint) as h",
+                f"{fp_hash_spark(canon)} as h",
             )
             .groupBy("bucket")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"),
+                F.expr(fp_fold_agg_sql("h")).alias("checksum"),
             )
         )
 
