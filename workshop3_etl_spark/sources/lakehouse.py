@@ -1245,3 +1245,127 @@ ORDER BY rewrite_group
 
 
 _register_compaction_plan()
+
+
+# --------------------------------------------------------------------
+# Incremental JOIN-view maintenance (the third classic IVM case,
+# completing the family: cdc_apply_latest_snapshot = snapshot apply,
+# mv_monthly_from_daily_rollup = aggregate rollup, THIS = delta
+# maintenance of a materialized JOIN view). For an insert-only delta
+# of the fact table, the maintained view
+#     V = agg(orders JOIN customer)
+# updates as V1 = merge(V0, agg(DELTA-orders JOIN customer)) — the
+# delta join touches ONLY the new facts (at 100 TB: |delta| work, not
+# |base|), and the merge is a groupBy-sum over view keys (view-sized,
+# not fact-sized). The query materializes BOTH paths — incremental
+# and full recompute — and surfaces per-nation view rows, the exact
+# integer-cents revenue from the INCREMENTAL path, and a boolean
+# asserting row-for-row equality with the full recompute; the oracle
+# computes the full recompute and emits TRUE. A broken merge (lost
+# delta, double count, key drift) flips the boolean and fails the
+# hash compare.
+#
+# Reference parity: the reference rebuilds its reporting tables whole
+# on every run (src/etl.py to_sql(if_exists='replace')); delta
+# maintenance is the at-scale form of that refresh.
+# --------------------------------------------------------------------
+
+_IVM_CENTS = "cast(floor(o_totalprice * 100e0 + 0.5e0) as bigint)"
+
+_IVM_ORACLE = f"""
+WITH v AS (
+  SELECT c.c_nationkey AS nationkey,
+         o.o_orderdate AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM({_IVM_CENTS}) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_view_rows,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       TRUE AS incremental_matches_full
+FROM v
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def _register_join_ivm() -> None:
+    from workshop3_etl_spark.plans.registry import register
+    from workshop3_etl_spark.sources.tables import load_table
+
+    @register("mv_join_incremental_maintenance", oracle=_IVM_ORACLE)
+    def mv_join_incremental_maintenance(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Maintain V = (nationkey, orderdate) -> (n_orders, cents) over
+        orders JOIN customer incrementally: base view from 90% of orders,
+        then merge in the 10% delta via a delta-only join — and prove
+        row-for-row equality against the full recompute inside the
+        result (per-nation boolean the oracle gates as TRUE)."""
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate",
+            F.expr(_IVM_CENTS).alias("cents"),
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+
+        def view_of(facts: DataFrame) -> DataFrame:
+            from workshop3_etl_spark.functions.joins import broadcast_if_small
+
+            return (
+                facts.join(
+                    broadcast_if_small(cust),
+                    facts.o_custkey == cust.c_custkey,
+                )
+                .groupBy(
+                    F.col("c_nationkey").alias("nationkey"),
+                    F.col("o_orderdate").alias("d"),
+                )
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orders"),
+                    F.sum("cents").cast("long").alias("cents"),
+                )
+            )
+
+        is_delta = F.col("o_orderkey") % 10 == 0
+        v0 = view_of(orders.filter(~is_delta))
+        dv = view_of(orders.filter(is_delta))  # |delta| work only
+        v1 = (
+            v0.unionByName(dv)
+            .groupBy("nationkey", "d")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+        )
+        vf = view_of(orders).select(
+            "nationkey", "d",
+            F.col("n_orders").alias("n_orders_f"),
+            F.col("cents").alias("cents_f"),
+        )
+        audited = v1.join(vf, ["nationkey", "d"], "full_outer").select(
+            "nationkey",
+            "n_orders",
+            "cents",
+            (
+                F.col("n_orders").eqNullSafe(F.col("n_orders_f"))
+                & F.col("cents").eqNullSafe(F.col("cents_f"))
+            ).alias("row_ok"),
+        )
+        return (
+            audited.groupBy("nationkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_view_rows"),
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("total_cents"),
+                F.min("row_ok").alias("incremental_matches_full"),
+            )
+            .orderBy("nationkey")
+        )
+
+
+_register_join_ivm()
