@@ -681,3 +681,31 @@ def test_broadcast_if_small_is_size_conditional(spark):
     assert not is_hinted(broadcast_if_small(part, threshold_bytes=est - 1))
     # broadcasting disabled session-wide: never hint
     assert not is_hinted(broadcast_if_small(part, threshold_bytes=0))
+
+
+def test_winnowing_single_documents_scan(spark, monkeypatch):
+    """Winnowing extraction must scan/tokenize the corpus text exactly
+    once: both consumers (fingerprint agg + per-language doc count)
+    ride the persisted per-doc fingerprint-set frame, never a second
+    documents FileScan (the repeated-subtree rule — a second text
+    scan at 100 TB costs more than the rest of the query)."""
+    from workshop3_etl_spark.operators import dedup as D
+    from workshop3_etl_spark.plans import registry
+
+    from tests.conftest import SF_SMOKE
+
+    captured = {}
+    real = D.materialize_and_release
+
+    def spy(result, *frames):
+        captured["plan"] = result._jdf.queryExecution().executedPlan().toString()
+        return real(result, *frames)
+
+    monkeypatch.setattr(D, "materialize_and_release", spy)
+    registry.get("dedup_winnowing_fingerprints").fn(spark, SF_SMOKE)
+    plan = captured["plan"]
+    # both consumers must ride the cached frame; any FileScan in the
+    # string belongs to the (single) cache-build subtree that
+    # InMemoryRelation embeds when printed
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert plan.count("FileScan parquet") <= plan.count("InMemoryRelation")

@@ -1692,19 +1692,29 @@ def dedup_winnowing_fingerprints(
     extends the reference's whole-row duplicate drop (src/etl.py
     drop_duplicates) to sub-document granularity.
     """
-    docs = load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", "lang", f"{_WINNOW_TOKS_SPARK} as toks"
-    ).filter(F.expr(f"size(toks) >= {K_WINNOW}"))
-    fps = docs.selectExpr(
-        "doc_id", "lang", f"{_WINNOW_HS_SPARK} as hs"
-    ).selectExpr("doc_id", "lang", f"explode({_WINNOW_FPS_SPARK}) as fp")
+    # persist the per-doc fingerprint-SET frame (ids + ~2/(w+1) of the
+    # k-gram count per doc — tiny next to text): it feeds BOTH the
+    # fingerprint aggregation and the per-language doc count, so the
+    # corpus text is scanned and tokenized exactly ONCE (the repeated-
+    # subtree rule: Catalyst does not CTE a repeated DataFrame
+    # subtree, and a second documents scan at 100 TB costs more than
+    # everything else in this query combined).
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "lang", f"{_WINNOW_TOKS_SPARK} as toks")
+        .filter(F.expr(f"size(toks) >= {K_WINNOW}"))
+        .selectExpr("doc_id", "lang", f"{_WINNOW_HS_SPARK} as hs")
+        .selectExpr("doc_id", "lang", f"{_WINNOW_FPS_SPARK} as fps")
+        .persist()
+    )
+    fps = base.select("lang", "doc_id", F.explode("fps").alias("fp"))
     per_fp = fps.groupBy("lang", "fp").agg(
         F.count(F.lit(1)).cast("long").alias("nd")
     )
-    n_docs = docs.groupBy("lang").agg(
+    n_docs = base.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    return (
+    result = (
         per_fp.groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_distinct_fps"),
@@ -1721,3 +1731,4 @@ def dedup_winnowing_fingerprints(
         )
         .orderBy("lang")
     )
+    return materialize_and_release(result, base)
