@@ -178,6 +178,13 @@ def main() -> None:
         # maintained-state rows; the probe itself touches only the
         # ~200-row merged bin frame).
         "stream_histogram_quantiles",
+        # round-7 flagships: winnowing local fingerprinting (map-only
+        # array-HOF extraction off ONE persisted per-doc frame + one
+        # ids+hashes groupBy) and the join-view delta maintenance
+        # (delta-only join + view-sized merge, full-recompute equality
+        # audited inside the plan).
+        "dedup_winnowing_fingerprints",
+        "mv_join_incremental_maintenance",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]
