@@ -672,3 +672,58 @@ def test_cum_crossing_equals_sequential_scan(spark, data, n_targets):
         for r in cum_crossing(cdf, tdf, "v", "cumw", ("tid",)).collect()
     }
     assert got == want
+
+
+@given(
+    hs=st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+                min_size=0, max_size=200),
+    cut=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_fp_fold_partition_invariant(hs, cut):
+    """The limb-fold fingerprint (functions/canon.py) must be
+    invariant under ANY partitioning and ordering of the same rows —
+    the property that makes shard-level partial sums mergeable into a
+    manifest total — and always lands in [0, FP_PRIME) (int64-safe,
+    the driver-protocol requirement)."""
+    from workshop3_etl_spark.functions import canon
+
+    def fold_groups(groups):
+        total = (0, 0, 0, 0)
+        for g in groups:
+            part = (0, 0, 0, 0)
+            for h in g:
+                part = canon.fp_add_limbs(part, canon.fp_limbs(h))
+            total = canon.fp_add_limbs(total, part)
+        return canon.fp_fold(total)
+
+    whole = fold_groups([hs])
+    assert 0 <= whole < canon.FP_PRIME
+    # random 2-way partition + reversal must agree
+    if hs:
+        k = cut.draw(st.integers(min_value=0, max_value=len(hs)))
+        assert fold_groups([hs[:k], list(reversed(hs[k:]))]) == whole
+    # singleton sharding must agree
+    assert fold_groups([[h] for h in hs]) == whole
+
+
+@given(
+    hs=st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+                min_size=1, max_size=64, unique=True),
+    flip=st.integers(min_value=0, max_value=59),
+)
+@settings(max_examples=200, deadline=None)
+def test_fp_fold_detects_single_bit_flip(hs, flip):
+    """Flipping one bit of one row's hash must change the fold (up to
+    the ~2^-31 collision bound — with 200 examples a false collision
+    would indicate broken limb arithmetic, not bad luck)."""
+    from workshop3_etl_spark.functions import canon
+
+    def fold(seq):
+        total = (0, 0, 0, 0)
+        for h in seq:
+            total = canon.fp_add_limbs(total, canon.fp_limbs(h))
+        return canon.fp_fold(total)
+
+    mutated = hs[:-1] + [hs[-1] ^ (1 << flip)]
+    assert fold(mutated) != fold(hs)
