@@ -98,6 +98,9 @@ HEADLINE = [
     # tests/test_plans.py::test_dpp_join_injects_dynamic_partition_filter
     "corpus_epoch_repeat_plan",
     "lakehouse_compaction_plan",
+    # round-7 additions
+    "dedup_winnowing_fingerprints",
+    "mv_join_incremental_maintenance",
 ]
 
 
