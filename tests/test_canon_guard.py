@@ -122,3 +122,25 @@ def test_single_row_difference_changes_fold():
     dropped = fold(hs[:-1])  # drop one row
     doubled = fold(hs + [hs[0]])  # duplicate one row
     assert base not in (mutated, dropped, doubled)
+
+
+def test_duckdb_wide_decimal_double_cast_hazard(duck):
+    """Documents the engine bug the VARCHAR conversion route guards
+    against: DuckDB converts hugeint-backed decimals to double as
+    (double)upper * 2^64 + (double)lower — two roundings — so a
+    negative value needing more than 53 bits can be off by 1 ulp,
+    while the VARCHAR route (strtod) and Python/Spark round correctly
+    once. If this test ever FAILS on the 'direct differs' arm, DuckDB
+    fixed its conversion and the VARCHAR detours can be retired (they
+    stay correct either way)."""
+    v = -18176109671391187  # the sf0.1 embedding_corr_pairs moment
+    direct = duck.sql(
+        f"SELECT CAST(CAST({v} AS DECIMAL(38,0)) AS DOUBLE)"
+    ).fetchone()[0]
+    via_str = duck.sql(
+        f"SELECT CAST(CAST(CAST({v} AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)"
+    ).fetchone()[0]
+    assert via_str == float(v)  # the route the oracles rely on
+    # the hazard itself (informational: may start passing if DuckDB
+    # fixes the conversion — the VARCHAR route stays correct)
+    assert direct != float(v)

@@ -113,3 +113,22 @@ def fp_fold(sums: Iterable[int]) -> int:
     for s in it:
         acc = (acc * FP_BASE + s % FP_PRIME) % FP_PRIME
     return acc
+
+
+def dec2dbl_duck(expr: str) -> str:
+    """DuckDB-side wide-decimal -> DOUBLE conversion that is
+    CORRECTLY ROUNDED for every value. DuckDB converts hugeint-backed
+    decimals (precision > 18) to double as
+    ``(double)upper * 2^64 + (double)lower`` — two roundings, so the
+    result can be off by 1 ulp for NEGATIVE values (upper = -1, lower
+    near 2^64 already rounds) and for positives >= 2^64. Spark
+    (BigDecimal) and Python round correctly in one step, so a direct
+    cast in an oracle diverges from the Spark plan exactly when the
+    exact integer needs more than 53 bits — found live at sf0.1 on
+    embedding_corr_pairs' negative covariance moment. Routing the
+    conversion through VARCHAR makes DuckDB use strtod (correctly
+    rounded), matching Spark bit-for-bit at any magnitude. Use this
+    for every oracle cast of a >18-digit decimal to DOUBLE whose
+    value can be negative or exceed 2^64; plain casts of
+    non-negative sub-2^64 decimals are already single-rounding."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"

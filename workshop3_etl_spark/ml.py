@@ -389,14 +389,24 @@ _MLLIB_CLOSED_SQL = """
 WITH mo AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS sq,
-         CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DOUBLE) AS sd,
-         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
-         CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS DOUBLE) AS sdd,
-         CAST(SUM(CAST(q * d AS DECIMAL(38,0))) AS DOUBLE) AS sqd,
-         CAST(SUM(CAST(q * y AS DECIMAL(38,0))) AS DOUBLE) AS sqy,
-         CAST(SUM(CAST(d * y AS DECIMAL(38,0))) AS DOUBLE) AS sdy
+         -- VARCHAR route: this SQL text runs verbatim in BOTH Spark
+         -- and DuckDB; string->double parses are correctly rounded in
+         -- both engines at any magnitude, while DuckDB's direct
+         -- hugeint-decimal->double cast double-rounds past 2^64
+         -- (canon.dec2dbl_duck rationale)
+         CAST(CAST(SUM(CAST(q AS DECIMAL(38,0))) AS STRING) AS DOUBLE) AS sq,
+         CAST(CAST(SUM(CAST(d AS DECIMAL(38,0))) AS STRING) AS DOUBLE) AS sd,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS STRING) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS STRING) AS DOUBLE)
+           AS sqq,
+         CAST(CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS STRING) AS DOUBLE)
+           AS sdd,
+         CAST(CAST(SUM(CAST(q * d AS DECIMAL(38,0))) AS STRING) AS DOUBLE)
+           AS sqd,
+         CAST(CAST(SUM(CAST(q * y AS DECIMAL(38,0))) AS STRING) AS DOUBLE)
+           AS sqy,
+         CAST(CAST(SUM(CAST(d * y AS DECIMAL(38,0))) AS STRING) AS DOUBLE)
+           AS sdy
   FROM {f}
 ),
 c AS (
@@ -645,7 +655,9 @@ g AS (
 p AS (
   SELECT l_returnflag, mn, mx,
          CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
-         SQRT((CAST(q AS DOUBLE)
+         -- q crosses 2^64 at sf0.1: VARCHAR route keeps DuckDB's
+         -- double conversion correctly rounded (canon.dec2dbl_duck)
+         SQRT((CAST(CAST(q AS VARCHAR) AS DOUBLE)
                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
               / CAST(n AS DOUBLE) / 10000.0) AS std_pop
   FROM g

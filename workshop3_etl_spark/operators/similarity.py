@@ -1924,8 +1924,9 @@ m AS (
 ),
 diag AS (SELECT i AS dim, m AS v FROM m WHERE i = j)
 SELECT CAST(m.i AS BIGINT) AS dim_i, CAST(m.j AS BIGINT) AS dim_j,
-       CAST(m.m AS DOUBLE)
-         / (SQRT(CAST(di.v AS DOUBLE)) * SQRT(CAST(dj.v AS DOUBLE)))
+       CAST(CAST(m.m AS VARCHAR) AS DOUBLE)
+         / (SQRT(CAST(CAST(di.v AS VARCHAR) AS DOUBLE))
+            * SQRT(CAST(CAST(dj.v AS VARCHAR) AS DOUBLE)))
          AS corr
 FROM m, diag di, diag dj
 WHERE di.dim = m.i AND dj.dim = m.j AND m.i < m.j

@@ -88,7 +88,10 @@ mo AS (
 v AS (
   SELECT g, n,
          CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
-         (CAST(q AS DOUBLE)
+         -- q is a hugeint-backed decimal past 2^64 at sf >= 0.1: the
+         -- VARCHAR route keeps DuckDB's double conversion correctly
+         -- rounded (canon.dec2dbl_duck rationale)
+         (CAST(CAST(q AS VARCHAR) AS DOUBLE)
           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
            / CAST(n - 1 AS DOUBLE) / 10000.0 AS var_samp
   FROM mo

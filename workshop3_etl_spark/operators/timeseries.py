@@ -786,13 +786,17 @@ pairs AS (
   GROUP BY l.lag
 )
 SELECT p.lag, p.n_pairs,
-       CAST(CAST(g.n_days AS DECIMAL(38,0)) * g.n_days * p.p
+       -- numerator/denominator are hugeint-backed decimals far past
+       -- 2^64 (and the numerator can be negative): the VARCHAR route
+       -- keeps DuckDB's double conversion correctly rounded
+       -- (canon.dec2dbl_duck rationale)
+       CAST(CAST(CAST(g.n_days AS DECIMAL(38,0)) * g.n_days * p.p
               - CAST(g.n_days AS DECIMAL(38,0)) * g.s * (p.h + p.t)
               + (CAST(g.n_days AS DECIMAL(38,0)) - p.lag) * g.s * g.s
-            AS DOUBLE)
-         / CAST(CAST(g.n_days AS DECIMAL(38,0)) * g.n_days * g.q
+            AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(g.n_days AS DECIMAL(38,0)) * g.n_days * g.q
                   - CAST(g.n_days AS DECIMAL(38,0)) * g.s * g.s
-                AS DOUBLE) AS autocorr
+                AS VARCHAR) AS DOUBLE) AS autocorr
 FROM pairs p CROSS JOIN g
 ORDER BY p.lag
 """
