@@ -45,85 +45,72 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # not listed follows in registration order. A plan test asserts the
 # list stays registered, oracled, and exactly 50 long.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-7 rotation (VERDICT r6 tasks #1-#3). Ordering rationale:
+    # Round-8 rotation (VERDICT r7 task #1): close the official book.
     #
-    # HEAD (1-11): every query whose code changed this round gets an
-    # official row — the three re-represented >64-bit fingerprint
-    # outputs (the r4-r6 red rows, now int64-safe limb folds), the two
-    # queries that graduated from no-oracle errs to real oracles, the
-    # stale-err multimodal decode row, and the five queries migrated
-    # off the decimal(27,2)*100 cents derivation onto the shared
-    # floor canon (engine-stable across DuckDB releases).
+    # HEAD (1-25): the final 25 registered queries that have never had
+    # an official driver row (all judge-verified green via driver_sim
+    # in r7, at both sf0.01 and sf0.1). After this rotation every
+    # registered query has at least one lifetime official green row.
     #
-    # MIDDLE (12-46): 36 first-time official rows drawn from the 59
-    # never-officially-checked queries (all judge-verified green via
-    # driver_sim in r6), prioritizing families with zero official
-    # representation: the whole SQL-surface family, lakehouse runtime
-    # (DPP/compaction/MV), containment dedup, embedding health, corpus
-    # resampling/epoch planning, the TPC-H fill-ins, and the pyds
-    # streaming source/sink legs.
+    # MIDDLE (26-33): per-family flagship keepers the plan test pins —
+    # families not already represented in the head.
     #
-    # TAIL (47-50): per-family flagship keepers the plan test pins
-    # (q1_, udf_, happiness_, sim_). Everything demoted is r1-r6
-    # official-green and stays covered by pytest + driver_sim.
-    "dq_table_checksums",
-    "corpus_shard_manifest",
-    "pyds_writer_manifest_roundtrip",
-    "ml_linreg_mllib_coefficients",
-    "profile_approx_dials",
-    "multimodal_decode_features",
-    "stats_welch_ttest_split_price",
-    "stats_mannwhitney_u_returnflag",
-    "ts_acf_daily_revenue",
-    "ml_scaling_minmax_zscore",
-    "attribution_touch_revenue",
-    # first-time rows: SQL surface
-    "sql_params_priority_revenue",
-    "sql_pipe_syntax_revenue",
-    "sql_recursive_month_spine",
-    "sql_execute_immediate_nation_revenue",
-    # first-time rows: lakehouse runtime
-    "lakehouse_dpp_partitioned_join",
-    "lakehouse_compaction_plan",
-    "mv_monthly_from_daily_rollup",
-    # first-time rows: dedup / similarity-adjacent
-    "dedup_containment_pairs",
-    "dedup_simhash64_weighted",
-    "dedup_cluster_keepers",
-    "embedding_corr_pairs",
-    "embedding_sq8_quantization_error",
-    # first-time rows: corpus pipeline
-    "corpus_resample_temperature",
-    "corpus_epoch_repeat_plan",
-    "corpus_sample_n_per_lang",
-    # first-time rows: DQ / TPC-H fill-ins
-    "dq_range_checksum_diff",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q10_returned_items",
-    # first-time rows: pyds streaming legs + stream family
-    "stream_pyds_feed_by_lang",
-    "stream_pyds_sink_by_lang",
-    "stream_append_closed_windows",
-    # first-time rows: remaining families
-    "text_token_count_bpe",
-    "window_cumulative_distinct_users",
-    "profile_histogram_quantile_price",
-    "multimodal_resize_stats",
-    "graph_degree_distribution_copurchase",
-    "markov_event_transitions",
-    "sketch_kmv_distinct_orderkeys",
-    "sketch_sampled_quantiles_price",
-    "ts_gapfill_interp_hourly",
-    "ml_kfold_assignment",
-    "unpivot_lineitem_metrics",
-    "latest_event_per_user",
-    # family flagship keepers
+    # TAIL (34-50): re-checks of the stalest official rows (latest
+    # official row r1/r2) so long-green queries keep cycling back
+    # through the gate; new round-8 operators are swapped into this
+    # block as they land (changed-code-gets-official-row rule).
+    "attribution_time_decay_revenue",
+    "bitmask_priority_profiles",
+    "bucket_orders_price_band",
+    "cube_order_status_priority",
+    "dedup_winnowing_fingerprints",
+    "dq_join_size_estimate_keysample",
+    "funnel_time_to_convert",
+    "journey_events_per_user",
+    "ml_calibration_deciles_ols2",
+    "ml_ridge2_qty_retailprice",
+    "ml_target_encode_mktsegment",
+    "mv_join_incremental_maintenance",
+    "profile_equidepth_deciles_price",
+    "profile_mad_outliers",
+    "profile_mode_quantity_by_flag",
+    "profile_quantiles_by_group",
+    "sketch_kmv_distinct_by_year",
+    "sketch_native_approx_bounds",
+    "skyline_orders_date_price",
+    "stickiness_dau_wau_daily",
+    "stream_dedup_documents",
+    "stream_state_store_inspect",
+    "text_fingerprint_cardinality",
+    "text_top_tokens",
+    "ts_decayed_popularity",
+    # family flagship keepers (families absent from the head)
     "q1_pricing_summary",
     "udf_named_functions_docs",
     "happiness_unified_profile",
     "sim_semantic_dedup_clusters",
+    "sql_pipe_syntax_revenue",
+    "window_cumulative_distinct_users",
+    "corpus_resample_temperature",
+    "multimodal_decode_features",
+    # stale-green re-checks (latest official row r1/r2)
+    "array_stats_embeddings",
+    "corpus_chunk_documents",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_candidates",
+    "join_outer_part_sales",
+    "join_semi_anti_customers",
+    "pivot_qty_by_linestatus",
+    "profile_corr_pairs",
+    "rollup_lineitem_status",
+    "scalar_subquery_above_avg",
+    "topk_orders_by_price",
+    "union_account_balances",
+    "window_percent_rank_orders",
+    "text_quality_score",
+    "profile_zscore_outliers",
+    "dedup_ngram_jaccard_blocked",
+    "q3_shipping_priority",
 )
 
 
