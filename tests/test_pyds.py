@@ -341,6 +341,49 @@ def test_writer_append_accumulates_and_overwrite_replaces(spark, tmp_path):
     assert on_disk == {s["shard"] for s in man2["shards"]}
 
 
+def test_writer_append_rejects_legacy_manifest_clearly(spark, tmp_path):
+    """A manifest written by the pre-'h_sums' format (checksum only)
+    cannot be merged associatively; append mode must fail with a
+    format-version error naming the remedy, not a KeyError."""
+    import json
+    import os
+
+    import pytest
+
+    from workshop3_etl_spark.sources.pyds import (
+        WRITER_FORMAT_NAME,
+        register_writer_format,
+    )
+
+    register_writer_format(spark)
+    out = str(tmp_path / "legacy")
+    os.makedirs(out)
+    legacy = {
+        "shards": [
+            {"shard": "shard-old-00000.jsonl", "n_rows": 1,
+             "checksum": "123"}
+        ],
+        "total_rows": 1,
+        "checksum": "123",
+    }
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(legacy, f)
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .limit(3)
+    )
+    with pytest.raises(Exception) as ei:
+        docs.write.format(WRITER_FORMAT_NAME).mode("append").save(out)
+    msg = str(ei.value)
+    assert "h_sums" in msg and "overwrite" in msg
+    # overwrite mode migrates the dataset past the legacy manifest
+    docs.write.format(WRITER_FORMAT_NAME).mode("overwrite").save(out)
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["total_rows"] == 3
+    assert all("h_sums" in s for s in man["shards"])
+
+
 def test_stream_sink_abort_is_scoped_to_own_query(tmp_path):
     """Two streaming queries writing to the SAME directory: one
     query's abort() must remove only ITS OWN staged files — the

@@ -22,10 +22,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_DEFAULT_THRESHOLD = 64 * 1024 * 1024
+# Spark's own default for spark.sql.autoBroadcastJoinThreshold
+_DEFAULT_THRESHOLD = 10 * 1024 * 1024
 
 
-def _threshold_bytes(spark) -> int:
+def _threshold_bytes(spark) -> int | None:
+    """The session's broadcast threshold in bytes, parsed with the
+    full Spark byte-suffix set (b/k/kb/m/mb/g/gb/t/tb, case-
+    insensitive). None = unparseable: the caller must NOT hint (an
+    invented threshold could force-broadcast something the session
+    explicitly sized out — AQE deciding from runtime sizes is the
+    safe behavior)."""
     raw = str(
         spark.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", str(_DEFAULT_THRESHOLD)
@@ -33,8 +40,8 @@ def _threshold_bytes(spark) -> int:
     ).strip().lower()
     mult = 1
     for suffix, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
-                      ("k", 1024), ("m", 1024**2), ("g", 1024**3),
-                      ("b", 1)):
+                      ("tb", 1024**4), ("k", 1024), ("m", 1024**2),
+                      ("g", 1024**3), ("t", 1024**4), ("b", 1)):
         if raw.endswith(suffix):
             raw = raw[: -len(suffix)]
             mult = m
@@ -42,7 +49,7 @@ def _threshold_bytes(spark) -> int:
     try:
         return int(raw) * mult
     except ValueError:
-        return _DEFAULT_THRESHOLD
+        return None
 
 
 def plan_size_estimate(df: DataFrame) -> int | None:
@@ -66,8 +73,9 @@ def broadcast_if_small(df: DataFrame, threshold_bytes: int | None = None
     """
     if threshold_bytes is None:
         threshold_bytes = _threshold_bytes(df.sparkSession)
-    if threshold_bytes <= 0:
-        return df  # broadcasting disabled for this session
+    if threshold_bytes is None or threshold_bytes <= 0:
+        # unparseable conf or broadcasting disabled: no hint
+        return df
     est = plan_size_estimate(df)
     if est is not None and 0 <= est <= threshold_bytes:
         return F.broadcast(df)

@@ -438,6 +438,22 @@ class JsonlManifestWriter(DataSourceWriter):
             with open(mpath, encoding="utf-8") as f:
                 prev = json.load(f)
         if prev is not None and not self.overwrite:
+            # manifest format check BEFORE merging: a pre-limb-fold
+            # manifest (checksum only, no per-shard 'h_sums') cannot
+            # be merged associatively — fail with the remedy instead
+            # of a KeyError deep in the fold
+            legacy = [
+                s["shard"] for s in prev["shards"] if "h_sums" not in s
+            ]
+            if legacy:
+                raise ValueError(
+                    "manifest.json at "
+                    f"{self.path!r} has {len(legacy)} shard(s) from a "
+                    "pre-'h_sums' format (e.g. "
+                    f"{legacy[0]!r}); append-mode merge needs per-"
+                    "shard limb sums. Rewrite the dataset with "
+                    "mode='overwrite' to migrate the manifest."
+                )
             shards = prev["shards"] + shards
         # associative merge: limb sums add across shards, fold once
         total = (0, 0, 0, 0)
