@@ -128,3 +128,67 @@ def test_group_split_audit_detects_row_level_leakage(spark):
         .count()
     )
     assert leaked > 0
+
+
+def _km_inertia(points, cents):
+    """Exact integer inertia: sum over points of the min squared grid
+    distance to any centroid (numpy int64 throughout)."""
+    import numpy as np
+
+    pts = np.asarray(points, dtype=np.int64)  # n x 64
+    cs = np.asarray(cents, dtype=np.int64)  # 16 x 64
+    # (n, 16) distance matrix in exact int64 (|diff| < 2^22 => safe)
+    d2 = ((pts[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+    return int(d2.min(axis=1).sum())
+
+
+def test_kmeans_lloyd_converges_and_matches_frozen_quantizer(spark):
+    """The in-engine Lloyd trainer (ml_kmeans_lloyd_embeddings) must
+    behave like k-means: inertia non-increasing across steps (Lloyd's
+    guarantee — the grid floor perturbs each coordinate by < 1 grid
+    unit = 2^-21, far below inertia scale), cells must partition the
+    corpus, and the trained quantizer must reproduce the FROZEN
+    pyspark.ml artifact's quality (operators/ivf_centroids.py) within
+    tolerance — coordinates differ by init, quality must not."""
+    from tests.conftest import SF_CORRECT
+    from workshop3_etl_spark.ml import (
+        _KM_GRID,
+        _KM_K,
+        _km_grid_frame,
+        kmeans_lloyd_grid,
+    )
+    from workshop3_etl_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+    history, final_df = kmeans_lloyd_grid(spark, SF_CORRECT)
+    out = final_df.collect()
+    pts = [
+        [int(v) for v in r["g"]]
+        for r in _km_grid_frame(spark, SF_CORRECT).collect()
+    ]
+
+    # cells partition the corpus (each dim row repeats the count)
+    assert sum(r["n_members"] for r in out) == len(pts) * 64
+
+    # final centroids from the distributed step
+    c3 = [[0] * 64 for _ in range(_KM_K)]
+    for r in out:
+        c3[r["cell"]][r["dim"] - 1] = r["centroid_grid"]
+
+    inertias = [_km_inertia(pts, c) for c in history] + [
+        _km_inertia(pts, c3)
+    ]
+    slack = 1 + 1e-9
+    for prev, cur in zip(inertias, inertias[1:]):
+        assert cur <= prev * slack, inertias
+
+    # quality parity vs the frozen artifact (same corpus, same K):
+    # grid-quantize the frozen float centroids the way the trainer
+    # grids the data
+    frozen = [
+        [int(__import__("math").floor(x * _KM_GRID)) for x in c]
+        for c in IVF_CENTROIDS
+    ]
+    assert inertias[-1] <= _km_inertia(pts, frozen) * 1.25, (
+        inertias[-1],
+        _km_inertia(pts, frozen),
+    )

@@ -1052,3 +1052,261 @@ def ml_group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_train_ev").cast("long").alias("n_train_events"),
         F.sum("n_test_ev").cast("long").alias("n_test_events"),
     )
+
+
+# --------------------------------------------------------------------
+# Distributed k-means TRAINER (Lloyd's algorithm) over the embeddings
+# corpus — the in-engine capability behind operators/ivf_centroids.py
+# (which ships a pyspark.ml KMeans result frozen as a literal
+# artifact: correct for oracle-ability, but a real 100 TB pipeline
+# trains its coarse quantizer in-engine). The whole recurrence runs
+# on an INTEGER GRID — every coordinate is floor(x * 2^21) — so each
+# Lloyd step is exact integer arithmetic: assignment distances are
+# bigint sums (order-independent under any partitioning), and the
+# centroid update is an integer sum + count with one double-domain
+# floor division (the repo's engine-stable floor canon). No float
+# accumulation anywhere => bit-identical in Spark and DuckDB with no
+# sequential-fold ordering constraints at all (the trick the
+# PageRank/LPA integer-token family established, applied to
+# clustering).
+#
+# Spark shape per iteration: assignment is a MAP-ONLY pass (corpus x
+# 16 in-expression literal centroids — the exact broadcast-encode
+# pattern of similarity.py sim_ann_ivf_topk, collapsed to literals
+# the way MLlib's own KMeans broadcasts driver-held centers each
+# round); the update is ONE shuffle of (cell, dim, grid-int) pairs
+# into a K*D-group aggregate (map-side combinable integer sums).
+# Iterations 1..ITERS-1 collect the K=16-row centroid frame to the
+# driver (K*D ints — the standard driver-held-centers protocol);
+# the FINAL iteration stays fully distributed: the returned plan IS
+# the last Lloyd step (assign -> posexplode -> groupBy -> floor-div
+# merge against the previous-centroid spine), so empty cells keep
+# their previous centroid with n_members = 0.
+#
+# Seeding is deterministic and engine-shared: the K vectors with the
+# smallest multiplicative-hash rank h = ((vec_id % 1048573) *
+# 2654435761) % 1000003 (ties by vec_id), cell = rank order. The
+# inner mod keeps the product far under 2^63 at any corpus size.
+# Reference parity: the reference has no clustering operator; this
+# extends its model leg (src/train_model.py) the way a training-data
+# pipeline needs at scale (quantizer training for the ANN family).
+# --------------------------------------------------------------------
+
+_KM_K = 16  # cells (matches the frozen IVF quantizer)
+_KM_DIM = 64  # embedding dimensionality
+_KM_ITERS = 3  # unrolled Lloyd steps (oracle mirrors exactly)
+_KM_GRID = 2097152  # 2^21: grid units per 1.0 of embedding space
+_KM_H_MOD1 = 1048573  # seed hash: inner mod (largest prime < 2^20)
+_KM_H_MUL = 2654435761  # Knuth's multiplicative constant
+_KM_H_MOD2 = 1000003  # seed hash: outer mod
+
+_KM_GRID_SPARK = (
+    f"transform(embedding, x -> cast(floor(cast(x as double)"
+    f" * {_KM_GRID}.0) as bigint))"
+)
+_KM_SEED_H = (
+    f"((vec_id % {_KM_H_MOD1}) * {_KM_H_MUL}) % {_KM_H_MOD2}"
+)
+
+
+def _km_grid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, g: array<bigint>) — the integer-grid corpus, the one
+    frame every Lloyd pass re-reads (callers persist it)."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.expr(f"size(embedding) = {_KM_DIM}"))
+        .selectExpr("vec_id", f"{_KM_GRID_SPARK} as g")
+    )
+
+
+def _km_assign(g: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Map-only Lloyd assignment against driver-held centroids:
+    per-row bigint distance fold to each of the K literal grid
+    centroids, argmin = first index of the exact integer minimum
+    (ties -> lowest cell, mirrored by the oracle's ORDER BY dist2,
+    cell)."""
+    folds = ", ".join(
+        "aggregate(zip_with(g, array("
+        + ", ".join(f"{int(v)}L" for v in c)
+        + "), (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+        for c in cents
+    )
+    return (
+        g.selectExpr("vec_id", "g", f"array({folds}) as ds")
+        .selectExpr(
+            "vec_id",
+            "g",
+            "cast(array_position(ds, array_min(ds)) - 1 as int) as cell",
+            "array_min(ds) as dist2",
+        )
+    )
+
+
+def _km_update_sums(assigned: DataFrame) -> DataFrame:
+    """The one shuffle of a Lloyd step: (cell, dim, grid value) pairs
+    into a K*D-group integer aggregate (map-side combinable)."""
+    return (
+        assigned.select(
+            "cell", F.posexplode("g").alias("pos", "val")
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            F.sum("val").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .selectExpr("cell", "cast(pos + 1 as int) as dim", "s", "n")
+    )
+
+
+def kmeans_lloyd_grid(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = _KM_ITERS,
+) -> tuple[list[list[list[int]]], DataFrame]:
+    """Train k-means on the integer grid: returns (history, final_df)
+    where history[i] is the K x DIM grid-centroid list BEFORE step
+    i+1 (history[0] = seeds), and final_df is the fully-distributed
+    LAST Lloyd step — (cell, dim, centroid_grid, n_members) long
+    format, ordered, with empty cells keeping their previous centroid
+    at n_members = 0. The grid frame is persisted here and released
+    when final_df materializes (materialize_and_release contract)."""
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
+    g = _km_grid_frame(spark, sf_dir).persist()
+    seed_rows = (
+        g.selectExpr("vec_id", "g", f"{_KM_SEED_H} as h")
+        .orderBy("h", "vec_id")
+        .limit(_KM_K)
+        .collect()
+    )
+    seed_rows.sort(key=lambda r: (r["h"], r["vec_id"]))
+    cents = [[int(v) for v in r["g"]] for r in seed_rows]
+    history = [cents]
+    for _ in range(iters - 1):
+        asm = (
+            _km_update_sums(_km_assign(g, cents))
+            .selectExpr(
+                "cell",
+                "dim",
+                # double-domain floor division: engine-stable (never
+                # integer `div`, whose negative semantics diverge
+                # across engines)
+                "cast(floor(cast(s as double) / cast(n as double))"
+                " as bigint) as cg",
+            )
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, cg))),"
+                    " t -> t.cg)"
+                ).alias("cg_arr")
+            )
+            .collect()
+        )
+        new = {int(r["cell"]): [int(v) for v in r["cg_arr"]] for r in asm}
+        cents = [new.get(k, cents[k]) for k in range(_KM_K)]
+        history.append(cents)
+    # final step stays distributed: previous-centroid spine (K*D
+    # literal ints, broadcast class) left-joined with this step's
+    # update sums — empty cells fall back to the spine
+    spine = spark.createDataFrame(
+        [
+            (k, d + 1, cents[k][d])
+            for k in range(_KM_K)
+            for d in range(_KM_DIM)
+        ],
+        "cell int, dim int, prev_cg long",
+    )
+    upd = _km_update_sums(_km_assign(g, cents))
+    out = (
+        spine.join(F.broadcast(upd), ["cell", "dim"], "left")
+        .selectExpr(
+            "cell",
+            "dim",
+            "coalesce(cast(floor(cast(s as double) / cast(n as double))"
+            " as bigint), prev_cg) as centroid_grid",
+            "coalesce(n, 0L) as n_members",
+        )
+        .orderBy("cell", "dim")
+    )
+    return history, materialize_and_release(out, g)
+
+
+def _kmeans_oracle() -> str:
+    parts = [
+        f"""WITH gv AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_GRID}.0) AS BIGINT)) AS g
+  FROM embeddings WHERE len(embedding) = {_KM_DIM}
+),
+dims AS (SELECT CAST(unnest(range(1, {_KM_DIM} + 1)) AS INT) AS dim),
+glong AS (
+  SELECT vec_id, d.dim, g[d.dim] AS val FROM gv, dims d
+),
+seeds AS (
+  SELECT g, CAST(rn - 1 AS INT) AS cell FROM (
+    SELECT g, ROW_NUMBER() OVER (
+      ORDER BY {_KM_SEED_H}, vec_id) AS rn
+    FROM gv
+  ) WHERE rn <= {_KM_K}
+),
+c0 AS (
+  SELECT s.cell, d.dim, s.g[d.dim] AS cg FROM seeds s, dims d
+)"""
+    ]
+    for i in range(1, _KM_ITERS + 1):
+        parts.append(
+            f""",
+a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+    FROM (
+      SELECT gg.vec_id, c.cell,
+             SUM((gg.val - c.cg) * (gg.val - c.cg)) AS dist2
+      FROM glong gg JOIN c{i - 1} c USING (dim)
+      GROUP BY gg.vec_id, c.cell
+    )
+  ) WHERE rn = 1
+),
+u{i} AS (
+  SELECT a.cell, gg.dim,
+         CAST(SUM(gg.val) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a{i} a JOIN glong gg USING (vec_id)
+  GROUP BY a.cell, gg.dim
+),
+c{i} AS (
+  SELECT p.cell, p.dim,
+         COALESCE(CAST(FLOOR(CAST(u.s AS DOUBLE) / CAST(u.n AS DOUBLE))
+                       AS BIGINT), p.cg) AS cg,
+         CAST(COALESCE(u.n, 0) AS BIGINT) AS n_members
+  FROM c{i - 1} p LEFT JOIN u{i} u USING (cell, dim)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT cell, dim, cg AS centroid_grid, n_members
+FROM c{_KM_ITERS}
+ORDER BY cell, dim"""
+    )
+    return "".join(parts)
+
+
+@register("ml_kmeans_lloyd_embeddings", oracle=_kmeans_oracle())
+def ml_kmeans_lloyd_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K=16 k-means trained IN-ENGINE on the embeddings corpus: 3
+    unrolled Lloyd steps on the floor(x * 2^21) integer grid from a
+    deterministic multiplicative-hash seeding, output = the trained
+    grid centroids in long format (cell, dim, centroid_grid,
+    n_members). Matched against an unrolled chained-CTE oracle
+    computing the identical integer recurrence (the
+    graph_pagerank_copurchase recipe applied to clustering). See the
+    module-level design comment for the per-iteration plan shape and
+    100 TB story."""
+    _, out = kmeans_lloyd_grid(spark, sf_dir)
+    return out
