@@ -727,3 +727,60 @@ def test_fp_fold_detects_single_bit_flip(hs, flip):
 
     mutated = hs[:-1] + [hs[-1] ^ (1 << flip)]
     assert fold(mutated) != fold(hs)
+
+
+def test_substring_runs_match_bruteforce(spark):
+    """dedup_exact_substring_runs == a sequential seed-diagonal-island
+    pass over the RAW k-gram strings (no hashing, same frequency cap)
+    at sf0.001 — pins both the md5-identity layer and the
+    gaps-and-islands window against first principles."""
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.dedup import (
+        CAP_SUBRUN,
+        K_SUBRUN,
+        L_SUBRUN,
+        dedup_exact_substring_runs,
+    )
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t != ""]
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+    occ = defaultdict(list)  # raw k-gram -> [(doc, 1-based pos)]
+    for d, toks in docs.items():
+        for i in range(len(toks) - K_SUBRUN + 1):
+            occ[" ".join(toks[i : i + K_SUBRUN])].append((d, i + 1))
+    by_diag = defaultdict(list)  # (doc_a, doc_b, diag) -> [p1]
+    for sites in occ.values():
+        if len(sites) > CAP_SUBRUN:
+            continue  # the operator's logged skew guard
+        for da, p1 in sites:
+            for db, p2 in sites:
+                if da < db:
+                    by_diag[(da, db, p1 - p2)].append(p1)
+    expected = set()
+    for (da, db, diag), ps in by_diag.items():
+        ps = sorted(set(ps))
+        start = prev = ps[0]
+        for p in ps[1:] + [None]:
+            if p is not None and p == prev + 1:
+                prev = p
+                continue
+            run_tokens = prev - start + K_SUBRUN
+            if run_tokens >= L_SUBRUN:
+                expected.add(
+                    (da, db, start, start - diag, run_tokens)
+                )
+            if p is not None:
+                start = prev = p
+    got = {
+        tuple(r) for r in dedup_exact_substring_runs(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert len(expected) <= 500  # LIMIT headroom at this SF
+    assert got == expected

@@ -1732,3 +1732,162 @@ def dedup_winnowing_fingerprints(
         .orderBy("lang")
     )
     return materialize_and_release(result, base)
+
+
+# --------------------------------------------------------------------
+# Exact-substring run dedup (the deduplicate-text-datasets
+# capability, Lee et al. 2022, as relational ops): winnowing above
+# flags shared runs PROBABILISTICALLY (one fingerprint per run
+# guaranteed); this is the exact complement — every maximal shared
+# token run of >= L_SUBRUN tokens across two documents, with its
+# start positions and exact length.
+#
+# Relational formulation: seed every token position with its K_SUBRUN-
+# gram md5 (identity by 128-bit digest — the repo's shared-hash
+# convention); self-equi-join seeds across documents; then the key
+# insight: matched seeds of one shared run line up on a DIAGONAL
+# (p1 - p2 constant), where they occupy CONSECUTIVE p1 positions — so
+# maximal runs are islands (gaps-and-islands via p1 - row_number),
+# and a run of m consecutive seeds spans m + K_SUBRUN - 1 tokens.
+# No suffix array, no recursion: one equi-join + one window.
+#
+# Scale: seeds are (doc, pos, 16-byte hash) — text projected away
+# before the shuffle; the join is equi on the hash, so the classic
+# quadratic blowup lives ONLY in globally-hot k-grams (boilerplate
+# shingles), which the CAP_SUBRUN frequency cap drops with a logged
+# count (never silent — the LSH bucket-cap discipline). The island
+# window partitions by (doc_a, doc_b, diag): bounded by document
+# length, no global sort. Reference parity: extends the reference's
+# whole-row drop_duplicates (src/etl.py) to exact sub-document
+# granularity, completing the winnowing family.
+# --------------------------------------------------------------------
+
+K_SUBRUN = 8  # tokens per seed k-gram
+L_SUBRUN = 15  # minimal reported run length (tokens)
+CAP_SUBRUN = 64  # max global occurrences per seed hash (skew guard)
+
+_SUBRUN_SEEDS_SPARK = (
+    f"transform(sequence(1, size(toks) - {K_SUBRUN - 1}),"
+    " i -> struct(i as pos,"
+    f" md5(concat_ws(' ', slice(toks, i, {K_SUBRUN}))) as h))"
+)
+
+_SUBRUN_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_WINNOW_TOKS_DUCK} AS toks FROM documents
+),
+seeds0 AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(toks[i:i+{K_SUBRUN - 1}], ' ')) AS h
+  FROM tk, unnest(generate_series(1, len(toks) - {K_SUBRUN - 1})) AS u(i)
+  WHERE len(toks) >= {K_SUBRUN}
+),
+seeds AS (
+  SELECT * FROM seeds0
+  QUALIFY COUNT(*) OVER (PARTITION BY h) <= {CAP_SUBRUN}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS p1, b.pos AS p2, a.pos - b.pos AS diag
+  FROM seeds a JOIN seeds b USING (h)
+  WHERE a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, p1, p2,
+         p1 - ROW_NUMBER() OVER (
+           PARTITION BY doc_a, doc_b, diag ORDER BY p1) AS isl
+  FROM pairs
+)
+SELECT doc_a, doc_b,
+       CAST(MIN(p1) AS INT) AS a_start,
+       CAST(MIN(p2) AS INT) AS b_start,
+       CAST(COUNT(*) + {K_SUBRUN - 1} AS BIGINT) AS run_tokens
+FROM runs
+GROUP BY doc_a, doc_b, diag, isl
+HAVING COUNT(*) + {K_SUBRUN - 1} >= {L_SUBRUN}
+ORDER BY run_tokens DESC, doc_a, doc_b, a_start, b_start
+LIMIT 500
+"""
+
+
+def substring_run_seeds(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): one K_SUBRUN-gram md5 seed per token
+    position. Map-only; the text column is projected away before
+    anything shuffles."""
+    return (
+        docs.selectExpr("doc_id", f"{_WINNOW_TOKS_SPARK} as toks")
+        .filter(F.expr(f"size(toks) >= {K_SUBRUN}"))
+        .selectExpr("doc_id", f"{_SUBRUN_SEEDS_SPARK} as ss")
+        .select("doc_id", F.explode("ss").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.pos").alias("pos"),
+            F.col("s.h").alias("h"),
+        )
+    )
+
+
+@register("dedup_exact_substring_runs", oracle=_SUBRUN_ORACLE)
+def dedup_exact_substring_runs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximal exact shared token runs >= L_SUBRUN tokens across
+    document pairs: (doc_a, doc_b, a_start, b_start, run_tokens),
+    longest first, top 500. See the design comment above for the
+    seed-diagonal-island formulation and the 100 TB story."""
+    import logging
+
+    seeds = substring_run_seeds(
+        load_table(spark, sf_dir, "documents")
+    ).persist()
+    hot = (
+        seeds.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > CAP_SUBRUN)
+    )
+    n_hot = hot.count()  # metadata-scale job off the persisted seeds
+    logging.getLogger(__name__).info(
+        "substring-run seed cap=%d: %d hot k-gram hashes dropped "
+        "(runs through them are split/undercounted)",
+        CAP_SUBRUN,
+        n_hot,
+    )
+    # AQE picks the anti-join strategy from the runtime size of `hot`
+    # (usually tiny => broadcast); unknown driver-side stats make a
+    # hard hint wrong at scale (functions/joins rationale)
+    capped = seeds.join(hot, "h", "left_anti")
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("p1"), "h"
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("p2"), "h"
+    )
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "p1", "p2",
+            (F.col("p1") - F.col("p2")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("p1")
+    runs = pairs.withColumn(
+        "isl", F.col("p1") - F.row_number().over(w)
+    )
+    result = (
+        runs.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("p1").cast("int").alias("a_start"),
+            F.min("p2").cast("int").alias("b_start"),
+            (F.count(F.lit(1)) + F.lit(K_SUBRUN - 1))
+            .cast("long")
+            .alias("run_tokens"),
+        )
+        .filter(F.col("run_tokens") >= L_SUBRUN)
+        .select("doc_a", "doc_b", "a_start", "b_start", "run_tokens")
+        .orderBy(
+            F.desc("run_tokens"), "doc_a", "doc_b", "a_start", "b_start"
+        )
+        .limit(500)
+    )
+    return materialize_and_release(result, seeds)
