@@ -185,6 +185,17 @@ def main() -> None:
         # audited inside the plan).
         "dedup_winnowing_fingerprints",
         "mv_join_incremental_maintenance",
+        # round-8 flagship: the in-engine Lloyd k-means trainer (3
+        # integer-grid iterations; per pass one map-only literal-fold
+        # assignment + one (cell, dim) integer-sum shuffle, K-row
+        # driver-held centroids between rounds — the MLlib protocol
+        # as engine ops).
+        "ml_kmeans_lloyd_embeddings",
+        # round-8 flagship: exact-substring run dedup (seed-diagonal-
+        # island formulation — one hash equi-join + one bounded
+        # window; the quadratic risk is confined to capped hot
+        # k-grams).
+        "dedup_exact_substring_runs",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

@@ -108,9 +108,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "union_account_balances",
     "window_percent_rank_orders",
     "text_quality_score",
-    "profile_zscore_outliers",
     "dedup_ngram_jaccard_blocked",
-    "q3_shipping_priority",
+    # round-8 new operators (changed-code-gets-official-row rule)
+    "ml_kmeans_lloyd_embeddings",
+    "dedup_exact_substring_runs",
 )
 
 
