@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Bench regression gate: compare a fresh bench_detail.json against
+the committed baseline sidecar (same protocol: per-query medians of 5
+at the same SF) and flag per-query regressions beyond a threshold.
+
+The medians-of-5 protocol (round 7) made per-query numbers stable
+enough to diff; this tool is the follow-through — run it at round
+close BEFORE committing the new sidecar:
+
+    python bench.py                      # writes bench_detail.json
+    python tools/bench_diff.py           # vs git HEAD's sidecar
+    python tools/bench_diff.py old.json new.json [threshold]
+
+Exit code 1 when any common query regressed beyond the threshold
+(default 1.5x median), so it can gate a commit. New/removed queries
+are listed, never flagged (coverage changes are deliberate).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+DEFAULT_THRESHOLD = 1.5
+# medians under this are dominated by fixed per-query harness noise
+# (session codegen, JIT warmup scatter) — a ratio over ~50ms floors
+# is not a signal
+MIN_SEC = 0.05
+
+
+def _load_committed(path: str = "bench_detail.json") -> dict:
+    blob = subprocess.check_output(["git", "show", f"HEAD:{path}"])
+    return json.loads(blob)
+
+
+def main() -> int:
+    if len(sys.argv) >= 3:
+        old = json.load(open(sys.argv[1]))
+        new = json.load(open(sys.argv[2]))
+        threshold = float(sys.argv[3]) if len(sys.argv) > 3 else DEFAULT_THRESHOLD
+    else:
+        old = _load_committed()
+        new = json.load(open("bench_detail.json"))
+        threshold = float(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_THRESHOLD
+
+    if old.get("sf") != new.get("sf") and "sf" in old and "sf" in new:
+        print(
+            f"WARNING: sf mismatch (old {old.get('sf')} vs new "
+            f"{new.get('sf')}) — ratios are not comparable"
+        )
+    oq, nq = old["queries"], new["queries"]
+    common = sorted(set(oq) & set(nq))
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+
+    regressions, improvements = [], []
+    for name in common:
+        a, b = oq[name], nq[name]
+        if max(a, b) < MIN_SEC:
+            continue
+        ratio = b / a if a > 0 else float("inf")
+        if ratio > threshold:
+            regressions.append((ratio, name, a, b))
+        elif ratio < 1 / threshold:
+            improvements.append((ratio, name, a, b))
+
+    print(
+        f"bench_diff: {len(common)} common queries, "
+        f"sum {sum(oq[n] for n in common):.2f}s -> "
+        f"{sum(nq[n] for n in common):.2f}s "
+        f"({sum(nq[n] for n in common) / max(sum(oq[n] for n in common), 1e-9):.3f}x), "
+        f"threshold {threshold}x"
+    )
+    for ratio, name, a, b in sorted(regressions, reverse=True):
+        print(f"  REGRESSED {ratio:5.2f}x  {name}: {a:.3f}s -> {b:.3f}s")
+    for ratio, name, a, b in sorted(improvements):
+        print(f"  improved  {ratio:5.2f}x  {name}: {a:.3f}s -> {b:.3f}s")
+    if added:
+        print(f"  new queries (not compared): {', '.join(added)}")
+    if removed:
+        print(f"  removed queries: {', '.join(removed)}")
+    if regressions:
+        print(f"FAIL: {len(regressions)} quer{'y' if len(regressions)==1 else 'ies'} regressed beyond {threshold}x")
+        return 1
+    print("OK: no per-query regression beyond threshold")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
