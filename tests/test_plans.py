@@ -764,3 +764,68 @@ def test_winnowing_single_documents_scan(spark, monkeypatch):
     # InMemoryRelation embeds when printed
     assert plan.count("InMemoryTableScan") == 2, plan
     assert plan.count("FileScan parquet") <= plan.count("InMemoryRelation")
+
+
+def test_substring_runs_single_documents_scan(spark, monkeypatch):
+    """dedup_exact_substring_runs: seeding tokenizes the corpus text
+    exactly once — the hot-hash guard and BOTH self-join sides ride
+    the persisted seeds frame (3 InMemoryTableScans: anti-join probe
+    + the two pair sides), never a repeated documents FileScan; and
+    the pair join must be an equi hash join, never a cartesian."""
+    from workshop3_etl_spark.operators import dedup as D
+    from workshop3_etl_spark.plans import registry
+
+    from tests.conftest import SF_SMOKE
+
+    captured = {}
+    real = D.materialize_and_release
+
+    def spy(result, *frames):
+        captured["plan"] = (
+            result._jdf.queryExecution().executedPlan().toString()
+        )
+        return real(result, *frames)
+
+    monkeypatch.setattr(D, "materialize_and_release", spy)
+    registry.get("dedup_exact_substring_runs").fn(spark, SF_SMOKE)
+    plan = captured["plan"]
+    # 3 consumers of the seeds cache (anti-join probe + both pair
+    # sides); AQE's InMemoryRelation printing re-embeds the single
+    # cache-build FileScan, so FileScan occurrences are bounded by
+    # InMemoryRelation prints, never independent scans
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert plan.count("FileScan parquet") <= plan.count("InMemoryRelation")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_final_step_is_distributed(spark, monkeypatch):
+    """ml_kmeans_lloyd_embeddings: the RETURNED plan must be the last
+    Lloyd step as engine ops — a real shuffle aggregate over the
+    posexploded (cell, dim) pairs riding the persisted grid frame —
+    not a driver-assembled literal result; and assignment must stay
+    JVM-side (no Python eval operators)."""
+    from workshop3_etl_spark.functions import cache as C
+    from workshop3_etl_spark.plans import registry
+
+    from tests.conftest import SF_SMOKE
+
+    captured = {}
+    real = C.materialize_and_release
+
+    def spy(result, *frames):
+        captured["plan"] = (
+            result._jdf.queryExecution().executedPlan().toString()
+        )
+        return real(result, *frames)
+
+    # ml.py imports materialize_and_release inside the function body,
+    # so patch the SOURCE module attribute
+    monkeypatch.setattr(C, "materialize_and_release", spy)
+    registry.get("ml_kmeans_lloyd_embeddings").fn(spark, SF_SMOKE)
+    plan = captured["plan"]
+    assert "InMemoryTableScan" in plan, plan  # rides the grid cache
+    assert "Generate explode" in plan or "Generate posexplode" in plan, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
