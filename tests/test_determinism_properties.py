@@ -784,3 +784,70 @@ def test_substring_runs_match_bruteforce(spark):
     }
     assert len(expected) <= 500  # LIMIT headroom at this SF
     assert got == expected
+
+
+def test_substring_removal_matches_bruteforce_interval_union(spark):
+    """dedup_substring_removal_stats == per-doc interval union over
+    the brute-force runs (doc_b side), computed sequentially."""
+    from collections import defaultdict
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.dedup import (
+        CAP_SUBRUN,
+        K_SUBRUN,
+        L_SUBRUN,
+        dedup_substring_removal_stats,
+    )
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t != ""]
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+    occ = defaultdict(list)
+    for d, toks in docs.items():
+        for i in range(len(toks) - K_SUBRUN + 1):
+            occ[" ".join(toks[i : i + K_SUBRUN])].append((d, i + 1))
+    by_diag = defaultdict(list)
+    for sites in occ.values():
+        if len(sites) > CAP_SUBRUN:
+            continue
+        for da, p1 in sites:
+            for db, p2 in sites:
+                if da < db:
+                    by_diag[(da, db, p1 - p2)].append(p1)
+    intervals = defaultdict(set)  # doc_b -> {(s, e)}
+    for (da, db, diag), ps in by_diag.items():
+        ps = sorted(set(ps))
+        start = prev = ps[0]
+        for p in ps[1:] + [None]:
+            if p is not None and p == prev + 1:
+                prev = p
+                continue
+            run_tokens = prev - start + K_SUBRUN
+            if run_tokens >= L_SUBRUN:
+                s = start - diag
+                intervals[db].add((s, s + run_tokens - 1))
+            if p is not None:
+                start = prev = p
+    expected = {}
+    for d, ivs in intervals.items():
+        masked = n_isl = 0
+        cur_s = cur_e = None
+        for s, e in sorted(ivs):
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    masked += cur_e - cur_s + 1
+                cur_s, cur_e = s, e
+                n_isl += 1
+            else:
+                cur_e = max(cur_e, e)
+        masked += cur_e - cur_s + 1
+        expected[d] = (len(docs[d]), masked, n_isl)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["masked_tokens"], r["n_islands"])
+        for r in dedup_substring_removal_stats(spark, SF_SMOKE).collect()
+    }
+    assert len(expected) <= 200  # LIMIT headroom at this SF
+    assert got == expected

@@ -1772,8 +1772,10 @@ _SUBRUN_SEEDS_SPARK = (
     f" md5(concat_ws(' ', slice(toks, i, {K_SUBRUN}))) as h))"
 )
 
-_SUBRUN_ORACLE = f"""
-WITH tk AS (
+# shared CTE chain: tokenize -> seed -> cap -> pair -> diagonal
+# islands -> maximal runs >= L_SUBRUN (consumed by the run-report
+# oracle below and by corpus_remove_substring_runs' oracle)
+_SUBRUN_RUNS_CTES = f"""tk AS (
   SELECT doc_id, {_WINNOW_TOKS_DUCK} AS toks FROM documents
 ),
 seeds0 AS (
@@ -1792,19 +1794,26 @@ pairs AS (
   FROM seeds a JOIN seeds b USING (h)
   WHERE a.doc_id < b.doc_id
 ),
-runs AS (
+isl_runs AS (
   SELECT doc_a, doc_b, diag, p1, p2,
          p1 - ROW_NUMBER() OVER (
            PARTITION BY doc_a, doc_b, diag ORDER BY p1) AS isl
   FROM pairs
-)
-SELECT doc_a, doc_b,
-       CAST(MIN(p1) AS INT) AS a_start,
-       CAST(MIN(p2) AS INT) AS b_start,
-       CAST(COUNT(*) + {K_SUBRUN - 1} AS BIGINT) AS run_tokens
+),
+runs AS (
+  SELECT doc_a, doc_b,
+         CAST(MIN(p1) AS INT) AS a_start,
+         CAST(MIN(p2) AS INT) AS b_start,
+         CAST(COUNT(*) + {K_SUBRUN - 1} AS BIGINT) AS run_tokens
+  FROM isl_runs
+  GROUP BY doc_a, doc_b, diag, isl
+  HAVING COUNT(*) + {K_SUBRUN - 1} >= {L_SUBRUN}
+)"""
+
+_SUBRUN_ORACLE = f"""
+WITH {_SUBRUN_RUNS_CTES}
+SELECT doc_a, doc_b, a_start, b_start, run_tokens
 FROM runs
-GROUP BY doc_a, doc_b, diag, isl
-HAVING COUNT(*) + {K_SUBRUN - 1} >= {L_SUBRUN}
 ORDER BY run_tokens DESC, doc_a, doc_b, a_start, b_start
 LIMIT 500
 """
@@ -1827,14 +1836,13 @@ def substring_run_seeds(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("dedup_exact_substring_runs", oracle=_SUBRUN_ORACLE)
-def dedup_exact_substring_runs(
+def substring_runs(
     spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Maximal exact shared token runs >= L_SUBRUN tokens across
-    document pairs: (doc_a, doc_b, a_start, b_start, run_tokens),
-    longest first, top 500. See the design comment above for the
-    seed-diagonal-island formulation and the 100 TB story."""
+) -> tuple[DataFrame, DataFrame]:
+    """All maximal shared runs >= L_SUBRUN tokens (unordered,
+    unlimited): (doc_a, doc_b, a_start, b_start, run_tokens), plus the
+    persisted seeds frame the caller must release (the
+    materialize_and_release contract)."""
     import logging
 
     seeds = substring_run_seeds(
@@ -1871,11 +1879,11 @@ def dedup_exact_substring_runs(
         )
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("p1")
-    runs = pairs.withColumn(
+    islands = pairs.withColumn(
         "isl", F.col("p1") - F.row_number().over(w)
     )
-    result = (
-        runs.groupBy("doc_a", "doc_b", "diag", "isl")
+    runs = (
+        islands.groupBy("doc_a", "doc_b", "diag", "isl")
         .agg(
             F.min("p1").cast("int").alias("a_start"),
             F.min("p2").cast("int").alias("b_start"),
@@ -1885,9 +1893,140 @@ def dedup_exact_substring_runs(
         )
         .filter(F.col("run_tokens") >= L_SUBRUN)
         .select("doc_a", "doc_b", "a_start", "b_start", "run_tokens")
-        .orderBy(
-            F.desc("run_tokens"), "doc_a", "doc_b", "a_start", "b_start"
+    )
+    return runs, seeds
+
+
+@register("dedup_exact_substring_runs", oracle=_SUBRUN_ORACLE)
+def dedup_exact_substring_runs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximal exact shared token runs >= L_SUBRUN tokens across
+    document pairs: (doc_a, doc_b, a_start, b_start, run_tokens),
+    longest first, top 500. See the design comment above for the
+    seed-diagonal-island formulation and the 100 TB story."""
+    runs, seeds = substring_runs(spark, sf_dir)
+    result = runs.orderBy(
+        F.desc("run_tokens"), "doc_a", "doc_b", "a_start", "b_start"
+    ).limit(500)
+    return materialize_and_release(result, seeds)
+
+
+# Removal leg: detection above reports the runs; this turns them into
+# the dedup ACTION's accounting (Lee et al. 2022 remove all-but-one
+# occurrence). Policy: the doc_b side (higher doc id) of every run is
+# the masked occurrence; a document's masked span set is the INTERVAL
+# UNION of its runs (classic gaps-and-islands sweep: an interval
+# starts a new island iff its start exceeds the running max end of
+# everything before it — all-integer window arithmetic, deterministic
+# under the (s, e) ordering since exact-duplicate intervals are
+# DISTINCTed away first).
+_SUBRUN_REMOVE_ORACLE = f"""
+WITH {_SUBRUN_RUNS_CTES},
+iv AS (
+  SELECT DISTINCT doc_b AS doc_id, b_start AS s,
+         CAST(b_start + run_tokens - 1 AS INT) AS e
+  FROM runs
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+             PARTITION BY doc_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           THEN 1 ELSE 0 END AS is_new
+  FROM iv
+),
+grouped AS (
+  SELECT doc_id, s, e,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
+),
+merged AS (
+  SELECT doc_id, grp, MIN(s) AS ms, MAX(e) AS me
+  FROM grouped GROUP BY doc_id, grp
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS masked_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_islands
+  FROM merged GROUP BY doc_id
+),
+docs AS (
+  SELECT d.doc_id, d.lang, CAST(len(t.toks) AS BIGINT) AS n_tokens
+  FROM documents d JOIN tk t USING (doc_id)
+)
+SELECT d.doc_id, d.lang, d.n_tokens, p.masked_tokens,
+       CAST(d.n_tokens - p.masked_tokens AS BIGINT) AS keep_tokens,
+       p.n_islands
+FROM per_doc p JOIN docs d USING (doc_id)
+ORDER BY p.masked_tokens DESC, d.doc_id
+LIMIT 200
+"""
+
+
+@register("dedup_substring_removal_stats", oracle=_SUBRUN_REMOVE_ORACLE)
+def dedup_substring_removal_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document removal accounting for exact-substring dedup:
+    mask the doc_b (higher-id) side of every detected run, union the
+    masked intervals per document, and report (doc_id, lang,
+    n_tokens, masked_tokens, keep_tokens, n_islands) for the most-
+    masked documents. The interval union is one bounded per-document
+    window sweep over DISTINCT intervals — integers only; at corpus
+    scale the interval set is tiny next to the text (runs only), so
+    the whole removal plan rides the detection join's output."""
+    runs, seeds = substring_runs(spark, sf_dir)
+    iv = runs.selectExpr(
+        "doc_b as doc_id",
+        "b_start as s",
+        "cast(b_start + run_tokens - 1 as int) as e",
+    ).distinct()
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "is_new",
+        F.when(
+            F.col("s")
+            > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        marked.withColumn("grp", F.sum("is_new").over(w_run))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sum(F.col("me") - F.col("ms") + 1)
+        .cast("long")
+        .alias("masked_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+    )
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "lang",
+        f"cast(size({_WINNOW_TOKS_SPARK}) as bigint) as n_tokens",
+    )
+    result = (
+        per_doc.join(docs, "doc_id")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "masked_tokens",
+            "cast(n_tokens - masked_tokens as bigint) as keep_tokens",
+            "n_islands",
         )
-        .limit(500)
+        .orderBy(F.desc("masked_tokens"), "doc_id")
+        .limit(200)
     )
     return materialize_and_release(result, seeds)
