@@ -1364,3 +1364,131 @@ def stream_state_store_inspect(
         )
         # materialize before the checkpoint dir vanishes
         return result.localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------
+# Stream-stream LEFT OUTER join — the semantics the inner interval
+# join above cannot give: views with NO purchase in the following
+# hour must still surface, null-extended, which in a stream requires
+# state EXPIRY (the null row can only be emitted once the watermark
+# proves no match can arrive). Oracle-ability design: null emission
+# happens at watermark-driven eviction, whose exact boundary batch
+# SQL should not have to reproduce — so the query surfaces only
+# PROVABLY-CLOSED views (v_ts a full hour below the final watermark's
+# join-window cutoff: v_ts < max(ts) - 2h delay - 1h window - 1h
+# slack). Inside that region every unmatched view is guaranteed
+# emitted (its state expired at the latest by the final no-data
+# batch) regardless of the engine's strict-vs-non-strict eviction
+# boundary; the boundary rows the engines could disagree on are
+# filtered out of BOTH legs. The stream_append_closed_windows
+# closed-region contract, applied to outer-join state.
+# --------------------------------------------------------------------
+
+_LOJ_ORACLE = """
+WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+v AS (
+  SELECT user_id, ts, event_id FROM events, mx
+  WHERE event_type = 'view' AND ts < mts - INTERVAL 4 HOUR
+),
+p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+lj AS (
+  SELECT v.user_id, v.event_id AS v_id, p.event_id AS p_id
+  FROM v LEFT JOIN p
+    ON v.user_id = p.user_id
+   AND p.ts >= v.ts
+   AND p.ts <= v.ts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       CAST(COUNT(p_id) AS BIGINT) AS n_matched_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN p_id IS NULL THEN v_id END)
+            AS BIGINT) AS n_unmatched_views,
+       CAST(COUNT(DISTINCT v_id) AS BIGINT) AS n_closed_views
+FROM lj
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("stream_stream_left_outer_join_closed", oracle=_LOJ_ORACLE)
+def stream_stream_left_outer_join_closed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join (views
+    null-extended when no purchase follows within the hour), drained
+    with availableNow and aggregated per user over the provably-
+    closed region. See the design comment above for why the closed-
+    region filter (v_ts < max(ts) - 4h, applied to BOTH legs) makes
+    watermark-expiry null emission batch-oracle-able.
+
+    Scale notes: identical state story to the inner variant — the
+    range condition + watermarks bound each side's state; the outer
+    semantics add only the expiry-time null emission, no extra state.
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("v_user", "v_ts", "v_id", "p_id")
+
+    sink = f"stream_loj_{abs(hash(sf_dir)) % 10_000_000}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        with _few_state_partitions(spark):
+            (
+                joined.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        # closed-region cutoff from the STATIC table (deterministic)
+        from workshop3_etl_spark.sources.tables import load_table
+
+        max_ts = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.max("ts").alias("m"))
+            .first()["m"]
+        )
+        result = (
+            spark.table(sink)
+            .filter(
+                F.col("v_ts")
+                < F.lit(max_ts) - F.expr("INTERVAL 4 HOUR")
+            )
+            .groupBy(F.col("v_user").alias("user_id"))
+            .agg(
+                F.count("p_id").cast("long").alias("n_matched_pairs"),
+                F.count_distinct(
+                    F.when(F.col("p_id").isNull(), F.col("v_id"))
+                ).cast("long").alias("n_unmatched_views"),
+                F.count_distinct("v_id").cast("long")
+                .alias("n_closed_views"),
+            )
+            .orderBy("user_id")
+        )
+        return result.localCheckpoint(eager=True)
