@@ -194,7 +194,10 @@ def main() -> None:
         # round-8 flagship: exact-substring run dedup (seed-diagonal-
         # island formulation — one hash equi-join + one bounded
         # window; the quadratic risk is confined to capped hot
-        # k-grams).
+        # k-grams). The removal-accounting leg
+        # (dedup_substring_removal_stats) re-runs the same detection
+        # join + one interval-union window, so it stays out of the
+        # headline (same cost shape, no new physical operator class).
         "dedup_exact_substring_runs",
     ]
     all_queries = registry.queries()

@@ -105,13 +105,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rollup_lineitem_status",
     "scalar_subquery_above_avg",
     "topk_orders_by_price",
-    "union_account_balances",
     "window_percent_rank_orders",
     "text_quality_score",
-    "dedup_ngram_jaccard_blocked",
     # round-8 new operators (changed-code-gets-official-row rule)
     "ml_kmeans_lloyd_embeddings",
     "dedup_exact_substring_runs",
+    "dedup_substring_removal_stats",
+    "stream_stream_left_outer_join_closed",
 )
 
 
