@@ -1158,6 +1158,50 @@ def _km_update_sums(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _km_seed_cents(g: DataFrame, k: int) -> list[list[int]]:
+    """Deterministic seeding: the k corpus vectors with the smallest
+    multiplicative-hash rank (ties by vec_id), as grid-int lists;
+    cell id = rank order."""
+    seed_rows = (
+        g.selectExpr("vec_id", "g", f"{_KM_SEED_H} as h")
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    seed_rows.sort(key=lambda r: (r["h"], r["vec_id"]))
+    return [[int(v) for v in r["g"]] for r in seed_rows]
+
+
+def _km_update_collect(
+    g: DataFrame, cents: list[list[int]]
+) -> list[list[int]]:
+    """One Lloyd step with the K-row centroid frame collected back to
+    the driver (the MLlib driver-held-centers protocol); empty cells
+    keep their previous centroid."""
+    asm = (
+        _km_update_sums(_km_assign(g, cents))
+        .selectExpr(
+            "cell",
+            "dim",
+            # double-domain floor division: engine-stable (never
+            # integer `div`, whose negative semantics diverge
+            # across engines)
+            "cast(floor(cast(s as double) / cast(n as double))"
+            " as bigint) as cg",
+        )
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, cg))),"
+                " t -> t.cg)"
+            ).alias("cg_arr")
+        )
+        .collect()
+    )
+    new = {int(r["cell"]): [int(v) for v in r["cg_arr"]] for r in asm}
+    return [new.get(k, cents[k]) for k in range(len(cents))]
+
+
 def kmeans_lloyd_grid(
     spark: SparkSession,
     sf_dir: str,
@@ -1173,38 +1217,10 @@ def kmeans_lloyd_grid(
     from workshop3_etl_spark.functions.cache import materialize_and_release
 
     g = _km_grid_frame(spark, sf_dir).persist()
-    seed_rows = (
-        g.selectExpr("vec_id", "g", f"{_KM_SEED_H} as h")
-        .orderBy("h", "vec_id")
-        .limit(_KM_K)
-        .collect()
-    )
-    seed_rows.sort(key=lambda r: (r["h"], r["vec_id"]))
-    cents = [[int(v) for v in r["g"]] for r in seed_rows]
+    cents = _km_seed_cents(g, _KM_K)
     history = [cents]
     for _ in range(iters - 1):
-        asm = (
-            _km_update_sums(_km_assign(g, cents))
-            .selectExpr(
-                "cell",
-                "dim",
-                # double-domain floor division: engine-stable (never
-                # integer `div`, whose negative semantics diverge
-                # across engines)
-                "cast(floor(cast(s as double) / cast(n as double))"
-                " as bigint) as cg",
-            )
-            .groupBy("cell")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(dim, cg))),"
-                    " t -> t.cg)"
-                ).alias("cg_arr")
-            )
-            .collect()
-        )
-        new = {int(r["cell"]): [int(v) for v in r["cg_arr"]] for r in asm}
-        cents = [new.get(k, cents[k]) for k in range(_KM_K)]
+        cents = _km_update_collect(g, cents)
         history.append(cents)
     # final step stays distributed: previous-centroid spine (K*D
     # literal ints, broadcast class) left-joined with this step's
@@ -1232,9 +1248,9 @@ def kmeans_lloyd_grid(
     return history, materialize_and_release(out, g)
 
 
-def _kmeans_oracle() -> str:
-    parts = [
-        f"""WITH gv AS (
+# shared corpus CTEs for every k-means oracle (grid corpus, dim
+# spine, long form)
+_KM_BASE_CTES = f"""gv AS (
   SELECT vec_id,
          list_transform(embedding, x ->
            CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_GRID}.0) AS BIGINT)) AS g
@@ -1243,22 +1259,29 @@ def _kmeans_oracle() -> str:
 dims AS (SELECT CAST(unnest(range(1, {_KM_DIM} + 1)) AS INT) AS dim),
 glong AS (
   SELECT vec_id, d.dim, g[d.dim] AS val FROM gv, dims d
-),
-seeds AS (
+)"""
+
+
+def _km_chain_ctes(k: int, sfx: str = "", iters: int = _KM_ITERS) -> str:
+    """The unrolled Lloyd recurrence for a given K as chained CTEs
+    (names suffixed so several K values can share one oracle):
+    seeds{sfx}, c0{sfx}, a1{sfx}..c{iters}{sfx}."""
+    parts = [
+        f"""seeds{sfx} AS (
   SELECT g, CAST(rn - 1 AS INT) AS cell FROM (
     SELECT g, ROW_NUMBER() OVER (
       ORDER BY {_KM_SEED_H}, vec_id) AS rn
     FROM gv
-  ) WHERE rn <= {_KM_K}
+  ) WHERE rn <= {k}
 ),
-c0 AS (
-  SELECT s.cell, d.dim, s.g[d.dim] AS cg FROM seeds s, dims d
+c0{sfx} AS (
+  SELECT s.cell, d.dim, s.g[d.dim] AS cg FROM seeds{sfx} s, dims d
 )"""
     ]
-    for i in range(1, _KM_ITERS + 1):
+    for i in range(1, iters + 1):
         parts.append(
             f""",
-a{i} AS (
+a{i}{sfx} AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
            ROW_NUMBER() OVER (
@@ -1266,33 +1289,35 @@ a{i} AS (
     FROM (
       SELECT gg.vec_id, c.cell,
              SUM((gg.val - c.cg) * (gg.val - c.cg)) AS dist2
-      FROM glong gg JOIN c{i - 1} c USING (dim)
+      FROM glong gg JOIN c{i - 1}{sfx} c USING (dim)
       GROUP BY gg.vec_id, c.cell
     )
   ) WHERE rn = 1
 ),
-u{i} AS (
+u{i}{sfx} AS (
   SELECT a.cell, gg.dim,
          CAST(SUM(gg.val) AS BIGINT) AS s,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM a{i} a JOIN glong gg USING (vec_id)
+  FROM a{i}{sfx} a JOIN glong gg USING (vec_id)
   GROUP BY a.cell, gg.dim
 ),
-c{i} AS (
+c{i}{sfx} AS (
   SELECT p.cell, p.dim,
          COALESCE(CAST(FLOOR(CAST(u.s AS DOUBLE) / CAST(u.n AS DOUBLE))
                        AS BIGINT), p.cg) AS cg,
          CAST(COALESCE(u.n, 0) AS BIGINT) AS n_members
-  FROM c{i - 1} p LEFT JOIN u{i} u USING (cell, dim)
+  FROM c{i - 1}{sfx} p LEFT JOIN u{i}{sfx} u USING (cell, dim)
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle() -> str:
+    return f"""WITH {_KM_BASE_CTES},
+{_km_chain_ctes(_KM_K)}
 SELECT cell, dim, cg AS centroid_grid, n_members
 FROM c{_KM_ITERS}
 ORDER BY cell, dim"""
-    )
-    return "".join(parts)
 
 
 @register("ml_kmeans_lloyd_embeddings", oracle=_kmeans_oracle())
@@ -1310,3 +1335,248 @@ def ml_kmeans_lloyd_embeddings(
     100 TB story."""
     _, out = kmeans_lloyd_grid(spark, sf_dir)
     return out
+
+
+# --------------------------------------------------------------------
+# K-sweep model selection (the elbow curve): train the grid k-means
+# at K = 4, 8, 16 and score each trained quantizer on the corpus —
+# the capability that turns the trainer into a quantizer-selection
+# pipeline (train -> sweep -> freeze, completing the ANN family's
+# build story). Inertia is surfaced as the per-point MEAN grid
+# distance (floor(total / n)): the mean is bounded by the per-point
+# distance bound (< 2^50) at ANY corpus size, so the output stays
+# int64-safe where a raw total would not; the internal total is
+# summed in decimal(38,0) (Spark) / hugeint (DuckDB) — exact, no
+# overflow — and the positive sub-2^64 double casts are the
+# single-rounding case both engines share (functions/canon rule).
+# --------------------------------------------------------------------
+
+_KM_ELBOW_KS = (4, 8, 16)
+
+
+def _km_elbow_oracle() -> str:
+    chains = ",\n".join(
+        _km_chain_ctes(k, sfx=f"_k{k}") for k in _KM_ELBOW_KS
+    )
+    legs = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_used_cells,
+       CAST(FLOOR(CAST(SUM(dist2) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+         AS mean_dist2
+FROM (
+  SELECT vec_id, cell, dist2 FROM (
+    SELECT vec_id, cell, dist2,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+    FROM (
+      SELECT gg.vec_id, c.cell,
+             SUM((gg.val - c.cg) * (gg.val - c.cg)) AS dist2
+      FROM glong gg JOIN c{_KM_ITERS}_k{k} c USING (dim)
+      GROUP BY gg.vec_id, c.cell
+    )
+  ) WHERE rn = 1
+)"""
+        for k in _KM_ELBOW_KS
+    )
+    return f"""WITH {_KM_BASE_CTES},
+{chains}
+SELECT * FROM (
+{legs}
+) ORDER BY k"""
+
+
+@register("ml_kmeans_elbow_inertia", oracle=_km_elbow_oracle())
+def ml_kmeans_elbow_inertia(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Elbow sweep: for K in (4, 8, 16), 3 Lloyd steps on the integer
+    grid from the shared deterministic seeding, then one distributed
+    scoring pass per K over the persisted grid corpus — (k, n_points,
+    n_used_cells, mean_dist2). The training legs use driver-held
+    centroids (K x DIM ints per step); the returned plan is the union
+    of the three scoring aggregates, each one map-only assignment +
+    a 1-row reduction. Oracle: three unrolled Lloyd chains + argmin
+    scoring in one chained-CTE statement."""
+    from functools import reduce
+
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+
+    g = _km_grid_frame(spark, sf_dir).persist()
+    legs = []
+    for k in _KM_ELBOW_KS:
+        cents = _km_seed_cents(g, k)
+        for _ in range(_KM_ITERS):
+            cents = _km_update_collect(g, cents)
+        legs.append(
+            _km_assign(g, cents)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_points"),
+                F.count_distinct("cell").cast("long")
+                .alias("n_used_cells"),
+                F.expr(
+                    "cast(floor(cast(sum(cast(dist2 as decimal(38,0)))"
+                    " as double) / cast(count(1) as double)) as bigint)"
+                ).alias("mean_dist2"),
+            )
+            .selectExpr(
+                f"cast({k} as int) as k",
+                "n_points",
+                "n_used_cells",
+                "mean_dist2",
+            )
+        )
+    result = reduce(DataFrame.unionAll, legs).orderBy("k")
+    return materialize_and_release(result, g)
+
+
+# --------------------------------------------------------------------
+# End-to-end TRAINED ANN: train the coarse quantizer in-engine (the
+# Lloyd trainer above), build the inverted file from its final
+# centroids, probe + exact-rerank — the full IVF lifecycle as engine
+# ops, next to similarity.py's sim_ann_ivf_topk which runs on the
+# FROZEN offline artifact. Everything stays in the integer grid
+# domain end to end: assignment, probing, and the rerank distance
+# are exact bigint sums, so the entire index lifecycle is
+# bit-checkable against one chained-CTE oracle with no float
+# determinism rules at all.
+# --------------------------------------------------------------------
+
+_KM_ANN_QUERIES = 12  # query vectors (vec_id < this)
+_KM_ANN_PROBES = 2  # cells probed per query
+_KM_ANN_TOPK = 5
+
+
+def _km_cell_dists(g: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(vec_id, cell, dist2) exploded over all K cells — the probing
+    form of the assignment pass (argmin keeps only rank 1; probes
+    keep rank <= n_probes)."""
+    folds = ", ".join(
+        "aggregate(zip_with(g, array("
+        + ", ".join(f"{int(v)}L" for v in c)
+        + "), (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+        for c in cents
+    )
+    return (
+        g.selectExpr("vec_id", "g", f"array({folds}) as ds")
+        .select(
+            "vec_id",
+            "g",
+            F.posexplode("ds").alias("cell", "dist2"),
+        )
+        .selectExpr("vec_id", "g", "cast(cell as int) as cell", "dist2")
+    )
+
+
+def _km_ann_oracle() -> str:
+    return f"""WITH {_KM_BASE_CTES},
+{_km_chain_ctes(_KM_K)},
+ad AS (
+  SELECT vec_id, cell, dist2,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+  FROM (
+    SELECT gg.vec_id, c.cell,
+           SUM((gg.val - c.cg) * (gg.val - c.cg)) AS dist2
+    FROM glong gg JOIN c{_KM_ITERS} c USING (dim)
+    GROUP BY gg.vec_id, c.cell
+  )
+),
+inv AS (SELECT vec_id AS candidate_id, cell FROM ad WHERE rn = 1),
+pr AS (
+  SELECT vec_id AS query_id, cell FROM ad
+  WHERE vec_id < {_KM_ANN_QUERIES} AND rn <= {_KM_ANN_PROBES}
+),
+cand AS (
+  SELECT p.query_id, i.candidate_id
+  FROM pr p JOIN inv i USING (cell)
+  WHERE p.query_id <> i.candidate_id
+),
+d AS (
+  SELECT c.query_id, c.candidate_id,
+         CAST(SUM((gq.val - gc.val) * (gq.val - gc.val)) AS BIGINT)
+           AS dist2_grid
+  FROM cand c
+  JOIN glong gq ON gq.vec_id = c.query_id
+  JOIN glong gc ON gc.vec_id = c.candidate_id AND gc.dim = gq.dim
+  GROUP BY c.query_id, c.candidate_id
+)
+SELECT query_id, CAST(rn AS INT) AS rank, candidate_id, dist2_grid
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY dist2_grid, candidate_id) AS rn
+  FROM d
+)
+WHERE rn <= {_KM_ANN_TOPK}
+ORDER BY query_id, rank"""
+
+
+@register("sim_ann_ivf_trained_topk", oracle=_km_ann_oracle())
+def sim_ann_ivf_trained_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN top-k over an IVF index whose coarse quantizer is TRAINED
+    in this very plan (3 grid-Lloyd steps), unlike sim_ann_ivf_topk's
+    frozen offline artifact: assignment builds the inverted file,
+    each query probes its {_KM_ANN_PROBES} nearest trained cells, and
+    only those members are exact-reranked — all in exact bigint grid
+    arithmetic. Spark shape: train (driver-held centroid rounds over
+    the persisted grid) -> one map-only assignment pass -> probe join
+    touching n_probes/K of the index -> per-query top-k window. At
+    corpus scale the inverted file is the persisted artifact and the
+    probe join is the only per-query cost — the recall/latency dial
+    is (K, n_probes), now trainable in-engine end to end."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+
+    g = _km_grid_frame(spark, sf_dir).persist()
+    cents = _km_seed_cents(g, _KM_K)
+    for _ in range(_KM_ITERS):
+        cents = _km_update_collect(g, cents)
+    inv = _km_assign(g, cents).select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("g").alias("cg_vec"),
+        "cell",
+    )
+    probes = (
+        _km_cell_dists(g.filter(F.col("vec_id") < _KM_ANN_QUERIES), cents)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist2", "cell")
+            ),
+        )
+        .filter(F.col("rn") <= _KM_ANN_PROBES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("g").alias("qg"),
+            "cell",
+        )
+    )
+    cand = (
+        probes.join(inv, "cell")
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .selectExpr(
+            "query_id",
+            "candidate_id",
+            "aggregate(zip_with(qg, cg_vec,"
+            " (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x) as dist2_grid",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        "dist2_grid", "candidate_id"
+    )
+    result = (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KM_ANN_TOPK)
+        .select("query_id", "rank", "candidate_id", "dist2_grid")
+        .orderBy("query_id", "rank")
+    )
+    return materialize_and_release(result, g)

@@ -102,16 +102,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_semi_anti_customers",
     "pivot_qty_by_linestatus",
     "profile_corr_pairs",
-    "rollup_lineitem_status",
     "scalar_subquery_above_avg",
     "topk_orders_by_price",
-    "window_percent_rank_orders",
     "text_quality_score",
     # round-8 new operators (changed-code-gets-official-row rule)
     "ml_kmeans_lloyd_embeddings",
     "dedup_exact_substring_runs",
     "dedup_substring_removal_stats",
     "stream_stream_left_outer_join_closed",
+    "ml_kmeans_elbow_inertia",
+    "sim_ann_ivf_trained_topk",
 )
 
 
