@@ -1101,3 +1101,38 @@ def test_streaming_histogram_merge_replay_and_compaction(spark, tmp_path):
         sorted(tuple(r) for r in read_histogram(spark, state).collect())
         == batch_bins
     )
+
+
+def test_quantizer_sums_merge_is_batch_split_invariant(spark, tmp_path):
+    """The quantizer refresh state must be associative: writing the
+    corpus as two epoch partials and merging == the one-shot partial
+    over the full frame (the property that makes the streaming
+    refresh equal the batch Lloyd update under ANY micro-batch
+    split)."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.streaming.rollup import (
+        _batch_quantizer_partial,
+        read_quantizer_sums,
+        write_quantizer_partial,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    state = str(tmp_path / "quant")
+    write_quantizer_partial(emb.where("vec_id % 2 = 0"), 0, state)
+    write_quantizer_partial(emb.where("vec_id % 2 = 1"), 1, state)
+    merged = {
+        (r["cell"], r["dim"]): (r["sg"], r["n"])
+        for r in read_quantizer_sums(spark, state).collect()
+    }
+    oneshot = {
+        (r["cell"], r["dim"]): (r["sg"], r["n"])
+        for r in _batch_quantizer_partial(emb).collect()
+    }
+    assert merged == oneshot
+    # replay idempotence: rewriting epoch 1 must not double-count
+    write_quantizer_partial(emb.where("vec_id % 2 = 1"), 1, state)
+    merged2 = {
+        (r["cell"], r["dim"]): (r["sg"], r["n"])
+        for r in read_quantizer_sums(spark, state).collect()
+    }
+    assert merged2 == oneshot

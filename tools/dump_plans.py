@@ -101,9 +101,16 @@ HEADLINE = [
     # round-7 additions
     "dedup_winnowing_fingerprints",
     "mv_join_incremental_maintenance",
-    # round-8 additions
+    # round-8 additions (stream_stream_left_outer_join_closed and
+    # stream_kmeans_quantizer_refresh are deliberately NOT dumped:
+    # they drain a streaming query and return a localCheckpoint, so
+    # the dumped plan would be a bare RDD scan; their plan evidence
+    # is the batch-equivalence oracle itself)
     "ml_kmeans_lloyd_embeddings",
     "dedup_exact_substring_runs",
+    "dedup_substring_removal_stats",
+    "ml_kmeans_elbow_inertia",
+    "sim_ann_ivf_trained_topk",
 ]
 
 

@@ -1492,3 +1492,134 @@ def stream_stream_left_outer_join_closed(
             .orderBy("user_id")
         )
         return result.localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------
+# Streaming quantizer refresh (streaming/rollup.maintain_quantizer):
+# the k-means UPDATE step's per-(cell, dim) grid sums maintained per
+# micro-batch under the FROZEN production quantizer, then one
+# floor-div pass over the K*D state rows refreshes the centroids —
+# one Lloyd step over everything the stream has seen, without
+# rescanning it. See rollup.py for why THIS (and not mini-batch
+# k-means, which is batch-split-dependent) is the associatively-
+# maintainable form.
+# --------------------------------------------------------------------
+
+
+def _embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings table."""
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _quantizer_refresh_oracle() -> str:
+    from workshop3_etl_spark.operators.similarity import (
+        _dot_duck,
+        _ivf_cells_values_sql,
+    )
+    from workshop3_etl_spark.streaming.rollup import _QUANT_GRID
+
+    return f"""
+WITH cells AS (
+  SELECT * FROM (VALUES
+    {_ivf_cells_values_sql()}
+  ) AS t(cell, centroid, cc)
+),
+v AS (
+  SELECT vec_id, embedding AS ev FROM embeddings
+  WHERE len(embedding) = 64
+),
+asg AS (
+  SELECT vec_id, ev, cell FROM (
+    SELECT v.vec_id, v.ev, cells.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY cells.cc - 2 * {_dot_duck('v.ev', 'cells.centroid')},
+                      cells.cell) AS rn
+    FROM v CROSS JOIN cells
+  ) WHERE rn = 1
+),
+dims AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS dim),
+gl AS (
+  SELECT a.cell, d.dim,
+         CAST(FLOOR(CAST(a.ev[d.dim] AS DOUBLE) * {_QUANT_GRID}.0)
+              AS BIGINT) AS val
+  FROM asg a, dims d
+),
+u AS (
+  SELECT cell, dim, CAST(SUM(val) AS BIGINT) AS sg,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM gl GROUP BY cell, dim
+),
+spine AS (
+  SELECT c.cell, d.dim,
+         CAST(FLOOR(CAST(c.centroid[d.dim] AS DOUBLE) * {_QUANT_GRID}.0)
+              AS BIGINT) AS fg
+  FROM cells c, dims d
+)
+SELECT s.cell, s.dim,
+       COALESCE(CAST(FLOOR(CAST(u.sg AS DOUBLE) / CAST(u.n AS DOUBLE))
+                     AS BIGINT), s.fg) AS centroid_grid,
+       CAST(COALESCE(u.n, 0) AS BIGINT) AS n_members
+FROM spine s LEFT JOIN u USING (cell, dim)
+ORDER BY cell, dim
+"""
+
+
+@register(
+    "stream_kmeans_quantizer_refresh", oracle=_quantizer_refresh_oracle()
+)
+def stream_kmeans_quantizer_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Refreshed quantizer centroids from the streaming-maintained
+    grid sums: (cell, dim, centroid_grid, n_members) — empty cells
+    keep the frozen centroid's grid coordinates at n_members = 0.
+    Batch equivalence (what the oracle asserts): the maintained state
+    is a per-(cell, dim) integer sum, associative under ANY
+    micro-batch split, so the refreshed centroids equal the one-shot
+    batch Lloyd update over the full corpus."""
+    import math
+
+    from workshop3_etl_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from workshop3_etl_spark.streaming.rollup import (
+        _QUANT_GRID,
+        maintain_quantizer,
+        read_quantizer_sums,
+    )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        state = f"{workdir}/quant"
+        with _few_state_partitions(spark):
+            maintain_quantizer(
+                spark,
+                _embeddings_stream(spark, sf_dir),
+                state,
+                f"{workdir}/ck",
+            )
+        spine = spark.createDataFrame(
+            [
+                (k, d + 1, math.floor(c[d] * float(_QUANT_GRID)))
+                for k, c in enumerate(IVF_CENTROIDS)
+                for d in range(64)
+            ],
+            "cell int, dim int, fg long",
+        )
+        merged = read_quantizer_sums(spark, state)
+        result = (
+            spine.join(F.broadcast(merged), ["cell", "dim"], "left")
+            .selectExpr(
+                "cell",
+                "dim",
+                "coalesce(cast(floor(cast(sg as double)"
+                " / cast(n as double)) as bigint), fg) as centroid_grid",
+                "coalesce(n, 0L) as n_members",
+            )
+            .orderBy("cell", "dim")
+        )
+        # materialize before the state dir vanishes
+        return result.localCheckpoint(eager=True)

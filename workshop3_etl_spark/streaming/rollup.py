@@ -627,3 +627,117 @@ def compact_histogram(
     compact_partials(
         spark, state_path, through_epoch, fold, partition_cols=("epoch",)
     )
+
+
+# --------------------------------------------------------------------
+# Incrementally-maintained QUANTIZER refresh sums: the k-means UPDATE
+# step's sufficient statistics — per-(cell, dim) integer-grid sums
+# under the FROZEN production quantizer (operators/ivf_centroids.py)
+# — maintained per micro-batch. Mini-batch k-means itself is order-
+# dependent (centroids move between batches), so it cannot be
+# batch-split-invariantly oracled; the production-shaped alternative
+# IS associative: keep assigning with the shipped quantizer, let the
+# K*D grid sums accumulate, and "refresh the model" = one floor-div
+# pass over O(K*D) state rows (one Lloyd step over everything seen),
+# never a rescan. Completes the maintained-state family: CMS = sum,
+# HLL = max, OLS = moment sums, histogram = per-bin sum,
+# quantizer = per-(cell, dim) grid sums.
+# --------------------------------------------------------------------
+
+_QUANT_GRID = 2097152  # 2^21 — the ml.py k-means grid canon
+
+
+def _batch_quantizer_partial(batch: DataFrame) -> DataFrame:
+    """One micro-batch's (cell, dim, sg, n) grid sums: frozen-cell
+    assignment (broadcast 16-literal-cell argmin — the semdedup /
+    IVF protocol) + posexplode of the grid ints."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.operators.similarity import (
+        _ivf_cells_df,
+        dot_fold,
+    )
+
+    v = batch.filter(F.expr("size(embedding) = 64")).select(
+        "vec_id", F.col("embedding").alias("ev")
+    )
+    scored = v.crossJoin(
+        F.broadcast(_ivf_cells_df(batch.sparkSession))
+    ).select(
+        "vec_id",
+        "ev",
+        "cell",
+        (F.col("cc") - 2 * dot_fold("ev", "centroid")).alias("adist"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.asc("adist"), F.asc("cell")
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .selectExpr(
+            "cell",
+            f"transform(ev, x -> cast(floor(cast(x as double)"
+            f" * {_QUANT_GRID}.0) as bigint)) as g",
+        )
+    )
+    return (
+        assigned.select("cell", F.posexplode("g").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.sum("val").cast("long").alias("sg"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .selectExpr("cell", "cast(pos + 1 as int) as dim", "sg", "n")
+    )
+
+
+def write_quantizer_partial(
+    batch: DataFrame, epoch_id: int, state_path: str
+) -> None:
+    """foreachBatch body: one micro-batch's grid-sum rows under its
+    epoch partition (idempotent under replay)."""
+    from workshop3_etl_spark.sources.lakehouse import (
+        dynamic_partition_overwrite,
+    )
+
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return
+    b = _batch_quantizer_partial(batch).withColumn(
+        "epoch", F.lit(int(epoch_id))
+    )
+    with dynamic_partition_overwrite(spark):
+        b.write.mode("overwrite").partitionBy("epoch").parquet(state_path)
+
+
+def maintain_quantizer(
+    spark: SparkSession,
+    embeddings_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Run grid-sum maintenance to completion (availableNow)."""
+    (
+        embeddings_stream.writeStream.foreachBatch(
+            lambda b, epoch: write_quantizer_partial(b, epoch, state_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_quantizer_sums(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """The merged per-(cell, dim) sums over the live partials."""
+    return (
+        _read_live(spark, state_path)
+        .groupBy("cell", "dim")
+        .agg(
+            F.sum("sg").cast("long").alias("sg"),
+            F.sum("n").cast("long").alias("n"),
+        )
+    )
