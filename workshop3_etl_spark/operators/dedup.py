@@ -2030,3 +2030,110 @@ def dedup_substring_removal_stats(
         .limit(200)
     )
     return materialize_and_release(result, seeds)
+
+
+# Family report: connected components over the substring-run pair
+# graph — documents linked by ANY exact shared run >= L_SUBRUN tokens
+# form a boilerplate FAMILY (license blocks, templates, mirrored
+# articles). Composes the two existing capabilities: substring_runs
+# supplies the edges, connected_component_labels supplies the
+# clustering; per-family totals then ride one doc_a-side label join.
+_SUBRUN_FAMILIES_ORACLE = f"""
+WITH RECURSIVE {_SUBRUN_RUNS_CTES},
+pe AS (
+  SELECT doc_a, doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_runs,
+         CAST(SUM(run_tokens) AS BIGINT) AS run_tokens,
+         CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens
+  FROM runs GROUP BY doc_a, doc_b
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pe
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pe
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, lab) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.doc = e.src
+),
+comps AS (
+  SELECT doc, MIN(lab) AS comp FROM reach GROUP BY doc
+),
+fam_docs AS (
+  SELECT comp AS family, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM comps GROUP BY comp
+),
+fam_pairs AS (
+  SELECT c.comp AS family,
+         CAST(COUNT(*) AS BIGINT) AS n_doc_pairs,
+         CAST(SUM(pe.n_runs) AS BIGINT) AS n_runs,
+         CAST(SUM(pe.run_tokens) AS BIGINT) AS total_run_tokens,
+         CAST(MAX(pe.max_run_tokens) AS BIGINT) AS max_run_tokens
+  FROM pe JOIN comps c ON pe.doc_a = c.doc
+  GROUP BY c.comp
+)
+SELECT d.family, d.n_docs, p.n_doc_pairs, p.n_runs,
+       p.total_run_tokens, p.max_run_tokens
+FROM fam_docs d JOIN fam_pairs p USING (family)
+ORDER BY d.n_docs DESC, p.total_run_tokens DESC, d.family
+LIMIT 100
+"""
+
+
+@register("dedup_substring_run_families", oracle=_SUBRUN_FAMILIES_ORACLE)
+def dedup_substring_run_families(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Boilerplate families: connected components over the exact-
+    substring-run pair graph, with per-family document counts and
+    shared-run totals — the corpus-level view of which document
+    CLUSTERS share long exact text (detection -> pair report ->
+    family report completes the sub-document dedup funnel). Same
+    iterative min-label/pointer-jumping engine as
+    dedup_connected_components; the oracle re-derives families with
+    a recursive CTE over the shared runs chain."""
+    runs, seeds = substring_runs(spark, sf_dir)
+    pe = runs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum("run_tokens").cast("long").alias("run_tokens"),
+        F.max("run_tokens").cast("long").alias("max_run_tokens"),
+    )
+    edges = (
+        pe.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pe.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = connected_component_labels(edges)
+    fam_docs = labels.groupBy(F.col("comp").alias("family")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    fam_pairs = (
+        pe.join(labels, pe.doc_a == labels.doc)
+        .groupBy(F.col("comp").alias("family"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_doc_pairs"),
+            F.sum("n_runs").cast("long").alias("n_runs"),
+            F.sum("run_tokens").cast("long").alias("total_run_tokens"),
+            F.max("max_run_tokens").cast("long").alias("max_run_tokens"),
+        )
+    )
+    result = (
+        fam_docs.join(fam_pairs, "family")
+        .select(
+            "family", "n_docs", "n_doc_pairs", "n_runs",
+            "total_run_tokens", "max_run_tokens",
+        )
+        .orderBy(
+            F.desc("n_docs"), F.desc("total_run_tokens"), "family"
+        )
+        .limit(100)
+    )
+    return materialize_and_release(
+        result, seeds, edges, labels._ckpt_source
+    )

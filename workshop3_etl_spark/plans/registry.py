@@ -99,7 +99,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_exact_documents",
     "dedup_minhash_lsh_candidates",
     "join_outer_part_sales",
-    "pivot_qty_by_linestatus",
     "profile_corr_pairs",
     "scalar_subquery_above_avg",
     "topk_orders_by_price",
@@ -112,6 +111,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ml_kmeans_elbow_inertia",
     "sim_ann_ivf_trained_topk",
     "stream_kmeans_quantizer_refresh",
+    "dedup_substring_run_families",
 )
 
 
