@@ -851,3 +851,97 @@ def test_substring_removal_matches_bruteforce_interval_union(spark):
     }
     assert len(expected) <= 200  # LIMIT headroom at this SF
     assert got == expected
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(list("abcd")), min_size=8, max_size=40
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    st.data(),
+)
+def test_substring_runs_detect_planted_runs(spark, docs_tokens, data):
+    """Adversarial planted-run property: plant a shared token run of
+    known length at arbitrary positions in two generated documents;
+    the operator must report a run covering the plant with at least
+    its length (longer is legal — surrounding tokens may extend it),
+    on alphabet-4 token soup full of short accidental matches."""
+    from workshop3_etl_spark.operators.dedup import (
+        K_SUBRUN,
+        L_SUBRUN,
+    )
+
+    run_len = data.draw(st.integers(L_SUBRUN, L_SUBRUN + 10))
+    # the plant uses tokens outside the soup alphabet so its TRUE
+    # maximal extent is exactly what we planted
+    plant = [f"P{i}" for i in range(run_len)]
+    pos_a = data.draw(
+        st.integers(0, len(docs_tokens[0]))
+    )
+    pos_b = data.draw(st.integers(0, len(docs_tokens[1])))
+    toks = [list(t) for t in docs_tokens]
+    toks[0] = toks[0][:pos_a] + plant + toks[0][pos_a:]
+    toks[1] = toks[1][:pos_b] + plant + toks[1][pos_b:]
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(toks)],
+        "doc_id long, text string",
+    )
+    # substring_runs takes (spark, sf_dir); drive the same pipeline
+    # pieces directly over the generated frame
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.dedup import (
+        CAP_SUBRUN,
+        substring_run_seeds,
+    )
+
+    seeds = substring_run_seeds(df)
+    hot = (
+        seeds.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > CAP_SUBRUN)
+    )
+    capped = seeds.join(hot, "h", "left_anti")
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("p1"), "h"
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("p2"), "h"
+    )
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "p1", "p2",
+            (F.col("p1") - F.col("p2")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("p1")
+    got = (
+        pairs.withColumn("isl", F.col("p1") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("p1").alias("a_start"),
+            F.min("p2").alias("b_start"),
+            (F.count(F.lit(1)) + F.lit(K_SUBRUN - 1)).alias("rt"),
+        )
+        .filter((F.col("doc_a") == 0) & (F.col("doc_b") == 1))
+        .collect()
+    )
+    covering = [
+        r
+        for r in got
+        if r["a_start"] <= pos_a + 1
+        and r["a_start"] + r["rt"] >= pos_a + 1 + run_len
+        and r["rt"] >= run_len
+    ]
+    assert covering, (toks, got, pos_a, pos_b, run_len)
