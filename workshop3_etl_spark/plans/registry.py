@@ -101,7 +101,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_outer_part_sales",
     "profile_corr_pairs",
     "scalar_subquery_above_avg",
-    "topk_orders_by_price",
     "text_quality_score",
     # round-8 new operators (changed-code-gets-official-row rule)
     "ml_kmeans_lloyd_embeddings",
@@ -112,6 +111,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ann_ivf_trained_topk",
     "stream_kmeans_quantizer_refresh",
     "dedup_substring_run_families",
+    "embedding_quantizer_drift",
 )
 
 

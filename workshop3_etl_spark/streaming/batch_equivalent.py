@@ -1623,3 +1623,126 @@ def stream_kmeans_quantizer_refresh(
         )
         # materialize before the state dir vanishes
         return result.localCheckpoint(eager=True)
+
+
+# Drift monitor on top of the refresh: per-cell squared grid distance
+# between the refreshed centroid and the shipped (frozen) one — the
+# "when to retrain the quantizer" signal. Exact bigint per cell
+# (<= 64 * (2^22)^2 = 2^50 regardless of corpus size). Uses the
+# batch form of the update (proven equal to the streamed state by
+# the associativity test + the refresh oracle).
+_QUANT_DRIFT_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM (VALUES
+    {{cells}}
+  ) AS t(cell, centroid, cc)
+),
+v AS (
+  SELECT vec_id, embedding AS ev FROM embeddings
+  WHERE len(embedding) = 64
+),
+asg AS (
+  SELECT vec_id, ev, cell FROM (
+    SELECT v.vec_id, v.ev, cells.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY cells.cc - 2 * {{dot}},
+                      cells.cell) AS rn
+    FROM v CROSS JOIN cells
+  ) WHERE rn = 1
+),
+dims AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS dim),
+gl AS (
+  SELECT a.cell, d.dim,
+         CAST(FLOOR(CAST(a.ev[d.dim] AS DOUBLE) * {{grid}}.0)
+              AS BIGINT) AS val
+  FROM asg a, dims d
+),
+u AS (
+  SELECT cell, dim, CAST(SUM(val) AS BIGINT) AS sg,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM gl GROUP BY cell, dim
+),
+spine AS (
+  SELECT c.cell, d.dim,
+         CAST(FLOOR(CAST(c.centroid[d.dim] AS DOUBLE) * {{grid}}.0)
+              AS BIGINT) AS fg
+  FROM cells c, dims d
+),
+ref AS (
+  SELECT s.cell, s.dim, s.fg,
+         COALESCE(CAST(FLOOR(CAST(u.sg AS DOUBLE) / CAST(u.n AS DOUBLE))
+                       AS BIGINT), s.fg) AS rg,
+         COALESCE(u.n, 0) AS n
+  FROM spine s LEFT JOIN u USING (cell, dim)
+)
+SELECT cell,
+       CAST(MAX(n) AS BIGINT) AS n_members,
+       CAST(SUM((rg - fg) * (rg - fg)) AS BIGINT) AS drift2_grid
+FROM ref
+GROUP BY cell
+ORDER BY drift2_grid DESC, cell
+"""
+
+
+def _quant_drift_oracle() -> str:
+    from workshop3_etl_spark.operators.similarity import (
+        _dot_duck,
+        _ivf_cells_values_sql,
+    )
+    from workshop3_etl_spark.streaming.rollup import _QUANT_GRID
+
+    return _QUANT_DRIFT_ORACLE.format(
+        cells=_ivf_cells_values_sql(),
+        dot=_dot_duck("v.ev", "cells.centroid"),
+        grid=_QUANT_GRID,
+    )
+
+
+@register("embedding_quantizer_drift", oracle=_quant_drift_oracle())
+def embedding_quantizer_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-cell quantizer drift: squared grid distance between each
+    refreshed centroid (one Lloyd update over the corpus, the batch
+    twin of stream_kmeans_quantizer_refresh's state) and the frozen
+    production centroid, with the cell's member count — the retrain
+    trigger signal (big drift2_grid + big n_members = the shipped
+    quantizer no longer represents its cell). Empty cells drift 0 by
+    definition."""
+    import math
+
+    from workshop3_etl_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from workshop3_etl_spark.sources.tables import load_table
+    from workshop3_etl_spark.streaming.rollup import (
+        _QUANT_GRID,
+        _batch_quantizer_partial,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    spine = spark.createDataFrame(
+        [
+            (k, d + 1, math.floor(c[d] * float(_QUANT_GRID)))
+            for k, c in enumerate(IVF_CENTROIDS)
+            for d in range(64)
+        ],
+        "cell int, dim int, fg long",
+    )
+    u = _batch_quantizer_partial(emb)
+    ref = spine.join(F.broadcast(u), ["cell", "dim"], "left").selectExpr(
+        "cell",
+        "fg",
+        "coalesce(cast(floor(cast(sg as double) / cast(n as double))"
+        " as bigint), fg) as rg",
+        "coalesce(n, 0L) as n",
+    )
+    return (
+        ref.groupBy("cell")
+        .agg(
+            F.max("n").cast("long").alias("n_members"),
+            F.sum((F.col("rg") - F.col("fg")) * (F.col("rg") - F.col("fg")))
+            .cast("long")
+            .alias("drift2_grid"),
+        )
+        .orderBy(F.desc("drift2_grid"), "cell")
+    )
