@@ -853,6 +853,76 @@ def test_substring_removal_matches_bruteforce_interval_union(spark):
     assert got == expected
 
 
+def test_remove_substring_runs_matches_accounting(spark):
+    """The removal ACTION is in-plan consistent with the removal
+    ACCOUNTING: per masked doc, corpus_remove_substring_runs'
+    kept_tokens == dedup_substring_removal_stats' keep_tokens; every
+    unmasked doc passes through verbatim; and the cleaned text always
+    re-tokenizes to exactly kept_tokens tokens."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.dedup import (
+        corpus_remove_substring_runs,
+        dedup_substring_removal_stats,
+    )
+
+    stats = {
+        r["doc_id"]: r["keep_tokens"]
+        for r in dedup_substring_removal_stats(spark, SF_SMOKE).collect()
+    }
+    originals = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t != ""]
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+    cleaned = corpus_remove_substring_runs(spark, SF_SMOKE).collect()
+    assert {r["doc_id"] for r in cleaned} == set(originals)
+    assert len(stats) > 0  # the SF actually exercises masking
+    for r in cleaned:
+        toks = [t for t in r["cleaned_text"].split(" ") if t != ""]
+        assert len(toks) == r["kept_tokens"]
+        orig = originals[r["doc_id"]]
+        assert r["n_tokens"] == len(orig)
+        if r["doc_id"] in stats:
+            assert r["kept_tokens"] == stats[r["doc_id"]]
+            # removal is a subsequence drop, never a rewrite
+            it = iter(orig)
+            assert all(t in it for t in toks)
+        else:
+            assert toks == orig
+
+
+def test_remove_substring_runs_roundtrip_no_masked_pairs(spark):
+    """Round trip: re-running detection on the CLEANED corpus finds
+    no shared run >= L_SUBRUN between any formerly-masked pair — the
+    all-but-one-occurrence guarantee of the removal action."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.dedup import (
+        corpus_remove_substring_runs,
+        substring_runs,
+        substring_runs_frame,
+    )
+
+    runs0, seeds0 = substring_runs(spark, SF_SMOKE)
+    former_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in runs0.select("doc_a", "doc_b").distinct().collect()
+    }
+    seeds0.unpersist()
+    assert former_pairs  # the SF actually exercises the detector
+
+    cleaned_docs = corpus_remove_substring_runs(
+        spark, SF_SMOKE
+    ).selectExpr("doc_id", "cleaned_text as text")
+    runs1, seeds1 = substring_runs_frame(cleaned_docs)
+    after_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in runs1.select("doc_a", "doc_b").distinct().collect()
+    }
+    seeds1.unpersist()
+    assert after_pairs & former_pairs == set()
+
+
 @settings(
     max_examples=12,
     deadline=None,

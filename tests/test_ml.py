@@ -249,3 +249,61 @@ def test_trained_ivf_recall_beats_probe_baseline(spark):
         hits += len(true & got.get(q, set()))
     recall = hits / (_KM_ANN_QUERIES * _KM_ANN_TOPK)
     assert recall >= 0.35, recall
+
+
+def test_trained_pq_recall_and_training_gain(spark):
+    """The in-engine-trained PQ index (a) retrieves most of the TRUE
+    grid top-5 (exact numpy brute force) through its 50-candidate ADC
+    shortlist — measured 0.80 on this corpus, pinned >= 0.6 (a random
+    50/500 shortlist would land ~0.1) — and (b) the 3 Lloyd steps
+    actually train: total per-subspace quantization error of the
+    trained books is well below the seed books' (measured 0.74x,
+    pinned <= 0.9x)."""
+    import numpy as np
+
+    from tests.conftest import SF_CORRECT
+    from workshop3_etl_spark.ml import (
+        _KM_ANN_QUERIES,
+        _KM_ANN_TOPK,
+        _PQT_ITERS,
+        _PQT_M,
+        _PQT_SUB,
+        _km_grid_frame,
+        _pqt_seed_books,
+        _pqt_update_collect,
+        sim_ann_pq_trained_topk,
+    )
+
+    rows = _km_grid_frame(spark, SF_CORRECT).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    G = np.array([r["g"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids, G = ids[order], G[order]
+    got = {}
+    for r in sim_ann_pq_trained_topk(spark, SF_CORRECT).collect():
+        got.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    hits = 0
+    for q in range(_KM_ANN_QUERIES):
+        d2 = ((G - G[q]) ** 2).sum(axis=1)
+        d2[q] = np.iinfo(np.int64).max
+        true = set(ids[np.lexsort((ids, d2))][:_KM_ANN_TOPK])
+        hits += len(true & got.get(q, set()))
+    recall = hits / (_KM_ANN_QUERIES * _KM_ANN_TOPK)
+    assert recall >= 0.6, recall
+
+    g = _km_grid_frame(spark, SF_CORRECT)
+    books0 = _pqt_seed_books(g)
+    books = books0
+    for _ in range(_PQT_ITERS):
+        books = _pqt_update_collect(g, books)
+
+    def qerr(bks):
+        tot = 0
+        for m in range(_PQT_M):
+            sub = G[:, m * _PQT_SUB : (m + 1) * _PQT_SUB]
+            cents = np.array(bks[m], dtype=np.int64)
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            tot += int(d.min(axis=1).sum())
+        return tot
+
+    assert qerr(books) <= 0.9 * qerr(books0), (qerr(books), qerr(books0))

@@ -44,10 +44,13 @@ def main() -> int:
         new = json.load(open("bench_detail.json"))
         threshold = float(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_THRESHOLD
 
-    if old.get("sf") != new.get("sf") and "sf" in old and "sf" in new:
+    # warn on mismatch OR on a missing sf key in either file — a
+    # sidecar without an sf stamp could be from any scale factor, so
+    # silence would let incomparable ratios gate the commit (ADVICE r8)
+    if old.get("sf") != new.get("sf"):
         print(
-            f"WARNING: sf mismatch (old {old.get('sf')} vs new "
-            f"{new.get('sf')}) — ratios are not comparable"
+            f"WARNING: sf mismatch or missing (old {old.get('sf')} vs "
+            f"new {new.get('sf')}) — ratios are not comparable"
         )
     oq, nq = old["queries"], new["queries"]
     common = sorted(set(oq) & set(nq))

@@ -1580,3 +1580,350 @@ def sim_ann_ivf_trained_topk(
         .orderBy("query_id", "rank")
     )
     return materialize_and_release(result, g)
+
+
+# --------------------------------------------------------------------
+# TRAINED product quantization (the r8 verdict's last frozen
+# artifact): per-subspace Lloyd ON THE INTEGER GRID, trained in this
+# very plan — closing the train->serve story for the FINE quantizer
+# tier the way ml_kmeans_lloyd_embeddings closed it for the coarse
+# tier. similarity.py's sim_ann_pq_adc_topk serves the FROZEN offline
+# codebooks (ivf_centroids.py PQ_CODEBOOKS); this operator trains the
+# M x K codebooks end to end with the exact-bigint machinery above.
+#
+# Structure: a 64-d grid vector is M=8 subvectors of 8 dims; each
+# subspace trains its own K=16 codebook with the identical Lloyd
+# recurrence (seeding = subvectors of the SAME deterministic seed
+# rows, so the oracle shares the seeds CTE shape). All 8 subspace
+# trainings run in ONE pass per Lloyd step: assignment is a map-only
+# fold against the M*K driver-held literal centroids, and the update
+# is a single (m, code, sdim)-grouped integer-sum shuffle (M*K*SUB =
+# 1024 groups — the same map-side-combinable shape as the coarse
+# trainer's (cell, dim) grid).
+#
+# Serving (ADC): candidates carry ONLY their M codes (the 32x
+# compression that makes PQ the memory-bound scale path); the
+# approximate distance folds each query subvector against the literal
+# trained codebook entry selected by the candidate's code — a pure
+# map-side expression over broadcast queries, NO shuffle until the
+# per-query top-RERANK window. (The frozen-artifact sim_ann_pq_adc_topk
+# demonstrates the hoisted per-query LUT + equi-join form; at corpus
+# scale the LUT saves ~8x arithmetic per candidate — here the literal
+# fold keeps the whole scan map-only and bit-oracle-able.) Shortlist
+# then exact-reranks against raw grid vectors. Every distance in the
+# plan is an exact bigint, so train AND serve hash-match one unrolled
+# chained-CTE oracle with zero float rules.
+# --------------------------------------------------------------------
+
+_PQT_M = 8  # subspaces
+_PQT_SUB = 8  # dims per subspace (= _KM_DIM / _PQT_M)
+_PQT_K = 16  # codes per subspace
+_PQT_ITERS = _KM_ITERS  # unrolled Lloyd steps per subspace
+_PQT_RERANK = 50  # ADC shortlist handed to the exact reranker
+
+
+def _pqt_seed_books(g: DataFrame) -> list[list[list[int]]]:
+    """books[m][k] = 8-int grid centroid: subvector m of deterministic
+    seed row k (the coarse trainer's seeding, sliced per subspace)."""
+    seeds = _km_seed_cents(g, _PQT_K)
+    return [
+        [seeds[k][m * _PQT_SUB : (m + 1) * _PQT_SUB] for k in range(_PQT_K)]
+        for m in range(_PQT_M)
+    ]
+
+
+def _pqt_fold(vec_expr: str, cent: list[int], off: int) -> str:
+    """Exact bigint squared distance of subvector [off+1, off+SUB] of
+    ``vec_expr`` to an 8-int literal centroid."""
+    lits = ", ".join(f"{int(v)}L" for v in cent)
+    return (
+        f"aggregate(zip_with(slice({vec_expr}, {off + 1}, {_PQT_SUB}),"
+        f" array({lits}), (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+
+
+def _pqt_assign(g: DataFrame, books: list[list[list[int]]]) -> DataFrame:
+    """(vec_id, g, codes array<int>): map-only per-subspace argmin
+    against the M*K driver-held literal centroids (ties -> lowest
+    code, mirrored by the oracle's ORDER BY dist2, code)."""
+    ds_cols = [
+        "array("
+        + ", ".join(
+            _pqt_fold("g", books[m][k], m * _PQT_SUB)
+            for k in range(_PQT_K)
+        )
+        + f") as ds{m}"
+        for m in range(_PQT_M)
+    ]
+    codes = ", ".join(
+        f"cast(array_position(ds{m}, array_min(ds{m})) - 1 as int)"
+        for m in range(_PQT_M)
+    )
+    return g.selectExpr("vec_id", "g", *ds_cols).selectExpr(
+        "vec_id", "g", f"array({codes}) as codes"
+    )
+
+
+def _pqt_update_sums(assigned: DataFrame) -> DataFrame:
+    """The one shuffle of a per-subspace Lloyd step: (m, code, sdim,
+    grid value) into an M*K*SUB-group integer aggregate."""
+    subs = ", ".join(
+        f"struct({m} as m, element_at(codes, {m + 1}) as code,"
+        f" slice(g, {m * _PQT_SUB + 1}, {_PQT_SUB}) as sv)"
+        for m in range(_PQT_M)
+    )
+    return (
+        assigned.selectExpr("explode(array(" + subs + ")) as t")
+        .select(
+            F.col("t.m").alias("m"),
+            F.col("t.code").alias("code"),
+            F.posexplode("t.sv").alias("pos", "val"),
+        )
+        .groupBy("m", "code", "pos")
+        .agg(
+            F.sum("val").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .selectExpr("m", "code", "cast(pos + 1 as int) as sdim", "s", "n")
+    )
+
+
+def _pqt_update_collect(
+    g: DataFrame, books: list[list[list[int]]]
+) -> list[list[list[int]]]:
+    """One Lloyd step over all M subspaces at once, with the M*K*SUB
+    centroid grid collected back to the driver (the driver-held-
+    centers protocol, corpus-independent at O(M*K*SUB) ints); empty
+    (m, code) cells keep their previous centroid."""
+    rows = (
+        _pqt_update_sums(_pqt_assign(g, books))
+        .selectExpr(
+            "m",
+            "code",
+            "sdim",
+            # double-domain floor division (engine-stable; canon rule)
+            "cast(floor(cast(s as double) / cast(n as double))"
+            " as bigint) as cg",
+        )
+        .collect()
+    )
+    new = {
+        (int(r["m"]), int(r["code"]), int(r["sdim"])): int(r["cg"])
+        for r in rows
+    }
+    return [
+        [
+            [
+                new.get((m, k, d + 1), books[m][k][d])
+                for d in range(_PQT_SUB)
+            ]
+            for k in range(_PQT_K)
+        ]
+        for m in range(_PQT_M)
+    ]
+
+
+def _pqt_chain_ctes() -> str:
+    """The unrolled per-subspace Lloyd recurrence as chained CTEs
+    (requires _KM_BASE_CTES in scope): pglong, pseeds, pb0,
+    ppa1..pb{ITERS}."""
+    parts = [
+        f"""pglong AS (
+  SELECT vec_id, CAST((dim - 1) // {_PQT_SUB} AS INT) AS m,
+         CAST((dim - 1) % {_PQT_SUB} + 1 AS INT) AS sdim, val
+  FROM glong
+),
+pseeds AS (
+  SELECT g, CAST(rn - 1 AS INT) AS code FROM (
+    SELECT g, ROW_NUMBER() OVER (
+      ORDER BY {_KM_SEED_H}, vec_id) AS rn
+    FROM gv
+  ) WHERE rn <= {_PQT_K}
+),
+pm AS (SELECT CAST(unnest(range(0, {_PQT_M})) AS INT) AS m),
+psd AS (SELECT CAST(unnest(range(1, {_PQT_SUB} + 1)) AS INT) AS sdim),
+pb0 AS (
+  SELECT pm.m, s.code, psd.sdim,
+         s.g[pm.m * {_PQT_SUB} + psd.sdim] AS cg
+  FROM pseeds s, pm, psd
+)"""
+    ]
+    for i in range(1, _PQT_ITERS + 1):
+        parts.append(
+            f""",
+ppa{i} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id, m ORDER BY dist2, code) AS rn
+    FROM (
+      SELECT p.vec_id, p.m, c.code,
+             SUM((p.val - c.cg) * (p.val - c.cg)) AS dist2
+      FROM pglong p JOIN pb{i - 1} c
+        ON p.m = c.m AND p.sdim = c.sdim
+      GROUP BY p.vec_id, p.m, c.code
+    )
+  ) WHERE rn = 1
+),
+ppu{i} AS (
+  SELECT a.m, a.code, p.sdim,
+         CAST(SUM(p.val) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ppa{i} a JOIN pglong p
+    ON a.vec_id = p.vec_id AND a.m = p.m
+  GROUP BY a.m, a.code, p.sdim
+),
+pb{i} AS (
+  SELECT c.m, c.code, c.sdim,
+         COALESCE(CAST(FLOOR(CAST(u.s AS DOUBLE) / CAST(u.n AS DOUBLE))
+                       AS BIGINT), c.cg) AS cg
+  FROM pb{i - 1} c LEFT JOIN ppu{i} u
+    ON c.m = u.m AND c.code = u.code AND c.sdim = u.sdim
+)"""
+        )
+    return "".join(parts)
+
+
+def _pqt_ann_oracle() -> str:
+    fb = f"pb{_PQT_ITERS}"  # final trained books
+    return f"""WITH {_KM_BASE_CTES},
+{_pqt_chain_ctes()},
+enc AS (
+  SELECT vec_id AS candidate_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id, m ORDER BY dist2, code) AS rn
+    FROM (
+      SELECT p.vec_id, p.m, c.code,
+             SUM((p.val - c.cg) * (p.val - c.cg)) AS dist2
+      FROM pglong p JOIN {fb} c ON p.m = c.m AND p.sdim = c.sdim
+      GROUP BY p.vec_id, p.m, c.code
+    )
+  ) WHERE rn = 1
+),
+qlut AS (
+  SELECT p.vec_id AS query_id, c.m, c.code,
+         SUM((p.val - c.cg) * (p.val - c.cg)) AS pdist
+  FROM pglong p JOIN {fb} c ON p.m = c.m AND p.sdim = c.sdim
+  WHERE p.vec_id < {_KM_ANN_QUERIES}
+  GROUP BY p.vec_id, c.m, c.code
+),
+approx AS (
+  SELECT l.query_id, e.candidate_id,
+         CAST(SUM(l.pdist) AS BIGINT) AS adist
+  FROM enc e JOIN qlut l ON e.m = l.m AND e.code = l.code
+  WHERE l.query_id <> e.candidate_id
+  GROUP BY l.query_id, e.candidate_id
+),
+short AS (
+  SELECT query_id, candidate_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adist, candidate_id) AS sr
+    FROM approx
+  ) WHERE sr <= {_PQT_RERANK}
+),
+ex AS (
+  SELECT s.query_id, s.candidate_id,
+         CAST(SUM((gq.val - gc.val) * (gq.val - gc.val)) AS BIGINT)
+           AS dist2_grid
+  FROM short s
+  JOIN glong gq ON gq.vec_id = s.query_id
+  JOIN glong gc ON gc.vec_id = s.candidate_id AND gc.dim = gq.dim
+  GROUP BY s.query_id, s.candidate_id
+)
+SELECT query_id, CAST(rn AS INT) AS rank, candidate_id, dist2_grid
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY dist2_grid, candidate_id) AS rn
+  FROM ex
+)
+WHERE rn <= {_KM_ANN_TOPK}
+ORDER BY query_id, rank"""
+
+
+@register("sim_ann_pq_trained_topk", oracle=_pqt_ann_oracle())
+def sim_ann_pq_trained_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN top-k over a product-quantization index whose M=8 x K=16
+    sub-codebooks are TRAINED in this very plan (3 per-subspace grid-
+    Lloyd steps — all 8 subspaces per pass), then served ADC-style:
+    candidates reduced to their 8 codes, approximate distance = the
+    sum of exact bigint subvector distances to the literal trained
+    centroids the codes select, top-{_PQT_RERANK} exact-reranked.
+    Completes the train->serve lifecycle for the fine quantizer tier
+    (the coarse tier landed in round 8 as sim_ann_ivf_trained_topk);
+    see the section design comment for the per-step plan shape and
+    the 100 TB story."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+
+    g = _km_grid_frame(spark, sf_dir).persist()
+    books = _pqt_seed_books(g)
+    for _ in range(_PQT_ITERS):
+        books = _pqt_update_collect(g, books)
+
+    # index: candidate -> 8 codes (the compressed artifact)
+    enc = _pqt_assign(g, books).select(
+        F.col("vec_id").alias("candidate_id"), "codes"
+    )
+    q = g.filter(F.col("vec_id") < _KM_ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("g").alias("qg")
+    )
+    # ADC scan: map-only fold of each query subvector against the
+    # literal codebook entry the candidate's code selects
+    adist = " + ".join(
+        "aggregate(zip_with("
+        f"slice(qg, {m * _PQT_SUB + 1}, {_PQT_SUB}),"
+        " element_at(array("
+        + ", ".join(
+            "array(" + ", ".join(f"{int(v)}L" for v in books[m][k]) + ")"
+            for k in range(_PQT_K)
+        )
+        + f"), element_at(codes, {m + 1}) + 1),"
+        " (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+        for m in range(_PQT_M)
+    )
+    # crossJoin rides a broadcast of the BOUNDED query frame
+    # (_KM_ANN_QUERIES rows) — the ADC scan is queries x index by
+    # definition, never corpus x corpus
+    approx = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .selectExpr(
+            "query_id", "candidate_id", f"cast({adist} as bigint) as adist"
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy("adist", "candidate_id")
+    short = (
+        approx.withColumn("sr", F.row_number().over(ws))
+        .filter(F.col("sr") <= _PQT_RERANK)
+        .select("query_id", "candidate_id")
+    )
+    cvec = g.select(
+        F.col("vec_id").alias("candidate_id"), F.col("g").alias("cg_vec")
+    )
+    ex = (
+        short.join(F.broadcast(q), "query_id")
+        .join(cvec, "candidate_id")
+        .selectExpr(
+            "query_id",
+            "candidate_id",
+            "aggregate(zip_with(qg, cg_vec, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x) as dist2_grid",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        "dist2_grid", "candidate_id"
+    )
+    result = (
+        ex.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KM_ANN_TOPK)
+        .select("query_id", "rank", "candidate_id", "dist2_grid")
+        .orderBy("query_id", "rank")
+    )
+    return materialize_and_release(result, g)

@@ -1839,27 +1839,38 @@ def substring_run_seeds(docs: DataFrame) -> DataFrame:
 def substring_runs(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
+    """All maximal shared runs >= L_SUBRUN tokens over the documents
+    table — see substring_runs_frame for the plan and the returned
+    (runs, seeds) contract."""
+    return substring_runs_frame(load_table(spark, sf_dir, "documents"))
+
+
+def substring_runs_frame(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
     """All maximal shared runs >= L_SUBRUN tokens (unordered,
-    unlimited): (doc_a, doc_b, a_start, b_start, run_tokens), plus the
-    persisted seeds frame the caller must release (the
-    materialize_and_release contract)."""
+    unlimited) over any (doc_id, text) frame: (doc_a, doc_b, a_start,
+    b_start, run_tokens), plus the persisted seeds frame the caller
+    must release (the materialize_and_release contract)."""
     import logging
 
-    seeds = substring_run_seeds(
-        load_table(spark, sf_dir, "documents")
-    ).persist()
+    seeds = substring_run_seeds(docs).persist()
     hot = (
         seeds.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > CAP_SUBRUN)
     )
-    n_hot = hot.count()  # metadata-scale job off the persisted seeds
-    logging.getLogger(__name__).info(
-        "substring-run seed cap=%d: %d hot k-gram hashes dropped "
-        "(runs through them are split/undercounted)",
-        CAP_SUBRUN,
-        n_hot,
-    )
+    log = logging.getLogger(__name__)
+    if log.isEnabledFor(logging.INFO):
+        # metadata-scale job off the persisted seeds — but still a
+        # full aggregation pass, so only pay for it when the INFO
+        # line will actually be emitted (ADVICE r8)
+        log.info(
+            "substring-run seed cap=%d: %d hot k-gram hashes dropped "
+            "(runs through them are split/undercounted)",
+            CAP_SUBRUN,
+            hot.count(),
+        )
     # AQE picks the anti-join strategy from the runtime size of `hot`
     # (usually tiny => broadcast); unknown driver-side stats make a
     # hard hint wrong at scale (functions/joins rationale)
@@ -1921,9 +1932,11 @@ def dedup_exact_substring_runs(
 # everything before it — all-integer window arithmetic, deterministic
 # under the (s, e) ordering since exact-duplicate intervals are
 # DISTINCTed away first).
-_SUBRUN_REMOVE_ORACLE = f"""
-WITH {_SUBRUN_RUNS_CTES},
-iv AS (
+
+# shared CTE chain: masked runs -> DISTINCT (doc, s, e) intervals ->
+# merged interval UNION per doc (consumed by the accounting oracle
+# below and by corpus_remove_substring_runs' oracle)
+_SUBRUN_MERGED_CTES = """iv AS (
   SELECT DISTINCT doc_b AS doc_id, b_start AS s,
          CAST(b_start + run_tokens - 1 AS INT) AS e
   FROM runs
@@ -1945,7 +1958,11 @@ grouped AS (
 merged AS (
   SELECT doc_id, grp, MIN(s) AS ms, MAX(e) AS me
   FROM grouped GROUP BY doc_id, grp
-),
+)"""
+
+_SUBRUN_REMOVE_ORACLE = f"""
+WITH {_SUBRUN_RUNS_CTES},
+{_SUBRUN_MERGED_CTES},
 per_doc AS (
   SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS masked_tokens,
          CAST(COUNT(*) AS BIGINT) AS n_islands
@@ -1964,19 +1981,11 @@ LIMIT 200
 """
 
 
-@register("dedup_substring_removal_stats", oracle=_SUBRUN_REMOVE_ORACLE)
-def dedup_substring_removal_stats(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Per-document removal accounting for exact-substring dedup:
-    mask the doc_b (higher-id) side of every detected run, union the
-    masked intervals per document, and report (doc_id, lang,
-    n_tokens, masked_tokens, keep_tokens, n_islands) for the most-
-    masked documents. The interval union is one bounded per-document
-    window sweep over DISTINCT intervals — integers only; at corpus
-    scale the interval set is tiny next to the text (runs only), so
-    the whole removal plan rides the detection join's output."""
-    runs, seeds = substring_runs(spark, sf_dir)
+def masked_merged_intervals(runs: DataFrame) -> DataFrame:
+    """(doc_id, ms, me): the interval UNION of the masked (doc_b-side)
+    runs per document — one bounded per-document window sweep over
+    DISTINCT intervals, integers only. Shared by the removal
+    accounting and the removal ACTION below."""
     iv = runs.selectExpr(
         "doc_b as doc_id",
         "b_start as s",
@@ -2000,12 +2009,28 @@ def dedup_substring_removal_stats(
         .orderBy("s", "e")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    merged = (
+    return (
         marked.withColumn("grp", F.sum("is_new").over(w_run))
         .groupBy("doc_id", "grp")
         .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .select("doc_id", "ms", "me")
     )
-    per_doc = merged.groupBy("doc_id").agg(
+
+
+@register("dedup_substring_removal_stats", oracle=_SUBRUN_REMOVE_ORACLE)
+def dedup_substring_removal_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document removal accounting for exact-substring dedup:
+    mask the doc_b (higher-id) side of every detected run, union the
+    masked intervals per document, and report (doc_id, lang,
+    n_tokens, masked_tokens, keep_tokens, n_islands) for the most-
+    masked documents. The interval union is one bounded per-document
+    window sweep over DISTINCT intervals — integers only; at corpus
+    scale the interval set is tiny next to the text (runs only), so
+    the whole removal plan rides the detection join's output."""
+    runs, seeds = substring_runs(spark, sf_dir)
+    per_doc = masked_merged_intervals(runs).groupBy("doc_id").agg(
         F.sum(F.col("me") - F.col("ms") + 1)
         .cast("long")
         .alias("masked_tokens"),
@@ -2028,6 +2053,97 @@ def dedup_substring_removal_stats(
         )
         .orderBy(F.desc("masked_tokens"), "doc_id")
         .limit(200)
+    )
+    return materialize_and_release(result, seeds)
+
+
+# The removal ACTION itself: materialize the CLEANED corpus — the
+# accounting above reports what WOULD be masked; this emits every
+# document with the masked spans actually removed from its token
+# stream (doc_b-side runs dropped, the doc_a occurrence kept — the
+# Lee et al. 2022 all-but-one semantics). kept_tokens here equals the
+# accounting's keep_tokens by construction (pinned by a test).
+#
+# Plan shape: the merged-interval frame (runs only — tiny next to the
+# text at corpus scale, so it broadcasts under AQE in the common
+# case; worst case one doc_id-key shuffle co-partitions each text
+# row with its intervals exactly once) is collected into a per-doc
+# sorted interval ARRAY, and the token drop is a map-side array HOF
+# (filter with positional lambda) — the text column itself never
+# joins, explodes, or shuffles beyond that single pairing.
+_SUBRUN_CLEAN_ORACLE = f"""
+WITH {_SUBRUN_RUNS_CTES},
+{_SUBRUN_MERGED_CTES},
+tok_pos AS (
+  SELECT t.doc_id, CAST(u.i AS INT) AS pos, t.toks[u.i] AS tok
+  FROM tk t, unnest(generate_series(1, len(t.toks))) AS u(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tok_pos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merged m
+    WHERE m.doc_id = tp.doc_id AND tp.pos >= m.ms AND tp.pos <= m.me)
+),
+cl AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       COALESCE(c.cleaned_text, '') AS cleaned_text
+FROM documents d
+JOIN tk t USING (doc_id)
+LEFT JOIN cl c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("corpus_remove_substring_runs", oracle=_SUBRUN_CLEAN_ORACLE)
+def corpus_remove_substring_runs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialize the cleaned corpus after exact-substring dedup:
+    every document, with the masked (doc_b-side) token spans removed
+    — (doc_id, lang, n_tokens, kept_tokens, cleaned_text). Documents
+    without masked runs pass through verbatim; fully-masked documents
+    surface kept_tokens = 0 with empty text. See the design comment
+    above for the interval-array broadcast + positional-filter HOF
+    plan shape (the 100 TB story: the text never shuffles more than
+    once, and only when the interval frame is too big to broadcast)."""
+    runs, seeds = substring_runs(spark, sf_dir)
+    ivs = (
+        masked_merged_intervals(runs)
+        .groupBy("doc_id")
+        .agg(
+            F.expr("array_sort(collect_list(struct(ms, me)))").alias(
+                "ivs"
+            )
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", f"{_WINNOW_TOKS_SPARK} as toks"
+    )
+    result = (
+        docs.join(ivs, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "cast(size(toks) as bigint) as n_tokens",
+            "filter(toks, (x, i) -> ivs is null or not exists(ivs,"
+            " v -> i + 1 >= v.ms and i + 1 <= v.me)) as kept",
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "cast(size(kept) as bigint) as kept_tokens",
+            "concat_ws(' ', kept) as cleaned_text",
+        )
+        .orderBy("doc_id")
     )
     return materialize_and_release(result, seeds)
 

@@ -1380,8 +1380,11 @@ def stream_state_store_inspect(
 # emitted (its state expired at the latest by the final no-data
 # batch) regardless of the engine's strict-vs-non-strict eviction
 # boundary; the boundary rows the engines could disagree on are
-# filtered out of BOTH legs. The stream_append_closed_windows
-# closed-region contract, applied to outer-join state.
+# filtered out by restricting the VIEW leg to the closed region
+# (purchases need no filter of their own: a kept view only ever
+# joins purchases within its 1h window, which the closed region
+# bounds). The stream_append_closed_windows closed-region
+# contract, applied to outer-join state.
 # --------------------------------------------------------------------
 
 _LOJ_ORACLE = """
@@ -1419,8 +1422,10 @@ def stream_stream_left_outer_join_closed(
     null-extended when no purchase follows within the hour), drained
     with availableNow and aggregated per user over the provably-
     closed region. See the design comment above for why the closed-
-    region filter (v_ts < max(ts) - 4h, applied to BOTH legs) makes
-    watermark-expiry null emission batch-oracle-able.
+    region filter (v_ts < max(ts) - 4h, applied to the VIEW leg only
+    — purchases are implicitly bounded by the 1h join window off
+    each kept view) makes watermark-expiry null emission
+    batch-oracle-able.
 
     Scale notes: identical state story to the inner variant — the
     range condition + watermarks bound each side's state; the outer
