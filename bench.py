@@ -204,6 +204,22 @@ def main() -> None:
         # whose cost is the harness, already represented by the five
         # stream_* maintenance rows.
         "dedup_exact_substring_runs",
+        # round-9 flagship: the substring-removal ACTION — detection
+        # join + per-doc interval union + the corpus text rewrite
+        # (interval-array broadcast join + positional-filter HOF over
+        # every document; the corpus-materialization physical class).
+        "corpus_remove_substring_runs",
+        # round-9 flagship: the CCNet-style bigram-LM quality filter —
+        # in-plan model training (two bigram-key aggregates), corpus
+        # scoring joins on the bigram keys, and the per-lang tercile
+        # window. The other round-9 operators stay out of the headline
+        # deliberately: text_bpe_train_merges is a 6-round driver-held
+        # iterative loop whose cost is checkpoint-per-round harness
+        # overhead (the PageRank/k-means iterative class, already
+        # priced by those rows); sim_ann_pq_trained_topk re-runs the
+        # k-means trainer machinery (priced by the trainer row) plus
+        # an ADC scan priced by sim_ann_pq_adc_topk.
+        "text_lm_perplexity_buckets",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

@@ -1015,3 +1015,125 @@ def test_substring_runs_detect_planted_runs(spark, docs_tokens, data):
         and r["rt"] >= run_len
     ]
     assert covering, (toks, got, pos_a, pos_b, run_len)
+
+
+def test_lm_perplexity_buckets_match_sequential(spark):
+    """text_lm_perplexity_buckets == a pure-Python sequential
+    recompute of the whole filter (train slice -> add-one bigram LM
+    -> integer floor-log2 surprisal -> per-lang tercile), pinning the
+    integer-bits identity and the NTILE bucketing end to end."""
+    from collections import Counter, defaultdict
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.text import (
+        text_lm_perplexity_buckets,
+    )
+
+    docs = {
+        r["doc_id"]: (
+            r["lang"],
+            [t for t in r["text"].split(" ") if t != ""],
+        )
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+    c2, c1, vocab = Counter(), Counter(), defaultdict(set)
+    for lang, toks in docs.values():
+        if not (20 <= len(toks) <= 1000):
+            continue
+        vocab[lang].update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c2[(lang, a, b)] += 1
+            c1[(lang, a)] += 1
+    expected = {}
+    per_lang = defaultdict(list)
+    for doc_id, (lang, toks) in docs.items():
+        if len(toks) < 2:
+            continue
+        bits = 0
+        for a, b in zip(toks, toks[1:]):
+            v = len(vocab[lang]) if vocab[lang] else 1
+            q = (c1[(lang, a)] + v) // (c2[(lang, a, b)] + 1)
+            bits += q.bit_length() - 1
+        n = len(toks) - 1
+        mean16 = (16 * bits) // n
+        expected[doc_id] = (lang, n, bits, mean16)
+        per_lang[lang].append((mean16, doc_id))
+    buckets = {}
+    for lang, rows in per_lang.items():
+        rows.sort()
+        n = len(rows)
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if i < extra else 0) for i in range(3)]
+        i = 0
+        for b, size in zip(("head", "middle", "tail"), sizes):
+            for _ in range(size):
+                buckets[rows[i][1]] = b
+                i += 1
+    got = text_lm_perplexity_buckets(spark, SF_SMOKE).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        lang, n, bits, mean16 = expected[r["doc_id"]]
+        assert (
+            r["lang"],
+            r["n_bigrams"],
+            r["doc_bits"],
+            r["mean_bits_x16"],
+        ) == (lang, n, bits, mean16), r
+        assert r["ppl_bucket"] == buckets[r["doc_id"]], r
+
+
+def _bpe_sequential(word_counts, n_steps):
+    """Sennrich-style reference: symbol sequences per distinct word,
+    count every adjacent pair occurrence (overlaps included), merge
+    the top pair greedily left-to-right; ties (count DESC, s1, s2)."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_steps):
+        counts = {}
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_counts[w]
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, a + b, cnt))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_merges_match_sequential(spark):
+    """text_bpe_train_merges == the sequential Sennrich merge loop on
+    the same weighted vocab — pins the pair-count convention, the
+    greedy-overlap parity trick, and the tie ordering."""
+    from collections import Counter
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.text import (
+        _BPE_STEPS,
+        text_bpe_train_merges,
+    )
+
+    wc = Counter()
+    for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect():
+        wc.update(t for t in r["text"].split(" ") if t != "")
+    expected = _bpe_sequential(wc, _BPE_STEPS)
+    got = [
+        (r["s1"], r["s2"], r["merged"], r["pair_count"])
+        for r in text_bpe_train_merges(spark, SF_SMOKE).collect()
+    ]
+    assert got == expected

@@ -14,6 +14,15 @@ close BEFORE committing the new sidecar:
 Exit code 1 when any common query regressed beyond the threshold
 (default 1.5x median), so it can gate a commit. New/removed queries
 are listed, never flagged (coverage changes are deliberate).
+
+--full switches to the FULL-REGISTRY sidecar (bench_full.json,
+written by tools/bench_full.py): single-sample / no-warmup numbers,
+so the default threshold is looser (2.5x) and the noise floor higher
+(0.2s) — that sweep is a tripwire for the ~190 queries the headline
+protocol never times, not a steady-state statistic.
+
+    python tools/bench_diff.py --full            # vs HEAD's sidecar
+    python tools/bench_diff.py --full old new [threshold]
 """
 
 from __future__ import annotations
@@ -27,6 +36,9 @@ DEFAULT_THRESHOLD = 1.5
 # (session codegen, JIT warmup scatter) — a ratio over ~50ms floors
 # is not a signal
 MIN_SEC = 0.05
+# single-sample full-sweep protocol: looser gate, higher floor
+FULL_THRESHOLD = 2.5
+FULL_MIN_SEC = 0.2
 
 
 def _load_committed(path: str = "bench_detail.json") -> dict:
@@ -35,14 +47,21 @@ def _load_committed(path: str = "bench_detail.json") -> dict:
 
 
 def main() -> int:
-    if len(sys.argv) >= 3:
-        old = json.load(open(sys.argv[1]))
-        new = json.load(open(sys.argv[2]))
-        threshold = float(sys.argv[3]) if len(sys.argv) > 3 else DEFAULT_THRESHOLD
+    argv = list(sys.argv[1:])
+    full = "--full" in argv
+    if full:
+        argv.remove("--full")
+    default_path = "bench_full.json" if full else "bench_detail.json"
+    default_threshold = FULL_THRESHOLD if full else DEFAULT_THRESHOLD
+    min_sec = FULL_MIN_SEC if full else MIN_SEC
+    if len(argv) >= 2:
+        old = json.load(open(argv[0]))
+        new = json.load(open(argv[1]))
+        threshold = float(argv[2]) if len(argv) > 2 else default_threshold
     else:
-        old = _load_committed()
-        new = json.load(open("bench_detail.json"))
-        threshold = float(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_THRESHOLD
+        old = _load_committed(default_path)
+        new = json.load(open(default_path))
+        threshold = float(argv[0]) if len(argv) > 0 else default_threshold
 
     # warn on mismatch OR on a missing sf key in either file — a
     # sidecar without an sf stamp could be from any scale factor, so
@@ -60,7 +79,7 @@ def main() -> int:
     regressions, improvements = [], []
     for name in common:
         a, b = oq[name], nq[name]
-        if max(a, b) < MIN_SEC:
+        if max(a, b) < min_sec:
             continue
         ratio = b / a if a > 0 else float("inf")
         if ratio > threshold:

@@ -108,6 +108,14 @@ HEADLINE = [
     # is the batch-equivalence oracle itself)
     "ml_kmeans_lloyd_embeddings",
     "dedup_exact_substring_runs",
+    # round-9 additions (text_bpe_train_merges is deliberately NOT
+    # dumped: its state is checkpointed per merge round, so the
+    # dumped result plan would be a bare union of filtered persisted
+    # aggregates; its plan evidence is the sequential property test
+    # plus the unrolled-CTE oracle)
+    "corpus_remove_substring_runs",
+    "text_lm_perplexity_buckets",
+    "sim_ann_pq_trained_topk",
     "dedup_substring_removal_stats",
     "ml_kmeans_elbow_inertia",
     "sim_ann_ivf_trained_topk",

@@ -594,3 +594,389 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+# CCNet-style n-gram LM quality filter: train a bigram language model
+# on a high-quality slice of the corpus, score every document by its
+# model surprisal, and bucket into head/middle/tail (keep / review /
+# drop) per language — the standard corpus-quality gate (Wenzek et
+# al. 2020 "CCNet", which buckets Common Crawl by Wikipedia-LM
+# perplexity).
+#
+# Determinism design: floating-point log-probabilities would make the
+# cross-engine hash compare depend on libm; instead every bigram's
+# surprisal is the exact INTEGER bit count
+#
+#   bits(w1 w2) = floor(log2((C1 + V) / (C2 + 1)))
+#               = length(bin((C1 + V) div (C2 + 1))) - 1
+#
+# i.e. floor-log2 of the reciprocal add-one-smoothed conditional
+# P(w2 | w1) = (C2 + 1) / (C1 + V). The identity
+# floor(log2(x / y)) == floor(log2(x div y)) holds exactly for
+# x >= y >= 1 (q = x div y <= x/y < q + 1 and q+1 <= 2^(floor(log2 q)+1)),
+# and C1 + V >= C2 + 1 always (C2 <= C1, V >= 1) — so the whole score
+# is integer arithmetic, bit-identical across engines, and the
+# rounding loss (< 1 bit per bigram) is noise at the bucketing
+# granularity the filter exists for.
+#
+# Scale: training is one (lang, w1, w2) map-side-combinable count
+# over the slice (plus its (lang, w1) rollup and a per-lang distinct
+# for V); scoring joins each doc's bigrams against the count frames
+# on their natural keys and reduces per doc. The tercile NTILE is the
+# CCNet cutoff step — at 100 TB the cutoffs would be computed once on
+# a sample and applied as literals; here the exact per-lang NTILE is
+# the oracle-checkable equivalent.
+# --------------------------------------------------------------------
+
+_LM_TRAIN_GATE = "size(toks) between 20 and 1000"  # the quality slice
+_LM_TRAIN_GATE_DUCK = "len(toks) BETWEEN 20 AND 1000"
+_LM_BIGRAMS = (
+    "transform(sequence(1, size(toks) - 1),"
+    " i -> struct(element_at(toks, i) as w1,"
+    " element_at(toks, i + 1) as w2))"
+)
+
+_LM_PPL_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, lang, {_TOKENS_DUCK} AS toks FROM documents
+),
+train_bi AS (
+  SELECT lang, toks[i] AS w1, toks[i + 1] AS w2
+  FROM tk, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE {_LM_TRAIN_GATE_DUCK}
+),
+c2 AS (
+  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM train_bi GROUP BY lang, w1, w2
+),
+c1 AS (
+  SELECT lang, w1, CAST(SUM(c2) AS BIGINT) AS c1
+  FROM c2 GROUP BY lang, w1
+),
+voc AS (
+  SELECT lang, CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+  FROM (
+    SELECT lang, unnest(toks) AS w FROM tk WHERE {_LM_TRAIN_GATE_DUCK}
+  ) GROUP BY lang
+),
+score_bi AS (
+  SELECT t.doc_id, t.lang, t.toks[i] AS w1, t.toks[i + 1] AS w2
+  FROM tk t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(t.toks) >= 2
+),
+bits AS (
+  SELECT s.doc_id, s.lang,
+         CAST(length(bin(
+           (COALESCE(c1.c1, 0) + COALESCE(voc.v, 1))
+             // (COALESCE(c2.c2, 0) + 1)
+         )) - 1 AS BIGINT) AS b
+  FROM score_bi s
+  LEFT JOIN c2 ON s.lang = c2.lang AND s.w1 = c2.w1 AND s.w2 = c2.w2
+  LEFT JOIN c1 ON s.lang = c1.lang AND s.w1 = c1.w1
+  LEFT JOIN voc ON s.lang = voc.lang
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(b) AS BIGINT) AS doc_bits
+  FROM bits GROUP BY doc_id, lang
+),
+scored AS (
+  SELECT doc_id, lang, n_bigrams, doc_bits,
+         CAST(FLOOR(CAST(16 * doc_bits AS DOUBLE)
+                    / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
+           AS mean_bits_x16
+  FROM per_doc
+)
+SELECT doc_id, lang, n_bigrams, doc_bits, mean_bits_x16,
+       CASE NTILE(3) OVER (
+         PARTITION BY lang ORDER BY mean_bits_x16, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("text_lm_perplexity_buckets", oracle=_LM_PPL_ORACLE)
+def text_lm_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style quality filter: a per-language add-one-smoothed
+    bigram LM trained in-plan on the length-gated slice, every
+    document scored by exact integer surprisal bits and bucketed
+    head/middle/tail per language — (doc_id, lang, n_bigrams,
+    doc_bits, mean_bits_x16, ppl_bucket). See the section design
+    comment for the floor-log2 integer identity and the 100 TB plan
+    shape."""
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", f"{_TOKENS} as toks"
+    )
+    train = docs.filter(F.expr(_LM_TRAIN_GATE))
+    train_bi = train.select(
+        "lang", F.explode(F.expr(_LM_BIGRAMS)).alias("b")
+    ).select("lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = train_bi.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    c1 = c2.groupBy("lang", "w1").agg(
+        F.sum("c2").cast("long").alias("c1")
+    )
+    voc = (
+        train.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang")
+        .agg(F.count_distinct("w").cast("long").alias("v"))
+    )
+    score_bi = (
+        docs.filter(F.expr("size(toks) >= 2"))
+        .select("doc_id", "lang", F.explode(F.expr(_LM_BIGRAMS)).alias("b"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("b.w1").alias("w1"),
+            F.col("b.w2").alias("w2"),
+        )
+    )
+    per_doc = (
+        score_bi.join(c2, ["lang", "w1", "w2"], "left")
+        .join(c1, ["lang", "w1"], "left")
+        .join(F.broadcast(voc), ["lang"], "left")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "cast(length(bin((coalesce(c1, 0L) + coalesce(v, 1L))"
+            " div (coalesce(c2, 0L) + 1L))) - 1 as bigint) as b",
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("b").cast("long").alias("doc_bits"),
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "doc_bits",
+            "cast(floor(cast(16 * doc_bits as double)"
+            " / cast(n_bigrams as double)) as bigint) as mean_bits_x16",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("mean_bits_x16", "doc_id")
+    return (
+        per_doc.withColumn("nt", F.ntile(3).over(w))
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "doc_bits",
+            "mean_bits_x16",
+            "case nt when 1 then 'head' when 2 then 'middle'"
+            " else 'tail' end as ppl_bucket",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
+# BPE merge-loop TRAINING: text_bpe_merge_candidates above computes
+# only the FIRST merge's pair counts; this unrolls the actual
+# training recurrence (count pairs -> take the top pair -> apply the
+# merge -> repeat) for _BPE_STEPS merges — the Lloyd/PageRank
+# unrolled-recurrence recipe applied to tokenizer training (Sennrich
+# et al. 2016, minus the end-of-word marker).
+#
+# State is the VOCAB-sized symbol-sequence frame (token, n_occ, pos,
+# sym): each DISTINCT word once, weighted by its corpus count — the
+# corpus pays exactly one token-count shuffle and every training
+# iteration is bounded by vocabulary size, not corpus size. Per step:
+# pair counts via one lead() window + one (s1, s2) map-side-
+# combinable aggregate; the winning pair is driver-held (1 row — the
+# k-means centroid protocol); applying it uses the gaps-and-islands
+# parity trick for greedy left-to-right non-overlap (in a run of
+# consecutive matches like 'aaaa' under merge (a,a), only the 1st,
+# 3rd, ... matches fire — exactly Sennrich's sequential replace).
+# Ties break (count DESC, s1, s2) in both engines and in the
+# sequential property test.
+# --------------------------------------------------------------------
+
+_BPE_STEPS = 6
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        f"""vocab AS MATERIALIZED (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM (SELECT unnest({_TOKENS_DUCK}) AS token FROM documents)
+  GROUP BY token
+),
+sq0 AS MATERIALIZED (
+  SELECT token, n_occ, CAST(i AS INT) AS pos,
+         substring(token, i, 1) AS sym
+  FROM vocab, unnest(generate_series(1, length(token))) AS u(i)
+)"""
+    ]
+    for i in range(1, _BPE_STEPS + 1):
+        parts.append(
+            f""",
+pr{i} AS MATERIALIZED (
+  SELECT token, n_occ, pos, sym,
+         LEAD(sym) OVER (PARTITION BY token ORDER BY pos) AS nxt
+  FROM sq{i - 1}
+),
+cnt{i} AS MATERIALIZED (
+  SELECT sym AS s1, nxt AS s2, CAST(SUM(n_occ) AS BIGINT) AS cnt
+  FROM pr{i} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+),
+m{i} AS MATERIALIZED (
+  SELECT s1, s2, cnt FROM cnt{i} ORDER BY cnt DESC, s1, s2 LIMIT 1
+),
+mk{i} AS MATERIALIZED (
+  SELECT token, pos FROM (
+    SELECT token, pos,
+           ROW_NUMBER() OVER (PARTITION BY token, isl ORDER BY pos) AS k
+    FROM (
+      SELECT p.token, p.pos,
+             p.pos - ROW_NUMBER() OVER (
+               PARTITION BY p.token ORDER BY p.pos) AS isl
+      FROM pr{i} p, m{i} m
+      WHERE p.sym = m.s1 AND p.nxt = m.s2
+    )
+  ) WHERE k % 2 = 1
+),
+sq{i} AS MATERIALIZED (
+  SELECT token, n_occ,
+         CAST(ROW_NUMBER() OVER (PARTITION BY token ORDER BY pos)
+              AS INT) AS pos,
+         sym
+  FROM (
+    SELECT s.token, s.n_occ, s.pos,
+           CASE WHEN k.pos IS NOT NULL THEN m.s1 || m.s2
+                ELSE s.sym END AS sym
+    FROM sq{i - 1} s
+    CROSS JOIN m{i} m
+    LEFT JOIN mk{i} k ON s.token = k.token AND s.pos = k.pos
+    LEFT JOIN mk{i} k2 ON s.token = k2.token AND s.pos = k2.pos + 1
+    WHERE k2.pos IS NULL
+  )
+)"""
+        )
+    legs = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, s1, s2, s1 || s2 AS merged,"
+        f" cnt AS pair_count FROM m{i}"
+        for i in range(1, _BPE_STEPS + 1)
+    )
+    return (
+        "WITH " + "".join(parts) + f"\nSELECT * FROM (\n{legs}\n)"
+        " ORDER BY step"
+    )
+
+
+@register("text_bpe_train_merges", oracle=_bpe_oracle())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train an actual (small) BPE merge table in-engine: {_BPE_STEPS}
+    unrolled merge iterations over the weighted vocab frame — (step,
+    s1, s2, merged, pair_count), in training order. See the section
+    design comment for the per-step plan shape, the greedy-overlap
+    parity trick, and the 100 TB story (iteration state is
+    vocab-bounded)."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+        supersede,
+    )
+
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(_TOKENS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    seq0 = vocab.selectExpr(
+        "token",
+        "n_occ",
+        "posexplode(transform(sequence(1, length(token)),"
+        " i -> substring(token, i, 1))) as (p0, sym)",
+    ).selectExpr("token", "n_occ", "cast(p0 + 1 as int) as pos", "sym")
+
+    w_tok = Window.partitionBy("token").orderBy("pos")
+    # Each iteration's state plan references the previous state THREE
+    # times (pair window, anti-join, rewrite join), so a lazy chain
+    # triples the LOGICAL plan per step — Catalyst re-analysis went
+    # exponential (measured: iteration 6 alone 16s at sf0.1).
+    # supersede() eagerly checkpoints each round's state and releases
+    # the round it replaces — the PageRank/BFS lineage-cut discipline.
+    seq = supersede(seq0, None)
+    persisted = []
+    legs = []
+    for step in range(1, _BPE_STEPS + 1):
+        pr = seq.withColumn("nxt", F.lead("sym").over(w_tok))
+        # persisted: the top-pair collect materializes it anyway, and
+        # the final result legs re-read it instead of re-running the
+        # iteration's window+aggregate a second time
+        cnt = (
+            pr.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("s1"), F.col("nxt").alias("s2"))
+            .agg(F.sum("n_occ").cast("long").alias("cnt"))
+            .persist()
+        )
+        persisted.append(cnt)
+        # the winning pair is driver-held between iterations (1 row —
+        # the driver-held-centers protocol); the RESULT leg below is
+        # the engine-computed aggregate re-filtered to that pair
+        top = cnt.orderBy(F.desc("cnt"), "s1", "s2").limit(1).collect()[0]
+        a, b = top["s1"], top["s2"]
+        legs.append(
+            cnt.filter((F.col("s1") == a) & (F.col("s2") == b)).selectExpr(
+                f"cast({step} as int) as step",
+                "s1",
+                "s2",
+                "s1 || s2 as merged",
+                "cnt as pair_count",
+            )
+        )
+        mk = (
+            pr.filter((F.col("sym") == a) & (F.col("nxt") == b))
+            .select("token", "pos")
+            .withColumn(
+                "isl", F.col("pos") - F.row_number().over(w_tok)
+            )
+            .withColumn(
+                "k",
+                F.row_number().over(
+                    Window.partitionBy("token", "isl").orderBy("pos")
+                ),
+            )
+            .filter(F.col("k") % 2 == 1)
+            .select("token", "pos")
+        )
+        drop = mk.selectExpr("token as dtoken", "pos as dpos")
+        seq_next = (
+            seq.join(
+                drop,
+                (F.col("token") == F.col("dtoken"))
+                & (F.col("pos") == F.col("dpos") + 1),
+                "left_anti",
+            )
+            .join(
+                mk.withColumn("hit", F.lit(True)), ["token", "pos"], "left"
+            )
+            .selectExpr(
+                "token",
+                "n_occ",
+                "pos",
+                f"case when hit then {a!r} || {b!r}"
+                " else sym end as sym",
+            )
+            .withColumn(
+                "pos", F.row_number().over(w_tok).cast("int")
+            )
+        )
+        seq = supersede(seq_next, seq)
+    from functools import reduce
+
+    result = reduce(DataFrame.unionAll, legs).orderBy("step")
+    return materialize_and_release(result, *persisted, seq)

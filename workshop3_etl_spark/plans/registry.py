@@ -45,73 +45,80 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # not listed follows in registration order. A plan test asserts the
 # list stays registered, oracled, and exactly 50 long.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-8 rotation (VERDICT r7 task #1): close the official book.
+    # Round-9 rotation (VERDICT r8 task #7): the official book closed
+    # in r8 (every registered query has a lifetime green row), so the
+    # budget now cycles the STALEST greens back through the gate.
     #
-    # HEAD (1-25): the final 25 registered queries that have never had
-    # an official driver row (all judge-verified green via driver_sim
-    # in r7, at both sf0.01 and sf0.1). After this rotation every
-    # registered query has at least one lifetime official green row.
+    # HEAD (1-4): the round-9 operators (changed-code-gets-official-
+    # row rule), each verified green via driver-protocol parity at
+    # sf0.001/0.01/0.1 before registration.
     #
-    # MIDDLE (26-33): per-family flagship keepers the plan test pins —
-    # families not already represented in the head.
+    # MIDDLE (5-9): per-family keepers for plan-test families not
+    # otherwise represented this round — picking each family's
+    # STALEST member where one exists (stream_/multimodal_ r3) and
+    # the single-member flagships otherwise.
     #
-    # TAIL (34-50): re-checks of the stalest official rows (latest
-    # official row r1/r2) so long-green queries keep cycling back
-    # through the gate; new round-8 operators are swapped into this
-    # block as they land (changed-code-gets-official-row rule).
-    "attribution_time_decay_revenue",
-    "bitmask_priority_profiles",
-    "bucket_orders_price_band",
-    "cube_order_status_priority",
-    "dedup_winnowing_fingerprints",
-    "dq_join_size_estimate_keysample",
-    "funnel_time_to_convert",
-    "journey_events_per_user",
-    "ml_calibration_deciles_ols2",
-    "ml_ridge2_qty_retailprice",
-    "ml_target_encode_mktsegment",
-    "mv_join_incremental_maintenance",
-    "profile_equidepth_deciles_price",
-    "profile_mad_outliers",
-    "profile_mode_quantity_by_flag",
-    "profile_quantiles_by_group",
-    "sketch_kmv_distinct_by_year",
-    "sketch_native_approx_bounds",
-    "skyline_orders_date_price",
-    "stickiness_dau_wau_daily",
-    "stream_dedup_documents",
-    "stream_state_store_inspect",
-    "text_fingerprint_cardinality",
-    "text_top_tokens",
-    "ts_decayed_popularity",
-    # family flagship keepers (families absent from the head)
+    # TAIL (10-50): stale-green re-checks — ALL 16 queries whose
+    # latest official row is r1, then 25 of the 31 whose latest is r2
+    # (the six deferred r2 sql_ rows lead the r10 tail).
+    "corpus_remove_substring_runs",
+    "sim_ann_pq_trained_topk",
+    "text_lm_perplexity_buckets",
+    "text_bpe_train_merges",
+    # family keepers (stalest member / single-member flagships)
+    "stream_stateful_user_metrics",
+    "multimodal_payload_stats",
     "q1_pricing_summary",
     "udf_named_functions_docs",
     "happiness_unified_profile",
-    "sim_semantic_dedup_clusters",
-    "sql_pipe_syntax_revenue",
-    "window_cumulative_distinct_users",
-    "corpus_resample_temperature",
-    "multimodal_decode_features",
-    # stale-green re-checks (latest official row r1/r2)
-    "array_stats_embeddings",
-    "corpus_chunk_documents",
-    "dedup_exact_documents",
-    "dedup_minhash_lsh_candidates",
-    "join_outer_part_sales",
-    "profile_corr_pairs",
-    "scalar_subquery_above_avg",
-    "text_quality_score",
-    # round-8 new operators (changed-code-gets-official-row rule)
-    "ml_kmeans_lloyd_embeddings",
-    "dedup_exact_substring_runs",
-    "dedup_substring_removal_stats",
-    "stream_stream_left_outer_join_closed",
-    "ml_kmeans_elbow_inertia",
-    "sim_ann_ivf_trained_topk",
-    "stream_kmeans_quantizer_refresh",
-    "dedup_substring_run_families",
-    "embedding_quantizer_drift",
+    # stale-green re-checks: latest official row r1 (all 16)
+    "dedup_key_orders_same_day",
+    "dedup_ngram_jaccard_blocked",
+    "dedup_simhash_hamming_pairs",
+    "dedup_simhash_signatures",
+    "join_semi_anti_customers",
+    "pivot_qty_by_linestatus",
+    "profile_categorical_describe",
+    "profile_iqr_outliers_by_year",
+    "profile_iqr_outliers_price",
+    "profile_quantiles_lineitem",
+    "profile_winsorized_mean_price",
+    "profile_zscore_outliers",
+    "rollup_lineitem_status",
+    "topk_orders_by_price",
+    "union_account_balances",
+    "window_percent_rank_orders",
+    # stale-green re-checks: latest official row r2 (25 of 31; the
+    # six deferred: sql_disjunctive_join_revenue,
+    # sql_in_subquery_segments, sql_large_quantity_orders,
+    # sql_sole_late_shipper, sql_top_return_customers,
+    # sql_top_revenue_supplier — their family has six fresher
+    # representatives below; they head the r10 tail)
+    "corpus_decontaminate_vs_benchmark",
+    "corpus_e2e_training_prep",
+    "corpus_stratified_sample",
+    "dedup_connected_components",
+    "ml_ols_qty_price",
+    "profile_describe_lineitem",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "salted_agg_returnflag_revenue",
+    "sim_cosine_topk_bruteforce",
+    "sim_embedding_neardup_blocked",
+    "sql_correlated_min_unit_price",
+    "sql_exists_high_value_suppliers",
+    "sql_grouping_sets_lineitem",
+    "sql_nation_market_share",
+    "sql_setops_nations",
+    "sql_wealthy_inactive_customers",
+    "text_lang_id_confusion",
+    "text_repetition_filter",
+    "text_tfidf_top_terms_per_lang",
+    "text_token_stats",
+    "window_running_customer_spend",
+    "window_share_of_customer",
+    "window_top3_per_supplier",
 )
 
 
