@@ -307,3 +307,39 @@ def test_trained_pq_recall_and_training_gain(spark):
         return tot
 
     assert qerr(books) <= 0.9 * qerr(books0), (qerr(books), qerr(books0))
+
+
+def test_trained_ivfpq_recall_beats_probe_baseline(spark):
+    """The fully-trained composed IVF-PQ index retrieves a meaningful
+    fraction of the TRUE grid top-5: measured 0.45 on this corpus —
+    the same ceiling as the trained-IVF row (recall here is bounded
+    by probing 2/16 cells, ~12.5% of the corpus => ~0.125 random
+    baseline), i.e. the residual-PQ ADC stage loses nothing beyond
+    the coarse probe cap. Pinned >= 0.3 (the IVF row pins >= 0.35;
+    the PQ approximation warrants a small margin)."""
+    import numpy as np
+
+    from tests.conftest import SF_CORRECT
+    from workshop3_etl_spark.ml import (
+        _KM_ANN_QUERIES,
+        _KM_ANN_TOPK,
+        _km_grid_frame,
+        sim_ann_ivfpq_trained_topk,
+    )
+
+    rows = _km_grid_frame(spark, SF_CORRECT).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    G = np.array([r["g"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids, G = ids[order], G[order]
+    got = {}
+    for r in sim_ann_ivfpq_trained_topk(spark, SF_CORRECT).collect():
+        got.setdefault(r["query_id"], set()).add(r["candidate_id"])
+    hits = 0
+    for q in range(_KM_ANN_QUERIES):
+        d2 = ((G - G[q]) ** 2).sum(axis=1)
+        d2[q] = np.iinfo(np.int64).max
+        true = set(ids[np.lexsort((ids, d2))][:_KM_ANN_TOPK])
+        hits += len(true & got.get(q, set()))
+    recall = hits / (_KM_ANN_QUERIES * _KM_ANN_TOPK)
+    assert recall >= 0.3, recall

@@ -1643,10 +1643,14 @@ def _pqt_fold(vec_expr: str, cent: list[int], off: int) -> str:
     )
 
 
-def _pqt_assign(g: DataFrame, books: list[list[list[int]]]) -> DataFrame:
-    """(vec_id, g, codes array<int>): map-only per-subspace argmin
-    against the M*K driver-held literal centroids (ties -> lowest
-    code, mirrored by the oracle's ORDER BY dist2, code)."""
+def _pqt_assign(
+    g: DataFrame,
+    books: list[list[list[int]]],
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """(vec_id, g, codes array<int>, *extra): map-only per-subspace
+    argmin against the M*K driver-held literal centroids (ties ->
+    lowest code, mirrored by the oracle's ORDER BY dist2, code)."""
     ds_cols = [
         "array("
         + ", ".join(
@@ -1660,8 +1664,8 @@ def _pqt_assign(g: DataFrame, books: list[list[list[int]]]) -> DataFrame:
         f"cast(array_position(ds{m}, array_min(ds{m})) - 1 as int)"
         for m in range(_PQT_M)
     )
-    return g.selectExpr("vec_id", "g", *ds_cols).selectExpr(
-        "vec_id", "g", f"array({codes}) as codes"
+    return g.selectExpr("vec_id", "g", *extra, *ds_cols).selectExpr(
+        "vec_id", "g", *extra, f"array({codes}) as codes"
     )
 
 
@@ -1724,35 +1728,40 @@ def _pqt_update_collect(
     ]
 
 
-def _pqt_chain_ctes() -> str:
-    """The unrolled per-subspace Lloyd recurrence as chained CTEs
-    (requires _KM_BASE_CTES in scope): pglong, pseeds, pb0,
-    ppa1..pb{ITERS}."""
+def _pqt_chain_ctes(
+    long_src: str = "glong", gv_src: str = "gv", sfx: str = ""
+) -> str:
+    """The unrolled per-subspace Lloyd recurrence as chained CTEs:
+    pglong{sfx}, pseeds{sfx}, pb0{sfx}, ppa1{sfx}..pb{ITERS}{sfx} over
+    any (vec_id, dim, val) long source + its (vec_id, g) array twin
+    (gv/glong for the plain trainer, the residual frames for IVF-PQ).
+    Requires _KM_BASE_CTES in scope for the default sources."""
     parts = [
-        f"""pglong AS (
+        f"""pglong{sfx} AS (
   SELECT vec_id, CAST((dim - 1) // {_PQT_SUB} AS INT) AS m,
          CAST((dim - 1) % {_PQT_SUB} + 1 AS INT) AS sdim, val
-  FROM glong
+  FROM {long_src}
 ),
-pseeds AS (
+pseeds{sfx} AS (
   SELECT g, CAST(rn - 1 AS INT) AS code FROM (
     SELECT g, ROW_NUMBER() OVER (
       ORDER BY {_KM_SEED_H}, vec_id) AS rn
-    FROM gv
+    FROM {gv_src}
   ) WHERE rn <= {_PQT_K}
 ),
-pm AS (SELECT CAST(unnest(range(0, {_PQT_M})) AS INT) AS m),
-psd AS (SELECT CAST(unnest(range(1, {_PQT_SUB} + 1)) AS INT) AS sdim),
-pb0 AS (
+pm{sfx} AS (SELECT CAST(unnest(range(0, {_PQT_M})) AS INT) AS m),
+psd{sfx} AS (
+  SELECT CAST(unnest(range(1, {_PQT_SUB} + 1)) AS INT) AS sdim),
+pb0{sfx} AS (
   SELECT pm.m, s.code, psd.sdim,
          s.g[pm.m * {_PQT_SUB} + psd.sdim] AS cg
-  FROM pseeds s, pm, psd
+  FROM pseeds{sfx} s, pm{sfx} pm, psd{sfx} psd
 )"""
     ]
     for i in range(1, _PQT_ITERS + 1):
         parts.append(
             f""",
-ppa{i} AS (
+ppa{i}{sfx} AS (
   SELECT vec_id, m, code FROM (
     SELECT vec_id, m, code,
            ROW_NUMBER() OVER (
@@ -1760,25 +1769,25 @@ ppa{i} AS (
     FROM (
       SELECT p.vec_id, p.m, c.code,
              SUM((p.val - c.cg) * (p.val - c.cg)) AS dist2
-      FROM pglong p JOIN pb{i - 1} c
+      FROM pglong{sfx} p JOIN pb{i - 1}{sfx} c
         ON p.m = c.m AND p.sdim = c.sdim
       GROUP BY p.vec_id, p.m, c.code
     )
   ) WHERE rn = 1
 ),
-ppu{i} AS (
+ppu{i}{sfx} AS (
   SELECT a.m, a.code, p.sdim,
          CAST(SUM(p.val) AS BIGINT) AS s,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM ppa{i} a JOIN pglong p
+  FROM ppa{i}{sfx} a JOIN pglong{sfx} p
     ON a.vec_id = p.vec_id AND a.m = p.m
   GROUP BY a.m, a.code, p.sdim
 ),
-pb{i} AS (
+pb{i}{sfx} AS (
   SELECT c.m, c.code, c.sdim,
          COALESCE(CAST(FLOOR(CAST(u.s AS DOUBLE) / CAST(u.n AS DOUBLE))
                        AS BIGINT), c.cg) AS cg
-  FROM pb{i - 1} c LEFT JOIN ppu{i} u
+  FROM pb{i - 1}{sfx} c LEFT JOIN ppu{i}{sfx} u
     ON c.m = u.m AND c.code = u.code AND c.sdim = u.sdim
 )"""
         )
@@ -1927,3 +1936,252 @@ def sim_ann_pq_trained_topk(
         .orderBy("query_id", "rank")
     )
     return materialize_and_release(result, g)
+
+
+def _pqt_books_lit(books: list[list[list[int]]], m: int) -> str:
+    """Subspace m's K x SUB trained codebook as a nested literal array
+    (indexed by code via element_at in ADC expressions)."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{int(v)}L" for v in books[m][k]) + ")"
+            for k in range(_PQT_K)
+        )
+        + ")"
+    )
+
+
+# --------------------------------------------------------------------
+# Composed TRAINED IVF-PQ: both quantizer tiers trained in this very
+# plan — the coarse K=16 cell quantizer (the r8 Lloyd trainer) AND
+# the M=8 x K=16 residual sub-codebooks (the per-subspace trainer
+# above, run on coarse RESIDUALS g - centroid[cell]). This is the
+# billion-scale ANN layout (inverted lists of PQ codes over
+# residuals) with zero frozen artifacts left: sim_ann_ivfpq_topk
+# serves the frozen offline pair, this operator closes the verdict's
+# "train the PQ sub-codebooks in-engine" item end to end.
+#
+# Serving: each query probes its 2 nearest trained cells; within a
+# probed cell the approximate distance is the ADC fold of the QUERY'S
+# RESIDUAL AGAINST THAT CELL vs the literal trained codebook entries
+# selected by the candidate's stored codes — residuals stay exact
+# bigint grid deltas, so the whole composed lifecycle (train coarse ->
+# residuals -> train fine -> invert -> probe -> ADC -> exact rerank)
+# hash-matches one unrolled chained-CTE oracle with no float rules.
+# Plan shape: training = the two drivers' (cell,dim) / (m,code,sdim)
+# integer-sum shuffles; serving = one map-only encode pass, a
+# probes-broadcast join touching n_probes/K of the index, and the
+# top-RERANK window — the per-query scan cost is ADC over codes, the
+# memory-bound scale path.
+# --------------------------------------------------------------------
+
+
+def _ivfpqt_oracle() -> str:
+    cI, fb = f"c{_KM_ITERS}", f"pb{_PQT_ITERS}_r"
+    return f"""WITH {_KM_BASE_CTES},
+{_km_chain_ctes(_KM_K)},
+ad AS MATERIALIZED (
+  SELECT vec_id, cell, dist2,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+  FROM (
+    SELECT gg.vec_id, c.cell,
+           SUM((gg.val - c.cg) * (gg.val - c.cg)) AS dist2
+    FROM glong gg JOIN {cI} c USING (dim)
+    GROUP BY gg.vec_id, c.cell
+  )
+),
+inv AS (SELECT vec_id, cell FROM ad WHERE rn = 1),
+rg AS MATERIALIZED (
+  SELECT g.vec_id, g.dim, g.val - c.cg AS val
+  FROM glong g
+  JOIN inv i ON g.vec_id = i.vec_id
+  JOIN {cI} c ON c.cell = i.cell AND c.dim = g.dim
+),
+rgv AS MATERIALIZED (
+  SELECT vec_id, list(val ORDER BY dim) AS g FROM rg GROUP BY vec_id
+),
+{_pqt_chain_ctes("rg", "rgv", "_r")},
+enc AS MATERIALIZED (
+  SELECT vec_id AS candidate_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id, m ORDER BY dist2, code) AS rn
+    FROM (
+      SELECT p.vec_id, p.m, c.code,
+             SUM((p.val - c.cg) * (p.val - c.cg)) AS dist2
+      FROM pglong_r p JOIN {fb} c ON p.m = c.m AND p.sdim = c.sdim
+      GROUP BY p.vec_id, p.m, c.code
+    )
+  ) WHERE rn = 1
+),
+encc AS (
+  SELECT e.candidate_id, i.cell, e.m, e.code
+  FROM enc e JOIN inv i ON i.vec_id = e.candidate_id
+),
+pro AS (
+  SELECT vec_id AS query_id, cell FROM ad
+  WHERE vec_id < {_KM_ANN_QUERIES} AND rn <= {_KM_ANN_PROBES}
+),
+qres AS MATERIALIZED (
+  SELECT p.query_id, p.cell,
+         CAST((g.dim - 1) // {_PQT_SUB} AS INT) AS m,
+         CAST((g.dim - 1) % {_PQT_SUB} + 1 AS INT) AS sdim,
+         g.val - c.cg AS val
+  FROM pro p
+  JOIN glong g ON g.vec_id = p.query_id
+  JOIN {cI} c ON c.cell = p.cell AND c.dim = g.dim
+),
+qlut AS MATERIALIZED (
+  SELECT q.query_id, q.cell, b.m, b.code,
+         SUM((q.val - b.cg) * (q.val - b.cg)) AS pdist
+  FROM qres q JOIN {fb} b ON b.m = q.m AND b.sdim = q.sdim
+  GROUP BY q.query_id, q.cell, b.m, b.code
+),
+approx AS (
+  SELECT l.query_id, e.candidate_id,
+         CAST(SUM(l.pdist) AS BIGINT) AS adist
+  FROM encc e
+  JOIN qlut l ON e.cell = l.cell AND e.m = l.m AND e.code = l.code
+  WHERE l.query_id <> e.candidate_id
+  GROUP BY l.query_id, e.candidate_id
+),
+short AS (
+  SELECT query_id, candidate_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY adist, candidate_id) AS sr
+    FROM approx
+  ) WHERE sr <= {_PQT_RERANK}
+),
+ex AS (
+  SELECT s.query_id, s.candidate_id,
+         CAST(SUM((gq.val - gc.val) * (gq.val - gc.val)) AS BIGINT)
+           AS dist2_grid
+  FROM short s
+  JOIN glong gq ON gq.vec_id = s.query_id
+  JOIN glong gc ON gc.vec_id = s.candidate_id AND gc.dim = gq.dim
+  GROUP BY s.query_id, s.candidate_id
+)
+SELECT query_id, CAST(rn AS INT) AS rank, candidate_id, dist2_grid
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY dist2_grid, candidate_id) AS rn
+  FROM ex
+)
+WHERE rn <= {_KM_ANN_TOPK}
+ORDER BY query_id, rank"""
+
+
+@register("sim_ann_ivfpq_trained_topk", oracle=_ivfpqt_oracle())
+def sim_ann_ivfpq_trained_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN top-k over the fully in-engine-trained IVF-PQ index: the
+    coarse cell quantizer AND the residual PQ sub-codebooks both
+    trained in this plan, candidates stored as (cell, 8 codes),
+    queries probing {_KM_ANN_PROBES} cells with residual-ADC scoring
+    and exact rerank — the composed billion-scale layout with no
+    frozen artifacts. See the section design comment for the plan
+    shape and the 100 TB story."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+
+    g = _km_grid_frame(spark, sf_dir).persist()
+    cents = _km_seed_cents(g, _KM_K)
+    for _ in range(_KM_ITERS):
+        cents = _km_update_collect(g, cents)
+    cents_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{int(v)}L" for v in c) + ")"
+            for c in cents
+        )
+        + ")"
+    )
+    # residual corpus: map-only assignment + literal-centroid delta
+    rga = _km_assign(g, cents).selectExpr(
+        "vec_id",
+        "cell",
+        f"zip_with(g, element_at({cents_lit}, cell + 1),"
+        " (a, b) -> a - b) as g",
+    ).persist()
+    books = _pqt_seed_books(rga)
+    for _ in range(_PQT_ITERS):
+        books = _pqt_update_collect(rga, books)
+
+    # inverted file of PQ codes: candidate -> (cell, 8 codes)
+    enc = _pqt_assign(rga, books, extra=("cell",)).select(
+        F.col("vec_id").alias("candidate_id"), "cell", "codes"
+    )
+    probes = (
+        _km_cell_dists(
+            g.filter(F.col("vec_id") < _KM_ANN_QUERIES), cents
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist2", "cell")
+            ),
+        )
+        .filter(F.col("rn") <= _KM_ANN_PROBES)
+        .selectExpr(
+            "vec_id as query_id",
+            "cell",
+            f"zip_with(g, element_at({cents_lit}, cell + 1),"
+            " (a, b) -> a - b) as qres",
+        )
+    )
+    adist = " + ".join(
+        "aggregate(zip_with("
+        f"slice(qres, {m * _PQT_SUB + 1}, {_PQT_SUB}),"
+        f" element_at({_pqt_books_lit(books, m)},"
+        f" element_at(codes, {m + 1}) + 1),"
+        " (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+        for m in range(_PQT_M)
+    )
+    # probed-cells join: only members of a query's probed cells are
+    # ADC-scored; probes is Q x n_probes rows — always broadcast
+    approx = (
+        enc.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .selectExpr(
+            "query_id",
+            "candidate_id",
+            f"cast({adist} as bigint) as adist",
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy("adist", "candidate_id")
+    short = (
+        approx.withColumn("sr", F.row_number().over(ws))
+        .filter(F.col("sr") <= _PQT_RERANK)
+        .select("query_id", "candidate_id")
+    )
+    q = g.filter(F.col("vec_id") < _KM_ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("g").alias("qg")
+    )
+    cvec = g.select(
+        F.col("vec_id").alias("candidate_id"), F.col("g").alias("cg_vec")
+    )
+    ex = (
+        short.join(F.broadcast(q), "query_id")
+        .join(cvec, "candidate_id")
+        .selectExpr(
+            "query_id",
+            "candidate_id",
+            "aggregate(zip_with(qg, cg_vec, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x) as dist2_grid",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        "dist2_grid", "candidate_id"
+    )
+    result = (
+        ex.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KM_ANN_TOPK)
+        .select("query_id", "rank", "candidate_id", "dist2_grid")
+        .orderBy("query_id", "rank")
+    )
+    return materialize_and_release(result, g, rga)
