@@ -1113,7 +1113,7 @@ def _bpe_sequential(word_counts, n_steps):
                     out.append(syms[i])
                     i += 1
             seqs[w] = out
-    return merges
+    return merges, seqs
 
 
 def test_bpe_train_merges_match_sequential(spark):
@@ -1131,9 +1131,53 @@ def test_bpe_train_merges_match_sequential(spark):
     wc = Counter()
     for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect():
         wc.update(t for t in r["text"].split(" ") if t != "")
-    expected = _bpe_sequential(wc, _BPE_STEPS)
+    expected, _ = _bpe_sequential(wc, _BPE_STEPS)
     got = [
         (r["s1"], r["s2"], r["merged"], r["pair_count"])
         for r in text_bpe_train_merges(spark, SF_SMOKE).collect()
     ]
+    assert got == expected
+
+
+def test_bpe_tokenize_corpus_matches_sequential(spark):
+    """text_bpe_tokenize_corpus == encoding every document with the
+    sequential reference trainer's final segmentation — pins the
+    vocab-once/corpus-join serve leg against the same merge loop the
+    trainer test pins."""
+    from collections import Counter
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.text import (
+        _BPE_STEPS,
+        text_bpe_tokenize_corpus,
+    )
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t != ""]
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+    wc = Counter()
+    for toks in docs.values():
+        wc.update(toks)
+    _, seqs = _bpe_sequential(wc, _BPE_STEPS)
+    expected = {}
+    for doc_id, toks in docs.items():
+        if not toks:
+            continue
+        n_bpe = sum(len(seqs[t]) for t in toks)
+        expected[doc_id] = (
+            len(toks),
+            n_bpe,
+            (1000 * n_bpe) // len(toks),
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_bpe_tokens"],
+            r["pieces_per_word_x1000"],
+        )
+        for r in text_bpe_tokenize_corpus(spark, SF_SMOKE).collect()
+    }
     assert got == expected

@@ -874,20 +874,18 @@ sq{i} AS MATERIALIZED (
     )
 
 
-@register("text_bpe_train_merges", oracle=_bpe_oracle())
-def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train an actual (small) BPE merge table in-engine: {_BPE_STEPS}
-    unrolled merge iterations over the weighted vocab frame — (step,
-    s1, s2, merged, pair_count), in training order. See the section
-    design comment for the per-step plan shape, the greedy-overlap
-    parity trick, and the 100 TB story (iteration state is
-    vocab-bounded)."""
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], list[DataFrame], DataFrame]:
+    """The shared BPE training loop: returns (legs, persisted, seq)
+    where legs[i] is the 1-row engine-computed merge record of step
+    i+1, persisted is the per-step pair-count frames the caller must
+    release, and seq is the FINAL checkpointed segmentation state
+    (token, n_occ, pos, sym) — the trained tokenizer's vocabulary
+    segmentation, consumed by the serve leg."""
     from pyspark.sql import Window
 
-    from workshop3_etl_spark.functions.cache import (
-        materialize_and_release,
-        supersede,
-    )
+    from workshop3_etl_spark.functions.cache import supersede
 
     vocab = (
         load_table(spark, sf_dir, "documents")
@@ -976,7 +974,93 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         seq = supersede(seq_next, seq)
+    return legs, persisted, seq
+
+
+@register("text_bpe_train_merges", oracle=_bpe_oracle())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train an actual (small) BPE merge table in-engine: {_BPE_STEPS}
+    unrolled merge iterations over the weighted vocab frame — (step,
+    s1, s2, merged, pair_count), in training order. See the section
+    design comment for the per-step plan shape, the greedy-overlap
+    parity trick, and the 100 TB story (iteration state is
+    vocab-bounded)."""
     from functools import reduce
 
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+
+    legs, persisted, seq = _bpe_train(spark, sf_dir)
     result = reduce(DataFrame.unionAll, legs).orderBy("step")
+    return materialize_and_release(result, *persisted, seq)
+
+
+# Serve leg of the tokenizer lifecycle: APPLY the trained merge table
+# to the corpus. The scalable shape mirrors training: the merges are
+# applied once to the VOCAB's segmentation state (already the
+# trainer's final frame), and the corpus is encoded by one
+# token -> segmentation join — each distinct word pays the iterative
+# rewrite once, each corpus occurrence pays one vocab-sized
+# (broadcastable) hash join. Completes train -> serve for the
+# tokenizer family the way the quantizer family did in r8/r9.
+_BPE_TOKENIZE_ORACLE = (
+    lambda: f"""{_bpe_oracle().rsplit("SELECT * FROM", 1)[0]}
+, seg AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_pieces
+  FROM sq{_BPE_STEPS} GROUP BY token
+),
+tok AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(s.n_pieces) AS BIGINT) AS n_bpe_tokens,
+       CAST(FLOOR(CAST(1000 * SUM(s.n_pieces) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+         AS pieces_per_word_x1000
+FROM tok t JOIN seg s USING (token)
+GROUP BY t.doc_id
+ORDER BY t.doc_id"""
+)()
+
+
+@register("text_bpe_tokenize_corpus", oracle=_BPE_TOKENIZE_ORACLE)
+def text_bpe_tokenize_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Encode the corpus with the in-engine-trained BPE merge table:
+    per document, whitespace word count vs BPE piece count under the
+    {_BPE_STEPS}-merge tokenizer — (doc_id, n_words, n_bpe_tokens,
+    pieces_per_word_x1000). Documents with no tokens drop out (there
+    is nothing to encode). See the serve-leg design comment for the
+    vocab-once / corpus-join plan shape."""
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+
+    legs, persisted, seq = _bpe_train(spark, sf_dir)
+    seg = seq.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pieces")
+    )
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("token")
+    )
+    result = (
+        tok.join(seg, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            "cast(floor(cast(1000 * n_bpe_tokens as double)"
+            " / cast(n_words as double)) as bigint)"
+            " as pieces_per_word_x1000",
+        )
+        .orderBy("doc_id")
+    )
     return materialize_and_release(result, *persisted, seq)
