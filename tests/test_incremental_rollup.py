@@ -1136,3 +1136,38 @@ def test_quantizer_sums_merge_is_batch_split_invariant(spark, tmp_path):
         for r in read_quantizer_sums(spark, state).collect()
     }
     assert merged2 == oneshot
+
+
+def test_lm_counts_merge_is_batch_split_invariant(spark, tmp_path):
+    """The bigram-LM refresh state must be associative: writing the
+    corpus as two epoch partials and merging == the one-shot partial
+    over the full frame, and replaying an epoch must not
+    double-count — the properties that make the streamed model equal
+    the batch training pass under ANY micro-batch split."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.streaming.rollup import (
+        _batch_lm_partial,
+        read_lm_counts,
+        write_lm_partial,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    state = str(tmp_path / "lm")
+    write_lm_partial(docs.where("doc_id % 2 = 0"), 0, state)
+    write_lm_partial(docs.where("doc_id % 2 = 1"), 1, state)
+    merged = {
+        (r["lang"], r["w1"], r["w2"]): r["c2"]
+        for r in read_lm_counts(spark, state).collect()
+    }
+    oneshot = {
+        (r["lang"], r["w1"], r["w2"]): r["c2"]
+        for r in _batch_lm_partial(docs).collect()
+    }
+    assert merged == oneshot
+    # replay idempotence: rewriting epoch 1 must not double-count
+    write_lm_partial(docs.where("doc_id % 2 = 1"), 1, state)
+    merged2 = {
+        (r["lang"], r["w1"], r["w2"]): r["c2"]
+        for r in read_lm_counts(spark, state).collect()
+    }
+    assert merged2 == oneshot

@@ -1751,3 +1751,122 @@ def embedding_quantizer_drift(
         )
         .orderBy(F.desc("drift2_grid"), "cell")
     )
+
+
+# --------------------------------------------------------------------
+# Streaming bigram-LM refresh (streaming/rollup.maintain_lm): the
+# CCNet-style quality model's (lang, w1, w2) counts maintained per
+# micro-batch over the documents stream, then one rollup over the
+# live partials refreshes the model — counts are associative under
+# any batch split, so the refreshed state equals the one-shot batch
+# training pass text_lm_perplexity_buckets runs in-plan. Completes
+# the LM lifecycle: train (text.py) -> score (text.py) -> maintain
+# (here), mirroring the quantizer family's r8/r9 arc.
+# --------------------------------------------------------------------
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table."""
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _lm_refresh_oracle() -> str:
+    from workshop3_etl_spark.operators.text import (
+        _LM_TRAIN_GATE_DUCK,
+        _TOKENS_DUCK,
+    )
+
+    return f"""
+WITH tk AS (
+  SELECT lang, {_TOKENS_DUCK} AS toks FROM documents
+),
+bi AS (
+  SELECT lang, toks[i] AS w1, toks[i + 1] AS w2
+  FROM tk, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE {_LM_TRAIN_GATE_DUCK}
+),
+c2 AS (
+  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM bi GROUP BY lang, w1, w2
+),
+top AS (
+  SELECT lang, w1 AS top_w1, w2 AS top_w2, c2 AS top_c2 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY c2 DESC, w1, w2) AS rn
+    FROM c2
+  ) WHERE rn = 1
+)
+SELECT c.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+       CAST(COUNT(DISTINCT c.w1) AS BIGINT) AS n_left_contexts,
+       CAST(SUM(c.c2) AS BIGINT) AS n_bigram_occ,
+       t.top_w1, t.top_w2, t.top_c2
+FROM c2 c JOIN top t USING (lang)
+GROUP BY c.lang, t.top_w1, t.top_w2, t.top_c2
+ORDER BY c.lang
+"""
+
+
+@register("stream_lm_bigram_refresh", oracle=_lm_refresh_oracle())
+def stream_lm_bigram_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Refreshed bigram-LM model summary from the streaming-maintained
+    counts: per lang, (n_bigram_types, n_left_contexts, n_bigram_occ,
+    top_w1, top_w2, top_c2) with the top bigram tie-broken (count
+    DESC, w1, w2). Batch equivalence (what the oracle asserts): the
+    maintained state is a per-(lang, w1, w2) integer count,
+    associative under any micro-batch split, so the refreshed model
+    equals the one-shot batch training pass."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.streaming.rollup import (
+        maintain_lm,
+        read_lm_counts,
+    )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        state = f"{workdir}/lm"
+        with _few_state_partitions(spark):
+            maintain_lm(
+                spark,
+                _documents_stream(spark, sf_dir),
+                state,
+                f"{workdir}/ck",
+            )
+        c2 = read_lm_counts(spark, state)
+        wt = Window.partitionBy("lang").orderBy(
+            F.desc("c2"), "w1", "w2"
+        )
+        top = (
+            c2.withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") == 1)
+            .select(
+                "lang",
+                F.col("w1").alias("top_w1"),
+                F.col("w2").alias("top_w2"),
+                F.col("c2").alias("top_c2"),
+            )
+        )
+        result = (
+            c2.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_bigram_types"),
+                F.count_distinct("w1").cast("long")
+                .alias("n_left_contexts"),
+                F.sum("c2").cast("long").alias("n_bigram_occ"),
+            )
+            .join(F.broadcast(top), "lang")
+            .select(
+                "lang", "n_bigram_types", "n_left_contexts",
+                "n_bigram_occ", "top_w1", "top_w2", "top_c2",
+            )
+            .orderBy("lang")
+        )
+        # materialize before the state dir vanishes
+        return result.localCheckpoint(eager=True)

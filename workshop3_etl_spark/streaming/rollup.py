@@ -741,3 +741,86 @@ def read_quantizer_sums(
             F.sum("n").cast("long").alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Incrementally-maintained BIGRAM-LM counts: the CCNet-style quality
+# filter's model statistics (operators/text.py
+# text_lm_perplexity_buckets) maintained per micro-batch — per
+# (lang, w1, w2) integer counts over the length-gated training slice.
+# Counts are associative under ANY micro-batch split (same argument
+# as the quantizer grid sums), so "refresh the model" = one rollup
+# over the live partials; C1 (left-context totals) and the top
+# bigram fall out of the same state with no corpus rescan. Extends
+# the maintained-state family: quality-model counts next to CMS/HLL/
+# OLS/histogram/quantizer.
+# --------------------------------------------------------------------
+
+
+def _batch_lm_partial(batch: DataFrame) -> DataFrame:
+    """One micro-batch's (lang, w1, w2, c2) bigram counts over the
+    training-slice rows (the text.py gate, applied in-stream)."""
+    from workshop3_etl_spark.operators.text import (
+        _LM_BIGRAMS,
+        _LM_TRAIN_GATE,
+        _TOKENS,
+    )
+
+    return (
+        batch.selectExpr("lang", f"{_TOKENS} as toks")
+        .filter(F.expr(_LM_TRAIN_GATE))
+        .select("lang", F.explode(F.expr(_LM_BIGRAMS)).alias("b"))
+        .select(
+            "lang",
+            F.col("b.w1").alias("w1"),
+            F.col("b.w2").alias("w2"),
+        )
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+
+
+def write_lm_partial(
+    batch: DataFrame, epoch_id: int, state_path: str
+) -> None:
+    """foreachBatch body: one micro-batch's bigram-count rows under
+    its epoch partition (idempotent under replay)."""
+    from workshop3_etl_spark.sources.lakehouse import (
+        dynamic_partition_overwrite,
+    )
+
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return
+    b = _batch_lm_partial(batch).withColumn(
+        "epoch", F.lit(int(epoch_id))
+    )
+    with dynamic_partition_overwrite(spark):
+        b.write.mode("overwrite").partitionBy("epoch").parquet(state_path)
+
+
+def maintain_lm(
+    spark: SparkSession,
+    documents_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Run bigram-count maintenance to completion (availableNow)."""
+    (
+        documents_stream.writeStream.foreachBatch(
+            lambda b, epoch: write_lm_partial(b, epoch, state_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_lm_counts(spark: SparkSession, state_path: str) -> DataFrame:
+    """The merged per-(lang, w1, w2) counts over the live partials."""
+    return (
+        _read_live(spark, state_path)
+        .groupBy("lang", "w1", "w2")
+        .agg(F.sum("c2").cast("long").alias("c2"))
+    )
