@@ -632,3 +632,96 @@ WHERE {_CT_DEN} * i.n >= {_CT_NUM} * s.sz
     want = {(d_in, d_out, n) for d_in, d_out, n in truth}
     assert want, "smoke corpus must contain containment pairs"
     assert got == want
+
+
+def test_ivf_filtered_topk_respects_predicate_and_subsets_unfiltered_pool(spark):
+    """Filtered ANN invariants: (a) every returned candidate carries
+    the QUERY's label; (b) ranks are contiguous from 1 per query;
+    (c) against the unfiltered IVF run (same probes), the filtered
+    result per query is exactly the same-label subsequence of the
+    unfiltered candidate ORDER truncated to k — i.e. the predicate
+    only removes candidates, never reorders or invents them."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.similarity import (
+        _TOP_K,
+        sim_ann_ivf_filtered_topk,
+        sim_ann_ivf_topk,
+    )
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/embeddings.parquet"
+        ).collect()
+    }
+    got = sim_ann_ivf_filtered_topk(spark, SF_SMOKE).collect()
+    per_q = {}
+    for r in got:
+        assert r["label"] == labels[r["query_id"]]
+        assert r["label"] == labels[r["candidate_id"]]
+        per_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["candidate_id"])
+        )
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1)), q
+        assert len(rows) <= _TOP_K
+
+    # unfiltered pool with a deep k: re-rank ALL probed candidates
+    # (the filtered result must be its same-label prefix)
+    from workshop3_etl_spark.operators.similarity import (
+        _IVF_PROBES,
+        _N_QUERIES,
+        _ivf_cells_df,
+        dot_fold,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    v = emb.select(
+        "vec_id", "label",
+        F.col("embedding").alias("ev"),
+        dot_fold("embedding", "embedding").alias("nrm"),
+    )
+    scored = v.crossJoin(F.broadcast(_ivf_cells_df(spark))).select(
+        "vec_id", "label", "ev", "nrm", "cell",
+        (F.col("cc") - 2 * dot_fold("ev", "centroid")).alias("dist2"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy("dist2", "cell")
+    ranked = scored.withColumn("rn", F.row_number().over(wv))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("label").alias("clabel"),
+        F.col("ev").alias("cv"), F.col("nrm").alias("cn"), "cell",
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_PROBES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("ev").alias("qv"), F.col("nrm").alias("qn"), "cell",
+    )
+    pool = (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id", "qlabel", "clabel", "candidate_id",
+            (dot_fold("qv", "cv") / (F.sqrt("qn") * F.sqrt("cn")))
+            .alias("cos"),
+        )
+        .collect()
+    )
+    by_q = {}
+    for r in pool:
+        by_q.setdefault(r["query_id"], []).append(
+            (-r["cos"], r["candidate_id"], r["qlabel"], r["clabel"])
+        )
+    for q, rows in by_q.items():
+        rows.sort()
+        want = [
+            cid for _, cid, ql, cl in rows if ql == cl
+        ][:_TOP_K]
+        have = [cid for _, cid in sorted(per_q.get(q, []))]
+        assert have == want, q

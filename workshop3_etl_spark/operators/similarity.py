@@ -2340,3 +2340,148 @@ def embedding_sq8_quantization_error(
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------
+# FILTERED vector search: ANN with a per-query metadata predicate —
+# the standard production ask ("nearest neighbors WHERE label = X").
+# Semantics here: each query retrieves its top-k among candidates
+# sharing ITS OWN label (the self-join form of single-filter search).
+# The filter is applied INSIDE the probe join, BEFORE the rerank
+# fold (pre-filtering): at corpus scale the label rides the inverted
+# file, so filtered search scans n_probes/n_cells of the index and
+# pays the expensive distance fold only on rows that already satisfy
+# the predicate — the alternative (post-filter after top-k) silently
+# under-delivers k. Production layouts push this further (per-label
+# inverted lists / label bitmaps per cell); the join-side filter is
+# the engine-level form of the same plan.
+# --------------------------------------------------------------------
+
+_IVF_FILTERED_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM (VALUES
+    {_ivf_cells_values_sql()}
+  ) AS t(cell, centroid, cc)
+),
+v AS (
+  SELECT vec_id, label, embedding AS ev, {_norm2_duck('embedding')} AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT v.vec_id, v.label, v.ev, v.nrm, cells.cell,
+         cells.cc - 2 * {_dot_duck('v.ev', 'cells.centroid')} AS dist2
+  FROM v CROSS JOIN cells
+),
+assigned AS (
+  SELECT vec_id AS candidate_id, label AS clabel, ev AS cv, nrm AS cn,
+         cell
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, label AS qlabel, ev AS qv, nrm AS qn, cell
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+    FROM scored WHERE vec_id < {_N_QUERIES}
+  ) WHERE rn <= {_IVF_PROBES}
+)
+SELECT query_id, label, CAST(rank AS INT) AS rank, candidate_id,
+       cosine_sim
+FROM (
+  SELECT p.query_id, p.qlabel AS label, a.candidate_id,
+         {_dot_duck('p.qv', 'a.cv')} / (SQRT(p.qn) * SQRT(a.cn))
+           AS cosine_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {_dot_duck('p.qv', 'a.cv')}
+                      / (SQRT(p.qn) * SQRT(a.cn)) DESC,
+                    a.candidate_id
+         ) AS rank
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE p.query_id <> a.candidate_id AND p.qlabel = a.clabel
+)
+WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_ann_ivf_filtered_topk", oracle=_IVF_FILTERED_ORACLE)
+def sim_ann_ivf_filtered_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metadata-filtered ANN: IVF probe + exact rerank restricted to
+    candidates sharing the query's label, filter applied inside the
+    probe join BEFORE the distance fold (pre-filtering — the at-scale
+    semantics; see the section design comment). Output adds the
+    query's label column so under-delivered queries (sparse labels in
+    probed cells) are auditable."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("ev"),
+        dot_fold("embedding", "embedding").alias("nrm"),
+    ).persist()
+    scored = v.crossJoin(F.broadcast(_ivf_cells_df(spark))).select(
+        "vec_id",
+        "label",
+        "ev",
+        "nrm",
+        "cell",
+        (F.col("cc") - 2 * dot_fold("ev", "centroid")).alias("dist2"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    ranked = scored.withColumn("rn", F.row_number().over(wv))
+    assigned = (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("candidate_id"),
+            F.col("label").alias("clabel"),
+            F.col("ev").alias("cv"),
+            F.col("nrm").alias("cn"),
+            "cell",
+        )
+        .persist()
+    )
+    assigned.count()  # materialize the inverted-file index (one pass)
+    probes = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_PROBES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("ev").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    # pre-filter: the label predicate joins/filters BEFORE the rerank
+    # fold, so only predicate-satisfying members pay the 64-dim dot
+    cands = (
+        probes.join(assigned, "cell")
+        .filter(
+            (F.col("query_id") != F.col("candidate_id"))
+            & (F.col("qlabel") == F.col("clabel"))
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            "candidate_id",
+            (dot_fold("qv", "cv") / (F.sqrt("qn") * F.sqrt("cn")))
+            .alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("candidate_id")
+    )
+    result = (
+        cands.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "label", "rank", "candidate_id", "cosine_sim")
+        .orderBy("query_id", "rank")
+    )
+    return materialize_and_release(result, v, assigned)

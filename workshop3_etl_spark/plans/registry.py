@@ -49,22 +49,27 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # in r8 (every registered query has a lifetime green row), so the
     # budget now cycles the STALEST greens back through the gate.
     #
-    # HEAD (1-4): the round-9 operators (changed-code-gets-official-
+    # HEAD (1-8): the round-9 operators (changed-code-gets-official-
     # row rule), each verified green via driver-protocol parity at
     # sf0.001/0.01/0.1 before registration.
     #
-    # MIDDLE (5-9): per-family keepers for plan-test families not
+    # MIDDLE (9-13): per-family keepers for plan-test families not
     # otherwise represented this round — picking each family's
     # STALEST member where one exists (stream_/multimodal_ r3) and
     # the single-member flagships otherwise.
     #
-    # TAIL (10-50): stale-green re-checks — ALL 16 queries whose
-    # latest official row is r1, then 25 of the 31 whose latest is r2
-    # (the six deferred r2 sql_ rows lead the r10 tail).
+    # TAIL (14-50): stale-green re-checks — ALL 16 queries whose
+    # latest official row is r1, then 21 of the 31 whose latest is r2
+    # (deferred to the r10 tail: the nine sql_ rows listed below,
+    # plus window_top3_per_supplier — bench-headline every round).
     "corpus_remove_substring_runs",
     "sim_ann_pq_trained_topk",
     "text_lm_perplexity_buckets",
     "text_bpe_train_merges",
+    "text_bpe_tokenize_corpus",
+    "sim_ann_ivfpq_trained_topk",
+    "stream_lm_bigram_refresh",
+    "sim_ann_ivf_filtered_topk",
     # family keepers (stalest member / single-member flagships)
     "stream_stateful_user_metrics",
     "multimodal_payload_stats",
@@ -88,12 +93,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "topk_orders_by_price",
     "union_account_balances",
     "window_percent_rank_orders",
-    # stale-green re-checks: latest official row r2 (25 of 31; the
-    # six deferred: sql_disjunctive_join_revenue,
+    # stale-green re-checks: latest official row r2 (21 of 31; the
+    # nine deferred, all sql_ — the family keeps three fresher
+    # representatives below and the other nine head the r10 tail:
+    # sql_disjunctive_join_revenue, sql_grouping_sets_lineitem,
     # sql_in_subquery_segments, sql_large_quantity_orders,
-    # sql_sole_late_shipper, sql_top_return_customers,
-    # sql_top_revenue_supplier — their family has six fresher
-    # representatives below; they head the r10 tail)
+    # sql_setops_nations, sql_sole_late_shipper,
+    # sql_top_return_customers, sql_top_revenue_supplier,
+    # sql_wealthy_inactive_customers)
     "corpus_decontaminate_vs_benchmark",
     "corpus_e2e_training_prep",
     "corpus_stratified_sample",
@@ -108,17 +115,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_embedding_neardup_blocked",
     "sql_correlated_min_unit_price",
     "sql_exists_high_value_suppliers",
-    "sql_grouping_sets_lineitem",
     "sql_nation_market_share",
-    "sql_setops_nations",
-    "sql_wealthy_inactive_customers",
     "text_lang_id_confusion",
     "text_repetition_filter",
     "text_tfidf_top_terms_per_lang",
     "text_token_stats",
     "window_running_customer_spend",
     "window_share_of_customer",
-    "window_top3_per_supplier",
 )
 
 
