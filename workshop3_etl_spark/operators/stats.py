@@ -1756,3 +1756,92 @@ def dq_range_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from workshop3_etl_spark.functions.cache import materialize_and_release
 
     return materialize_and_release(result, perturbed)
+
+
+# --------------------------------------------------------------------
+# k-anonymity audit: the privacy-risk complement of the PII scrub
+# (operators/corpus.py removes direct identifiers; this measures
+# QUASI-identifier re-identification risk). Quasi-identifier tuple =
+# (nation, market segment, account-balance band); for each k in the
+# sweep, how many QI groups — and how much row mass — fall below k
+# (Sweeney's k-anonymity, as a risk curve). One group-size aggregate
+# feeds the whole sweep: group sizes are map-side combinable, the
+# sweep is a broadcast of 4 literals against the tiny size frame.
+# Banding uses the double-domain floor (functions/canon rule:
+# negative balances floor identically in both engines).
+# --------------------------------------------------------------------
+
+_KANON_KS = (2, 5, 10, 25)
+_KANON_BAND = (
+    "cast(floor(cast(c_acctbal as double) / 1000e0) as bigint)"
+)
+
+_KANON_ORACLE = f"""
+WITH gs AS (
+  SELECT c_nationkey, c_mktsegment,
+         {_KANON_BAND} AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer
+  GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(n) AS BIGINT) AS n_rows
+  FROM gs
+),
+ks AS (SELECT CAST(unnest([{", ".join(str(k) for k in _KANON_KS)}])
+              AS INT) AS k)
+SELECT ks.k,
+       CAST(COUNT(CASE WHEN gs.n < ks.k THEN 1 END) AS BIGINT)
+         AS n_risky_groups,
+       CAST(COALESCE(SUM(CASE WHEN gs.n < ks.k THEN gs.n END), 0)
+            AS BIGINT) AS n_risky_rows,
+       CAST(FLOOR(CAST(10000 * COALESCE(
+              SUM(CASE WHEN gs.n < ks.k THEN gs.n END), 0) AS DOUBLE)
+            / CAST(ANY_VALUE(tot.n_rows) AS DOUBLE)) AS BIGINT)
+         AS risky_rows_bp
+FROM ks CROSS JOIN gs CROSS JOIN tot
+GROUP BY ks.k
+ORDER BY ks.k
+"""
+
+
+@register("dq_k_anonymity_profile", oracle=_KANON_ORACLE)
+def dq_k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk curve over the customer quasi-identifiers
+    (nation, segment, $1000 balance band): for k in {_KANON_KS}, the
+    number of QI groups smaller than k and the row mass (absolute +
+    basis points) they expose. One group-size aggregate + a 4-literal
+    broadcast sweep. See the section design comment."""
+    gs = (
+        load_table(spark, sf_dir, "customer")
+        .selectExpr(
+            "c_nationkey", "c_mktsegment", f"{_KANON_BAND} as bal_band"
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _KANON_KS], "k int")
+    tot = gs.agg(F.sum("n").cast("long").alias("n_rows"))
+    return (
+        gs.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_risky_groups"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") < F.col("k"), F.col("n"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_risky_rows"),
+            F.expr(
+                "cast(floor(cast(10000 * coalesce(sum(case when n < k"
+                " then n end), 0) as double)"
+                " / cast(any_value(n_rows) as double)) as bigint)"
+            ).alias("risky_rows_bp"),
+        )
+        .orderBy("k")
+    )
