@@ -116,6 +116,13 @@ HEADLINE = [
     "corpus_remove_substring_runs",
     "text_lm_perplexity_buckets",
     "sim_ann_pq_trained_topk",
+    "sim_ann_ivfpq_trained_topk",
+    "sim_ann_ivf_filtered_topk",
+    "text_bpe_tokenize_corpus",
+    "dq_k_anonymity_profile",
+    # stream_lm_bigram_refresh is deliberately NOT dumped: it drains
+    # a streaming query and returns a localCheckpoint (see the
+    # round-8 stream_* note above)
     "dedup_substring_removal_stats",
     "ml_kmeans_elbow_inertia",
     "sim_ann_ivf_trained_topk",
