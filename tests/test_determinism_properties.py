@@ -1181,3 +1181,72 @@ def test_bpe_tokenize_corpus_matches_sequential(spark):
         for r in text_bpe_tokenize_corpus(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_curation_funnel_consistent_with_standalone_stages(spark):
+    """corpus_e2e_curation_v2's stages == recomputing the composition
+    from the standalone pieces: stage 1/2 equal the cleaned-corpus
+    aggregates, stage 3 equals the non-tail LM buckets scored on the
+    cleaned text, stage 4 equals keep-first md5 dedup of the stage-3
+    survivors."""
+    import hashlib
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.corpus import (
+        corpus_e2e_curation_v2,
+    )
+    from workshop3_etl_spark.operators.dedup import (
+        corpus_remove_substring_runs,
+    )
+    from workshop3_etl_spark.operators.text import lm_perplexity_frame
+
+    cleaned = {
+        r["doc_id"]: (r["n_tokens"], r["kept_tokens"], r["cleaned_text"])
+        for r in corpus_remove_substring_runs(spark, SF_SMOKE).collect()
+    }
+    funnel = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in corpus_e2e_curation_v2(spark, SF_SMOKE).collect()
+    }
+    assert funnel["raw"] == (
+        len(cleaned),
+        sum(n for n, _, _ in cleaned.values()),
+    )
+    assert funnel["substring_clean"] == (
+        len(cleaned),
+        sum(k for _, k, _ in cleaned.values()),
+    )
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+    cdf = spark.createDataFrame(
+        [(d, langs[d], t) for d, (_, _, t) in cleaned.items()],
+        "doc_id long, lang string, text string",
+    )
+    keep_ids = {
+        r["doc_id"]
+        for r in lm_perplexity_frame(cdf).collect()
+        if r["ppl_bucket"] != "tail"
+    }
+    assert funnel["lm_keep"] == (
+        len(keep_ids),
+        sum(cleaned[d][1] for d in keep_ids),
+    )
+    seen, surv_docs, surv_toks = set(), 0, 0
+    for d in sorted(keep_ids):
+        fp = hashlib.md5(cleaned[d][2].encode()).hexdigest()
+        if fp in seen:
+            continue
+        seen.add(fp)
+        surv_docs += 1
+        surv_toks += cleaned[d][1]
+    assert funnel["dedup_final"] == (surv_docs, surv_toks)
+    # funnel is monotone in docs
+    assert (
+        funnel["raw"][0]
+        >= funnel["lm_keep"][0]
+        >= funnel["dedup_final"][0]
+    )

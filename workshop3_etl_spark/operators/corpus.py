@@ -1306,3 +1306,175 @@ def corpus_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("effective_tokens"),
     ).orderBy("lang")
+
+
+# --------------------------------------------------------------------
+# Curation funnel v2: the round-9 stages COMPOSED into one pipeline —
+# exact-substring removal (the cleaned corpus), then the CCNet-style
+# bigram-LM quality gate trained and applied ON THE CLEANED TEXT
+# (drop the per-lang 'tail' tercile), then exact dedup of the cleaned
+# text (keep-first by md5 fingerprint). Output is the survival
+# funnel: (stage_id, stage, n_docs, n_tokens) for raw ->
+# substring_clean -> lm_keep -> dedup_final. Each stage reuses the
+# standalone operator's EXACT semantics via the shared frame helpers
+# (dedup.remove_substring_runs_frame, text.lm_perplexity_frame), so
+# the composition is fully oracle-checked end to end. Documents whose
+# cleaned text has < 2 tokens are unscorable and drop at the LM gate
+# (nothing to model). Scale shape: the cleaned frame is persisted
+# once and feeds every stage; the only new shuffles the composition
+# adds over its parts are the fingerprint window and the four 1-row
+# stage aggregates.
+# --------------------------------------------------------------------
+
+_CURATION_V2_ORACLE = None  # assembled below (needs dedup's CTE chains)
+
+
+def _curation_v2_oracle() -> str:
+    from workshop3_etl_spark.operators.dedup import (
+        _SUBRUN_CLEAN_CTES,
+        _SUBRUN_MERGED_CTES,
+        _SUBRUN_RUNS_CTES,
+    )
+
+    return f"""
+WITH {_SUBRUN_RUNS_CTES},
+{_SUBRUN_MERGED_CTES},
+{_SUBRUN_CLEAN_CTES},
+clean_m AS MATERIALIZED (SELECT * FROM cleaned),
+kept_m AS MATERIALIZED (SELECT * FROM kept),
+ctoks AS MATERIALIZED (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM kept_m
+),
+cbi AS MATERIALIZED (
+  SELECT a.doc_id, c.lang, c.kept_tokens, a.tok AS w1, b.tok AS w2
+  FROM ctoks a
+  JOIN ctoks b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+  JOIN clean_m c ON c.doc_id = a.doc_id
+),
+tc2 AS MATERIALIZED (
+  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM cbi WHERE kept_tokens BETWEEN 20 AND 1000
+  GROUP BY lang, w1, w2
+),
+tc1 AS (
+  SELECT lang, w1, CAST(SUM(c2) AS BIGINT) AS c1
+  FROM tc2 GROUP BY lang, w1
+),
+tvoc AS (
+  SELECT c.lang, CAST(COUNT(DISTINCT k.tok) AS BIGINT) AS v
+  FROM kept_m k JOIN clean_m c USING (doc_id)
+  WHERE c.kept_tokens BETWEEN 20 AND 1000
+  GROUP BY c.lang
+),
+bits AS (
+  SELECT s.doc_id, s.lang,
+         CAST(length(bin(
+           (COALESCE(c1.c1, 0) + COALESCE(tvoc.v, 1))
+             // (COALESCE(tc2.c2, 0) + 1)
+         )) - 1 AS BIGINT) AS b
+  FROM cbi s
+  LEFT JOIN tc2 ON s.lang = tc2.lang AND s.w1 = tc2.w1
+              AND s.w2 = tc2.w2
+  LEFT JOIN tc1 c1 ON s.lang = c1.lang AND s.w1 = c1.w1
+  LEFT JOIN tvoc ON s.lang = tvoc.lang
+),
+sc AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(CAST(16 * SUM(b) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m16
+  FROM bits GROUP BY doc_id, lang
+),
+bu AS (
+  SELECT doc_id,
+         NTILE(3) OVER (PARTITION BY lang ORDER BY m16, doc_id) AS nt
+  FROM sc
+),
+keepd AS MATERIALIZED (
+  SELECT c.doc_id, c.kept_tokens, c.cleaned_text
+  FROM clean_m c JOIN bu ON bu.doc_id = c.doc_id AND bu.nt <> 3
+),
+surv AS (
+  SELECT doc_id, kept_tokens FROM (
+    SELECT doc_id, kept_tokens,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(cleaned_text) ORDER BY doc_id) AS rn
+    FROM keepd
+  ) WHERE rn = 1
+)
+SELECT * FROM (
+  SELECT 1 AS stage_id, 'raw' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM clean_m
+  UNION ALL
+  SELECT 2, 'substring_clean', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(kept_tokens) AS BIGINT) FROM clean_m
+  UNION ALL
+  SELECT 3, 'lm_keep', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(kept_tokens) AS BIGINT) FROM keepd
+  UNION ALL
+  SELECT 4, 'dedup_final', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(kept_tokens) AS BIGINT) FROM surv
+) ORDER BY stage_id
+"""
+
+
+@register("corpus_e2e_curation_v2", oracle=_curation_v2_oracle())
+def corpus_e2e_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed round-9 curation funnel: substring-clean the
+    corpus, LM-gate the cleaned text (drop the per-lang tail
+    tercile), exact-dedup the survivors — (stage_id, stage, n_docs,
+    n_tokens) per stage. See the section design comment for the
+    composition contract and plan shape."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+    from workshop3_etl_spark.operators.dedup import (
+        remove_substring_runs_frame,
+    )
+    from workshop3_etl_spark.operators.text import lm_perplexity_frame
+
+    cleaned, seeds = remove_substring_runs_frame(
+        load_table(spark, sf_dir, "documents")
+    )
+    cleaned = cleaned.persist()
+    scored = lm_perplexity_frame(
+        cleaned.selectExpr("doc_id", "lang", "cleaned_text as text")
+    )
+    keepd = cleaned.join(
+        scored.filter(F.col("ppl_bucket") != "tail").select("doc_id"),
+        "doc_id",
+    ).persist()
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
+    surv = (
+        keepd.selectExpr(
+            "doc_id", "kept_tokens", "md5(cleaned_text) as fp"
+        )
+        .withColumn("rn", F.row_number().over(wfp))
+        .filter(F.col("rn") == 1)
+    )
+
+    def _leg(df, stage_id, stage, tok_col):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(tok_col).cast("long").alias("n_tokens"),
+        ).selectExpr(
+            f"cast({stage_id} as int) as stage_id",
+            f"'{stage}' as stage",
+            "n_docs",
+            "n_tokens",
+        )
+
+    legs = [
+        _leg(cleaned, 1, "raw", "n_tokens"),
+        _leg(cleaned, 2, "substring_clean", "kept_tokens"),
+        _leg(keepd, 3, "lm_keep", "kept_tokens"),
+        _leg(surv, 4, "dedup_final", "kept_tokens"),
+    ]
+    result = reduce(DataFrame.unionAll, legs).orderBy("stage_id")
+    return materialize_and_release(result, seeds, cleaned, keepd)

@@ -2071,10 +2071,11 @@ def dedup_substring_removal_stats(
 # sorted interval ARRAY, and the token drop is a map-side array HOF
 # (filter with positional lambda) — the text column itself never
 # joins, explodes, or shuffles beyond that single pairing.
-_SUBRUN_CLEAN_ORACLE = f"""
-WITH {_SUBRUN_RUNS_CTES},
-{_SUBRUN_MERGED_CTES},
-tok_pos AS (
+# shared CTE chain (requires the runs + merged chains in scope):
+# token positions -> masked-position drop -> per-doc cleaned text.
+# `kept` (position-level) and `cleaned` (doc-level) are the two
+# surfaces downstream oracles consume.
+_SUBRUN_CLEAN_CTES = """tok_pos AS (
   SELECT t.doc_id, CAST(u.i AS INT) AS pos, t.toks[u.i] AS tok
   FROM tk t, unnest(generate_series(1, len(t.toks))) AS u(i)
 ),
@@ -2090,31 +2091,36 @@ cl AS (
          CAST(COUNT(*) AS BIGINT) AS kept_tokens,
          string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
   FROM kept GROUP BY doc_id
-)
-SELECT d.doc_id, d.lang,
-       CAST(len(t.toks) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(c.kept_tokens, 0) AS BIGINT) AS kept_tokens,
-       COALESCE(c.cleaned_text, '') AS cleaned_text
-FROM documents d
-JOIN tk t USING (doc_id)
-LEFT JOIN cl c USING (doc_id)
-ORDER BY d.doc_id
+),
+cleaned AS (
+  SELECT d.doc_id, d.lang,
+         CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(c.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         COALESCE(c.cleaned_text, '') AS cleaned_text
+  FROM documents d
+  JOIN tk t USING (doc_id)
+  LEFT JOIN cl c USING (doc_id)
+)"""
+
+_SUBRUN_CLEAN_ORACLE = f"""
+WITH {_SUBRUN_RUNS_CTES},
+{_SUBRUN_MERGED_CTES},
+{_SUBRUN_CLEAN_CTES}
+SELECT doc_id, lang, n_tokens, kept_tokens, cleaned_text
+FROM cleaned
+ORDER BY doc_id
 """
 
 
-@register("corpus_remove_substring_runs", oracle=_SUBRUN_CLEAN_ORACLE)
-def corpus_remove_substring_runs(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Materialize the cleaned corpus after exact-substring dedup:
-    every document, with the masked (doc_b-side) token spans removed
-    — (doc_id, lang, n_tokens, kept_tokens, cleaned_text). Documents
-    without masked runs pass through verbatim; fully-masked documents
-    surface kept_tokens = 0 with empty text. See the design comment
-    above for the interval-array broadcast + positional-filter HOF
-    plan shape (the 100 TB story: the text never shuffles more than
-    once, and only when the interval frame is too big to broadcast)."""
-    runs, seeds = substring_runs(spark, sf_dir)
+def remove_substring_runs_frame(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """The removal action over any (doc_id, lang, text) frame:
+    returns (cleaned, seeds) where cleaned = (doc_id, lang, n_tokens,
+    kept_tokens, cleaned_text) unordered and seeds is the persisted
+    detection frame the caller must release. Shared by the registered
+    query and the composed curation funnel."""
+    runs, seeds = substring_runs_frame(docs)
     ivs = (
         masked_merged_intervals(runs)
         .groupBy("doc_id")
@@ -2124,11 +2130,11 @@ def corpus_remove_substring_runs(
             )
         )
     )
-    docs = load_table(spark, sf_dir, "documents").selectExpr(
+    toks = docs.selectExpr(
         "doc_id", "lang", f"{_WINNOW_TOKS_SPARK} as toks"
     )
-    result = (
-        docs.join(ivs, "doc_id", "left")
+    cleaned = (
+        toks.join(ivs, "doc_id", "left")
         .selectExpr(
             "doc_id",
             "lang",
@@ -2143,9 +2149,26 @@ def corpus_remove_substring_runs(
             "cast(size(kept) as bigint) as kept_tokens",
             "concat_ws(' ', kept) as cleaned_text",
         )
-        .orderBy("doc_id")
     )
-    return materialize_and_release(result, seeds)
+    return cleaned, seeds
+
+
+@register("corpus_remove_substring_runs", oracle=_SUBRUN_CLEAN_ORACLE)
+def corpus_remove_substring_runs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialize the cleaned corpus after exact-substring dedup:
+    every document, with the masked (doc_b-side) token spans removed
+    — (doc_id, lang, n_tokens, kept_tokens, cleaned_text). Documents
+    without masked runs pass through verbatim; fully-masked documents
+    surface kept_tokens = 0 with empty text. See the design comment
+    above for the interval-array broadcast + positional-filter HOF
+    plan shape (the 100 TB story: the text never shuffles more than
+    once, and only when the interval frame is too big to broadcast)."""
+    cleaned, seeds = remove_substring_runs_frame(
+        load_table(spark, sf_dir, "documents")
+    )
+    return materialize_and_release(cleaned.orderBy("doc_id"), seeds)
 
 
 # Family report: connected components over the substring-run pair

@@ -699,20 +699,14 @@ ORDER BY doc_id
 """
 
 
-@register("text_lm_perplexity_buckets", oracle=_LM_PPL_ORACLE)
-def text_lm_perplexity_buckets(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """CCNet-style quality filter: a per-language add-one-smoothed
-    bigram LM trained in-plan on the length-gated slice, every
-    document scored by exact integer surprisal bits and bucketed
-    head/middle/tail per language — (doc_id, lang, n_bigrams,
-    doc_bits, mean_bits_x16, ppl_bucket). See the section design
-    comment for the floor-log2 integer identity and the 100 TB plan
-    shape."""
-    docs = load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", "lang", f"{_TOKENS} as toks"
-    )
+def lm_perplexity_frame(docs: DataFrame) -> DataFrame:
+    """The CCNet filter over any (doc_id, lang, text) frame: train the
+    per-lang add-one bigram LM on the length-gated slice of THESE
+    docs, score every doc with >= 2 tokens by exact integer surprisal
+    bits, bucket head/middle/tail per lang. Shared by the registered
+    query (whole documents table) and the composed curation funnel
+    (which scores the substring-CLEANED corpus)."""
+    docs = docs.selectExpr("doc_id", "lang", f"{_TOKENS} as toks")
     train = docs.filter(F.expr(_LM_TRAIN_GATE))
     train_bi = train.select(
         "lang", F.explode(F.expr(_LM_BIGRAMS)).alias("b")
@@ -765,19 +759,31 @@ def text_lm_perplexity_buckets(
     from pyspark.sql import Window
 
     w = Window.partitionBy("lang").orderBy("mean_bits_x16", "doc_id")
-    return (
-        per_doc.withColumn("nt", F.ntile(3).over(w))
-        .selectExpr(
-            "doc_id",
-            "lang",
-            "n_bigrams",
-            "doc_bits",
-            "mean_bits_x16",
-            "case nt when 1 then 'head' when 2 then 'middle'"
-            " else 'tail' end as ppl_bucket",
-        )
-        .orderBy("doc_id")
+    return per_doc.withColumn("nt", F.ntile(3).over(w)).selectExpr(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "doc_bits",
+        "mean_bits_x16",
+        "case nt when 1 then 'head' when 2 then 'middle'"
+        " else 'tail' end as ppl_bucket",
     )
+
+
+@register("text_lm_perplexity_buckets", oracle=_LM_PPL_ORACLE)
+def text_lm_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style quality filter: a per-language add-one-smoothed
+    bigram LM trained in-plan on the length-gated slice, every
+    document scored by exact integer surprisal bits and bucketed
+    head/middle/tail per language — (doc_id, lang, n_bigrams,
+    doc_bits, mean_bits_x16, ppl_bucket). See the section design
+    comment for the floor-log2 integer identity and the 100 TB plan
+    shape."""
+    return lm_perplexity_frame(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------
