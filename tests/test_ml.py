@@ -343,3 +343,21 @@ def test_trained_ivfpq_recall_beats_probe_baseline(spark):
         hits += len(true & got.get(q, set()))
     recall = hits / (_KM_ANN_QUERIES * _KM_ANN_TOPK)
     assert recall >= 0.3, recall
+
+
+def test_ivf_incremental_maintenance_audits_true(spark):
+    """The maintained inverted-file stats must equal the full
+    recompute cell-for-cell (audit booleans all TRUE), cover every
+    vector exactly once, and attribute exactly the vec_id % 8 == 0
+    slice to the delta."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.ml import mv_ivf_incremental_maintenance
+
+    rows = mv_ivf_incremental_maintenance(spark, SF_SMOKE).collect()
+    assert rows and all(r["audit_ok"] for r in rows)
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    assert (
+        sum(r["n_delta"] for r in rows)
+        == emb.filter("vec_id % 8 = 0").count()
+    )

@@ -725,3 +725,84 @@ def test_ivf_filtered_topk_respects_predicate_and_subsets_unfiltered_pool(spark)
         ][:_TOP_K]
         have = [cid for _, cid in sorted(per_q.get(q, []))]
         assert have == want, q
+
+
+def test_hard_negative_mining_is_diff_label_prefix_of_pool(spark):
+    """Hard-negative invariants (mirror of the filtered-search test):
+    every mined negative carries a label DIFFERENT from its anchor's,
+    and per anchor the result is exactly the different-label
+    subsequence of the unfiltered probed-candidate order, truncated
+    to k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.similarity import (
+        _IVF_PROBES,
+        _N_QUERIES,
+        _TOP_K,
+        _ivf_cells_df,
+        dot_fold,
+        sim_hard_negative_mining,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/embeddings.parquet"
+        ).collect()
+    }
+    got = sim_hard_negative_mining(spark, SF_SMOKE).collect()
+    per_a = {}
+    for r in got:
+        assert r["anchor_label"] == labels[r["anchor_id"]]
+        assert r["negative_label"] == labels[r["negative_id"]]
+        assert r["anchor_label"] != r["negative_label"]
+        per_a.setdefault(r["anchor_id"], []).append(
+            (r["rank"], r["negative_id"])
+        )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    v = emb.select(
+        "vec_id", "label",
+        F.col("embedding").alias("ev"),
+        dot_fold("embedding", "embedding").alias("nrm"),
+    )
+    scored = v.crossJoin(F.broadcast(_ivf_cells_df(spark))).select(
+        "vec_id", "label", "ev", "nrm", "cell",
+        (F.col("cc") - 2 * dot_fold("ev", "centroid")).alias("dist2"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy("dist2", "cell")
+    ranked = scored.withColumn("rn", F.row_number().over(wv))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("label").alias("clabel"),
+        F.col("ev").alias("cv"), F.col("nrm").alias("cn"), "cell",
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_PROBES)
+    ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        F.col("ev").alias("qv"), F.col("nrm").alias("qn"), "cell",
+    )
+    pool = (
+        probes.join(assigned, "cell")
+        .filter(F.col("anchor_id") != F.col("candidate_id"))
+        .select(
+            "anchor_id", "alabel", "clabel", "candidate_id",
+            (dot_fold("qv", "cv") / (F.sqrt("qn") * F.sqrt("cn")))
+            .alias("cos"),
+        )
+        .collect()
+    )
+    by_a = {}
+    for r in pool:
+        by_a.setdefault(r["anchor_id"], []).append(
+            (-r["cos"], r["candidate_id"], r["alabel"], r["clabel"])
+        )
+    for a, rows in by_a.items():
+        rows.sort()
+        want = [cid for _, cid, al, cl in rows if al != cl][:_TOP_K]
+        have = [cid for _, cid in sorted(per_a.get(a, []))]
+        assert have == want, a

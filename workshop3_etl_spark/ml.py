@@ -2185,3 +2185,188 @@ def sim_ann_ivfpq_trained_topk(
         .orderBy("query_id", "rank")
     )
     return materialize_and_release(result, g, rga)
+
+
+# --------------------------------------------------------------------
+# Incremental INVERTED-FILE maintenance: the vector-index sibling of
+# mv_join_incremental_maintenance. The serving artifact of every IVF
+# operator is the inverted file (cell -> members); when a delta of
+# new vectors lands, production appends delta-only assignments — it
+# never re-assigns the corpus. This operator maintains the per-cell
+# index STATS (membership count + order-independent content
+# fingerprint of the member-id set, the canon 15-bit limb fold whose
+# LIMB SUMS are associative and therefore mergeable) from a 7/8 base
+# plus a 1/8 delta, and proves cell-for-cell equality against the
+# full recompute INSIDE the plan (per-cell boolean the oracle gates
+# as TRUE). Assignment uses the frozen production quantizer (the
+# maintenance contract: the quantizer is fixed between retrains —
+# stream_kmeans_quantizer_refresh + embedding_quantizer_drift govern
+# WHEN to retrain). Work shape: the delta pays one |delta| map-only
+# assignment + a K-row merge; the full-recompute leg exists only to
+# be auditable.
+# --------------------------------------------------------------------
+
+
+def _ivf_inv_stats_duck(src_filter: str) -> str:
+    """DuckDB CTE body: per-cell (n, limb sums) over embeddings rows
+    satisfying ``src_filter`` under the frozen quantizer."""
+    from workshop3_etl_spark.functions.canon import (
+        FP_BASE,
+        FP_SHIFTS,
+        fp_hash_duck,
+    )
+    from workshop3_etl_spark.operators.similarity import _dot_duck
+
+    h = fp_hash_duck("cast(vec_id as varchar)")
+    limbs = ", ".join(
+        f"CAST(SUM(({h} >> {s}) % {FP_BASE}) AS BIGINT) AS s{s}"
+        for s in FP_SHIFTS
+    )
+    return f"""
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n, {limbs}
+  FROM (
+    SELECT vec_id, cell FROM (
+      SELECT v.vec_id, cells.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY cells.cc - 2 * {_dot_duck('v.ev', 'cells.centroid')},
+                        cells.cell) AS rn
+      FROM (SELECT vec_id, embedding AS ev FROM embeddings
+            WHERE {src_filter}) v
+      CROSS JOIN cells
+    ) WHERE rn = 1
+  )
+  GROUP BY cell"""
+
+
+def _ivf_ivm_oracle() -> str:
+    from workshop3_etl_spark.functions.canon import (
+        FP_BASE,
+        FP_PRIME,
+        FP_SHIFTS,
+    )
+    from workshop3_etl_spark.operators.similarity import (
+        _ivf_cells_values_sql,
+    )
+
+    acc = f"(m.s{FP_SHIFTS[0]} % {FP_PRIME})"
+    for s in FP_SHIFTS[1:]:
+        acc = f"((({acc}) * {FP_BASE} + m.s{s} % {FP_PRIME}) % {FP_PRIME})"
+    eqs = " AND ".join(f"m.s{s} = f.s{s}" for s in FP_SHIFTS)
+    return f"""
+WITH cells AS (
+  SELECT * FROM (VALUES
+    {_ivf_cells_values_sql()}
+  ) AS t(cell, centroid, cc)
+),
+base AS ({_ivf_inv_stats_duck("vec_id % 8 <> 0")}),
+delta AS ({_ivf_inv_stats_duck("vec_id % 8 = 0")}),
+merged AS (
+  SELECT cell, CAST(SUM(n) AS BIGINT) AS n,
+         {", ".join(f"CAST(SUM(s{s}) AS BIGINT) AS s{s}" for s in FP_SHIFTS)}
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+  GROUP BY cell
+),
+fullr AS ({_ivf_inv_stats_duck("TRUE")})
+SELECT m.cell, m.n AS n_vecs,
+       COALESCE(CAST(d.n AS BIGINT), 0) AS n_delta,
+       CAST({acc} AS BIGINT) AS members_fp,
+       (m.n = f.n AND {eqs}) AS audit_ok
+FROM merged m
+JOIN fullr f ON f.cell = m.cell
+LEFT JOIN delta d ON d.cell = m.cell
+ORDER BY m.cell
+"""
+
+
+@register("mv_ivf_incremental_maintenance", oracle=_ivf_ivm_oracle())
+def mv_ivf_incremental_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintain the IVF inverted-file stats (per-cell member count +
+    canon limb-fold fingerprint of the member-id set) from a 7/8
+    base plus a 1/8 delta — delta-only assignment, limb-sum merge —
+    and prove per-cell equality against the full recompute inside the
+    plan: (cell, n_vecs, n_delta, members_fp, audit_ok). See the
+    section design comment."""
+    from workshop3_etl_spark.functions.canon import (
+        FP_BASE,
+        FP_PRIME,
+        FP_SHIFTS,
+        fp_hash_spark,
+    )
+    from workshop3_etl_spark.operators.similarity import (
+        _ivf_cells_df,
+        dot_fold,
+    )
+
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("ev")
+    )
+    cells = F.broadcast(_ivf_cells_df(spark))
+    h = fp_hash_spark("cast(vec_id as string)")
+    wv = Window.partitionBy("vec_id").orderBy("adist", "cell")
+
+    def stats_of(vecs: DataFrame) -> DataFrame:
+        assigned = (
+            vecs.crossJoin(cells)
+            .select(
+                "vec_id",
+                "cell",
+                (F.col("cc") - 2 * dot_fold("ev", "centroid")).alias(
+                    "adist"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+        )
+        return assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.expr(f"cast(sum(({h} >> {s}) % {FP_BASE}) as bigint)")
+                .alias(f"s{s}")
+                for s in FP_SHIFTS
+            ],
+        )
+
+    is_delta = F.col("vec_id") % 8 == 0
+    base = stats_of(emb.filter(~is_delta))
+    delta = stats_of(emb.filter(is_delta))  # |delta| work only
+    merged = (
+        base.unionByName(delta)
+        .groupBy("cell")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            *[
+                F.sum(f"s{s}").cast("long").alias(f"s{s}")
+                for s in FP_SHIFTS
+            ],
+        )
+    )
+    full = stats_of(emb).select(
+        "cell",
+        F.col("n").alias("n_f"),
+        *[F.col(f"s{s}").alias(f"s{s}_f") for s in FP_SHIFTS],
+    )
+    acc = f"(s{FP_SHIFTS[0]} % {FP_PRIME})"
+    for s in FP_SHIFTS[1:]:
+        acc = f"((({acc}) * {FP_BASE} + s{s} % {FP_PRIME}) % {FP_PRIME})"
+    eqs = " and ".join(f"s{s} = s{s}_f" for s in FP_SHIFTS)
+    return (
+        merged.join(full, "cell")
+        .join(
+            delta.select("cell", F.col("n").alias("n_delta")),
+            "cell",
+            "left",
+        )
+        .selectExpr(
+            "cell",
+            "n as n_vecs",
+            "coalesce(n_delta, 0L) as n_delta",
+            f"cast({acc} as bigint) as members_fp",
+            f"(n = n_f and {eqs}) as audit_ok",
+        )
+        .orderBy("cell")
+    )

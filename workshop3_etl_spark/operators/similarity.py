@@ -2485,3 +2485,147 @@ def sim_ann_ivf_filtered_topk(
         .orderBy("query_id", "rank")
     )
     return materialize_and_release(result, v, assigned)
+
+
+# --------------------------------------------------------------------
+# Hard-negative mining: the contrastive-training complement of the
+# filtered search above — for each anchor, the top-k MOST SIMILAR
+# candidates with a DIFFERENT label (the "hard negatives" a
+# contrastive or reranker training set pairs against its positives;
+# easy negatives are random, hard ones are near misses). Identical
+# index and probe machinery; only the predicate flips to inequality,
+# which is the point: one inverted file serves retrieval, filtered
+# retrieval, AND negative mining. Same pre-filter discipline — the
+# label test runs before the rerank fold.
+# --------------------------------------------------------------------
+
+_IVF_HARDNEG_ORACLE = f"""
+WITH cells AS (
+  SELECT * FROM (VALUES
+    {_ivf_cells_values_sql()}
+  ) AS t(cell, centroid, cc)
+),
+v AS (
+  SELECT vec_id, label, embedding AS ev, {_norm2_duck('embedding')} AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT v.vec_id, v.label, v.ev, v.nrm, cells.cell,
+         cells.cc - 2 * {_dot_duck('v.ev', 'cells.centroid')} AS dist2
+  FROM v CROSS JOIN cells
+),
+assigned AS (
+  SELECT vec_id AS candidate_id, label AS clabel, ev AS cv, nrm AS cn,
+         cell
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS anchor_id, label AS alabel, ev AS qv, nrm AS qn, cell
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+    FROM scored WHERE vec_id < {_N_QUERIES}
+  ) WHERE rn <= {_IVF_PROBES}
+)
+SELECT anchor_id, anchor_label, CAST(rank AS INT) AS rank,
+       negative_id, negative_label, cosine_sim
+FROM (
+  SELECT p.anchor_id, p.alabel AS anchor_label, a.candidate_id AS negative_id,
+         a.clabel AS negative_label,
+         {_dot_duck('p.qv', 'a.cv')} / (SQRT(p.qn) * SQRT(a.cn))
+           AS cosine_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.anchor_id
+           ORDER BY {_dot_duck('p.qv', 'a.cv')}
+                      / (SQRT(p.qn) * SQRT(a.cn)) DESC,
+                    a.candidate_id
+         ) AS rank
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE p.anchor_id <> a.candidate_id AND p.alabel <> a.clabel
+)
+WHERE rank <= {_TOP_K}
+ORDER BY anchor_id, rank
+"""
+
+
+@register("sim_hard_negative_mining", oracle=_IVF_HARDNEG_ORACLE)
+def sim_hard_negative_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mine hard negatives for contrastive training: per anchor, the
+    top-k most-similar candidates carrying a DIFFERENT label, found
+    through the IVF probe with the inequality predicate pre-filtered
+    before the rerank fold. Output carries both labels so downstream
+    pair construction is self-describing."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("ev"),
+        dot_fold("embedding", "embedding").alias("nrm"),
+    ).persist()
+    scored = v.crossJoin(F.broadcast(_ivf_cells_df(spark))).select(
+        "vec_id",
+        "label",
+        "ev",
+        "nrm",
+        "cell",
+        (F.col("cc") - 2 * dot_fold("ev", "centroid")).alias("dist2"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    ranked = scored.withColumn("rn", F.row_number().over(wv))
+    assigned = (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.col("ev").alias("cv"),
+            F.col("nrm").alias("cn"),
+            "cell",
+        )
+        .persist()
+    )
+    assigned.count()  # materialize the inverted-file index (one pass)
+    probes = ranked.filter(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_PROBES)
+    ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("ev").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    cands = (
+        probes.join(assigned, "cell")
+        .filter(
+            (F.col("anchor_id") != F.col("negative_id"))
+            & (F.col("anchor_label") != F.col("negative_label"))
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            (dot_fold("qv", "cv") / (F.sqrt("qn") * F.sqrt("cn")))
+            .alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("negative_id")
+    )
+    result = (
+        cands.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "anchor_id", "anchor_label", "rank", "negative_id",
+            "negative_label", "cosine_sim",
+        )
+        .orderBy("anchor_id", "rank")
+    )
+    return materialize_and_release(result, v, assigned)

@@ -49,21 +49,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # in r8 (every registered query has a lifetime green row), so the
     # budget now cycles the STALEST greens back through the gate.
     #
-    # HEAD (1-10): the round-9 operators (changed-code-gets-official-
+    # HEAD (1-12): the round-9 operators (changed-code-gets-official-
     # row rule), each verified green via driver-protocol parity at
     # sf0.001/0.01/0.1 before registration.
     #
-    # MIDDLE (11-15): per-family keepers for plan-test families not
+    # MIDDLE (13-17): per-family keepers for plan-test families not
     # otherwise represented this round — picking each family's
     # STALEST member where one exists (stream_/multimodal_ r3) and
     # the single-member flagships otherwise.
     #
-    # TAIL (16-50): stale-green re-checks — ALL 16 queries whose
-    # latest official row is r1, then 19 of the 31 whose latest is r2
+    # TAIL (18-50): stale-green re-checks — ALL 16 queries whose
+    # latest official row is r1, then 17 of the 31 whose latest is r2
     # (deferred to the r10 tail: the nine sql_ rows listed below,
-    # plus window_top3_per_supplier, text_token_stats and
-    # corpus_stratified_sample — their families have multiple
-    # fresher rows in this budget).
+    # plus window_top3_per_supplier, window_running_customer_spend,
+    # window_share_of_customer, text_token_stats and
+    # corpus_stratified_sample — their families keep a fresher or
+    # r1-vintage representative in this budget).
     "corpus_remove_substring_runs",
     "sim_ann_pq_trained_topk",
     "text_lm_perplexity_buckets",
@@ -74,6 +75,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ann_ivf_filtered_topk",
     "dq_k_anonymity_profile",
     "corpus_e2e_curation_v2",
+    "sim_hard_negative_mining",
+    "mv_ivf_incremental_maintenance",
     # family keepers (stalest member / single-member flagships)
     "stream_stateful_user_metrics",
     "multimodal_payload_stats",
@@ -97,7 +100,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "topk_orders_by_price",
     "union_account_balances",
     "window_percent_rank_orders",
-    # stale-green re-checks: latest official row r2 (19 of 31; the
+    # stale-green re-checks: latest official row r2 (17 of 31; the
     # nine deferred, all sql_ — the family keeps three fresher
     # representatives below and the other nine head the r10 tail:
     # sql_disjunctive_join_revenue, sql_grouping_sets_lineitem,
@@ -122,8 +125,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_lang_id_confusion",
     "text_repetition_filter",
     "text_tfidf_top_terms_per_lang",
-    "window_running_customer_spend",
-    "window_share_of_customer",
 )
 
 
