@@ -1250,3 +1250,65 @@ def test_curation_funnel_consistent_with_standalone_stages(spark):
         >= funnel["lm_keep"][0]
         >= funnel["dedup_final"][0]
     )
+
+
+def test_lsh_incremental_maintenance_audits_true(spark):
+    """The merged base+delta LSH bucket stats must equal the full
+    recompute bucket-for-bucket (per-band audit booleans all TRUE),
+    index exactly one row per (doc, band), and attribute exactly the
+    doc_id % 8 == 0 slice to the delta."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.dedup import (
+        mv_lsh_incremental_maintenance,
+    )
+
+    rows = mv_lsh_incremental_maintenance(spark, SF_SMOKE).collect()
+    assert len(rows) == 4 and all(r["audit_ok"] for r in rows)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_docs = docs.count()
+    n_delta = docs.filter("doc_id % 8 = 0").count()
+    for r in rows:
+        assert r["n_index_rows"] == n_docs
+        assert r["n_delta_rows"] == n_delta
+
+
+def test_lsh_bucket_stats_merge_is_split_invariant(spark):
+    """The per-bucket limb sums are associative: merging the stats of
+    ANY disjoint split of the corpus must reproduce the full-corpus
+    stats exactly — the property that makes the index delta-mergeable
+    under arbitrary ingest batching."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.dedup import (
+        _lsh_bucket_stats_frame,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 120")
+    )
+
+    def stats_map(df):
+        return {
+            (r["band_id"], r["band_key"]): (
+                r["n"], r["s45"], r["s30"], r["s15"], r["s0"],
+            )
+            for r in df.collect()
+        }
+
+    full = stats_map(_lsh_bucket_stats_frame(docs))
+    parts = [
+        _lsh_bucket_stats_frame(docs.filter(f"doc_id % 3 = {i}"))
+        for i in range(3)
+    ]
+    merged = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = merged.groupBy("band_id", "band_key").agg(
+        F.sum("n").cast("long").alias("n"),
+        *[
+            F.sum(f"s{s}").cast("long").alias(f"s{s}")
+            for s in (45, 30, 15, 0)
+        ],
+    )
+    assert stats_map(merged) == full

@@ -2276,3 +2276,228 @@ def dedup_substring_run_families(
     return materialize_and_release(
         result, seeds, edges, labels._ckpt_source
     )
+
+
+# --------------------------------------------------------------------
+# Incremental LSH-INDEX maintenance: the MinHash sibling of
+# mv_ivf_incremental_maintenance (ml.py). The serving artifact of the
+# MinHash near-dup family is the banded bucket index
+# (band_id, band_key) -> member docs; signatures are PER-DOCUMENT
+# (map-only, minhash_wide_signatures above), so when a delta of new
+# documents lands, production appends delta-only index rows — it
+# never re-signs the corpus. This operator maintains per-bucket index
+# stats (member count + the canon limb-fold fingerprint of the
+# member-id set, whose limb sums are associative and therefore
+# delta-mergeable) from a 7/8 base plus a 1/8 delta, proves
+# bucket-for-bucket equality against the full recompute INSIDE the
+# plan, and reports per band: (band_id, n_buckets, n_index_rows,
+# n_delta_rows, band_fp, audit_ok). Unlike the IVF sibling's inner
+# join, the compare here is a null-safe FULL OUTER join, so a bucket
+# present on only one side fails the audit instead of vanishing.
+#
+# Work shape at 100 TB: the delta pays one |delta| map-only
+# signature pass plus a bucket-stats merge keyed by (band_id,
+# band_key) — both delta-sized; the full-recompute leg exists only to
+# be auditable (and is what the audit would flag if the merge logic
+# ever drifted). band_fp sums per-bucket 31-bit folds, so it stays
+# int64-exact below 2^32 buckets per band.
+# --------------------------------------------------------------------
+
+
+def _lsh_bucket_stats_frame(docs: DataFrame) -> DataFrame:
+    """(band_id, band_key, n, s45, s30, s15, s0): per-bucket member
+    count + canon limb sums over the member doc_ids."""
+    from workshop3_etl_spark.functions.canon import (
+        FP_BASE,
+        FP_SHIFTS,
+        fp_hash_spark,
+    )
+
+    h = fp_hash_spark("cast(doc_id as string)")
+    return minhash_band_frame(docs).groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.expr(f"cast(sum(({h} >> {s}) % {FP_BASE}) as bigint)")
+            .alias(f"s{s}")
+            for s in FP_SHIFTS
+        ],
+    )
+
+
+def _lsh_bucket_stats_duck(tag: str, src_filter: str) -> str:
+    """DuckDB CTE chain ``{tag}sh -> {tag}st`` producing the identical
+    per-bucket stats over documents rows satisfying ``src_filter``."""
+    from workshop3_etl_spark.functions.canon import (
+        FP_BASE,
+        FP_SHIFTS,
+        fp_hash_duck,
+    )
+
+    sig_aggs = ",\n    ".join(
+        f"MIN(substr(md5(shingle), {i * 4 + 1}, 4)) AS h{i}"
+        for i in range(_N_HASHES)
+    )
+    band_exprs = ",\n    ".join(
+        "md5("
+        + " || ".join(
+            f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        )
+        + f") AS band{b}"
+        for b in range(_N_BANDS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_key"
+        f" FROM {tag}sig"
+        for b in range(_N_BANDS)
+    )
+    hh = fp_hash_duck("cast(doc_id as varchar)")
+    limbs = ", ".join(
+        f"CAST(SUM(({hh} >> {s}) % {FP_BASE}) AS BIGINT) AS s{s}"
+        for s in FP_SHIFTS
+    )
+    return f"""{tag}sh AS (
+  SELECT doc_id, unnest({_shingle_sql_duck()}) AS shingle
+  FROM documents WHERE {src_filter}
+),
+{tag}mh AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM {tag}sh GROUP BY doc_id
+),
+{tag}sig AS (
+  SELECT doc_id,
+    {band_exprs}
+  FROM {tag}mh
+),
+{tag}bands AS ({band_selects}),
+{tag}st AS (
+  SELECT band_id, band_key, CAST(COUNT(*) AS BIGINT) AS n, {limbs}
+  FROM {tag}bands GROUP BY band_id, band_key
+)"""
+
+
+def _lsh_ivm_oracle() -> str:
+    from workshop3_etl_spark.functions.canon import (
+        FP_BASE,
+        FP_PRIME,
+        FP_SHIFTS,
+    )
+
+    acc = f"(m.s{FP_SHIFTS[0]} % {FP_PRIME})"
+    for s in FP_SHIFTS[1:]:
+        acc = f"((({acc}) * {FP_BASE} + m.s{s} % {FP_PRIME}) % {FP_PRIME})"
+    eqs = " AND ".join(
+        f"(m.s{s} IS NOT DISTINCT FROM f.s{s})" for s in FP_SHIFTS
+    )
+    sums = ", ".join(
+        f"CAST(SUM(s{s}) AS BIGINT) AS s{s}" for s in FP_SHIFTS
+    )
+    return f"""
+WITH {_lsh_bucket_stats_duck("b", "doc_id % 8 <> 0")},
+{_lsh_bucket_stats_duck("d", "doc_id % 8 = 0")},
+{_lsh_bucket_stats_duck("f", "TRUE")},
+merged AS (
+  SELECT band_id, band_key, CAST(SUM(n) AS BIGINT) AS n, {sums}
+  FROM (SELECT * FROM bst UNION ALL SELECT * FROM dst)
+  GROUP BY band_id, band_key
+),
+joined AS (
+  SELECT COALESCE(m.band_id, f.band_id) AS band_id,
+         m.n AS mn,
+         CAST(COALESCE({acc}, 0) AS BIGINT) AS bucket_fp,
+         ((m.n IS NOT DISTINCT FROM f.n) AND {eqs}) AS ok
+  FROM merged m
+  FULL OUTER JOIN fst f
+    ON m.band_id = f.band_id AND m.band_key = f.band_key
+),
+deltas AS (
+  SELECT band_id, CAST(SUM(n) AS BIGINT) AS n_delta_rows
+  FROM dst GROUP BY band_id
+)
+SELECT CAST(j.band_id AS INT) AS band_id,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(COALESCE(j.mn, 0)) AS BIGINT) AS n_index_rows,
+       COALESCE(MIN(dl.n_delta_rows), 0) AS n_delta_rows,
+       CAST(SUM(j.bucket_fp) % {FP_PRIME} AS BIGINT) AS band_fp,
+       BOOL_AND(j.ok) AS audit_ok
+FROM joined j LEFT JOIN deltas dl ON dl.band_id = j.band_id
+GROUP BY j.band_id
+ORDER BY band_id
+"""
+
+
+@register("mv_lsh_incremental_maintenance", oracle=_lsh_ivm_oracle())
+def mv_lsh_incremental_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintain the MinHash-LSH bucket-index stats (per-bucket member
+    count + canon limb-fold fingerprint) from a 7/8 base plus a 1/8
+    delta — delta-only signatures, limb-sum merge — and prove
+    bucket-for-bucket equality against the full recompute inside the
+    plan, per band: (band_id, n_buckets, n_index_rows, n_delta_rows,
+    band_fp, audit_ok). See the section design comment for the
+    null-safe outer-join audit and the 100 TB work shape."""
+    from workshop3_etl_spark.functions.canon import (
+        FP_BASE,
+        FP_PRIME,
+        FP_SHIFTS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _lsh_bucket_stats_frame(docs.filter("doc_id % 8 <> 0"))
+    delta = _lsh_bucket_stats_frame(docs.filter("doc_id % 8 = 0")).persist()
+    delta.count()
+    full = _lsh_bucket_stats_frame(docs)
+    merged = (
+        base.unionByName(delta)
+        .groupBy("band_id", "band_key")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            *[
+                F.sum(f"s{s}").cast("long").alias(f"s{s}")
+                for s in FP_SHIFTS
+            ],
+        )
+    )
+    m = merged.alias("m")
+    f = full.alias("f")
+    acc = f"(m.s{FP_SHIFTS[0]} % {FP_PRIME})"
+    for s in FP_SHIFTS[1:]:
+        acc = f"((({acc}) * {FP_BASE} + m.s{s} % {FP_PRIME}) % {FP_PRIME})"
+    eqs = " AND ".join(f"(m.s{s} <=> f.s{s})" for s in FP_SHIFTS)
+    joined = (
+        m.join(f, ["band_id", "band_key"], "full_outer")
+        .selectExpr(
+            "band_id",
+            "m.n as mn",
+            f"cast(coalesce({acc}, 0L) as bigint) as bucket_fp",
+            f"((m.n <=> f.n) and {eqs}) as ok",
+        )
+    )
+    deltas = delta.groupBy("band_id").agg(
+        F.sum("n").cast("long").alias("n_delta_rows")
+    )
+    result = (
+        joined.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.expr("cast(sum(coalesce(mn, 0L)) as bigint)").alias(
+                "n_index_rows"
+            ),
+            F.expr(f"cast(sum(bucket_fp) % {FP_PRIME} as bigint)").alias(
+                "band_fp"
+            ),
+            F.expr("bool_and(ok)").alias("audit_ok"),
+        )
+        .join(F.broadcast(deltas), "band_id", "left")
+        .selectExpr(
+            "cast(band_id as int) as band_id",
+            "n_buckets",
+            "n_index_rows",
+            "coalesce(n_delta_rows, 0L) as n_delta_rows",
+            "band_fp",
+            "audit_ok",
+        )
+        .orderBy("band_id")
+    )
+    return materialize_and_release(result, delta)
