@@ -1478,3 +1478,168 @@ def corpus_e2e_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     result = reduce(DataFrame.unionAll, legs).orderBy("stage_id")
     return materialize_and_release(result, seeds, cleaned, keepd)
+
+
+# --------------------------------------------------------------------
+# DSIR-style data selection via importance resampling (Xie et al.
+# 2023, "Data Selection for Language Models via Importance
+# Resampling"): score every document by the log-likelihood ratio of a
+# TARGET bag-of-hashed-unigrams model (here: the English in-gate
+# slice — the quality domain) against a RAW model (the whole corpus),
+# then select the top quartile. DSIR proper adds Gumbel noise before
+# the top-k cut to sample rather than rank; the deterministic rank
+# cut is the oracle-checkable equivalent (the noise would be a frozen
+# per-doc literal column at production time, exactly like the 60-bit
+# sampling thresholds used by corpus_source_cap_sample).
+#
+# Determinism: the ratio is computed in exact INTEGER surprisal bits
+# via the floor-log2 identity (see text.py's LM section):
+#
+#   bits_model(w) = floor(log2((T + B) / (c_bucket(w) + 1)))
+#                 = length(bin((T + B) div (c_bucket(w) + 1))) - 1
+#   logratio_bits(doc) = sum_w bits_raw(w) - bits_target(w)
+#
+# with add-one smoothing over a FIXED 2^12 feature-hash space
+# (bucket = first 3 hex digits of md5(token), the canon md5-prefix
+# recipe), so T + B >= c + 1 always holds and the whole score is
+# integer arithmetic, bit-identical across engines.
+#
+# Scale: both count tables are capped at B = 4096 rows regardless of
+# corpus size, so the scoring joins are broadcast map-only work; the
+# corpus pays one token-explode aggregate per model plus one for
+# scoring. The global quartile NTILE is the cutoff step — at 100 TB
+# the cutoff would be estimated once on a sample and applied as a
+# literal, as with the CCNet buckets.
+# --------------------------------------------------------------------
+
+_DSIR_B = 4096  # feature-hash buckets (2^12)
+_DSIR_GATE = "size(toks) between 20 and 1000 and lang = 'en'"
+_DSIR_GATE_DUCK = "len(toks) BETWEEN 20 AND 1000 AND lang = 'en'"
+_DSIR_BUCKET = (
+    "cast(conv(substring(md5(cast(tok as binary)), 1, 3), 16, 10)"
+    " as bigint)"
+)
+_DSIR_BUCKET_DUCK = "CAST('0x' || substr(md5(tok), 1, 3) AS BIGINT)"
+
+_DSIR_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, lang, {_TOKENS_DUCK} AS toks FROM documents
+),
+target_tok AS (
+  SELECT {_DSIR_BUCKET_DUCK} AS bucket
+  FROM (SELECT lang, unnest(toks) AS tok FROM tk
+        WHERE {_DSIR_GATE_DUCK})
+),
+raw_tok AS (
+  SELECT {_DSIR_BUCKET_DUCK} AS bucket
+  FROM (SELECT unnest(toks) AS tok FROM tk)
+),
+tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM target_tok GROUP BY bucket),
+rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM raw_tok GROUP BY bucket),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM target_tok),
+rt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM raw_tok),
+score_tok AS (
+  SELECT doc_id, {_DSIR_BUCKET_DUCK} AS bucket
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM tk WHERE len(toks) >= 1)
+),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(SUM(length(bin((rt.t + {_DSIR_B}) // (COALESCE(rc.c, 0) + 1))) - 1
+                - (length(bin((tt.t + {_DSIR_B}) // (COALESCE(tc.c, 0) + 1))) - 1)
+              ) AS BIGINT) AS logratio_bits,
+         CAST(SUM(length(bin((tt.t + {_DSIR_B}) // (COALESCE(tc.c, 0) + 1))) - 1) AS BIGINT) AS target_bits,
+         CAST(SUM(length(bin((rt.t + {_DSIR_B}) // (COALESCE(rc.c, 0) + 1))) - 1) AS BIGINT) AS raw_bits
+  FROM score_tok s
+  LEFT JOIN tc ON tc.bucket = s.bucket
+  LEFT JOIN rc ON rc.bucket = s.bucket
+  CROSS JOIN tt CROSS JOIN rt
+  GROUP BY s.doc_id
+)
+SELECT p.doc_id, k.lang,
+       CAST(len(k.toks) AS BIGINT) AS n_tokens,
+       p.target_bits, p.raw_bits, p.logratio_bits,
+       (NTILE(4) OVER (ORDER BY p.logratio_bits DESC, p.doc_id) = 1)
+         AS selected
+FROM per_doc p JOIN tk k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("corpus_dsir_importance_weights", oracle=_DSIR_ORACLE)
+def corpus_dsir_importance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR data selection: per-document importance weight as the
+    exact-integer-bits log-likelihood ratio of the hashed-unigram
+    target model (English in-gate slice) vs the raw model (whole
+    corpus), top quartile selected — (doc_id, lang, n_tokens,
+    target_bits, raw_bits, logratio_bits, selected). See the section
+    design comment for the floor-log2 identity and the broadcast
+    4096-bucket scale shape."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", f"{_TOKENS} as toks"
+    )
+    bucket = _DSIR_BUCKET
+    target_tok = docs.filter(
+        F.expr(_DSIR_GATE)
+    ).select(F.explode("toks").alias("tok")).selectExpr(
+        f"{bucket} as bucket"
+    )
+    raw_tok = docs.select(F.explode("toks").alias("tok")).selectExpr(
+        f"{bucket} as bucket"
+    )
+    tc = target_tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("tc")
+    )
+    rc = raw_tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("rc")
+    )
+    tt = target_tok.agg(F.count(F.lit(1)).cast("long").alias("tt"))
+    rt = raw_tok.agg(F.count(F.lit(1)).cast("long").alias("rt"))
+    t_bits = (
+        f"cast(length(bin((tt + {_DSIR_B}) div (coalesce(tc, 0L) + 1L)))"
+        " - 1 as bigint)"
+    )
+    r_bits = (
+        f"cast(length(bin((rt + {_DSIR_B}) div (coalesce(rc, 0L) + 1L)))"
+        " - 1 as bigint)"
+    )
+    per_doc = (
+        docs.filter(F.expr("size(toks) >= 1"))
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .selectExpr("doc_id", f"{bucket} as bucket")
+        .join(F.broadcast(tc), "bucket", "left")
+        .join(F.broadcast(rc), "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .selectExpr(
+            "doc_id",
+            f"{t_bits} as tb",
+            f"{r_bits} as rb",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr("cast(sum(tb) as bigint)").alias("target_bits"),
+            F.expr("cast(sum(rb) as bigint)").alias("raw_bits"),
+            F.expr("cast(sum(rb - tb) as bigint)").alias(
+                "logratio_bits"
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("logratio_bits"), F.asc("doc_id"))
+    return (
+        per_doc.join(
+            docs.selectExpr(
+                "doc_id", "lang", "cast(size(toks) as bigint) as n_tokens"
+            ),
+            "doc_id",
+        )
+        .withColumn("selected", F.ntile(4).over(w) == F.lit(1))
+        .select(
+            "doc_id", "lang", "n_tokens", "target_bits", "raw_bits",
+            "logratio_bits", "selected",
+        )
+        .orderBy("doc_id")
+    )
