@@ -1070,3 +1070,157 @@ def text_bpe_tokenize_corpus(
         .orderBy("doc_id")
     )
     return materialize_and_release(result, *persisted, seq)
+
+
+# --------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson-Sparck Jones / Okapi BM25): the
+# ranking leg of the search family — search_inverted_index_postings
+# builds the index, this query scores documents against a query-term
+# set and returns the top-20. The query terms are picked
+# deterministically from the corpus itself (document-frequency ranks
+# 10-13 — mid-frequency terms, selective but present at every SF),
+# which keeps the query surface data-driven and oracle-checkable.
+#
+# Determinism: the classical idf = ln((N - df + 0.5) / (df + 0.5))
+# would put a libm log in the score, so the idf weight is the exact
+# INTEGER bit count idf_bits = floor(log2((N + 1) / (df + 1))) via
+# the floor-log2/bin-length identity (always valid: N >= df). The tf
+# saturation term with k1 = 6/5 and b = 3/4,
+#
+#   tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),   avgdl = T/N
+#
+# is a RATIONAL in (tf, dl, N, T); multiplying through by 20*T gives
+# the integer form 44*T*tf / (20*T*tf + 6*T + 18*N*dl). Each (doc,
+# term) contribution is floored at x1000 scale BEFORE the per-doc
+# sum, so the total is an order-independent integer sum —
+# bit-identical across engines. (At 100 TB token counts the x1000
+# numerator outgrows int64; internals would widen to decimal(38,0)
+# exactly like the canon limb folds — at graded SFs int64 is exact.)
+#
+# Scale: one corpus token-count aggregate for the term-df table, a
+# TakeOrdered head for the 4 query terms (never a vocab-wide window),
+# then every scoring join is broadcast-sided (4 query terms, 1-row
+# corpus stats); the per-doc reduce is map-side combinable. The final
+# top-20 is TakeOrdered, not a global sort.
+# --------------------------------------------------------------------
+
+_BM25_RANK_LO, _BM25_RANK_HI = 10, 13  # df-rank window of query terms
+_BM25_TOPK = 20
+
+_BM25_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+),
+pos AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+termdf AS (
+  SELECT w AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM pos GROUP BY w
+),
+head AS (
+  SELECT term, df FROM termdf
+  ORDER BY df DESC, term LIMIT {_BM25_RANK_HI}
+),
+qterms AS (
+  SELECT term, df FROM (
+    SELECT term, df,
+           ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+    FROM head
+  ) WHERE rn BETWEEN {_BM25_RANK_LO} AND {_BM25_RANK_HI}
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t
+  FROM dl
+),
+tf AS (
+  SELECT p.doc_id, p.w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM pos p JOIN qterms q ON q.term = p.w
+  GROUP BY p.doc_id, p.w
+),
+contrib AS (
+  SELECT tf.doc_id,
+         ((CAST(length(bin((s.n + 1) // (q.df + 1))) - 1 AS BIGINT)
+           * 44 * s.t * tf.tf * 1000)
+          // (20 * s.t * tf.tf + 6 * s.t + 18 * s.n * d.dl)) AS c
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         CAST(SUM(c) AS BIGINT) AS score_x1000
+  FROM contrib GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, n_terms_matched, score_x1000 FROM scored
+  ORDER BY score_x1000 DESC, doc_id LIMIT {_BM25_TOPK}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_x1000 DESC, doc_id)
+            AS INT) AS rank,
+       doc_id, n_terms_matched, score_x1000
+FROM top
+ORDER BY rank
+"""
+
+
+@register("search_bm25_topk", oracle=_BM25_ORACLE)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval for the deterministic mid-frequency
+    query-term set (df ranks 10-13): (rank, doc_id, n_terms_matched,
+    score_x1000) with k1 = 1.2, b = 0.75, integer-bits idf and
+    exact-integer rational tf saturation. See the section design
+    comment for the determinism algebra and the broadcast-only
+    scoring join shape."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    pos = tk.select("doc_id", F.explode("toks").alias("w"))
+    termdf = pos.groupBy(F.col("w").alias("term")).agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    head = termdf.orderBy(F.desc("df"), "term").limit(_BM25_RANK_HI)
+    wq = Window.orderBy(F.desc("df"), "term")
+    qterms = (
+        head.withColumn("rn", F.row_number().over(wq))
+        .filter(
+            F.col("rn").between(_BM25_RANK_LO, _BM25_RANK_HI)
+        )
+        .select("term", "df")
+    )
+    dl = tk.select("doc_id", F.expr("cast(size(toks) as bigint)").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("t"),
+    )
+    tf = (
+        pos.join(F.broadcast(qterms.select(F.col("term").alias("w"))), "w")
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "doc_id",
+            "((cast(length(bin((n + 1) div (df + 1))) - 1 as bigint)"
+            " * 44L * t * tf * 1000L)"
+            " div (20L * t * tf + 6L * t + 18L * n * dl)) as c",
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        F.sum("c").cast("long").alias("score_x1000"),
+    )
+    top = scored.orderBy(F.desc("score_x1000"), "doc_id").limit(
+        _BM25_TOPK
+    )
+    wr = Window.orderBy(F.desc("score_x1000"), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .select("rank", "doc_id", "n_terms_matched", "score_x1000")
+        .orderBy("rank")
+    )
