@@ -1312,3 +1312,118 @@ def test_lsh_bucket_stats_merge_is_split_invariant(spark):
         ],
     )
     assert stats_map(merged) == full
+
+
+def test_dsir_importance_weights_match_sequential(spark):
+    """Sequential pure-Python recompute of the DSIR hashed-unigram
+    log-ratio (target = gated English slice, raw = whole corpus,
+    add-one smoothing over the 4096-bucket hash space, floor-log2
+    integer bits) must reproduce the operator's per-doc scores and
+    the quartile selection exactly."""
+    import hashlib
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.corpus import (
+        _DSIR_B,
+        corpus_dsir_importance_weights,
+    )
+
+    docs = {
+        r["doc_id"]: (r["lang"], [t for t in r["text"].split(" ") if t])
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:3], 16)
+
+    tc, rc, tt, rt = {}, {}, 0, 0
+    for lang, toks in docs.values():
+        for t in toks:
+            b = bucket(t)
+            rc[b] = rc.get(b, 0) + 1
+            rt += 1
+        if lang == "en" and 20 <= len(toks) <= 1000:
+            for t in toks:
+                b = bucket(t)
+                tc[b] = tc.get(b, 0) + 1
+                tt += 1
+
+    def bits(total, c):
+        return ((total + _DSIR_B) // (c + 1)).bit_length() - 1
+
+    expect = {}
+    for doc_id, (lang, toks) in docs.items():
+        if not toks:
+            continue
+        tb = sum(bits(tt, tc.get(bucket(t), 0)) for t in toks)
+        rb = sum(bits(rt, rc.get(bucket(t), 0)) for t in toks)
+        expect[doc_id] = (tb, rb, rb - tb)
+
+    rows = corpus_dsir_importance_weights(spark, SF_SMOKE).collect()
+    got = {
+        r["doc_id"]: (r["target_bits"], r["raw_bits"], r["logratio_bits"])
+        for r in rows
+    }
+    assert got == expect
+
+    order = sorted(expect, key=lambda d: (-expect[d][2], d))
+    n = len(order)
+    tile1 = n // 4 + (1 if n % 4 >= 1 else 0)
+    sel_expect = set(order[:tile1])
+    sel_got = {r["doc_id"] for r in rows if r["selected"]}
+    assert sel_got == sel_expect
+
+
+def test_bm25_topk_matches_sequential(spark):
+    """Sequential pure-Python recompute of the exact-integer BM25
+    (df-rank 10-13 query terms, bit idf, x1000-floored rational tf
+    saturation) must reproduce the operator's top-20 bit-for-bit."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.text import (
+        _BM25_RANK_HI,
+        _BM25_RANK_LO,
+        _BM25_TOPK,
+        search_bm25_topk,
+    )
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+    df = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    ranked = sorted(df, key=lambda t: (-df[t], t))
+    qterms = ranked[_BM25_RANK_LO - 1 : _BM25_RANK_HI]
+    n = len(docs)
+    t_total = sum(len(toks) for toks in docs.values())
+    scores = {}
+    for doc_id, toks in docs.items():
+        dl = len(toks)
+        s, m = 0, 0
+        for q in qterms:
+            tf = toks.count(q)
+            if tf == 0:
+                continue
+            idf_bits = ((n + 1) // (df[q] + 1)).bit_length() - 1
+            s += (idf_bits * 44 * t_total * tf * 1000) // (
+                20 * t_total * tf + 6 * t_total + 18 * n * dl
+            )
+            m += 1
+        if m:
+            scores[doc_id] = (m, s)
+    order = sorted(scores, key=lambda d: (-scores[d][1], d))[:_BM25_TOPK]
+    expect = [
+        (i + 1, d, scores[d][0], scores[d][1])
+        for i, d in enumerate(order)
+    ]
+    got = [
+        (r["rank"], r["doc_id"], r["n_terms_matched"], r["score_x1000"])
+        for r in search_bm25_topk(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect

@@ -307,3 +307,57 @@ def test_bootstrap_median_matches_sequential(spark):
     assert got["boot_lo_cents"] == min(meds)
     assert got["boot_hi_cents"] == max(meds)
     assert got["boot_lo_cents"] <= got["point_median_cents"] <= got["boot_hi_cents"]
+
+
+def test_conformal_interval_sequential_and_coverage(spark):
+    """Recompute the conformal pieces sequentially in Python from the
+    operator's own fitted coefficients: the calibration membership
+    (512 smallest salted hashes among non-train rows), the conformal
+    order statistic, and the test coverage count must all match
+    exactly — and empirical coverage must sit near the 90% target, as
+    the split-conformal guarantee demands."""
+    import hashlib
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.stats import (
+        _CP_CAL_N,
+        stats_conformal_ols_interval,
+    )
+
+    out = stats_conformal_ols_interval(spark, SF_SMOKE).collect()[0]
+    rows = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    ).collect()
+
+    def md5hex(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    nontrain = []
+    n_train = 0
+    for r in rows:
+        key = f"{r['l_orderkey']}|{r['l_linenumber']}"
+        if md5hex(key + ":cp42")[:2] < "b3":
+            n_train += 1
+        else:
+            h60 = int(md5hex(key + ":cal42")[:15], 16)
+            nontrain.append(
+                (h60, r["l_orderkey"], r["l_linenumber"],
+                 float(r["l_quantity"]), float(r["l_extendedprice"]))
+            )
+    assert out["n_train"] == n_train
+    nontrain.sort()
+    calib, test = nontrain[:_CP_CAL_N], nontrain[_CP_CAL_N:]
+    assert out["n_cal"] == len(calib) and out["n_test"] == len(test)
+
+    a, b = out["alpha"], out["beta"]
+    cres = sorted(
+        (abs(y - (a + b * x)), k1, k2) for _, k1, k2, x, y in calib
+    )
+    k = (9 * len(calib) + 18) // 10
+    assert out["q_resid"] == cres[k - 1][0]
+    n_cov = sum(
+        1 for _, _, _, x, y in test
+        if abs(y - (a + b * x)) <= out["q_resid"]
+    )
+    assert out["n_covered"] == n_cov
+    assert 0.85 <= out["coverage"] <= 0.95

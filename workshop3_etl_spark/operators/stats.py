@@ -1845,3 +1845,236 @@ def dq_k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------
+# Split-conformal prediction interval for the OLS price model (Vovk's
+# inductive conformal prediction; Lei et al. 2018): fit on a train
+# split, take the ceil((n_cal + 1) * 0.9)-th smallest absolute
+# residual on a CALIBRATION set as the 90% interval half-width, and
+# audit the finite-sample coverage guarantee on held-out test rows.
+#
+# The calibration set is a FIXED-SIZE deterministic sample (the 512
+# non-train rows with the smallest salted 60-bit hash, TakeOrdered —
+# never a corpus-wide sort): split conformal's whole point is that
+# n_cal does not need to scale with the data, so at 100 TB the only
+# full-corpus work is the train-moment aggregate and the map-only
+# coverage scan against the broadcast (alpha, beta, q) literals. The
+# conformal rank k = (9*n_cal + 18) div 10 is computed in integer
+# arithmetic (no 0.9 float rounding hazards), and the k-th order
+# statistic is selected by row_number with a full deterministic
+# tiebreak — both engines pick the identical row, and residual
+# doubles are identical because the OLS coefficients are (house
+# closed-form recipe) and abs(y - (alpha + beta*x)) is fixed-order
+# IEEE arithmetic.
+# --------------------------------------------------------------------
+
+_CP_CAL_N = 512
+_CP_KEY = (
+    "concat(cast(l_orderkey as string), '|',"
+    " cast(l_linenumber as string))"
+)
+_CP_KEY_DUCK = (
+    "(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR))"
+)
+_CP_H2 = f"substring(md5(concat({_CP_KEY}, ':cp42')), 1, 2)"
+_CP_H2_DUCK = f"substr(md5({_CP_KEY_DUCK} || ':cp42'), 1, 2)"
+_CP_H60 = (
+    f"cast(conv(substring(md5(concat({_CP_KEY}, ':cal42')), 1, 15),"
+    " 16, 10) as bigint)"
+)
+_CP_H60_DUCK = (
+    f"CAST('0x' || substr(md5({_CP_KEY_DUCK} || ':cal42'), 1, 15)"
+    " AS BIGINT)"
+)
+
+_CONFORMAL_ORACLE = f"""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y,
+         l_quantity, l_extendedprice,
+         {_CP_H2_DUCK} AS h2, {_CP_H60_DUCK} AS h60
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS decimal(27,2))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mx,
+         CAST(SUM(CAST(l_extendedprice AS decimal(27,2))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS my
+  FROM base WHERE h2 < 'b3'
+),
+s AS (
+  SELECT m.n AS n, m.mx AS mx, m.my AS my,
+         CAST(SUM(CAST((b.x - m.mx) * (b.y - m.my)
+                       / CAST(m.n AS DOUBLE) AS decimal(27,6)))
+              AS DOUBLE) AS cov_xy,
+         CAST(SUM(CAST((b.x - m.mx) * (b.x - m.mx)
+                       / CAST(m.n AS DOUBLE) AS decimal(27,6)))
+              AS DOUBLE) AS var_x
+  FROM base b, m WHERE b.h2 < 'b3'
+  GROUP BY m.n, m.mx, m.my
+),
+coef AS (
+  SELECT n AS n_train, cov_xy / var_x AS beta,
+         my - (cov_xy / var_x) * mx AS alpha
+  FROM s
+),
+calib AS (
+  SELECT l_orderkey, l_linenumber, x, y FROM base
+  WHERE h2 >= 'b3'
+  ORDER BY h60, l_orderkey, l_linenumber LIMIT {_CP_CAL_N}
+),
+ck AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM calib),
+cres AS (
+  SELECT c.l_orderkey, c.l_linenumber,
+         abs(c.y - (f.alpha + f.beta * c.x)) AS r
+  FROM calib c CROSS JOIN coef f
+),
+q AS (
+  SELECT r AS q_resid FROM (
+    SELECT r, ROW_NUMBER() OVER (
+      ORDER BY r, l_orderkey, l_linenumber) AS rn
+    FROM cres
+  ), ck WHERE rn = (9 * ck.n_cal + 18) // 10
+),
+test AS (
+  SELECT b.x, b.y FROM base b
+  WHERE b.h2 >= 'b3' AND NOT EXISTS (
+    SELECT 1 FROM calib c
+    WHERE c.l_orderkey = b.l_orderkey
+      AND c.l_linenumber = b.l_linenumber)
+),
+cover AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN abs(t.y - (f.alpha + f.beta * t.x))
+                         <= q.q_resid
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM test t CROSS JOIN coef f CROSS JOIN q
+)
+SELECT f.n_train, ck.n_cal, v.n_test, f.beta, f.alpha,
+       q.q_resid, v.n_covered,
+       CAST(v.n_covered AS DOUBLE) / CAST(v.n_test AS DOUBLE)
+         AS coverage
+FROM coef f CROSS JOIN ck CROSS JOIN q CROSS JOIN cover v
+"""
+
+
+@register("stats_conformal_ols_interval", oracle=_CONFORMAL_ORACLE)
+def stats_conformal_ols_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal 90% prediction interval for the OLS price
+    model: (n_train, n_cal, n_test, beta, alpha, q_resid, n_covered,
+    coverage) — fit on the md5 train split, half-width = conformal
+    order statistic of the 512-row deterministic calibration sample,
+    coverage audited on the remaining held-out rows. See the section
+    design comment for the fixed-size-calibration scale story."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "cast(l_quantity as double) as x",
+        "cast(l_extendedprice as double) as y",
+        "l_quantity",
+        "l_extendedprice",
+        f"{_CP_H2} as h2",
+        f"{_CP_H60} as h60",
+    )
+    train = base.filter(F.col("h2") < "b3")
+    m = train.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.col("l_quantity").cast("decimal(27,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mx"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("my"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    nn = F.col("n").cast("double")
+    s = (
+        train.crossJoin(F.broadcast(m))
+        .groupBy("n", "mx", "my")
+        .agg(
+            F.sum((dx * dy / nn).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("cov_xy"),
+            F.sum((dx * dx / nn).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("var_x"),
+        )
+    )
+    beta = F.col("cov_xy") / F.col("var_x")
+    coef = s.select(
+        F.col("n").alias("n_train"),
+        beta.alias("beta"),
+        (F.col("my") - beta * F.col("mx")).alias("alpha"),
+    )
+    nontrain = base.filter(F.col("h2") >= "b3")
+    calib = (
+        nontrain.select("l_orderkey", "l_linenumber", "x", "y", "h60")
+        .orderBy("h60", "l_orderkey", "l_linenumber")
+        .limit(_CP_CAL_N)
+        .persist()
+    )
+    n_cal = calib.count()
+    cres = calib.crossJoin(F.broadcast(coef)).selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "abs(y - (alpha + beta * x)) as r",
+    )
+    wq = Window.orderBy("r", "l_orderkey", "l_linenumber")
+    k = (9 * n_cal + 18) // 10
+    q = (
+        cres.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == k)
+        .select(F.col("r").alias("q_resid"))
+    )
+    test = nontrain.join(
+        F.broadcast(calib.select("l_orderkey", "l_linenumber")),
+        ["l_orderkey", "l_linenumber"],
+        "left_anti",
+    )
+    cover = (
+        test.crossJoin(F.broadcast(coef))
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.expr(
+                    "case when abs(y - (alpha + beta * x)) <= q_resid"
+                    " then 1 else 0 end"
+                )
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    result = (
+        coef.crossJoin(
+            F.broadcast(
+                calib.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+            )
+        )
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(cover))
+        .selectExpr(
+            "n_train", "n_cal", "n_test", "beta", "alpha", "q_resid",
+            "n_covered",
+            "cast(n_covered as double) / cast(n_test as double)"
+            " as coverage",
+        )
+    )
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+
+    return materialize_and_release(result, calib)
