@@ -1427,3 +1427,143 @@ def test_bm25_topk_matches_sequential(spark):
         for r in search_bm25_topk(spark, SF_SMOKE).collect()
     ]
     assert got == expect
+
+
+def test_nb_langid_confusion_matches_sequential(spark):
+    """Sequential pure-Python recompute of the integer-bits NB
+    decision (hashed-unigram likelihood + prior, argmin bits with
+    lang tiebreak) must reproduce the confusion matrix exactly."""
+    import hashlib
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.text import (
+        _NB_B,
+        text_nb_langid_confusion,
+    )
+
+    docs = [
+        (r["doc_id"], r["lang"], [t for t in r["text"].split(" ") if t])
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    ]
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:3], 16)
+
+    cc, ct, n_docs_l, n_tr = {}, {}, {}, 0
+    for doc_id, lang, toks in docs:
+        if doc_id % 5 == 0:
+            continue
+        n_tr += 1
+        n_docs_l[lang] = n_docs_l.get(lang, 0) + 1
+        for t in toks:
+            b = bucket(t)
+            cc[(lang, b)] = cc.get((lang, b), 0) + 1
+            ct[lang] = ct.get(lang, 0) + 1
+    langs = sorted(n_docs_l)
+    n_cls = len(langs)
+
+    def bits(x, y):
+        return (x // y).bit_length() - 1
+
+    confusion = {}
+    for doc_id, lang, toks in docs:
+        if doc_id % 5 != 0 or not toks:
+            continue
+        best = min(
+            (
+                sum(
+                    bits(ct[c] + _NB_B, cc.get((c, bucket(t)), 0) + 1)
+                    for t in toks
+                )
+                + bits(n_tr + n_cls, n_docs_l[c] + 1),
+                c,
+            )
+            for c in langs
+        )[1]
+        confusion[(lang, best)] = confusion.get((lang, best), 0) + 1
+
+    got = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in text_nb_langid_confusion(spark, SF_SMOKE).collect()
+    }
+    assert got == confusion
+
+
+def test_nb_classifier_separates_planted_vocabulary(spark):
+    """On a corpus whose classes DO have distinct vocabularies the NB
+    classifier must separate them (accuracy >= 0.95) — the power leg
+    the shared-vocabulary synthetic corpus cannot exercise."""
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.text import nb_predictions_frame
+
+    vocab = {
+        "aa": ["alpha", "apple", "anchor", "argon", "attic"],
+        "bb": ["bravo", "berry", "bishop", "boron", "bay"],
+        "cc": ["cedar", "citrus", "copper", "canyon", "crest"],
+    }
+    rows = []
+    for li, (lang, words) in enumerate(sorted(vocab.items())):
+        for d in range(40):
+            toks = [words[(d * 7 + i * 3 + li) % 5] for i in range(12)]
+            rows.append((li * 1000 + d, lang, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"]).selectExpr(
+        "doc_id",
+        "lang",
+        "filter(split(text, ' '), x -> x != '') as toks",
+    )
+    pred = nb_predictions_frame(
+        df.filter("doc_id % 5 <> 0"), df.filter("doc_id % 5 = 0")
+    ).collect()
+    assert pred
+    acc = sum(
+        1 for r in pred if r["pred_lang"] == r["true_lang"]
+    ) / len(pred)
+    assert acc >= 0.95, acc
+
+
+def test_link_prediction_matches_bruteforce(spark):
+    """Brute-force Python recompute of common-neighbor / Jaccard link
+    prediction (same hub cap, same tiebreaks) over the materialized
+    edge list must reproduce the operator's top-50 exactly."""
+    from itertools import combinations
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.assoc import (
+        _LP_MAX_DEG,
+        _LP_TOPK,
+        _copurchase_edges,
+        graph_link_prediction_jaccard,
+    )
+
+    edges = {
+        (r["p1"], r["p2"])
+        for r in _copurchase_edges(spark, SF_SMOKE).collect()
+    }
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    cn = {}
+    for v, ns in nbrs.items():
+        if len(ns) > _LP_MAX_DEG:
+            continue
+        for u, w in combinations(sorted(ns), 2):
+            cn[(u, w)] = cn.get((u, w), 0) + 1
+    scored = [
+        (c / (len(nbrs[u]) + len(nbrs[w]) - c), c, u, w)
+        for (u, w), c in cn.items()
+        if (u, w) not in edges
+    ]
+    scored.sort(key=lambda t: (-t[0], -t[1], t[2], t[3]))
+    expect = [
+        (u, w, c, len(nbrs[u]), len(nbrs[w]), j)
+        for j, c, u, w in scored[:_LP_TOPK]
+    ]
+    got = [
+        (r["u"], r["w"], r["cn"], r["deg_u"], r["deg_w"], r["jaccard"])
+        for r in graph_link_prediction_jaccard(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect

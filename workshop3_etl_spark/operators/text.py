@@ -1224,3 +1224,201 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "doc_id", "n_terms_matched", "score_x1000")
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------
+# Trained multinomial Naive Bayes language classifier: the TRAINED
+# sibling of text_lang_id_confusion's fixed n-gram heuristic, and the
+# engine's first in-engine-trained CLASSIFIER (the fasttext-style
+# linear gate of corpus-quality pipelines, reduced to its
+# distributable core). Train on the doc_id % 5 != 0 split (per-class
+# hashed-unigram counts over the 4096-bucket feature space — the DSIR
+# hash), predict the held-out % 5 == 0 docs, report the confusion
+# matrix.
+#
+# Determinism: class scores are exact INTEGER surprisal bits,
+#
+#   bits_l(doc) = floor(log2((N_tr + L) / (n_l + 1)))        [prior]
+#               + sum_w floor(log2((T_l + B) / (c_l,b(w) + 1)))
+#
+# via the bin-length identity (add-one smoothing guarantees
+# numerator >= denominator), argmin bits with lang-ascending
+# tiebreak — the standard log-space NB decision rule with floor-log2
+# in place of libm, bit-identical across engines. The ~1-bit-per-term
+# rounding is noise at language-ID separation distances.
+#
+# Scale: the entire model is <= L x B = 5 x 4096 count rows plus an
+# L-row prior frame — broadcast artifacts however big the corpus; the
+# scoring pass is one token-explode with broadcast joins and a
+# per-(doc, class) map-side-combinable sum. The confusion matrix is
+# an L x L aggregate.
+#
+# Honest data caveat (same as the lang-ID heuristic above): the
+# synthetic corpus draws every language's text from ONE shared
+# 31-word vocabulary with near-uniform frequencies, so the unigram
+# features carry no class signal and the decision collapses to the
+# class prior (majority class) — which IS the Bayes-consistent
+# prediction under uninformative likelihoods. The classifier's
+# separation power is therefore pinned in tests on a planted
+# class-specific vocabulary (accuracy >= 0.95), while the registered
+# query doubles as a real data audit: a prior-dominated confusion
+# matrix is exactly how a pipeline discovers that its lang labels are
+# uncorrelated with content.
+# --------------------------------------------------------------------
+
+_NB_B = 4096
+_NB_BUCKET = (
+    "cast(conv(substring(md5(cast(tok as binary)), 1, 3), 16, 10)"
+    " as bigint)"
+)
+_NB_BUCKET_DUCK = "CAST('0x' || substr(md5(tok), 1, 3) AS BIGINT)"
+
+_NB_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, lang, {_TOKENS_DUCK} AS toks FROM documents
+),
+train_tok AS (
+  SELECT lang, {_NB_BUCKET_DUCK} AS bucket
+  FROM (SELECT lang, unnest(toks) AS tok FROM tk WHERE doc_id % 5 <> 0)
+),
+cls AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_l
+  FROM tk WHERE doc_id % 5 <> 0 GROUP BY lang
+),
+ntr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tr,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS l
+  FROM tk WHERE doc_id % 5 <> 0
+),
+cc AS (
+  SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM train_tok GROUP BY lang, bucket
+),
+ct AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS t
+  FROM train_tok GROUP BY lang
+),
+score_tok AS (
+  SELECT doc_id, lang AS true_lang, {_NB_BUCKET_DUCK} AS bucket
+  FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM tk
+        WHERE doc_id % 5 = 0 AND len(toks) >= 1)
+),
+per_class AS (
+  SELECT s.doc_id, s.true_lang, k.lang,
+         CAST(SUM(length(bin((ct.t + {_NB_B})
+                             // (COALESCE(cc.c, 0) + 1))) - 1)
+              AS BIGINT)
+         + CAST(MIN(length(bin((n.n_tr + n.l) // (k.n_docs_l + 1))) - 1)
+              AS BIGINT) AS bits
+  FROM score_tok s
+  CROSS JOIN cls k
+  CROSS JOIN ntr n
+  JOIN ct ON ct.lang = k.lang
+  LEFT JOIN cc ON cc.lang = k.lang AND cc.bucket = s.bucket
+  GROUP BY s.doc_id, s.true_lang, k.lang
+),
+pred AS (
+  SELECT doc_id, true_lang, lang AS pred_lang FROM (
+    SELECT doc_id, true_lang, lang,
+           ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY bits, lang) AS rn
+    FROM per_class
+  ) WHERE rn = 1
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""
+
+
+def nb_predictions_frame(
+    train: DataFrame, test: DataFrame
+) -> DataFrame:
+    """Multinomial NB over any (doc_id, lang, toks) frames: train
+    per-class hashed-unigram counts + priors on ``train``, return
+    (doc_id, true_lang, pred_lang) for every ``test`` doc with >= 1
+    token. Shared by the registered query and the planted-vocabulary
+    separation test."""
+    from pyspark.sql import Window
+
+    train_tok = train.select(
+        "lang", F.explode("toks").alias("tok")
+    ).selectExpr("lang", f"{_NB_BUCKET} as bucket")
+    cls = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_l")
+    )
+    ntr = train.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tr"),
+        F.countDistinct("lang").cast("long").alias("l"),
+    )
+    cc = train_tok.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ct = train_tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    score_tok = (
+        test.filter("size(toks) >= 1")
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode("toks").alias("tok"),
+        )
+        .selectExpr("doc_id", "true_lang", f"{_NB_BUCKET} as bucket")
+    )
+    per_class = (
+        score_tok.crossJoin(
+            F.broadcast(
+                cls.join(ct, "lang").crossJoin(ntr)
+            )
+        )
+        .join(F.broadcast(cc), ["lang", "bucket"], "left")
+        .selectExpr(
+            "doc_id",
+            "true_lang",
+            "lang",
+            f"cast(length(bin((t + {_NB_B}) div (coalesce(c, 0L) + 1L)))"
+            " - 1 as bigint) as tok_bits",
+            "cast(length(bin((n_tr + l) div (n_docs_l + 1L)))"
+            " - 1 as bigint) as prior_bits",
+        )
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(
+            (
+                F.sum("tok_bits") + F.min("prior_bits")
+            ).cast("long").alias("bits")
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy("bits", "lang")
+    return (
+        per_class.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("lang").alias("pred_lang"))
+    )
+
+
+@register("text_nb_langid_confusion", oracle=_NB_ORACLE)
+def text_nb_langid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """In-engine-trained multinomial Naive Bayes language classifier:
+    train per-class hashed-unigram counts on the doc_id % 5 != 0
+    split, predict the held-out docs by exact-integer-bits argmin,
+    and report the confusion matrix (true_lang, pred_lang, n_docs).
+    See the section design comment for the floor-log2 decision rule,
+    the broadcast L x 4096 model shape, and the honest caveat that
+    the synthetic corpus's shared vocabulary makes this a
+    prior-dominated audit (separation power is pinned in tests on a
+    planted vocabulary)."""
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", f"{_TOKENS} as toks"
+    )
+    pred = nb_predictions_frame(
+        docs.filter("doc_id % 5 <> 0"), docs.filter("doc_id % 5 = 0")
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
