@@ -806,3 +806,53 @@ def test_hard_negative_mining_is_diff_label_prefix_of_pool(spark):
         want = [cid for _, cid, al, cl in rows if al != cl][:_TOP_K]
         have = [cid for _, cid in sorted(per_a.get(a, []))]
         assert have == want, a
+
+
+def test_random_projection_recall_vs_bruteforce(spark):
+    """JL-projected shortlist + exact rerank must recover well above
+    chance (10/500 = 2%) of the true top-10, and the rerank cosines
+    must be bit-identical to brute force for returned pairs."""
+    from workshop3_etl_spark.operators.similarity import (
+        sim_ann_random_projection_topk,
+    )
+
+    exact = sim_cosine_topk_bruteforce(spark, SF_SMOKE).collect()
+    approx = sim_ann_random_projection_topk(spark, SF_SMOKE).collect()
+    exact_sets, exact_sims = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["candidate_id"])
+        exact_sims[(r["query_id"], r["candidate_id"])] = r["cosine_sim"]
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["candidate_id"])
+        key = (r["query_id"], r["candidate_id"])
+        if key in exact_sims:
+            assert r["cosine_sim"] == exact_sims[key]
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(exact_sets[q] & approx_sets[q]) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.3, f"RP recall collapsed: {recalls}"
+
+
+def test_random_projection_sign_matrix_frozen(spark):
+    """The md5-derived sign matrix is a frozen artifact: regenerating
+    it must be deterministic, +-1-valued, and reasonably balanced per
+    row (a degenerate all-ones row would make the projection a plain
+    sum)."""
+    from workshop3_etl_spark.operators.similarity import (
+        _RP_P,
+        _RP_ROWS,
+        _rp_sign_rows,
+    )
+
+    again = _rp_sign_rows()
+    assert again == _RP_ROWS
+    assert len(_RP_ROWS) == _RP_P
+    for row in _RP_ROWS:
+        assert len(row) == 64
+        assert set(row) <= {1.0, -1.0}
+        pos = sum(1 for s in row if s == 1.0)
+        assert 16 <= pos <= 48

@@ -1014,3 +1014,123 @@ def graph_label_propagation_copurchase(
         .limit(40)
     )
     return materialize_and_release(result, lbl)
+
+
+# --------------------------------------------------------------------
+# Link prediction over the co-purchase graph (Liben-Nowell & Kleinberg
+# 2003): score NON-adjacent part pairs by common-neighbor count and
+# Jaccard coefficient of their neighborhoods — the classic
+# recommender / graph-completion primitive ("parts bought with both
+# of these but never together").
+#
+# Candidate generation is wedge expansion through each vertex (the
+# basket/triangle adjacency-array idiom: one groupBy to out-adjacency,
+# map-only in-row pair expansion — no edge self-join). Its cost is
+# sum_v deg(v)^2, so through-vertices are capped at deg <= _LP_MAX_DEG
+# (a hub's wedges score pairs of its neighbors as "similar" only
+# because the hub is popular — dropping them is both the scale cap
+# and standard practice; the cap is applied IDENTICALLY in the
+# oracle, and degrees in the scores stay uncapped). Jaccard ordering
+# is a single double division of exact integers with a full
+# deterministic tiebreak.
+# --------------------------------------------------------------------
+
+_LP_MAX_DEG = 256
+_LP_TOPK = 50
+
+_LINKPRED_ORACLE = f"""
+WITH e AS ({_EDGES_SQL}),
+sym AS (
+  SELECT p1 AS v, p2 AS n FROM e
+  UNION ALL
+  SELECT p2 AS v, p1 AS n FROM e
+),
+deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY v),
+thru AS (SELECT v FROM deg WHERE d <= {_LP_MAX_DEG}),
+wedge AS (
+  SELECT a.n AS u, b.n AS w
+  FROM sym a
+  JOIN thru t ON t.v = a.v
+  JOIN sym b ON a.v = b.v AND a.n < b.n
+),
+cand AS (
+  SELECT u, w, CAST(COUNT(*) AS BIGINT) AS cn FROM wedge GROUP BY u, w
+),
+nonadj AS (
+  SELECT c.u, c.w, c.cn FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e WHERE e.p1 = c.u AND e.p2 = c.w)
+),
+scored AS (
+  SELECT n.u, n.w, n.cn, du.d AS deg_u, dw.d AS deg_w,
+         CAST(n.cn AS DOUBLE)
+           / CAST(du.d + dw.d - n.cn AS DOUBLE) AS jaccard
+  FROM nonadj n
+  JOIN deg du ON du.v = n.u
+  JOIN deg dw ON dw.v = n.w
+)
+SELECT u, w, cn, deg_u, deg_w, jaccard
+FROM scored
+ORDER BY jaccard DESC, cn DESC, u, w
+LIMIT {_LP_TOPK}
+"""
+
+
+@register("graph_link_prediction_jaccard", oracle=_LINKPRED_ORACLE)
+def graph_link_prediction_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-50 predicted links of the co-purchase graph: non-adjacent
+    part pairs ranked by neighborhood Jaccard (then common-neighbor
+    count) — (u, w, cn, deg_u, deg_w, jaccard). See the section
+    design comment for the adjacency-array wedge expansion and the
+    hub cap."""
+    e = _copurchase_edges(spark, sf_dir).persist()
+    e.count()
+    sym = e.selectExpr("p1 as v", "p2 as n").unionAll(
+        e.selectExpr("p2 as v", "p1 as n")
+    )
+    deg = sym.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    adj = (
+        sym.join(
+            deg.filter(F.col("d") <= _LP_MAX_DEG).select("v"), "v"
+        )
+        .groupBy("v")
+        .agg(F.array_sort(F.collect_list("n")).alias("ns"))
+    )
+    pairs = F.expr(
+        "flatten(transform(ns, (x, i) ->"
+        " transform(slice(ns, i + 2, size(ns)),"
+        " y -> struct(x AS u, y AS w))))"
+    )
+    cand = (
+        adj.select(F.explode(pairs).alias("pr"))
+        .select(F.col("pr.u").alias("u"), F.col("pr.w").alias("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    nonadj = cand.join(
+        e.selectExpr("p1 as u", "p2 as w"), ["u", "w"], "left_anti"
+    )
+    du = deg.selectExpr("v as u", "d as deg_u")
+    dw = deg.selectExpr("v as w", "d as deg_w")
+    result = (
+        nonadj.join(du, "u")
+        .join(dw, "w")
+        .selectExpr(
+            "u",
+            "w",
+            "cn",
+            "deg_u",
+            "deg_w",
+            "cast(cn as double)"
+            " / cast(deg_u + deg_w - cn as double) as jaccard",
+        )
+        .orderBy(
+            F.desc("jaccard"), F.desc("cn"), F.asc("u"), F.asc("w")
+        )
+        .limit(_LP_TOPK)
+    )
+    return materialize_and_release(result, e)

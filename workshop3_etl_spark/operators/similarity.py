@@ -2629,3 +2629,194 @@ def sim_hard_negative_mining(
         .orderBy("anchor_id", "rank")
     )
     return materialize_and_release(result, v, assigned)
+
+
+# --------------------------------------------------------------------
+# Random-projection (Johnson-Lindenstrauss) ANN: project the 64-d
+# embeddings onto P = 16 frozen +-1 sign rows (Achlioptas 2003's
+# database-friendly projections — signs derived from md5 of the
+# (row, dim) index, so the "random" matrix is a reproducible source
+# literal like every other frozen artifact), shortlist the top-R by
+# cosine in the PROJECTED space (16-d folds — 4x cheaper per pair
+# than full-width scoring), then exact-rerank the shortlist at full
+# width. This completes the ANN family's fourth index-free reduction
+# (alongside sign-LSH bucketing, IVF cells, and PQ codes): dimension
+# reduction composes with any of them — at 100 TB the projected
+# vectors are what an IVF/LSH layer would ingest; standalone, the
+# projection bounds the scan's arithmetic, not its row count.
+#
+# Determinism: projections and cosines are sequential left-folds of
+# IEEE doubles against literal +-1.0 arrays (the dot_fold contract),
+# so shortlists, reranks, and tie-breaks are bit-identical across
+# engines.
+# --------------------------------------------------------------------
+
+_RP_P = 16  # projected dimensions
+_RP_SHORTLIST = 50  # projected-space candidates per query
+
+
+def _rp_sign_rows() -> list[list[float]]:
+    """P x 64 frozen +-1 sign matrix from md5 of the (row, dim)
+    index — reproducible, engine-neutral, no RNG state."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0], 16
+            )
+            < 8
+            else -1.0
+            for i in range(64)
+        ]
+        for j in range(_RP_P)
+    ]
+
+
+_RP_ROWS = _rp_sign_rows()
+
+
+def _rp_arr_spark(j: int) -> str:
+    return "array(" + ", ".join(f"{s!r}D" for s in _RP_ROWS[j]) + ")"
+
+
+def _rp_arr_duck(j: int) -> str:
+    return "[" + ", ".join(repr(s) for s in _RP_ROWS[j]) + "]::DOUBLE[]"
+
+
+def _rp_proj_spark(col: str) -> str:
+    folds = ", ".join(
+        f"aggregate(zip_with({col}, {_rp_arr_spark(j)},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        for j in range(_RP_P)
+    )
+    return f"array({folds})"
+
+
+def _rp_proj_duck(col: str) -> str:
+    folds = ", ".join(
+        _dot_duck(col, _rp_arr_duck(j)) for j in range(_RP_P)
+    )
+    return f"[{folds}]"
+
+
+_RP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding, {_rp_proj_duck('embedding')} AS proj
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, embedding, proj,
+         {_norm2_duck('embedding')} AS nrm,
+         {_norm2_duck('proj')} AS pn
+  FROM v
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, proj AS qp,
+         nrm AS qn, pn AS qpn
+  FROM n WHERE vec_id < {_N_QUERIES}
+),
+short AS (
+  SELECT query_id, candidate_id, qv, cv, qn, cn FROM (
+    SELECT q.query_id, c.vec_id AS candidate_id,
+           q.qv AS qv, c.embedding AS cv, q.qn AS qn, c.nrm AS cn,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_dot_duck('q.qp', 'c.proj')}
+                        / (SQRT(q.qpn) * SQRT(c.pn)) DESC,
+                      c.vec_id
+           ) AS sr
+    FROM q, n c
+    WHERE q.query_id <> c.vec_id
+  ) WHERE sr <= {_RP_SHORTLIST}
+),
+ranked AS (
+  SELECT query_id, candidate_id,
+         {_dot_duck('qv', 'cv')} / (SQRT(qn) * SQRT(cn)) AS cosine_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY {_dot_duck('qv', 'cv')} / (SQRT(qn) * SQRT(cn)) DESC,
+                    candidate_id
+         ) AS rank
+  FROM short
+)
+SELECT query_id, CAST(rank AS INT) AS rank, candidate_id, cosine_sim
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_ann_random_projection_topk", oracle=_RP_ORACLE)
+def sim_ann_random_projection_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate cosine top-10 via Johnson-Lindenstrauss random
+    projection: frozen 16 x 64 +-1 sign rows project every vector
+    map-only, the projected 16-d cosine picks a 50-candidate
+    shortlist per query, and the shortlist is exact-reranked at full
+    width — (query_id, rank, candidate_id, cosine_sim). See the
+    section design comment for the md5-derived sign matrix and how
+    the reduction composes with the IVF/LSH layers at scale."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.selectExpr(
+        "vec_id",
+        "embedding",
+        f"{_rp_proj_spark('embedding')} as proj",
+    ).selectExpr(
+        "vec_id",
+        "embedding",
+        "proj",
+        "aggregate(zip_with(embedding, embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) as nrm",
+        "aggregate(zip_with(proj, proj,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) as pn",
+    ).persist()
+    n.count()
+    q = n.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("proj").alias("qp"),
+        F.col("nrm").alias("qn"),
+        F.col("pn").alias("qpn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("cv"),
+        F.col("proj").alias("cp"),
+        F.col("nrm").alias("cn"),
+        F.col("pn").alias("cpn"),
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("proj_sim"), F.asc("candidate_id")
+    )
+    short = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .withColumn(
+            "proj_sim",
+            dot_fold("qp", "cp") / (F.sqrt("qpn") * F.sqrt("cpn")),
+        )
+        .withColumn("sr", F.row_number().over(ws))
+        .filter(F.col("sr") <= _RP_SHORTLIST)
+        .select("query_id", "candidate_id", "qv", "cv", "qn", "cn")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("candidate_id")
+    )
+    result = (
+        short.withColumn(
+            "cosine_sim",
+            dot_fold("qv", "cv") / (F.sqrt("qn") * F.sqrt("cn")),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "candidate_id", "cosine_sim")
+        .orderBy("query_id", "rank")
+    )
+    return materialize_and_release(result, n)
