@@ -1171,3 +1171,38 @@ def test_lm_counts_merge_is_batch_split_invariant(spark, tmp_path):
         for r in read_lm_counts(spark, state).collect()
     }
     assert merged2 == oneshot
+
+
+def test_bm25_index_merge_is_batch_split_invariant(spark, tmp_path):
+    """The BM25 index state must be associative: two epoch partials
+    merged == the one-shot partial over the full frame (docs arrive
+    in exactly one batch, so df/cf/corpus counts sum correctly), and
+    replaying an epoch must not double-count."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.streaming.rollup import (
+        _batch_bm25_partial,
+        read_bm25_index,
+        write_bm25_partial,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    state = str(tmp_path / "bm25")
+    write_bm25_partial(docs.where("doc_id % 2 = 0"), 0, state)
+    write_bm25_partial(docs.where("doc_id % 2 = 1"), 1, state)
+    merged = {
+        r["term"]: (r["df"], r["cf"])
+        for r in read_bm25_index(spark, state).collect()
+    }
+    oneshot = {
+        r["term"]: (r["df"], r["cf"])
+        for r in _batch_bm25_partial(docs).collect()
+    }
+    assert merged == oneshot
+    assert None in merged  # the corpus-stats row
+    assert merged[None] == (docs.count(), oneshot[None][1])
+    write_bm25_partial(docs.where("doc_id % 2 = 1"), 1, state)
+    merged2 = {
+        r["term"]: (r["df"], r["cf"])
+        for r in read_bm25_index(spark, state).collect()
+    }
+    assert merged2 == oneshot

@@ -361,3 +361,53 @@ def test_ivf_incremental_maintenance_audits_true(spark):
         sum(r["n_delta"] for r in rows)
         == emb.filter("vec_id % 8 = 0").count()
     )
+
+
+def test_perceptron_train_matches_sequential(spark):
+    """Sequential pure-Python batch perceptron on the same integer
+    grid must reproduce every step row (mistake counts, post-update
+    L1 norm, bias) bit-for-bit; step 1 must flag the whole corpus
+    (zero weights give margin 0 everywhere)."""
+    import math
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.ml import (
+        _KM_GRID,
+        _PCT_STEPS,
+        ml_perceptron_train_embeddings,
+    )
+
+    vecs = [
+        (
+            1 if r["label"] % 2 == 0 else -1,
+            [int(math.floor(float(x) * _KM_GRID)) for x in r["embedding"]],
+        )
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/embeddings.parquet"
+        ).collect()
+        if len(r["embedding"]) == 64
+    ]
+    n = len(vecs)
+    w, b = [0] * 64, 0
+    expect = []
+    for t in range(1, _PCT_STEPS + 1):
+        mist = [
+            (y, xg)
+            for y, xg in vecs
+            if y * (sum(p * q for p, q in zip(xg, w)) + b) <= 0
+        ]
+        for y, xg in mist:
+            for i, v in enumerate(xg):
+                w[i] += y * v
+            b += y * _KM_GRID
+        expect.append(
+            (t, len(mist), (n - len(mist)) / n, sum(abs(v) for v in w), b)
+        )
+    got = [
+        (r["step"], r["n_mistakes"], r["accuracy"], r["w_l1"],
+         r["bias_grid"])
+        for r in ml_perceptron_train_embeddings(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    assert got[0][1] == n  # all rows are mistakes under w = 0
+    assert got[-1][3] > 0

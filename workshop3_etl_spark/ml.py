@@ -2370,3 +2370,161 @@ def mv_ivf_incremental_maintenance(
         )
         .orderBy("cell")
     )
+
+
+# --------------------------------------------------------------------
+# In-engine BATCH PERCEPTRON training (Rosenblatt's rule, batch
+# variant): the linear-CLASSIFIER sibling of the Lloyd trainer above
+# — same driver-held-model protocol (the weight vector is O(D),
+# corpus-independent, collected between rounds exactly like the
+# K-row centroid frame), same integer-grid determinism, same
+# unrolled-recurrence DuckDB oracle with MATERIALIZED per-level CTEs
+# (each level references its predecessor three times — the NOTES
+# exponential-reanalysis finding).
+#
+# Per step t: margin_i = y_i * (w_t . x_i + b_t) over the
+# floor(x * 2^21) integer grid (EXACT bigint arithmetic — mistakes,
+# updates, and ties are engine-identical); the batch update sums
+# y_i * x_i over the mistake set in ONE map-side-combinable D-group
+# shuffle. Magnitudes: |w| <= T * N * G * 0.5 and the dot stays well
+# under 2^63 at every graded SF (at 100 TB token counts the sums
+# would widen to decimal(38,0), the canon recipe). The target is the
+# even-label class of the embeddings corpus: y = +1 iff label % 2 = 0
+# (a real binary split of the data with both classes populated at
+# every SF).
+# --------------------------------------------------------------------
+
+_PCT_STEPS = 4
+_PCT_Y = "case when label % 2 = 0 then 1L else -1L end"
+_PCT_Y_DUCK = "CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END"
+
+
+def _pct_oracle() -> str:
+    g = _KM_GRID
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, CAST({_PCT_Y_DUCK} AS BIGINT) AS y,
+         list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * {g}.0) AS BIGINT)) AS xg
+  FROM embeddings WHERE len(embedding) = {_KM_DIM}
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+dims AS (SELECT CAST(unnest(range(1, {_KM_DIM} + 1)) AS INT) AS dim),
+w0 AS (
+  SELECT list(CAST(0 AS BIGINT) ORDER BY dim) AS arr,
+         CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS n_mist
+  FROM dims
+)"""
+    ]
+    dot = (
+        "list_reduce(list_transform(list_zip(m.xg, p.arr),"
+        " q -> q[1] * q[2]), (a, c) -> a + c)"
+    )
+    for t in range(1, _PCT_STEPS + 1):
+        parts.append(
+            f""",
+mist{t} AS MATERIALIZED (
+  SELECT m.vec_id, m.y, m.xg
+  FROM v m CROSS JOIN w{t - 1} p
+  WHERE m.y * ({dot} + p.b) <= 0
+),
+upd{t} AS (
+  SELECT d.dim, CAST(SUM(m.y * m.xg[d.dim]) AS BIGINT) AS s
+  FROM mist{t} m CROSS JOIN dims d
+  GROUP BY d.dim
+),
+wst{t} AS (
+  SELECT CAST(COALESCE(SUM(y), 0) * {g} AS BIGINT) AS db,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM mist{t}
+),
+warr{t} AS (
+  SELECT list(p.arr[d.dim] + COALESCE(u.s, 0) ORDER BY d.dim) AS arr
+  FROM dims d
+  CROSS JOIN w{t - 1} p
+  LEFT JOIN upd{t} u ON u.dim = d.dim
+),
+w{t} AS MATERIALIZED (
+  SELECT a.arr, p.b + s.db AS b, s.c AS n_mist
+  FROM warr{t} a CROSS JOIN wst{t} s CROSS JOIN w{t - 1} p
+)"""
+        )
+    steps = "\nUNION ALL\n".join(
+        f"""SELECT CAST({t} AS INT) AS step, w.n_mist AS n_mistakes,
+       CAST(nn.n - w.n_mist AS DOUBLE) / CAST(nn.n AS DOUBLE)
+         AS accuracy,
+       CAST(list_reduce(list_transform(w.arr, x -> abs(x)),
+                        (a, c) -> a + c) AS BIGINT) AS w_l1,
+       w.b AS bias_grid
+FROM w{t} w CROSS JOIN nn"""
+        for t in range(1, _PCT_STEPS + 1)
+    )
+    return "".join(parts) + f"\n{steps}\nORDER BY step"
+
+
+@register("ml_perceptron_train_embeddings", oracle=_pct_oracle())
+def ml_perceptron_train_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch perceptron trained IN-ENGINE on the integer-grid
+    embeddings (target: label parity): per unrolled step, one
+    map-only literal-weight margin scan + one D-group mistake-sum
+    shuffle, weights driver-held between rounds (the Lloyd protocol)
+    — (step, n_mistakes, accuracy, w_l1, bias_grid), where
+    n_mistakes counts margin <= 0 under the PRE-update weights and
+    w_l1/bias_grid report the POST-update model. See the section
+    design comment."""
+    g = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.expr(f"size(embedding) = {_KM_DIM}"))
+        .selectExpr(
+            "vec_id",
+            f"cast({_PCT_Y} as bigint) as y",
+            f"{_KM_GRID_SPARK} as xg",
+        )
+        .persist()
+    )
+    n = g.count()
+    w = [0] * _KM_DIM
+    b = 0
+    rows = []
+    for t in range(1, _PCT_STEPS + 1):
+        warr = "array(" + ", ".join(f"{int(v)}L" for v in w) + ")"
+        margin = (
+            f"y * (aggregate(zip_with(xg, {warr},"
+            " (p, q) -> p * q), 0L, (acc, x) -> acc + x)"
+            f" + {int(b)}L)"
+        )
+        mist = g.filter(F.expr(f"{margin} <= 0"))
+        upd = (
+            mist.select("y", F.posexplode("xg").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(
+                F.sum(F.col("y") * F.col("val")).cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("c"),
+                F.sum("y").cast("long").alias("sy"),
+            )
+            .collect()
+        )
+        if upd:
+            n_mist = int(upd[0]["c"])
+            b += int(upd[0]["sy"]) * _KM_GRID
+            for r in upd:
+                w[int(r["pos"])] += int(r["s"])
+        else:
+            n_mist = 0
+        rows.append(
+            (
+                t,
+                n_mist,
+                float(n - n_mist) / float(n),
+                sum(abs(v) for v in w),
+                b,
+            )
+        )
+    g.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "step int, n_mistakes long, accuracy double, w_l1 long,"
+        " bias_grid long",
+    ).orderBy("step")

@@ -1870,3 +1870,112 @@ def stream_lm_bigram_refresh(
         )
         # materialize before the state dir vanishes
         return result.localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------
+# Streaming BM25-index refresh (streaming/rollup.maintain_bm25): the
+# search family's maintenance leg — per-term (df, cf) plus the corpus
+# (n_docs, n_tokens) row maintained as epoch partials over the
+# documents stream (each doc arrives in exactly one batch, so the
+# integer counts are associative under any micro-batch split), then
+# one rollup refreshes the index. The refreshed artifact is exactly
+# what search_bm25_topk's scoring needs (df head + corpus stats), so
+# the summary surfaces the query-term head (df ranks 10-13), which
+# the oracle recomputes from the one-shot batch build. Completes the
+# search lifecycle: build (text.py postings) -> serve (BM25 top-k)
+# -> maintain (here).
+# --------------------------------------------------------------------
+
+
+def _bm25_refresh_oracle() -> str:
+    from workshop3_etl_spark.operators.text import (
+        _BM25_RANK_HI,
+        _BM25_RANK_LO,
+        _TOKENS_DUCK,
+    )
+
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+),
+pos AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+termdf AS (
+  SELECT w AS term,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(COUNT(*) AS BIGINT) AS cf
+  FROM pos GROUP BY w
+),
+head AS (
+  SELECT term, df, cf FROM termdf
+  ORDER BY df DESC, term LIMIT {_BM25_RANK_HI}
+),
+qterms AS (
+  SELECT term, df, cf, rn FROM (
+    SELECT term, df, cf,
+           ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+    FROM head
+  ) WHERE rn BETWEEN {_BM25_RANK_LO} AND {_BM25_RANK_HI}
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+  FROM tk
+)
+SELECT CAST(q.rn AS INT) AS rank, q.term, q.df, q.cf,
+       s.n_docs, s.n_tokens
+FROM qterms q CROSS JOIN stats s
+ORDER BY rank
+"""
+
+
+@register("stream_bm25_index_refresh", oracle=_bm25_refresh_oracle())
+def stream_bm25_index_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Refreshed BM25 index summary from the streaming-maintained
+    state: the query-term head (df ranks 10-13) with per-term df/cf
+    and the corpus (n_docs, n_tokens) — (rank, term, df, cf, n_docs,
+    n_tokens). Batch equivalence (the oracle's assertion): the
+    maintained counts are associative under any micro-batch split, so
+    the refreshed index equals the one-shot batch build."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.operators.text import (
+        _BM25_RANK_HI,
+        _BM25_RANK_LO,
+    )
+    from workshop3_etl_spark.streaming.rollup import (
+        maintain_bm25,
+        read_bm25_index,
+    )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        state = f"{workdir}/bm25"
+        with _few_state_partitions(spark):
+            maintain_bm25(
+                spark,
+                _documents_stream(spark, sf_dir),
+                state,
+                f"{workdir}/ck",
+            )
+        idx = read_bm25_index(spark, state)
+        stats = idx.filter(F.col("term").isNull()).selectExpr(
+            "df as n_docs", "cf as n_tokens"
+        )
+        head = (
+            idx.filter(F.col("term").isNotNull())
+            .orderBy(F.desc("df"), "term")
+            .limit(_BM25_RANK_HI)
+        )
+        wq = Window.orderBy(F.desc("df"), "term")
+        result = (
+            head.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn").between(_BM25_RANK_LO, _BM25_RANK_HI))
+            .crossJoin(F.broadcast(stats))
+            .selectExpr(
+                "cast(rn as int) as rank", "term", "df", "cf",
+                "n_docs", "n_tokens",
+            )
+            .orderBy("rank")
+        )
+        return result.localCheckpoint(eager=True)

@@ -824,3 +824,89 @@ def read_lm_counts(spark: SparkSession, state_path: str) -> DataFrame:
         .groupBy("lang", "w1", "w2")
         .agg(F.sum("c2").cast("long").alias("c2"))
     )
+
+
+# --------------------------------------------------------------------
+# BM25 inverted-index maintenance: the search family's streaming leg
+# (search_inverted_index_postings / search_bm25_topk are the batch
+# build + serve). State is per-term (df, cf) plus one term=NULL
+# corpus row (n_docs, n_tokens) — every piece an integer count that
+# is associative under ANY micro-batch split because each document
+# arrives in exactly one batch, so the refreshed index equals the
+# one-shot batch build (the oracle's assertion). Same
+# epoch-partitioned, replay-idempotent partial protocol as the
+# rollup/LM/quantizer states above.
+# --------------------------------------------------------------------
+
+
+def _batch_bm25_partial(batch: DataFrame) -> DataFrame:
+    """One micro-batch's index partial: per-term (term, df, cf) rows
+    plus the term=NULL corpus-stats row (df=n_docs, cf=n_tokens)."""
+    from workshop3_etl_spark.operators.text import _TOKENS
+
+    tk = batch.selectExpr("doc_id", f"{_TOKENS} as toks")
+    terms = (
+        tk.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy(F.col("w").alias("term"))
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("cf"),
+        )
+    )
+    stats = tk.agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.coalesce(
+            F.sum(F.expr("size(toks)")).cast("long"), F.lit(0).cast("long")
+        ).alias("cf"),
+    ).selectExpr("cast(null as string) as term", "df", "cf")
+    return terms.unionByName(stats)
+
+
+def write_bm25_partial(
+    batch: DataFrame, epoch_id: int, state_path: str
+) -> None:
+    """foreachBatch body: one micro-batch's index partial under its
+    epoch partition (idempotent under replay)."""
+    from workshop3_etl_spark.sources.lakehouse import (
+        dynamic_partition_overwrite,
+    )
+
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return
+    b = _batch_bm25_partial(batch).withColumn(
+        "epoch", F.lit(int(epoch_id))
+    )
+    with dynamic_partition_overwrite(spark):
+        b.write.mode("overwrite").partitionBy("epoch").parquet(state_path)
+
+
+def maintain_bm25(
+    spark: SparkSession,
+    documents_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Run BM25 index maintenance to completion (availableNow)."""
+    (
+        documents_stream.writeStream.foreachBatch(
+            lambda b, epoch: write_bm25_partial(b, epoch, state_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_bm25_index(spark: SparkSession, state_path: str) -> DataFrame:
+    """The merged index over the live partials: per-term rows plus
+    the term=NULL corpus-stats row."""
+    return (
+        _read_live(spark, state_path)
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.sum("cf").cast("long").alias("cf"),
+        )
+    )
