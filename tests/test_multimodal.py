@@ -306,3 +306,41 @@ def test_real_decode_rejects_truncated_wav():
     # walk, but no data chunk — still an error
     with pytest.raises(ValueError, match="missing fmt or data"):
         decode_media_real(full[:36])
+
+
+def test_wav_samples_roundtrip_and_features():
+    """_wav_samples must invert _encode_wav exactly, and the feature
+    kernel arithmetic must match hand-computed energy / strict
+    zero-crossing counts (zeros break runs without counting)."""
+    import pandas as pd
+
+    from workshop3_etl_spark.operators.multimodal import (
+        _encode_wav,
+        _wav_samples,
+        wav_features_kernel,
+    )
+
+    data = bytes([0, 128, 255, 127, 129, 128])
+    samples = _wav_samples(_encode_wav(data))
+    assert samples == [(b - 128) * 256 for b in data]
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "media_type": ["audio/wav", "audio/wav"],
+            "payload": [_encode_wav(data), _encode_wav(b"")],
+        }
+    )
+    out = pd.concat(list(wav_features_kernel(iter([pdf]))))
+    row = out[out.media_id == 1].iloc[0]
+    expect_s = [(b - 128) * 256 for b in data]
+    assert row["n_samples"] == len(expect_s)
+    assert row["energy"] == sum(v * v for v in expect_s)
+    # signs: -, 0, +, -, +, 0 -> strict crossings at (+,-) and (-,+)
+    assert row["zcr"] == sum(
+        1 for a, b in zip(expect_s, expect_s[1:]) if a * b < 0
+    ) == 2
+    empty = out[out.media_id == 2].iloc[0]
+    assert (
+        empty["n_samples"], empty["energy"], empty["zcr"]
+    ) == (0, 0, 0)

@@ -880,3 +880,121 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("thumb_bytes").cast("long").alias("total_thumb_bytes"),
         F.sum("thumb_checksum").cast("long").alias("sum_thumb_checksum"),
     )
+
+
+# --------------------------------------------------------------------
+# REAL audio feature extraction: short-time energy + zero-crossing
+# count over the DECODED PCM sample stream — the first actual DSP
+# feature in the multimodal family (decode/resize/decimate above are
+# codec plumbing). The kernel chunk-walks the RIFF container and
+# unpacks the int16 samples (stdlib struct, Arrow-batched
+# mapInPandas); energy and crossings are exact integer arithmetic
+# over those samples.
+#
+# Oracle honesty: the synthesis maps each text byte b to the sample
+# (b - 128) * 256 and the corpus is pure printable ASCII (verified:
+# every doc matches ^[ -~]*$, so byte == code point), so DuckDB can
+# predict both features per document from the text characters alone —
+# a misparsed sample stream (wrong endianness, off-by-one chunk walk,
+# dropped sample) fails the hash gate, not just a length check.
+# --------------------------------------------------------------------
+
+
+def _wav_samples(payload: bytes) -> list[int]:
+    """Chunk-walk a RIFF/WAVE payload and unpack the PCM16 samples."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off = 12
+    while off + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, off)
+        off += 8
+        if cid == b"data":
+            return list(struct.unpack_from(f"<{size // 2}h", payload, off))
+        off += size
+    return []
+
+
+_WAV_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zcr", T.LongType()),
+    ]
+)
+
+
+def wav_features_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas DSP kernel: decoded-sample energy (sum of squares)
+    and strict zero crossings (adjacent products < 0)."""
+    for pdf in batches:
+        ids, ns, es, zs = [], [], [], []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            s = _wav_samples(bytes(payload))
+            ids.append(int(mid))
+            ns.append(len(s))
+            es.append(sum(v * v for v in s))
+            zs.append(
+                sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+            )
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "n_samples": pd.Series(ns, dtype="int64"),
+                "energy": pd.Series(es, dtype="int64"),
+                "zcr": pd.Series(zs, dtype="int64"),
+            }
+        )
+
+
+_WAV_FEATURES_ORACLE = """
+WITH wav AS (
+  SELECT doc_id, text,
+         CASE WHEN strlen(text) = 0 THEN []
+              ELSE list_transform(generate_series(1, strlen(text)),
+                     i -> ord(substr(text, CAST(i AS INT), 1)) - 128)
+         END AS bs
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT doc_id AS media_id,
+       CAST(strlen(text) AS BIGINT) AS n_samples,
+       CAST(CASE WHEN strlen(text) = 0 THEN 0
+            ELSE list_reduce(
+              list_transform(bs,
+                b -> CAST(b AS BIGINT) * 256 * CAST(b AS BIGINT) * 256),
+              (a, c) -> a + c)
+            END AS BIGINT) AS energy,
+       CAST(CASE WHEN strlen(text) <= 1 THEN 0
+            ELSE len(list_filter(generate_series(1, strlen(text) - 1),
+                                 i -> bs[i] * bs[i + 1] < 0))
+            END AS BIGINT) AS zcr
+FROM wav
+ORDER BY media_id
+"""
+
+
+@register("multimodal_wav_energy_zcr", oracle=_WAV_FEATURES_ORACLE)
+def multimodal_wav_energy_zcr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-audio-document DSP features from the REAL decoded PCM
+    stream: (media_id, n_samples, energy, zcr) — encode kernel
+    synthesizes actual RIFF/WAVE payloads, the feature kernel
+    chunk-walks and unpacks them, and the oracle independently
+    predicts both features from the source characters (see the
+    section design comment). Map-only end to end: two Arrow-batched
+    kernels, no shuffle before the final ORDER BY."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id % 3 = 1")
+    )
+    media = docs.mapInPandas(encode_media_kernel, schema=_MEDIA_SCHEMA)
+    feats = media.mapInPandas(
+        wav_features_kernel, schema=_WAV_FEATURES_SCHEMA
+    )
+    return feats.orderBy("media_id")
