@@ -856,3 +856,44 @@ def test_random_projection_sign_matrix_frozen(spark):
         assert set(row) <= {1.0, -1.0}
         pos = sum(1 for s in row if s == 1.0)
         assert 16 <= pos <= 48
+
+
+def test_spectral_norm_power_bounds_numpy_eig(spark):
+    """The power-iteration estimate ||C v_T|| must be a LOWER bound on
+    numpy's top eigenvalue of the same scaled-covariance matrix and
+    land within 10% of it (the guaranteed deliverable on this
+    near-isotropic corpus — see the operator's design comment), with
+    the iterate a unit vector."""
+    import math
+
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.similarity import (
+        _PCA_DIM,
+        _PCA_GRID,
+        embedding_spectral_norm_power,
+    )
+
+    rows = embedding_spectral_norm_power(spark, SF_SMOKE).collect()
+    v = np.array([r["loading"] for r in rows])
+    lam = rows[0]["lambda_scaled"]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+    emb = np.array(
+        [
+            [math.floor(float(x) * _PCA_GRID) for x in r["embedding"]]
+            for r in spark.read.parquet(
+                f"{SF_SMOKE}/embeddings.parquet"
+            ).collect()
+            if len(r["embedding"]) == _PCA_DIM
+        ],
+        dtype=np.float64,
+    )
+    n = emb.shape[0]
+    s = emb.sum(axis=0)
+    c = n * (emb.T @ emb) - np.outer(s, s)
+    w = np.linalg.eigh(c)[0]
+    lam1 = float(w[-1])
+    assert lam <= lam1 * (1 + 1e-9), (lam, lam1)
+    assert lam >= 0.9 * lam1, (lam, lam1)
