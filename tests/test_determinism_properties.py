@@ -1567,3 +1567,69 @@ def test_link_prediction_matches_bruteforce(spark):
         for r in graph_link_prediction_jaccard(spark, SF_SMOKE).collect()
     ]
     assert got == expect
+
+
+def test_holt_forecast_matches_sequential(spark):
+    """Sequential Python recompute of the Holt recurrence over the
+    day-ordered totals must reproduce level/trend/sse bit-for-bit
+    (the array-fold determinism contract)."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.timeseries import (
+        ts_holt_linear_forecast,
+    )
+
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.functions import metrics as M
+    from workshop3_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        F.date_trunc("day", "ts").alias("dd"), "value"
+    )
+    vals = [
+        r["xv"]
+        for r in ev.groupBy("dd")
+        .agg(M.dsum("value", "xv"))
+        .orderBy("dd")
+        .collect()
+    ]
+    l, b, sse = vals[0], 0.0, 0.0
+    for x in vals[1:]:
+        nl = 0.5 * x + 0.5 * (l + b)
+        nb = 0.5 * ((0.5 * x + 0.5 * (l + b)) - l) + 0.5 * b
+        sse = sse + (x - (l + b)) * (x - (l + b))
+        l, b = nl, nb
+    row = ts_holt_linear_forecast(spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == len(vals)
+    assert row["level"] == l
+    assert row["trend"] == b
+    assert row["sse"] == sse
+    assert row["forecast_next"] == l + b
+
+
+def test_lsh_eval_metrics_sanity(spark):
+    """The LSH eval report must be internally consistent: counts
+    nested (true candidates <= candidates, captured <= blocked
+    truth), ratios in [0, 1], thresholds monotone, and the
+    high-similarity band (the dial LSH is tuned for) must catch its
+    blocked truth completely on the smoke corpus."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.dedup import (
+        dedup_lsh_eval_metrics,
+    )
+
+    r = dedup_lsh_eval_metrics(spark, SF_SMOKE).collect()[0]
+    assert 0 < r["n_candidates"]
+    for t in ("02", "05"):
+        assert 0 <= r[f"n_cand_true_{t}"] <= r["n_candidates"]
+        assert (
+            0
+            <= r[f"n_captured_blocked_{t}"]
+            <= r[f"n_true_blocked_{t}"]
+        )
+        if r[f"precision_{t}"] is not None:
+            assert 0.0 <= r[f"precision_{t}"] <= 1.0
+    assert r["n_cand_true_05"] <= r["n_cand_true_02"]
+    assert r["n_true_blocked_05"] <= r["n_true_blocked_02"]
+    assert r["n_true_blocked_05"] >= 1
+    assert r["recall_blocked_05"] == 1.0

@@ -2501,3 +2501,171 @@ def mv_lsh_incremental_maintenance(
         .orderBy("band_id")
     )
     return materialize_and_release(result, delta)
+
+
+# --------------------------------------------------------------------
+# LSH quality evaluation: precision / recall of the MinHash-LSH
+# candidate generator against EXACT 5-shingle Jaccard ground truth —
+# the eval harness every production dedup pipeline runs when tuning
+# the (bands, rows) dial. Precision is exact and global (every
+# candidate pair gets its true Jaccard — candidate sets are small by
+# construction); recall is measured WITHIN the (lang, source) blocks
+# (the dedup_ngram_jaccard_blocked bound on the quadratic truth
+# enumeration — at 100 TB you estimate recall on sampled blocks, the
+# same shape). Two operating points are reported: the j >= 0.2 band
+# (where 4 bands x 2 rows only catches ~15% by design — the honest
+# number that tells you to re-dial for low-sim corpora) and the
+# j >= 0.5 near-dup band the index is tuned for. Set sizes are
+# integer, ratios single double divisions, NULLIF-guarded.
+# --------------------------------------------------------------------
+
+_LSH_EVAL_THRESHOLDS = (0.2, 0.5)
+
+
+def _lsh_eval_oracle() -> str:
+    th_cols = []
+    for th in _LSH_EVAL_THRESHOLDS:
+        t = str(th).replace("0.", "0")
+        th_cols.append(
+            f"""CAST((SELECT COUNT(*) FROM cj WHERE j >= {th}) AS BIGINT)
+    AS n_cand_true_{t},
+  CAST((SELECT COUNT(*) FROM cj WHERE j >= {th}) AS DOUBLE)
+    / CAST(NULLIF((SELECT COUNT(*) FROM cj), 0) AS DOUBLE)
+    AS precision_{t},
+  CAST((SELECT COUNT(*) FROM bt WHERE j >= {th}) AS BIGINT)
+    AS n_true_blocked_{t},
+  CAST((SELECT COUNT(*) FROM bt b JOIN pairs p
+        ON p.doc_a = b.doc_a AND p.doc_b = b.doc_b
+        WHERE b.j >= {th}) AS BIGINT) AS n_captured_blocked_{t},
+  CAST((SELECT COUNT(*) FROM bt b JOIN pairs p
+        ON p.doc_a = b.doc_a AND p.doc_b = b.doc_b
+        WHERE b.j >= {th}) AS DOUBLE)
+    / CAST(NULLIF((SELECT COUNT(*) FROM bt WHERE j >= {th}), 0)
+           AS DOUBLE) AS recall_blocked_{t}"""
+        )
+    cols = ",\n  ".join(th_cols)
+    return f"""
+WITH {_minhash_pairs_cte()},
+sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct({_shingle_sql_duck()}) AS sh
+  FROM documents
+),
+cj AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                  AS DOUBLE) AS j
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b
+),
+bt AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                  AS DOUBLE) AS j
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_candidates,
+  {cols}
+"""
+
+
+@register("dedup_lsh_eval_metrics", oracle=_lsh_eval_oracle())
+def dedup_lsh_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate generator vs
+    exact shingle-Jaccard ground truth at j >= 0.2 and j >= 0.5
+    (recall within (lang, source) blocks) — one row of counts and
+    NULLIF-guarded ratios. See the section design comment for why
+    both operating points are reported."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs, sigs = _minhash_candidate_pairs(spark, sf_dir)
+    pairs = pairs.persist()
+    sh = docs.selectExpr(
+        "doc_id",
+        "lang",
+        "source",
+        f"array_distinct({_shingle_sql_spark()}) as sh",
+    ).persist()
+    sh.count()
+    jac = (
+        "cast(size(array_intersect(a_sh, b_sh)) as double)"
+        " / cast(size(array_distinct(concat(a_sh, b_sh))) as double)"
+    )
+    cj = (
+        pairs.join(
+            sh.selectExpr("doc_id as doc_a", "sh as a_sh"), "doc_a"
+        )
+        .join(sh.selectExpr("doc_id as doc_b", "sh as b_sh"), "doc_b")
+        .selectExpr("doc_a", "doc_b", f"{jac} as j")
+    )
+    a = sh.selectExpr(
+        "doc_id as doc_a", "lang", "source", "sh as a_sh"
+    )
+    b = sh.selectExpr(
+        "doc_id as doc_b", "lang", "source", "sh as b_sh"
+    )
+    bt = (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .selectExpr("doc_a", "doc_b", f"{jac} as j")
+        .persist()
+    )
+    bt.count()
+    cap = bt.join(pairs, ["doc_a", "doc_b"])
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_candidates")]
+    legs = [pairs.agg(*aggs)]
+    for th in _LSH_EVAL_THRESHOLDS:
+        t = str(th).replace("0.", "0")
+        legs.append(
+            cj.agg(
+                F.sum(F.expr(f"case when j >= {th} then 1 else 0 end"))
+                .cast("long")
+                .alias(f"n_cand_true_{t}"),
+                (
+                    F.sum(
+                        F.expr(f"case when j >= {th} then 1 else 0 end")
+                    ).cast("double")
+                    / F.expr("cast(nullif(count(1), 0) as double)")
+                ).alias(f"precision_{t}"),
+            )
+        )
+        legs.append(
+            bt.agg(
+                F.sum(F.expr(f"case when j >= {th} then 1 else 0 end"))
+                .cast("long")
+                .alias(f"n_true_blocked_{t}")
+            )
+        )
+        legs.append(
+            cap.agg(
+                F.sum(F.expr(f"case when j >= {th} then 1 else 0 end"))
+                .cast("long")
+                .alias(f"n_captured_blocked_{t}")
+            )
+        )
+    row = legs[0]
+    for leg in legs[1:]:
+        row = row.crossJoin(F.broadcast(leg))
+    for th in _LSH_EVAL_THRESHOLDS:
+        t = str(th).replace("0.", "0")
+        row = row.withColumn(
+            f"recall_blocked_{t}",
+            F.col(f"n_captured_blocked_{t}").cast("double")
+            / F.expr(
+                f"cast(nullif(n_true_blocked_{t}, 0) as double)"
+            ),
+        )
+    order = ["n_candidates"]
+    for th in _LSH_EVAL_THRESHOLDS:
+        t = str(th).replace("0.", "0")
+        order += [
+            f"n_cand_true_{t}", f"precision_{t}", f"n_true_blocked_{t}",
+            f"n_captured_blocked_{t}", f"recall_blocked_{t}",
+        ]
+    result = row.select(*order)
+    return materialize_and_release(result, pairs, sigs, sh, bt)

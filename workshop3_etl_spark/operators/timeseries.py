@@ -902,3 +902,101 @@ def ts_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.unpersist()
         raise
     return out
+
+
+# --------------------------------------------------------------------
+# Holt linear-trend forecast (double exponential smoothing, alpha =
+# beta = 1/2): the trend-aware upgrade of ts_ewma_hourly_value and
+# the model that ts_seasonal_naive_mae's baseline exists to be
+# beaten by. The recurrence
+#
+#   l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})
+#   b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}
+#
+# is inherently sequential, so it runs as ONE in-row fold over the
+# day-ordered value array (the bounded-spine pattern: the corpus
+# collapses to O(days) rows in a map-side-combinable aggregate
+# first; the fold is per-row expression work). Cross-engine
+# determinism: the state rides a DOUBLE[3] = [level, trend, sse]
+# ARRAY, not a struct — DuckDB 1.0 evaluates struct_pack lambda
+# fields SEQUENTIALLY (later fields see already-updated acc fields;
+# probed and confirmed), while list elements bind simultaneously in
+# both engines, so the array fold is the one shape whose left fold
+# is engine-identical. Dyadic smoothing constants are e0 exponent
+# literals (DOUBLE in both dialects) and every operation is
+# fixed-order IEEE double arithmetic. sse accumulates one-step-ahead
+# forecast errors — the in-sample score to compare against the
+# seasonal-naive MAE.
+# --------------------------------------------------------------------
+
+_HOLT_STEP_SPARK = (
+    "(acc, x) -> array("
+    "5e-1 * element_at(x, 1)"
+    " + 5e-1 * (element_at(acc, 1) + element_at(acc, 2)),"
+    " 5e-1 * ((5e-1 * element_at(x, 1)"
+    " + 5e-1 * (element_at(acc, 1) + element_at(acc, 2)))"
+    " - element_at(acc, 1)) + 5e-1 * element_at(acc, 2),"
+    " element_at(acc, 3)"
+    " + (element_at(x, 1) - (element_at(acc, 1) + element_at(acc, 2)))"
+    " * (element_at(x, 1) - (element_at(acc, 1) + element_at(acc, 2))))"
+)
+_HOLT_STEP_DUCK = (
+    "(acc, x) -> ["
+    "5e-1 * x[1] + 5e-1 * (acc[1] + acc[2]),"
+    " 5e-1 * ((5e-1 * x[1] + 5e-1 * (acc[1] + acc[2])) - acc[1])"
+    " + 5e-1 * acc[2],"
+    " acc[3] + (x[1] - (acc[1] + acc[2]))"
+    " * (x[1] - (acc[1] + acc[2]))]"
+)
+
+_HOLT_ORACLE = f"""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS dd,
+         CAST(SUM(CAST(value AS decimal(27,2))) AS DOUBLE) AS xv
+  FROM events GROUP BY 1
+),
+arr AS (
+  SELECT list([xv, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]
+              ORDER BY dd) AS w
+  FROM d
+),
+st AS (
+  SELECT CAST(len(w) AS BIGINT) AS n_days,
+         list_reduce(w, {_HOLT_STEP_DUCK}) AS s
+  FROM arr
+)
+SELECT n_days, s[1] AS level, s[2] AS trend,
+       s[1] + s[2] AS forecast_next, s[3] AS sse
+FROM st
+"""
+
+
+@register("ts_holt_linear_forecast", oracle=_HOLT_ORACLE)
+def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over daily event value:
+    (n_days, level, trend, forecast_next, sse) from one bounded
+    in-row fold — see the section design comment for the recurrence
+    and the cross-engine fold contract."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("dd"), "value"
+    )
+    d = ev.groupBy("dd").agg(M.dsum("value", "xv"))
+    arr = d.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dd, xv))),"
+            " p -> array(p.xv, cast(0 as double),"
+            " cast(0 as double))) as w"
+        )
+    )
+    st = arr.selectExpr(
+        "cast(size(w) as bigint) as n_days",
+        "aggregate(slice(w, 2, size(w) - 1), element_at(w, 1),"
+        f" {_HOLT_STEP_SPARK}) as s",
+    )
+    return st.selectExpr(
+        "n_days",
+        "element_at(s, 1) as level",
+        "element_at(s, 2) as trend",
+        "element_at(s, 1) + element_at(s, 2) as forecast_next",
+        "element_at(s, 3) as sse",
+    )
