@@ -220,6 +220,27 @@ def main() -> None:
         # k-means trainer machinery (priced by the trainer row) plus
         # an ADC scan priced by sim_ann_pq_adc_topk.
         "text_lm_perplexity_buckets",
+        # round-9 session-2 flagships. BM25 is the ranked-retrieval
+        # physical class: vocab-sized term-df aggregate, TakeOrdered
+        # query head, broadcast-sided scoring joins, top-k.
+        "search_bm25_topk",
+        # The D x D moment class: double posexplode into a 4096-group
+        # integer-sum shuffle (the widest bounded-output aggregate in
+        # the engine) + the driver-held power iteration.
+        "embedding_spectral_norm_power",
+        # The other session-2 operators stay out of the headline
+        # deliberately: dsir/nb/lm-family scoring joins are the
+        # text_lm_perplexity_buckets class; the perceptron and the
+        # trained-ANN rows re-run the kmeans/iterative class (priced
+        # by ml_kmeans_lloyd_embeddings); link prediction is the
+        # triangle/wedge class (priced by graph_* rows); the LSH eval
+        # harness re-runs the minhash build + the blocked-jaccard
+        # class (both priced); wav/holt/diversity/conformal are
+        # sub-second map-only or bounded-fold rows; the three
+        # availableNow stream refreshes are drain harnesses priced by
+        # the five stream_* maintenance rows; the two mv_* index
+        # maintainers re-run priced assignment/signature machinery
+        # plus a bounded merge.
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

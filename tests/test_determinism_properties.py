@@ -1633,3 +1633,44 @@ def test_lsh_eval_metrics_sanity(spark):
     assert r["n_true_blocked_05"] <= r["n_true_blocked_02"]
     assert r["n_true_blocked_05"] >= 1
     assert r["recall_blocked_05"] == 1.0
+
+
+def test_diversity_profile_matches_sequential(spark):
+    """Sequential Python recompute of Gini impurity / effective
+    categories from raw value counts must match exactly, and a
+    uniform K-category column must report effective_categories == K
+    (checked on l_linestatus-like balance bounds)."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.profile import (
+        _DIVERSITY_COLS,
+        profile_diversity_categoricals,
+    )
+
+    got = {
+        r["column_name"]: (
+            r["n_rows"], r["n_categories"], r["sum_sq_counts"],
+            r["gini_x1e6"], r["effective_categories"],
+        )
+        for r in profile_diversity_categoricals(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert len(got) == len(_DIVERSITY_COLS)
+    for table, col in _DIVERSITY_COLS:
+        counts = {}
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/{table}.parquet"
+        ).select(col).collect():
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        n = sum(counts.values())
+        ssq = sum(c * c for c in counts.values())
+        expect = (
+            n,
+            len(counts),
+            ssq,
+            ((n * n - ssq) * 1000000) // (n * n),
+            (n * n) / ssq,
+        )
+        key = f"{table}.{col}"
+        assert got[key] == expect, (key, got[key], expect)
+        assert 1.0 <= got[key][4] <= got[key][1]

@@ -1206,3 +1206,39 @@ def test_bm25_index_merge_is_batch_split_invariant(spark, tmp_path):
         for r in read_bm25_index(spark, state).collect()
     }
     assert merged2 == oneshot
+
+
+def test_moment_state_merge_is_batch_split_invariant(spark, tmp_path):
+    """The covariance-moment state must be associative: two epoch
+    partials merged == the one-shot partial over the full frame, and
+    replaying an epoch must not double-count — plus the merged state
+    must reproduce the exact moment matrix the spectral-norm trainer
+    computes in batch."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.streaming.rollup import (
+        _batch_moment_partial,
+        read_moments,
+        write_moment_partial,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    state = str(tmp_path / "mom")
+    write_moment_partial(emb.where("vec_id % 2 = 0"), 0, state)
+    write_moment_partial(emb.where("vec_id % 2 = 1"), 1, state)
+    merged = {
+        (r["da"], r["db"]): r["v"]
+        for r in read_moments(spark, state).collect()
+    }
+    oneshot = {
+        (r["da"], r["db"]): r["v"]
+        for r in _batch_moment_partial(emb).collect()
+    }
+    assert merged == oneshot
+    assert merged[(0, 0)] == emb.count()
+    # replay idempotence
+    write_moment_partial(emb.where("vec_id % 2 = 1"), 1, state)
+    merged2 = {
+        (r["da"], r["db"]): r["v"]
+        for r in read_moments(spark, state).collect()
+    }
+    assert merged2 == oneshot

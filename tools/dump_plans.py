@@ -126,6 +126,23 @@ HEADLINE = [
     "dedup_substring_removal_stats",
     "ml_kmeans_elbow_inertia",
     "sim_ann_ivf_trained_topk",
+    # round-9 session-2 additions (the three stream_* refreshes are
+    # deliberately NOT dumped — drain harnesses, see above; the
+    # perceptron and spectral-norm trainers return driver-assembled
+    # literal frames after their in-engine aggregates, so the dumped
+    # result plan would be a LocalTableScan — their plan evidence is
+    # the unrolled-CTE oracle plus the sequential property tests)
+    "search_bm25_topk",
+    "corpus_dsir_importance_weights",
+    "text_nb_langid_confusion",
+    "sim_ann_random_projection_topk",
+    "graph_link_prediction_jaccard",
+    "dedup_lsh_eval_metrics",
+    "stats_conformal_ols_interval",
+    "mv_lsh_incremental_maintenance",
+    "multimodal_wav_energy_zcr",
+    "ts_holt_linear_forecast",
+    "profile_diversity_categoricals",
 ]
 
 

@@ -1229,3 +1229,82 @@ def profile_weighted_median_price(
         F.lit(int(total_w)).cast("long").alias("total_w"),
         "weighted_median_price",
     )
+
+
+# --------------------------------------------------------------------
+# Categorical diversity profile: Gini impurity and Simpson "effective
+# number of categories" (inverse Simpson index) for the star schema's
+# categorical columns — the class-balance audit a sampling/stratifying
+# pipeline reads before choosing mixture weights. Shannon entropy is
+# the textbook choice but needs a float log (the engine bans libm
+# from hashed outputs); Gini = 1 - sum((c/N)^2) and
+# 1 / sum((c/N)^2) carry the same imbalance signal as EXACT
+# rationals: gini_x1e6 is pure integer arithmetic and
+# effective_categories a single double division of exact integers.
+# One count-aggregate per column (map-side combinable), D rows out.
+# --------------------------------------------------------------------
+
+_DIVERSITY_COLS = (
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("orders", "o_orderpriority"),
+    ("orders", "o_orderstatus"),
+    ("customer", "c_mktsegment"),
+)
+
+
+def _diversity_oracle() -> str:
+    legs = []
+    for table, col in _DIVERSITY_COLS:
+        legs.append(f"""
+SELECT '{table}.{col}' AS column_name,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_categories,
+       CAST(SUM(c * c) AS BIGINT) AS sum_sq_counts,
+       CAST(((SUM(c) * SUM(c) - SUM(c * c)) * 1000000)
+            // (SUM(c) * SUM(c)) AS BIGINT) AS gini_x1e6,
+       CAST(SUM(c) * SUM(c) AS DOUBLE) / CAST(SUM(c * c) AS DOUBLE)
+         AS effective_categories
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM {table}
+      GROUP BY {col})""")
+    u = "\nUNION ALL\n".join(legs)
+    return f"SELECT * FROM (\n{u}\n) ORDER BY column_name"
+
+
+@register("profile_diversity_categoricals", oracle=_diversity_oracle())
+def profile_diversity_categoricals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini impurity + Simpson effective-category count for five
+    categorical columns across the star schema — (column_name,
+    n_rows, n_categories, sum_sq_counts, gini_x1e6,
+    effective_categories), exact integer/rational arithmetic
+    throughout. See the section design comment."""
+    from functools import reduce
+
+    legs = []
+    for table, col in _DIVERSITY_COLS:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        legs.append(
+            counts.agg(
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_categories"),
+                F.sum(F.col("c") * F.col("c")).cast("long")
+                .alias("sum_sq_counts"),
+            ).selectExpr(
+                f"'{table}.{col}' as column_name",
+                "n_rows",
+                "n_categories",
+                "sum_sq_counts",
+                "cast(((n_rows * n_rows - sum_sq_counts) * 1000000L)"
+                " div (n_rows * n_rows) as bigint) as gini_x1e6",
+                "cast(n_rows * n_rows as double)"
+                " / cast(sum_sq_counts as double)"
+                " as effective_categories",
+            )
+        )
+    return reduce(DataFrame.unionByName, legs).orderBy("column_name")

@@ -49,17 +49,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # in r8 (every registered query has a lifetime green row), so the
     # budget now cycles the STALEST greens back through the gate.
     #
-    # HEAD (1-25): the round-9 operators (changed-code-gets-official-
+    # HEAD (1-27): the round-9 operators (changed-code-gets-official-
     # row rule), each verified green via driver-protocol parity at
     # sf0.001/0.01/0.1 before registration.
     #
-    # MIDDLE (26-30): per-family keepers for plan-test families not
+    # MIDDLE (28-32): per-family keepers for plan-test families not
     # otherwise represented this round — picking each family's
     # STALEST member where one exists (stream_/multimodal_ r3) and
     # the single-member flagships otherwise.
     #
-    # TAIL (31-50): stale-green re-checks — ALL 16 queries whose
-    # latest official row is r1, then 4 of the 31 whose latest is r2
+    # TAIL (33-50): stale-green re-checks — ALL 16 queries whose
+    # latest official row is r1, then 2 of the 31 whose latest is r2
     # (deferred to the r10 tail: the nine sql_ rows listed below,
     # plus window_top3_per_supplier, window_running_customer_spend,
     # window_share_of_customer, text_token_stats and
@@ -94,6 +94,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_spectral_norm_power",
     "dedup_lsh_eval_metrics",
     "ts_holt_linear_forecast",
+    "stream_covariance_moment_refresh",
+    "profile_diversity_categoricals",
     # family keepers (stalest member / single-member flagships)
     "stream_stateful_user_metrics",
     "multimodal_payload_stats",
@@ -125,19 +127,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # sql_setops_nations, sql_sole_late_shipper,
     # sql_top_return_customers, sql_top_revenue_supplier,
     # sql_wealthy_inactive_customers)
-    # (thirteen more r2-vintage re-checks displaced by the late
+    # (fifteen more r2-vintage re-checks displaced by the late
     # round-9 operators, deferred to the r10 tail with the sql_ nine
     # above: corpus_e2e_training_prep, dedup_connected_components,
     # ml_ols_qty_price, profile_describe_lineitem,
-    # q5_regional_revenue, q6_forecast_revenue,
-    # sim_cosine_topk_bruteforce, sim_embedding_neardup_blocked,
-    # sql_exists_high_value_suppliers, sql_nation_market_share,
-    # text_lang_id_confusion, text_repetition_filter,
-    # text_tfidf_top_terms_per_lang — every displaced family keeps a
-    # fresher representative in this budget.)
+    # q3_shipping_priority, q5_regional_revenue, q6_forecast_revenue,
+    # salted_agg_returnflag_revenue, sim_cosine_topk_bruteforce,
+    # sim_embedding_neardup_blocked, sql_exists_high_value_suppliers,
+    # sql_nation_market_share, text_lang_id_confusion,
+    # text_repetition_filter, text_tfidf_top_terms_per_lang — every
+    # displaced family keeps a fresher representative in this
+    # budget.)
     "corpus_decontaminate_vs_benchmark",
-    "q3_shipping_priority",
-    "salted_agg_returnflag_revenue",
     "sql_correlated_min_unit_price",
 )
 

@@ -1979,3 +1979,102 @@ def stream_bm25_index_refresh(
             .orderBy("rank")
         )
         return result.localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------
+# Streaming covariance-moment refresh (streaming/rollup.
+# maintain_moments): the spectral family's maintenance leg —
+# embedding_spectral_norm_power trains on a D x D moment artifact;
+# this operator maintains those integer moment sums as epoch partials
+# over the embeddings stream and surfaces the refreshed per-dimension
+# diagonal (count, marginal, raw second moment, scaled covariance
+# diagonal n*m_dd - s_d^2 — the drift signal that triggers a
+# spectral-norm re-estimate). Plain integer sums over disjoint row
+# sets => associative under any micro-batch split, which is exactly
+# what the batch-recompute oracle asserts. Completes the family arc:
+# estimate (similarity.py) -> maintain (here), like the
+# quantizer/LM/BM25 families.
+# --------------------------------------------------------------------
+
+
+def _moment_refresh_oracle() -> str:
+    from workshop3_etl_spark.operators.similarity import (
+        _PCA_DIM,
+        _PCA_GRID,
+    )
+
+    return f"""
+WITH gv AS (
+  SELECT list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * {_PCA_GRID}.0) AS BIGINT))
+         AS xg
+  FROM embeddings WHERE len(embedding) = {_PCA_DIM}
+),
+dims AS (SELECT CAST(unnest(range(1, {_PCA_DIM} + 1)) AS INT) AS dim),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gv),
+sv AS (
+  SELECT d.dim, CAST(SUM(xg[d.dim]) AS BIGINT) AS s,
+         CAST(SUM(xg[d.dim] * xg[d.dim]) AS BIGINT) AS m
+  FROM gv, dims d GROUP BY d.dim
+)
+SELECT sv.dim, nn.n AS n_vecs, sv.s AS sum_x, sv.m AS moment_dd,
+       CAST(nn.n * sv.m - sv.s * sv.s AS BIGINT) AS cov_scaled_dd
+FROM sv CROSS JOIN nn
+ORDER BY sv.dim
+"""
+
+
+@register(
+    "stream_covariance_moment_refresh", oracle=_moment_refresh_oracle()
+)
+def stream_covariance_moment_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Refreshed covariance-moment diagonal from the
+    streaming-maintained D x D moment state: (dim, n_vecs, sum_x,
+    moment_dd, cov_scaled_dd). Batch equivalence (the oracle's
+    assertion): the maintained integer moment sums are associative
+    under any micro-batch split, so the refreshed state equals the
+    one-shot batch moment pass the spectral-norm trainer runs."""
+    from workshop3_etl_spark.streaming.rollup import (
+        maintain_moments,
+        read_moments,
+    )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        state = f"{workdir}/moments"
+        with _few_state_partitions(spark):
+            maintain_moments(
+                spark,
+                _embeddings_stream(spark, sf_dir),
+                state,
+                f"{workdir}/ck",
+            )
+        mom = read_moments(spark, state).persist()
+        mom.count()
+        n = mom.filter("da = 0 and db = 0").selectExpr("v as n_vecs")
+        marg = mom.filter("da >= 1 and db = 0").selectExpr(
+            "da as dim", "v as sum_x"
+        )
+        diag = mom.filter("da >= 1 and da = db").selectExpr(
+            "da as dim", "v as moment_dd"
+        )
+        result = (
+            marg.join(diag, "dim")
+            .crossJoin(F.broadcast(n))
+            .selectExpr(
+                "dim",
+                "n_vecs",
+                "sum_x",
+                "moment_dd",
+                "cast(n_vecs * moment_dd - sum_x * sum_x as bigint)"
+                " as cov_scaled_dd",
+            )
+            .select(
+                "dim", "n_vecs", "sum_x", "moment_dd", "cov_scaled_dd"
+            )
+            .orderBy("dim")
+        )
+        out = result.localCheckpoint(eager=True)
+        mom.unpersist()
+        return out

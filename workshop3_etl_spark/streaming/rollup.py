@@ -910,3 +910,98 @@ def read_bm25_index(spark: SparkSession, state_path: str) -> DataFrame:
             F.sum("cf").cast("long").alias("cf"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Covariance MOMENT-MATRIX maintenance: the streaming leg of
+# embedding_spectral_norm_power (operators/similarity.py) — the D x D
+# integer moment sums (sum x_a*x_b), the D marginals (sum x_a), and
+# the row count maintained as epoch partials over the embeddings
+# stream. All three are plain integer sums over disjoint row sets, so
+# the refreshed state equals the one-shot batch moment pass under ANY
+# micro-batch split; the power iteration then runs on the refreshed
+# driver-held artifact without rescanning the corpus. State rows are
+# (da, db, v): db >= 1 is a moment cell, db = 0 the marginal of da,
+# and (0, 0) the row count — one frame, one merge key.
+# --------------------------------------------------------------------
+
+
+def _batch_moment_partial(batch: DataFrame) -> DataFrame:
+    """One micro-batch's (da, db, v) moment rows over the 2^18 grid
+    (the spectral operator's grid)."""
+    from workshop3_etl_spark.operators.similarity import (
+        _PCA_DIM,
+        _PCA_GRID,
+    )
+
+    g = batch.filter(F.expr(f"size(embedding) = {_PCA_DIM}")).selectExpr(
+        "transform(embedding, x -> cast(floor(cast(x as double)"
+        f" * {_PCA_GRID}.0) as bigint)) as xg"
+    )
+    e1 = g.select(F.posexplode("xg").alias("pa", "va"), "xg")
+    mo = (
+        e1.select((F.col("pa") + 1).alias("da"), "va",
+                  F.posexplode("xg").alias("pb", "vb"))
+        .groupBy("da", (F.col("pb") + 1).alias("db"))
+        .agg(F.sum(F.col("va") * F.col("vb")).cast("long").alias("v"))
+    )
+    marg = (
+        g.select(F.posexplode("xg").alias("pa", "va"))
+        .groupBy((F.col("pa") + 1).alias("da"))
+        .agg(F.sum("va").cast("long").alias("v"))
+        .selectExpr("da", "cast(0 as int) as db", "v")
+    )
+    cnt = g.agg(F.count(F.lit(1)).cast("long").alias("v")).selectExpr(
+        "cast(0 as int) as da", "cast(0 as int) as db", "v"
+    )
+    return mo.selectExpr(
+        "cast(da as int) as da", "cast(db as int) as db", "v"
+    ).unionByName(marg.selectExpr(
+        "cast(da as int) as da", "db", "v"
+    )).unionByName(cnt)
+
+
+def write_moment_partial(
+    batch: DataFrame, epoch_id: int, state_path: str
+) -> None:
+    """foreachBatch body: one micro-batch's moment rows under its
+    epoch partition (idempotent under replay)."""
+    from workshop3_etl_spark.sources.lakehouse import (
+        dynamic_partition_overwrite,
+    )
+
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return
+    b = _batch_moment_partial(batch).withColumn(
+        "epoch", F.lit(int(epoch_id))
+    )
+    with dynamic_partition_overwrite(spark):
+        b.write.mode("overwrite").partitionBy("epoch").parquet(state_path)
+
+
+def maintain_moments(
+    spark: SparkSession,
+    embeddings_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Run moment-matrix maintenance to completion (availableNow)."""
+    (
+        embeddings_stream.writeStream.foreachBatch(
+            lambda b, epoch: write_moment_partial(b, epoch, state_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_moments(spark: SparkSession, state_path: str) -> DataFrame:
+    """The merged (da, db, v) moment state over the live partials."""
+    return (
+        _read_live(spark, state_path)
+        .groupBy("da", "db")
+        .agg(F.sum("v").cast("long").alias("v"))
+    )
