@@ -1674,3 +1674,72 @@ def test_diversity_profile_matches_sequential(spark):
         key = f"{table}.{col}"
         assert got[key] == expect, (key, got[key], expect)
         assert 1.0 <= got[key][4] <= got[key][1]
+
+
+def test_gate_attribution_consistent_with_standalone_gates(spark):
+    """The attribution report must agree with the standalone
+    operators it composes: per-doc flags rebuilt from
+    text_repetition_filter, text_lm_perplexity_buckets, and the
+    exact-dup keeper rule must reproduce every row of the report."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.corpus import (
+        corpus_gate_attribution,
+    )
+    from workshop3_etl_spark.operators.text import (
+        text_lm_perplexity_buckets,
+        text_repetition_filter,
+        text_token_stats,
+    )
+
+    rep = {
+        r["doc_id"]: bool(r["is_repetitive"])
+        for r in text_repetition_filter(spark, SF_SMOKE).collect()
+    }
+    tail = {
+        r["doc_id"]: r["ppl_bucket"] == "tail"
+        for r in text_lm_perplexity_buckets(spark, SF_SMOKE).collect()
+    }
+    ntok = {
+        r["doc_id"]: r["n_tokens"]
+        for r in text_token_stats(spark, SF_SMOKE).collect()
+    }
+    import re
+
+    groups = {}
+    for r in spark.read.parquet(
+        f"{SF_SMOKE}/documents.parquet"
+    ).collect():
+        norm = re.sub(r"\s+", " ", r["text"].lower()).strip()
+        groups.setdefault(norm, []).append(r["doc_id"])
+    dup = {
+        d: d != min(ids)
+        for ids in groups.values()
+        for d in ids
+    }
+    flags = {
+        d: (
+            not (20 <= ntok[d] <= 1000),
+            rep[d],
+            dup[d],
+            tail.get(d, False),
+        )
+        for d in ntok
+    }
+    n = len(flags)
+    got = {
+        r["gate"]: (
+            r["n_docs"], r["n_flagged"], r["n_flagged_alone"],
+        )
+        for r in corpus_gate_attribution(spark, SF_SMOKE).collect()
+    }
+    for i, gate in enumerate(
+        ("length", "repetition", "exact_dup", "lm_tail")
+    ):
+        flagged = sum(1 for f in flags.values() if f[i])
+        alone = sum(
+            1 for f in flags.values() if f[i] and sum(f) == 1
+        )
+        assert got[gate] == (n, flagged, alone), gate
+    any_f = sum(1 for f in flags.values() if any(f))
+    any_alone = sum(1 for f in flags.values() if sum(f) == 1)
+    assert got["any"] == (n, any_f, any_alone)

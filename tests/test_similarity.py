@@ -897,3 +897,35 @@ def test_spectral_norm_power_bounds_numpy_eig(spark):
     lam1 = float(w[-1])
     assert lam <= lam1 * (1 + 1e-9), (lam, lam1)
     assert lam >= 0.9 * lam1, (lam, lam1)
+
+
+def test_rrf_hybrid_fuses_both_legs(spark):
+    """RRF must actually fuse: the fused top-10 sits between the two
+    single-leg rankings (every fused hit carries consistent leg
+    ranks; a candidate ranked 1 by BOTH legs must be the fused
+    rank 1), and scores must equal 1/(60+lex) + 1/(60+sem)."""
+    from workshop3_etl_spark.operators.similarity import (
+        _RRF_K,
+        search_rrf_hybrid_topk,
+    )
+
+    rows = search_rrf_hybrid_topk(spark, SF_SMOKE).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        for r in rs:
+            assert r["rrf_score"] == (
+                1.0 / (_RRF_K + r["lex_rank"])
+                + 1.0 / (_RRF_K + r["sem_rank"])
+            )
+        scores = [r["rrf_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        # a double-rank-1 candidate (if any) must lead the fusion
+        for r in rs:
+            if r["lex_rank"] == 1 and r["sem_rank"] == 1:
+                assert r["rank"] == 1

@@ -143,6 +143,8 @@ HEADLINE = [
     "multimodal_wav_energy_zcr",
     "ts_holt_linear_forecast",
     "profile_diversity_categoricals",
+    "corpus_gate_attribution",
+    "search_rrf_hybrid_topk",
 ]
 
 

@@ -1643,3 +1643,286 @@ def corpus_dsir_importance_weights(
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------
+# Quality-gate ATTRIBUTION report: the four standalone filters
+# (length gate, Gopher repetition rule, exact-dup keeper, CCNet LM
+# tail bucket) run as one plan, and every document's drop reasons are
+# cross-tabulated — the "WHY is my corpus shrinking" audit a pipeline
+# owner reads before re-dialing any gate. n_flagged_alone is the
+# actionable column: a gate that only ever flags docs other gates
+# also flag is redundant; for the 'any' row it counts docs flagged by
+# EXACTLY one gate (the docs whose fate a single-gate change can
+# flip). Composes the engine's own frame helpers
+# (text.lm_perplexity_frame, dedup.doc_fingerprints, the repetition
+# expressions), so the report can never drift from the filters it
+# audits. One persisted per-doc flag frame, five 1-row aggregates.
+# --------------------------------------------------------------------
+
+_GATE_GRAMS2_DUCK = (
+    "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
+)
+
+
+def _gate_attribution_oracle() -> str:
+    from workshop3_etl_spark.operators.text import (
+        _LM_TRAIN_GATE_DUCK,
+    )
+
+    g2 = _GATE_GRAMS2_DUCK
+    return f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, lang, text, {_TOKENS_DUCK} AS t,
+         {_TOKENS_DUCK} AS toks
+  FROM documents
+),
+train_bi AS (
+  SELECT lang, toks[i] AS w1, toks[i + 1] AS w2
+  FROM tk, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE {_LM_TRAIN_GATE_DUCK}
+),
+c2 AS MATERIALIZED (
+  SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM train_bi GROUP BY lang, w1, w2
+),
+c1 AS MATERIALIZED (
+  SELECT lang, w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2
+  GROUP BY lang, w1
+),
+voc AS MATERIALIZED (
+  SELECT lang, CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+  FROM (SELECT lang, unnest(toks) AS w FROM tk
+        WHERE {_LM_TRAIN_GATE_DUCK})
+  GROUP BY lang
+),
+score_bi AS (
+  SELECT t.doc_id, t.lang, t.toks[i] AS w1, t.toks[i + 1] AS w2
+  FROM tk t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(t.toks) >= 2
+),
+per_doc AS MATERIALIZED (
+  SELECT s.doc_id, s.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(length(bin(
+           (COALESCE(c1.c1, 0) + COALESCE(voc.v, 1))
+             // (COALESCE(c2.c2, 0) + 1))) - 1) AS BIGINT) AS doc_bits
+  FROM score_bi s
+  LEFT JOIN c2 ON s.lang = c2.lang AND s.w1 = c2.w1 AND s.w2 = c2.w2
+  LEFT JOIN c1 ON s.lang = c1.lang AND s.w1 = c1.w1
+  LEFT JOIN voc ON s.lang = voc.lang
+  GROUP BY s.doc_id, s.lang
+),
+buckets AS MATERIALIZED (
+  SELECT doc_id,
+         CASE NTILE(3) OVER (
+           PARTITION BY lang
+           ORDER BY CAST(FLOOR(CAST(16 * doc_bits AS DOUBLE)
+                               / CAST(n_bigrams AS DOUBLE)) AS BIGINT),
+                    doc_id)
+           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         END AS ppl_bucket
+  FROM per_doc
+),
+fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fingerprint
+  FROM tk
+),
+keepers AS MATERIALIZED (
+  SELECT fingerprint, MIN(doc_id) AS keeper FROM fp GROUP BY fingerprint
+),
+rep AS MATERIALIZED (
+  SELECT k.doc_id,
+         CAST(len({g2}) - len(list_distinct({g2})) AS DOUBLE)
+           / CAST(NULLIF(len({g2}), 0) AS DOUBLE) AS dup2,
+         (SELECT CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+          FROM (SELECT COUNT(*) AS c
+                FROM (SELECT unnest(k.t) AS tok) GROUP BY tok))
+           AS maxtok
+  FROM tk k
+),
+flags AS MATERIALIZED (
+  SELECT k.doc_id,
+         NOT (len(k.toks) BETWEEN 20 AND 1000) AS f_len,
+         (COALESCE(r.dup2 > 0.2, FALSE)
+          OR COALESCE(r.maxtok > 0.2, FALSE)) AS f_rep,
+         (k.doc_id <> kp.keeper) AS f_dup,
+         COALESCE(b.ppl_bucket = 'tail', FALSE) AS f_tail
+  FROM tk k
+  JOIN fp ON fp.doc_id = k.doc_id
+  JOIN keepers kp ON kp.fingerprint = fp.fingerprint
+  LEFT JOIN rep r ON r.doc_id = k.doc_id
+  LEFT JOIN buckets b ON b.doc_id = k.doc_id
+),
+wide AS MATERIALIZED (
+  SELECT doc_id, f_len, f_rep, f_dup, f_tail,
+         (CASE WHEN f_len THEN 1 ELSE 0 END
+          + CASE WHEN f_rep THEN 1 ELSE 0 END
+          + CASE WHEN f_dup THEN 1 ELSE 0 END
+          + CASE WHEN f_tail THEN 1 ELSE 0 END) AS n_gates
+  FROM flags
+)
+SELECT * FROM (
+SELECT 'any' AS gate,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_gates >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(CASE WHEN n_gates = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged_alone,
+       CAST(SUM(CASE WHEN n_gates >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS frac_flagged
+FROM wide
+UNION ALL
+SELECT 'exact_dup',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN f_dup THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN f_dup AND n_gates = 1 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN f_dup THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE)
+FROM wide
+UNION ALL
+SELECT 'length',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN f_len AND n_gates = 1 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE)
+FROM wide
+UNION ALL
+SELECT 'lm_tail',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN f_tail THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN f_tail AND n_gates = 1 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN f_tail THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE)
+FROM wide
+UNION ALL
+SELECT 'repetition',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN f_rep AND n_gates = 1 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN f_rep THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE)
+FROM wide
+) ORDER BY gate
+"""
+
+
+@register("corpus_gate_attribution", oracle=_gate_attribution_oracle())
+def corpus_gate_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-tabulated drop-reason report for the four quality gates
+    (length, repetition, exact-dup, LM tail): per gate (plus 'any'),
+    (gate, n_docs, n_flagged, n_flagged_alone, frac_flagged). See the
+    section design comment for why n_flagged_alone is the actionable
+    column and how the report composes the filters' own frame
+    helpers."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+    from workshop3_etl_spark.operators.dedup import doc_fingerprints
+    from workshop3_etl_spark.operators.text import (
+        _GRAMS2,
+        lm_perplexity_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    toks = docs.selectExpr("doc_id", f"{_TOKENS} as toks")
+    rep = toks.selectExpr(
+        "doc_id",
+        f"cast(size({_GRAMS2}) - size(array_distinct({_GRAMS2}))"
+        f" as double) / cast(nullif(size({_GRAMS2}), 0) as double)"
+        " as dup2",
+        "toks",
+    )
+    tokc = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double"))
+            .alias("maxtok")
+        )
+    )
+    wk = Window.partitionBy("fingerprint")
+    dup = (
+        doc_fingerprints(docs)
+        .withColumn("keeper", F.min("doc_id").over(wk))
+        .selectExpr("doc_id", "doc_id <> keeper as f_dup")
+    )
+    lm = lm_perplexity_frame(docs).selectExpr(
+        "doc_id", "ppl_bucket = 'tail' as f_tail"
+    )
+    flags = (
+        toks.selectExpr(
+            "doc_id", "not (size(toks) between 20 and 1000) as f_len"
+        )
+        .join(rep.select("doc_id", "dup2"), "doc_id", "left")
+        .join(tokc, "doc_id", "left")
+        .join(dup, "doc_id")
+        .join(lm, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "f_len",
+            "(coalesce(dup2 > 0.2, false)"
+            " or coalesce(maxtok > 0.2, false)) as f_rep",
+            "f_dup",
+            "coalesce(f_tail, false) as f_tail",
+        )
+        .selectExpr(
+            "doc_id", "f_len", "f_rep", "f_dup", "f_tail",
+            "(case when f_len then 1 else 0 end"
+            " + case when f_rep then 1 else 0 end"
+            " + case when f_dup then 1 else 0 end"
+            " + case when f_tail then 1 else 0 end) as n_gates",
+        )
+        .persist()
+    )
+    flags.count()
+
+    def leg(gate: str, cond: str) -> DataFrame:
+        return flags.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.expr(f"case when {cond} then 1 else 0 end"))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum(
+                F.expr(
+                    f"case when ({cond}) and n_gates = 1"
+                    " then 1 else 0 end"
+                )
+            )
+            .cast("long")
+            .alias("n_flagged_alone"),
+        ).selectExpr(
+            f"'{gate}' as gate",
+            "n_docs",
+            "n_flagged",
+            "n_flagged_alone",
+            "cast(n_flagged as double) / cast(n_docs as double)"
+            " as frac_flagged",
+        )
+
+    legs = [
+        leg("any", "n_gates >= 1"),
+        leg("exact_dup", "f_dup"),
+        leg("length", "f_len"),
+        leg("lm_tail", "f_tail"),
+        leg("repetition", "f_rep"),
+    ]
+    result = reduce(DataFrame.unionByName, legs).orderBy("gate")
+    return materialize_and_release(result, flags)

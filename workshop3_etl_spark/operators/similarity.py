@@ -2991,3 +2991,165 @@ def embedding_spectral_norm_power(
         [(d + 1, v[d], lam) for d in range(_PCA_DIM)],
         "dim int, loading double, lambda_scaled double",
     ).orderBy("dim")
+
+
+# --------------------------------------------------------------------
+# Hybrid search via Reciprocal Rank Fusion (Cormack et al. 2009, the
+# fusion every modern lexical+vector stack runs): the documents table
+# supplies the LEXICAL ranking (token-set Jaccard to the query doc)
+# and the id-aligned embeddings table the SEMANTIC ranking (cosine),
+# and the two are fused per candidate as
+#
+#   rrf = 1/(60 + rank_lex) + 1/(60 + rank_sem)
+#
+# — a fixed-order two-term double sum of exact integer ranks, so the
+# fused ordering is engine-identical. Both legs here score the full
+# corpus (the brute-force exactness baseline, like
+# sim_cosine_topk_bruteforce); at scale each leg is fed by its index
+# (BM25 posting candidates / IVF-LSH probe candidates) and the fusion
+# join is unchanged. Ranks use dense row_number with candidate-id
+# tiebreaks; the fusion top-10 keeps both legs' ranks visible for
+# audit.
+# --------------------------------------------------------------------
+
+_RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    from workshop3_etl_spark.operators.dedup import _TOKENS_DUCK
+
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_distinct({_TOKENS_DUCK}) AS tokens
+  FROM documents
+),
+lex AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS candidate_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.doc_id
+           ORDER BY CAST(len(list_intersect(q.tokens, c.tokens))
+                         AS DOUBLE)
+                    / CAST(len(list_distinct(
+                          list_concat(q.tokens, c.tokens))) AS DOUBLE)
+                      DESC,
+                    c.doc_id
+         ) AS lex_rank
+  FROM tk q JOIN tk c ON q.doc_id <> c.doc_id
+  WHERE q.doc_id < {_N_QUERIES}
+),
+ev AS (
+  SELECT vec_id, embedding, {_norm2_duck('embedding')} AS nrm
+  FROM embeddings
+),
+sem AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_dot_duck('q.embedding', 'c.embedding')}
+                      / (SQRT(q.nrm) * SQRT(c.nrm)) DESC,
+                    c.vec_id
+         ) AS sem_rank
+  FROM ev q JOIN ev c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+fused AS (
+  SELECT l.query_id, l.candidate_id,
+         CAST(l.lex_rank AS BIGINT) AS lex_rank,
+         CAST(s.sem_rank AS BIGINT) AS sem_rank,
+         1e0 / ({_RRF_K} + l.lex_rank)
+           + 1e0 / ({_RRF_K} + s.sem_rank) AS rrf_score
+  FROM lex l JOIN sem s
+    ON s.query_id = l.query_id AND s.candidate_id = l.candidate_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, candidate_id,
+       lex_rank, sem_rank, rrf_score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id
+    ORDER BY rrf_score DESC, candidate_id) AS rank
+  FROM fused
+) WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("search_rrf_hybrid_topk", oracle=_rrf_oracle())
+def search_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: per query doc, token-set
+    Jaccard and embedding-cosine rankings fused by Reciprocal Rank
+    Fusion (k=60), top-10 — (query_id, rank, candidate_id, lex_rank,
+    sem_rank, rrf_score). See the section design comment for the
+    determinism contract and the index-fed shape at scale."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "array_distinct(filter(split(text, ' '), x -> x != ''))"
+        " as tokens",
+    )
+    q = docs.filter(F.col("doc_id") < _N_QUERIES).selectExpr(
+        "doc_id as query_id", "tokens as qt"
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.desc("jac"), F.asc("candidate_id")
+    )
+    lex = (
+        docs.selectExpr("doc_id as candidate_id", "tokens as ct")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .selectExpr(
+            "query_id",
+            "candidate_id",
+            "cast(size(array_intersect(qt, ct)) as double)"
+            " / cast(size(array_distinct(concat(qt, ct))) as double)"
+            " as jac",
+        )
+        .withColumn("lex_rank", F.row_number().over(wl).cast("long"))
+        .select("query_id", "candidate_id", "lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "embedding",
+        f"{'aggregate(zip_with(embedding, embedding,'}"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) as nrm",
+    )
+    eq = emb.filter(F.col("vec_id") < _N_QUERIES).selectExpr(
+        "vec_id as query_id", "embedding as qv", "nrm as qn"
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("candidate_id")
+    )
+    sem = (
+        emb.selectExpr(
+            "vec_id as candidate_id", "embedding as cv", "nrm as cn"
+        )
+        .crossJoin(F.broadcast(eq))
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .withColumn(
+            "cos", dot_fold("qv", "cv") / (F.sqrt("qn") * F.sqrt("cn"))
+        )
+        .withColumn("sem_rank", F.row_number().over(ws).cast("long"))
+        .select("query_id", "candidate_id", "sem_rank")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("candidate_id")
+    )
+    return (
+        lex.join(sem, ["query_id", "candidate_id"])
+        .selectExpr(
+            "query_id",
+            "candidate_id",
+            "lex_rank",
+            "sem_rank",
+            f"1e0 / ({_RRF_K} + lex_rank)"
+            f" + 1e0 / ({_RRF_K} + sem_rank) as rrf_score",
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id", "rank", "candidate_id", "lex_rank",
+            "sem_rank", "rrf_score",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -49,17 +49,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # in r8 (every registered query has a lifetime green row), so the
     # budget now cycles the STALEST greens back through the gate.
     #
-    # HEAD (1-27): the round-9 operators (changed-code-gets-official-
+    # HEAD (1-29): the round-9 operators (changed-code-gets-official-
     # row rule), each verified green via driver-protocol parity at
     # sf0.001/0.01/0.1 before registration.
     #
-    # MIDDLE (28-32): per-family keepers for plan-test families not
+    # MIDDLE (30-33): per-family keepers for plan-test families not
     # otherwise represented this round — picking each family's
-    # STALEST member where one exists (stream_/multimodal_ r3) and
-    # the single-member flagships otherwise.
+    # STALEST member where one exists (multimodal_ r3) and the
+    # single-member flagships otherwise.
     #
-    # TAIL (33-50): stale-green re-checks — ALL 16 queries whose
-    # latest official row is r1, then 2 of the 31 whose latest is r2
+    # TAIL (34-50): stale-green re-checks — ALL 16 queries whose
+    # latest official row is r1, then 1 of the 31 whose latest is r2
     # (deferred to the r10 tail: the nine sql_ rows listed below,
     # plus window_top3_per_supplier, window_running_customer_spend,
     # window_share_of_customer, text_token_stats and
@@ -96,8 +96,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_holt_linear_forecast",
     "stream_covariance_moment_refresh",
     "profile_diversity_categoricals",
-    # family keepers (stalest member / single-member flagships)
-    "stream_stateful_user_metrics",
+    "corpus_gate_attribution",
+    "search_rrf_hybrid_topk",
+    # family keepers (stalest member / single-member flagships;
+    # stream_stateful_user_metrics' keeper slot was ceded to the
+    # late operators — the stream_ family holds three fresh head
+    # rows this round and the r3-stale re-check defers to r10)
     "multimodal_payload_stats",
     "q1_pricing_summary",
     "udf_named_functions_docs",
@@ -127,18 +131,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # sql_setops_nations, sql_sole_late_shipper,
     # sql_top_return_customers, sql_top_revenue_supplier,
     # sql_wealthy_inactive_customers)
-    # (fifteen more r2-vintage re-checks displaced by the late
-    # round-9 operators, deferred to the r10 tail with the sql_ nine
-    # above: corpus_e2e_training_prep, dedup_connected_components,
-    # ml_ols_qty_price, profile_describe_lineitem,
-    # q3_shipping_priority, q5_regional_revenue, q6_forecast_revenue,
+    # (sixteen more re-checks displaced by the late round-9
+    # operators, deferred to the r10 tail with the sql_ nine above:
+    # corpus_decontaminate_vs_benchmark, corpus_e2e_training_prep,
+    # dedup_connected_components, ml_ols_qty_price,
+    # profile_describe_lineitem, q3_shipping_priority,
+    # q5_regional_revenue, q6_forecast_revenue,
     # salted_agg_returnflag_revenue, sim_cosine_topk_bruteforce,
     # sim_embedding_neardup_blocked, sql_exists_high_value_suppliers,
     # sql_nation_market_share, text_lang_id_confusion,
-    # text_repetition_filter, text_tfidf_top_terms_per_lang — every
-    # displaced family keeps a fresher representative in this
-    # budget.)
-    "corpus_decontaminate_vs_benchmark",
+    # text_repetition_filter, text_tfidf_top_terms_per_lang, plus the
+    # r3-stale stream_stateful_user_metrics keeper — every displaced
+    # family keeps a fresher representative in this budget.)
     "sql_correlated_min_unit_price",
 )
 
