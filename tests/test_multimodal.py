@@ -213,6 +213,8 @@ def test_decimate_wav_half_exact_samples():
     import struct
 
     from workshop3_etl_spark.operators.multimodal import (
+        _WAV_OFS,
+        _WAV_SCALE,
         _encode_wav,
         decimate_wav_half,
         decode_media_real,
@@ -223,7 +225,10 @@ def test_decimate_wav_half_exact_samples():
     assert out["n_samples"] == 3
     assert out["sample_rate"] == 4000
     kept = struct.pack(
-        "<3h", (10 - 128) * 256, (30 - 128) * 256, (50 - 128) * 256
+        "<3h",
+        (10 - _WAV_OFS) * _WAV_SCALE,
+        (30 - _WAV_OFS) * _WAV_SCALE,
+        (50 - _WAV_OFS) * _WAV_SCALE,
     )
     assert out["px_checksum"] == sum(kept) % 2_147_483_647
     assert out["duration_ms"] == 3 * 1000 // 4000
@@ -252,6 +257,8 @@ def test_bmp_wav_roundtrip_property():
     from hypothesis import strategies as st
 
     from workshop3_etl_spark.operators.multimodal import (
+        _WAV_OFS,
+        _WAV_SCALE,
         _encode_bmp,
         _encode_wav,
         decode_media_real,
@@ -276,7 +283,10 @@ def test_bmp_wav_roundtrip_property():
         assert wav["duration_ms"] == len(data) * 1000 // 8000
         import struct
 
-        raw = b"".join(struct.pack("<h", (b - 128) * 256) for b in data)
+        raw = b"".join(
+            struct.pack("<h", (b - _WAV_OFS) * _WAV_SCALE)
+            for b in data
+        )
         assert wav["px_checksum"] == sum(raw) % 2_147_483_647
 
     check()
@@ -315,14 +325,17 @@ def test_wav_samples_roundtrip_and_features():
     import pandas as pd
 
     from workshop3_etl_spark.operators.multimodal import (
+        _WAV_OFS,
+        _WAV_SCALE,
         _encode_wav,
         _wav_samples,
         wav_features_kernel,
     )
 
-    data = bytes([0, 128, 255, 127, 129, 128])
+    # signs relative to _WAV_OFS = 79: -, 0, +, -, +, 0
+    data = bytes([32, 79, 126, 60, 100, 79])
     samples = _wav_samples(_encode_wav(data))
-    assert samples == [(b - 128) * 256 for b in data]
+    assert samples == [(b - _WAV_OFS) * _WAV_SCALE for b in data]
 
     pdf = pd.DataFrame(
         {
@@ -333,7 +346,7 @@ def test_wav_samples_roundtrip_and_features():
     )
     out = pd.concat(list(wav_features_kernel(iter([pdf]))))
     row = out[out.media_id == 1].iloc[0]
-    expect_s = [(b - 128) * 256 for b in data]
+    expect_s = [(b - _WAV_OFS) * _WAV_SCALE for b in data]
     assert row["n_samples"] == len(expect_s)
     assert row["energy"] == sum(v * v for v in expect_s)
     # signs: -, 0, +, -, +, 0 -> strict crossings at (+,-) and (-,+)
@@ -344,3 +357,32 @@ def test_wav_samples_roundtrip_and_features():
     assert (
         empty["n_samples"], empty["energy"], empty["zcr"]
     ) == (0, 0, 0)
+
+
+def test_wav_samples_skips_odd_chunk_with_pad_byte():
+    """A standard WAV with an odd-sized chunk before `data` carries a
+    pad byte the size field does not count; the chunk walk must skip
+    it (r9 ADVICE: `off += size` alone misparses such files)."""
+    import struct
+
+    from workshop3_etl_spark.operators.multimodal import (
+        _WAV_OFS,
+        _WAV_SCALE,
+        _encode_wav,
+        _wav_samples,
+    )
+
+    data = bytes([40, 90, 120])
+    full = _encode_wav(data)
+    fmt_and_data = full[12:]
+    odd = struct.pack("<4sI", b"LIST", 3) + b"odd" + b"\x00"  # pad
+    payload = (
+        struct.pack(
+            "<4sI4s", b"RIFF", 4 + len(odd) + len(fmt_and_data), b"WAVE"
+        )
+        + odd
+        + fmt_and_data
+    )
+    assert _wav_samples(payload) == [
+        (b - _WAV_OFS) * _WAV_SCALE for b in data
+    ]

@@ -134,6 +134,7 @@ def main() -> int:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": timings,
+                "classes": registry.perf_classes(),
                 "errors": errors,
                 "setup_sec": setup_sec,
                 "loop_wall_sec": loop_wall,

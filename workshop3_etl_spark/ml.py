@@ -1976,9 +1976,16 @@ def _pqt_books_lit(books: list[list[list[int]]], m: int) -> str:
 # --------------------------------------------------------------------
 
 
-def _ivfpqt_oracle() -> str:
+def _ivfpqt_ctes(nq: int) -> str:
+    """The full trained-IVF-PQ lifecycle as chained CTEs, through the
+    exact-reranked shortlist ``ex`` (query_id, candidate_id,
+    dist2_grid): coarse Lloyd chain -> inverted assignment ->
+    residuals -> residual-PQ Lloyd chain -> encode -> probe -> ADC ->
+    exact rerank. Parameterized by the query-vector count so both the
+    standalone ANN oracle (_KM_ANN_QUERIES) and the composed hybrid
+    retrieval oracle (_N_QUERIES-aligned) share one derivation."""
     cI, fb = f"c{_KM_ITERS}", f"pb{_PQT_ITERS}_r"
-    return f"""WITH {_KM_BASE_CTES},
+    return f"""{_KM_BASE_CTES},
 {_km_chain_ctes(_KM_K)},
 ad AS MATERIALIZED (
   SELECT vec_id, cell, dist2,
@@ -2021,7 +2028,7 @@ encc AS (
 ),
 pro AS (
   SELECT vec_id AS query_id, cell FROM ad
-  WHERE vec_id < {_KM_ANN_QUERIES} AND rn <= {_KM_ANN_PROBES}
+  WHERE vec_id < {nq} AND rn <= {_KM_ANN_PROBES}
 ),
 qres AS MATERIALIZED (
   SELECT p.query_id, p.cell,
@@ -2061,7 +2068,11 @@ ex AS (
   JOIN glong gq ON gq.vec_id = s.query_id
   JOIN glong gc ON gc.vec_id = s.candidate_id AND gc.dim = gq.dim
   GROUP BY s.query_id, s.candidate_id
-)
+)"""
+
+
+def _ivfpqt_oracle() -> str:
+    return f"""WITH {_ivfpqt_ctes(_KM_ANN_QUERIES)}
 SELECT query_id, CAST(rn AS INT) AS rank, candidate_id, dist2_grid
 FROM (
   SELECT *, ROW_NUMBER() OVER (
@@ -2072,22 +2083,18 @@ WHERE rn <= {_KM_ANN_TOPK}
 ORDER BY query_id, rank"""
 
 
-@register("sim_ann_ivfpq_trained_topk", oracle=_ivfpqt_oracle())
-def sim_ann_ivfpq_trained_topk(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """ANN top-k over the fully in-engine-trained IVF-PQ index: the
-    coarse cell quantizer AND the residual PQ sub-codebooks both
-    trained in this plan, candidates stored as (cell, 8 codes),
-    queries probing {_KM_ANN_PROBES} cells with residual-ADC scoring
-    and exact rerank — the composed billion-scale layout with no
-    frozen artifacts. See the section design comment for the plan
-    shape and the 100 TB story."""
+def _ivfpqt_rerank(
+    spark: SparkSession, sf_dir: str, n_queries: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the full IVF-PQ lifecycle in-plan and serve the exact-
+    reranked shortlist for the first ``n_queries`` query vectors:
+    returns (ex, g, rga) where ex = (query_id, candidate_id,
+    dist2_grid) holds up to _PQT_RERANK exact-reranked candidates per
+    query and g/rga are the persisted frames the CALLER must release
+    (materialize_and_release) once its result is materialized.
+    Shared by sim_ann_ivfpq_trained_topk and the composed
+    search_hybrid_indexed_topk."""
     from pyspark.sql import Window
-
-    from workshop3_etl_spark.functions.cache import (
-        materialize_and_release,
-    )
 
     g = _km_grid_frame(spark, sf_dir).persist()
     cents = _km_seed_cents(g, _KM_K)
@@ -2118,7 +2125,7 @@ def sim_ann_ivfpq_trained_topk(
     )
     probes = (
         _km_cell_dists(
-            g.filter(F.col("vec_id") < _KM_ANN_QUERIES), cents
+            g.filter(F.col("vec_id") < n_queries), cents
         )
         .withColumn(
             "rn",
@@ -2159,7 +2166,7 @@ def sim_ann_ivfpq_trained_topk(
         .filter(F.col("sr") <= _PQT_RERANK)
         .select("query_id", "candidate_id")
     )
-    q = g.filter(F.col("vec_id") < _KM_ANN_QUERIES).select(
+    q = g.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("g").alias("qg")
     )
     cvec = g.select(
@@ -2175,6 +2182,27 @@ def sim_ann_ivfpq_trained_topk(
             " 0L, (acc, x) -> acc + x) as dist2_grid",
         )
     )
+    return ex, g, rga
+
+
+@register("sim_ann_ivfpq_trained_topk", oracle=_ivfpqt_oracle())
+def sim_ann_ivfpq_trained_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN top-k over the fully in-engine-trained IVF-PQ index: the
+    coarse cell quantizer AND the residual PQ sub-codebooks both
+    trained in this plan, candidates stored as (cell, 8 codes),
+    queries probing {_KM_ANN_PROBES} cells with residual-ADC scoring
+    and exact rerank — the composed billion-scale layout with no
+    frozen artifacts. See the section design comment for the plan
+    shape and the 100 TB story."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+
+    ex, g, rga = _ivfpqt_rerank(spark, sf_dir, _KM_ANN_QUERIES)
     w = Window.partitionBy("query_id").orderBy(
         "dist2_grid", "candidate_id"
     )
@@ -2485,10 +2513,30 @@ def ml_perceptron_train_embeddings(
         .persist()
     )
     n = g.count()
+    # int64 safety bound for the literal-weight margin dot (ADVICE
+    # r9): |dot(xg, w) + b| <= xmax * sum|w| + |b|, checked against
+    # 2^62 before each step's expression is built. xmax is measured
+    # from the data (one 1-row agg over the persisted frame), not
+    # assumed from the comment's headroom claim; Spark is non-ANSI
+    # here, so an overflow would wrap silently while DuckDB errors.
+    xmax = int(
+        g.selectExpr(
+            "aggregate(xg, 0L, (a, x) -> greatest(a, abs(x))) as m"
+        )
+        .agg(F.max("m"))
+        .collect()[0][0]
+        or 0
+    )
     w = [0] * _KM_DIM
     b = 0
     rows = []
     for t in range(1, _PCT_STEPS + 1):
+        margin_bound = xmax * sum(abs(v) for v in w) + abs(int(b))
+        if margin_bound >= 1 << 62:
+            raise OverflowError(
+                "perceptron margin dot would exceed int64: "
+                f"xmax={xmax} sum|w|={sum(abs(v) for v in w)} b={b}"
+            )
         warr = "array(" + ", ".join(f"{int(v)}L" for v in w) + ")"
         margin = (
             f"y * (aggregate(zip_with(xg, {warr},"

@@ -1628,7 +1628,46 @@ def corpus_dsir_importance_weights(
             ),
         )
     )
-    w = Window.orderBy(F.desc("logratio_bits"), F.asc("doc_id"))
+    # Top-quartile cut WITHOUT a corpus-wide global window (ADVICE
+    # r9: ntile(4) over an unpartitioned Window was a single-partition
+    # pass over the whole corpus). selected == (global rank by
+    # (logratio desc, doc_id asc) <= ceil(n/4)), derived instead from
+    # the VALUE distribution: logratio_bits is an integer-bits score
+    # with a tiny domain, so its count histogram is a broadcastable
+    # frame; the cutoff value v* and the residual quota `need` come
+    # from a prefix sum over that histogram, and the only remaining
+    # unpartitioned window ranks doc_id inside the single boundary
+    # VALUE slice (== v*), never the corpus.
+    per_doc = per_doc.persist()
+    total = per_doc.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dist = per_doc.groupBy("logratio_bits").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wv = (
+        Window.orderBy(F.desc("logratio_bits"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cutoff = (
+        dist.withColumn("cum", F.sum("cnt").over(wv))
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "logratio_bits as v_star",
+            "cum",
+            "cnt",
+            "cast((n + 3) div 4 as bigint) as k",
+        )
+        .filter("cum - cnt < k and cum >= k")
+        .selectExpr("v_star", "cast(k - (cum - cnt) as bigint) as need")
+    )
+    wt = Window.orderBy(F.asc("doc_id"))
+    tie = (
+        per_doc.join(
+            F.broadcast(cutoff),
+            F.col("logratio_bits") == F.col("v_star"),
+        )
+        .withColumn("tie_rn", F.row_number().over(wt))
+        .selectExpr("doc_id", "(tie_rn <= need) as sel_tie")
+    )
     return (
         per_doc.join(
             docs.selectExpr(
@@ -1636,7 +1675,13 @@ def corpus_dsir_importance_weights(
             ),
             "doc_id",
         )
-        .withColumn("selected", F.ntile(4).over(w) == F.lit(1))
+        .crossJoin(F.broadcast(cutoff))
+        .join(tie, "doc_id", "left")
+        .withColumn(
+            "selected",
+            (F.col("logratio_bits") > F.col("v_star"))
+            | F.coalesce(F.col("sel_tie"), F.lit(False)),
+        )
         .select(
             "doc_id", "lang", "n_tokens", "target_bits", "raw_bits",
             "logratio_bits", "selected",

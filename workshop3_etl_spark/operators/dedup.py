@@ -1044,7 +1044,11 @@ ORDER BY jaccard DESC, d1, d2
 """
 
 
-@register("dedup_prefix_filter_jaccard", oracle=_PREFIX_ORACLE)
+@register(
+    "dedup_prefix_filter_jaccard",
+    oracle=_PREFIX_ORACLE,
+    perf_class="ground_truth",
+)
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard >= 0.9 duplicate pairs over 5-char shingle sets
     via prefix filtering + length filtering — no false negatives, no
@@ -1466,7 +1470,11 @@ ORDER BY containment DESC, contained_doc, container_doc
 """
 
 
-@register("dedup_containment_pairs", oracle=_CONTAIN_ORACLE)
+@register(
+    "dedup_containment_pairs",
+    oracle=_CONTAIN_ORACLE,
+    perf_class="ground_truth",
+)
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT directed containment >= 0.8 pairs over 5-char shingle
     sets (contained doc, container doc, intersection, containment) —
@@ -2575,7 +2583,11 @@ SELECT
 """
 
 
-@register("dedup_lsh_eval_metrics", oracle=_lsh_eval_oracle())
+@register(
+    "dedup_lsh_eval_metrics",
+    oracle=_lsh_eval_oracle(),
+    perf_class="ground_truth",
+)
 def dedup_lsh_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of the MinHash-LSH candidate generator vs
     exact shingle-Jaccard ground truth at j >= 0.2 and j >= 0.5

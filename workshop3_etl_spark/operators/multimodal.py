@@ -92,6 +92,17 @@ def decode_media_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 _BMP_W_MOD = 16
 _BMP_H_MOD = 8
 _WAV_RATE = 8000
+# Sample synthesis: byte b -> (b - _WAV_OFS) * _WAV_SCALE. The
+# offset 79 sits inside printable ASCII [32, 126] so synthesized
+# samples carry BOTH signs and zero (b = 'O') — with the historical
+# 128 every printable byte mapped negative and the zcr gate column
+# was structurally zero (ADVICE r9), leaving the zero-crossing logic
+# exercised only by unit tests, never by the oracle hash. The scale
+# 128 keeps (b - 79) * scale inside int16 for EVERY byte value
+# (max |b - 79| = 176), so the encoder stays total on arbitrary
+# blobs, not just ASCII.
+_WAV_OFS = 79
+_WAV_SCALE = 128
 _CHECKSUM_MOD = 2_147_483_647
 
 
@@ -176,7 +187,7 @@ def _encode_wav(data: bytes) -> bytes:
     import struct
 
     samples = b"".join(
-        struct.pack("<h", (b - 128) * 256) for b in data
+        struct.pack("<h", (b - _WAV_OFS) * _WAV_SCALE) for b in data
     )
     fmt = struct.pack(
         "<4sIHHIIHH", b"fmt ", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16
@@ -892,11 +903,13 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over those samples.
 #
 # Oracle honesty: the synthesis maps each text byte b to the sample
-# (b - 128) * 256 and the corpus is pure printable ASCII (verified:
-# every doc matches ^[ -~]*$, so byte == code point), so DuckDB can
-# predict both features per document from the text characters alone —
-# a misparsed sample stream (wrong endianness, off-by-one chunk walk,
-# dropped sample) fails the hash gate, not just a length check.
+# (b - _WAV_OFS) * _WAV_SCALE and the corpus is pure printable ASCII
+# (verified: every doc matches ^[ -~]*$, so byte == code point), so
+# DuckDB can predict both features per document from the text
+# characters alone — a misparsed sample stream (wrong endianness,
+# off-by-one chunk walk, dropped sample) fails the hash gate, not
+# just a length check. The offset sits mid-ASCII so both signs occur
+# and zcr carries real signal in the gate (see _WAV_OFS).
 # --------------------------------------------------------------------
 
 
@@ -912,7 +925,11 @@ def _wav_samples(payload: bytes) -> list[int]:
         off += 8
         if cid == b"data":
             return list(struct.unpack_from(f"<{size // 2}h", payload, off))
-        off += size
+        # RIFF chunks are word-aligned: odd-sized chunks carry one
+        # pad byte that the size field does not count (ADVICE r9) —
+        # the in-repo encoder emits even chunks, but a standard WAV
+        # with an odd-length chunk before `data` must still parse.
+        off += size + (size & 1)
     return []
 
 
@@ -951,12 +968,13 @@ def wav_features_kernel(
         )
 
 
-_WAV_FEATURES_ORACLE = """
+_WAV_FEATURES_ORACLE = f"""
 WITH wav AS (
   SELECT doc_id, text,
          CASE WHEN strlen(text) = 0 THEN []
               ELSE list_transform(generate_series(1, strlen(text)),
-                     i -> ord(substr(text, CAST(i AS INT), 1)) - 128)
+                     i -> ord(substr(text, CAST(i AS INT), 1))
+                          - {_WAV_OFS})
          END AS bs
   FROM documents WHERE doc_id % 3 = 1
 )
@@ -965,7 +983,8 @@ SELECT doc_id AS media_id,
        CAST(CASE WHEN strlen(text) = 0 THEN 0
             ELSE list_reduce(
               list_transform(bs,
-                b -> CAST(b AS BIGINT) * 256 * CAST(b AS BIGINT) * 256),
+                b -> CAST(b AS BIGINT) * {_WAV_SCALE}
+                     * CAST(b AS BIGINT) * {_WAV_SCALE}),
               (a, c) -> a + c)
             END AS BIGINT) AS energy,
        CAST(CASE WHEN strlen(text) <= 1 THEN 0

@@ -32,6 +32,13 @@ class RegisteredQuery:
     fn: QueryFn
     oracle: str | None  # DuckDB-runnable ANSI SQL, None => rows-only check
     doc: str
+    # Bench adjudication class (VERDICT r9 #4). "pipeline" = a path a
+    # production corpus job would run, held to the normal regression
+    # thresholds; "ground_truth" = a deliberate exact-enumeration eval
+    # harness (e.g. the filter-free containment join that verifies the
+    # LSH screen) whose cost is the point — bench tooling reports it
+    # separately and never gates on it.
+    perf_class: str = "pipeline"
 
 
 _REGISTRY: dict[str, RegisteredQuery] = {}
@@ -147,11 +154,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str,
+    oracle: str | None = None,
+    perf_class: str = "pipeline",
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = RegisteredQuery(name, fn, oracle, fn.__doc__ or "")
+        if perf_class not in ("pipeline", "ground_truth"):
+            raise ValueError(f"unknown perf_class {perf_class!r}")
+        _REGISTRY[name] = RegisteredQuery(
+            name, fn, oracle, fn.__doc__ or "", perf_class
+        )
         return fn
 
     return deco
@@ -171,6 +186,15 @@ def queries() -> dict[str, QueryFn]:
 
 def oracles() -> dict[str, str]:
     return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
+
+
+def perf_classes() -> dict[str, str]:
+    """Non-default bench classes only (pipeline is the default)."""
+    return {
+        q.name: q.perf_class
+        for q in _ordered()
+        if q.perf_class != "pipeline"
+    }
 
 
 def get(name: str) -> RegisteredQuery:
