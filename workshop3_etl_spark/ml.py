@@ -2216,6 +2216,261 @@ def sim_ann_ivfpq_trained_topk(
 
 
 # --------------------------------------------------------------------
+# Index-fed HYBRID retrieval (VERDICT r9 #1): the serving-shape
+# composition of the engine's own index legs — a lexical POSTINGS leg
+# and a trained-IVF-PQ ANN shortlist leg — fused by the exact-integer
+# Reciprocal Rank Fusion math of search_rrf_hybrid_topk
+# (operators/similarity.py), with NO corpus x query exact leg
+# anywhere in the plan. The exact-leg operator remains the
+# verifiable brute-force baseline; this one is what actually serves
+# at 100 TB.
+#
+# Queries: the first 5 documents / embedding vectors (doc_id ==
+# vec_id alignment, the same query set as the exact-leg RRF operator
+# so the two are overlap-comparable; a pytest pins that agreement).
+#
+# Lexical leg: each query is represented by its 4 RAREST distinct
+# tokens (lowest corpus df, term tiebreak — classic candidate
+# generation: rare terms have short postings). Candidates = documents
+# sharing >=1 selected term, reached through the posting join (corpus
+# token stream x broadcast 20-row query-term frame — work
+# proportional to the selected postings' length, never |corpus| x
+# |queries|). Scoring is the BM25-shaped exact-integer rational of
+# search_bm25_topk (k1 = 1.2, b = 0.75 via the 44/20/6/18
+# multiplied-through form), with ONE deliberate change: the idf
+# factor is the exact-rational surrogate (1000 * (N + 1)) div
+# (df + 1) instead of floor-log2 bits. On this flat synthetic
+# vocabulary (most df within a few % of N) the bits idf floors to 0
+# for every common term and would zero the ranking signal; the
+# rational surrogate is monotone in df, exactly integer, and keeps
+# tf/dl discrimination. (At 100 TB token counts the x1000 numerator
+# outgrows int64; internals would widen to decimal(38,0) exactly as
+# the BM25 section documents.)
+#
+# Semantic leg: the trained IVF-PQ serving path (_ivfpqt_rerank —
+# coarse Lloyd -> residual PQ -> probe 2/16 cells -> ADC ->
+# exact-reranked top-50 shortlist), ranked by exact grid distance.
+#
+# Fusion: FULL OUTER join of the two <=50-candidate-per-query lists;
+# rrf = coalesce(1/(60 + lex_rank), 0) + coalesce(1/(60 + sem_rank),
+# 0) — a fixed-order sum of at most two exact doubles, so the fused
+# ordering is engine-identical; top-10 per query with candidate-id
+# tiebreak, both leg ranks kept visible for audit.
+# --------------------------------------------------------------------
+
+_HYB_QUERIES = 5  # == similarity._N_QUERIES (exact-leg RRF query set)
+_HYB_QTERMS = 4  # rarest distinct tokens representing each query
+_HYB_SHORT = 50  # per-leg candidate list length (== _PQT_RERANK)
+_HYB_TOPK = 10  # fused output depth (== similarity._TOP_K)
+_HYB_RRF_K = 60  # RRF constant (== similarity._RRF_K)
+
+
+def _hybrid_oracle() -> str:
+    from workshop3_etl_spark.operators.text import _TOKENS_DUCK
+
+    return f"""WITH {_ivfpqt_ctes(_HYB_QUERIES)},
+sem AS (
+  SELECT query_id, candidate_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY dist2_grid, candidate_id) AS sem_rank
+  FROM ex
+),
+htk AS (SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents),
+hpos AS (SELECT doc_id, unnest(toks) AS w FROM htk),
+htermdf AS (
+  SELECT w AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM hpos GROUP BY w
+),
+hdl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM htk),
+hstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t
+  FROM hdl
+),
+hq AS (
+  SELECT query_id, term, df FROM (
+    SELECT qt.query_id, qt.term, d.df,
+           ROW_NUMBER() OVER (
+             PARTITION BY qt.query_id ORDER BY d.df, qt.term) AS rn
+    FROM (SELECT doc_id AS query_id,
+                 unnest(list_distinct(toks)) AS term
+          FROM htk WHERE doc_id < {_HYB_QUERIES}) qt
+    JOIN htermdf d USING (term)
+  ) WHERE rn <= {_HYB_QTERMS}
+),
+htf AS (
+  SELECT p.doc_id, p.w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM hpos p JOIN (SELECT DISTINCT term FROM hq) s ON s.term = p.w
+  GROUP BY p.doc_id, p.w
+),
+hcontrib AS (
+  SELECT q.query_id, f.doc_id AS candidate_id,
+         ((((1000 * (s.n + 1)) // (q.df + 1)) * 44 * s.t * f.tf)
+          // (20 * s.t * f.tf + 6 * s.t + 18 * s.n * d.dl)) AS c
+  FROM htf f
+  JOIN hq q USING (term)
+  JOIN hdl d ON d.doc_id = f.doc_id
+  CROSS JOIN hstats s
+  WHERE f.doc_id <> q.query_id
+),
+lex AS (
+  SELECT query_id, candidate_id, lex_rank FROM (
+    SELECT query_id, candidate_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY score_x1000 DESC, candidate_id) AS lex_rank
+    FROM (
+      SELECT query_id, candidate_id,
+             CAST(SUM(c) AS BIGINT) AS score_x1000
+      FROM hcontrib GROUP BY query_id, candidate_id
+    )
+  ) WHERE lex_rank <= {_HYB_SHORT}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.candidate_id, s.candidate_id) AS candidate_id,
+         CAST(l.lex_rank AS BIGINT) AS lex_rank,
+         CAST(s.sem_rank AS BIGINT) AS sem_rank,
+         COALESCE(1e0 / ({_HYB_RRF_K} + l.lex_rank), 0e0)
+           + COALESCE(1e0 / ({_HYB_RRF_K} + s.sem_rank), 0e0)
+           AS rrf_score
+  FROM lex l FULL JOIN sem s
+    ON s.query_id = l.query_id AND s.candidate_id = l.candidate_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, candidate_id,
+       lex_rank, sem_rank, rrf_score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id
+    ORDER BY rrf_score DESC, candidate_id) AS rank
+  FROM fused
+) WHERE rank <= {_HYB_TOPK}
+ORDER BY query_id, rank"""
+
+
+@register("search_hybrid_indexed_topk", oracle=_hybrid_oracle())
+def search_hybrid_indexed_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index-fed hybrid retrieval: per query document, the lexical
+    posting-list leg (rarest-4-term candidate generation, BM25-shaped
+    exact-integer scoring) and the trained-IVF-PQ ANN shortlist leg,
+    fused by Reciprocal Rank Fusion (k = 60), top-10 — (query_id,
+    rank, candidate_id, lex_rank, sem_rank, rrf_score) with null leg
+    ranks where a candidate surfaced on one index only. See the
+    section design comment for the leg shapes, the idf surrogate
+    rationale, and the no-corpus-cross-join contract."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+    from workshop3_etl_spark.operators.text import _TOKENS
+
+    # ---- semantic leg: trained IVF-PQ shortlist, ranked
+    ex, g, rga = _ivfpqt_rerank(spark, sf_dir, _HYB_QUERIES)
+    wsem = Window.partitionBy("query_id").orderBy(
+        "dist2_grid", "candidate_id"
+    )
+    sem = ex.withColumn(
+        "sem_rank", F.row_number().over(wsem).cast("long")
+    ).select("query_id", "candidate_id", "sem_rank")
+
+    # ---- lexical leg: postings index + broadcast query-term frame
+    tk = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .persist()
+    )
+    pos = tk.select("doc_id", F.explode("toks").alias("w"))
+    termdf = pos.groupBy(F.col("w").alias("term")).agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    dl = tk.select(
+        "doc_id", F.expr("cast(size(toks) as bigint)").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("t"),
+    )
+    qtok = (
+        tk.filter(F.col("doc_id") < _HYB_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct("toks")).alias("term"),
+        )
+    )
+    wqt = Window.partitionBy("query_id").orderBy("df", "term")
+    qsel = (
+        termdf.join(F.broadcast(qtok), "term")
+        .withColumn("rn", F.row_number().over(wqt))
+        .filter(F.col("rn") <= _HYB_QTERMS)
+        .select("query_id", "term", "df")
+    )
+    # posting join: corpus token stream pruned map-side by the
+    # broadcast selected-term set, then per-(doc, term) tf counts —
+    # work is proportional to the selected postings, never
+    # |corpus| x |queries|
+    tf = (
+        pos.join(
+            F.broadcast(
+                qsel.select(F.col("term").alias("w")).distinct()
+            ),
+            "w",
+        )
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    contrib = (
+        tf.join(F.broadcast(qsel), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "query_id",
+            "doc_id as candidate_id",
+            "((((1000L * (n + 1L)) div (df + 1L)) * 44L * t * tf)"
+            " div (20L * t * tf + 6L * t + 18L * n * dl)) as c",
+        )
+    )
+    wlex = Window.partitionBy("query_id").orderBy(
+        F.desc("score_x1000"), F.asc("candidate_id")
+    )
+    lex = (
+        contrib.groupBy("query_id", "candidate_id")
+        .agg(F.sum("c").cast("long").alias("score_x1000"))
+        .withColumn("lex_rank", F.row_number().over(wlex).cast("long"))
+        .filter(F.col("lex_rank") <= _HYB_SHORT)
+        .select("query_id", "candidate_id", "lex_rank")
+    )
+
+    # ---- RRF fusion of the two bounded candidate lists
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("candidate_id")
+    )
+    result = (
+        lex.join(sem, ["query_id", "candidate_id"], "full")
+        .selectExpr(
+            "query_id",
+            "candidate_id",
+            "lex_rank",
+            "sem_rank",
+            f"coalesce(1e0 / ({_HYB_RRF_K} + lex_rank), 0e0)"
+            f" + coalesce(1e0 / ({_HYB_RRF_K} + sem_rank), 0e0)"
+            " as rrf_score",
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _HYB_TOPK)
+        .select(
+            "query_id", "rank", "candidate_id", "lex_rank",
+            "sem_rank", "rrf_score",
+        )
+        .orderBy("query_id", "rank")
+    )
+    return materialize_and_release(result, g, rga, tk)
+
+
+# --------------------------------------------------------------------
 # Incremental INVERTED-FILE maintenance: the vector-index sibling of
 # mv_join_incremental_maintenance. The serving artifact of every IVF
 # operator is the inverted file (cell -> members); when a delta of
