@@ -929,3 +929,29 @@ def test_rrf_hybrid_fuses_both_legs(spark):
         for r in rs:
             if r["lex_rank"] == 1 and r["sem_rank"] == 1:
                 assert r["rank"] == 1
+
+
+def test_whitening_apply_unit_variance_property(spark):
+    """The whitening APPLY leg's contract: every non-constant
+    dimension of the whitened embedding column has population mean 0
+    and population variance exactly 1 up to FP accumulation (the
+    grid quantization cancels — variance is computed ON the whitened
+    values, so the only error source is IEEE rounding)."""
+    import numpy as np
+
+    from tests.conftest import SF_CORRECT
+    from workshop3_etl_spark.operators.similarity import (
+        _PCA_DIM,
+        embedding_whitening_apply,
+    )
+
+    rows = embedding_whitening_apply(spark, SF_CORRECT).collect()
+    by_dim = {}
+    for r in rows:
+        by_dim.setdefault(r["dim"], []).append(r["whitened"])
+    assert sorted(by_dim) == list(range(1, _PCA_DIM + 1))
+    for d, vals in by_dim.items():
+        assert all(v is not None for v in vals), d
+        a = np.array(vals, dtype=np.float64)
+        assert abs(a.mean()) < 1e-9, (d, a.mean())
+        assert abs(np.mean(a * a) - 1.0) < 1e-9, (d, np.mean(a * a))

@@ -2994,6 +2994,114 @@ def embedding_spectral_norm_power(
 
 
 # --------------------------------------------------------------------
+# Whitening APPLY leg (VERDICT r9 #6): the transform that applies the
+# covariance-moment machinery to the embedding column, completing the
+# estimate (embedding_spectral_norm_power) -> maintain
+# (stream_covariance_moment_refresh) -> APPLY arc the quantizer / LM /
+# BM25 families already have. Diagonal whitening: per-dimension exact
+# integer-grid mean-centering and a variance scale derived in-plan
+# from the same moment aggregates the estimator trains — whitened_d =
+# (n * x_d - s_d) / sqrt(n * m_dd - s_d^2), which mean-centers
+# without ever leaving exact integers (the division by n cancels) and
+# makes the per-dim population variance EXACTLY 1 in exact
+# arithmetic (a property test pins it to 1 within FP tolerance).
+#
+# Determinism: n, s_d, m_dd and therefore V_d = n*m_dd - s_d^2 are
+# exact int64 aggregates (|V| <= n^2 * grid_span^2 ~ 5e17 at sf0.1;
+# at 100 TB row counts the products outgrow int64 and internals would
+# widen to decimal(38,0) exactly like the canon limb folds — Spark is
+# non-ANSI here, DuckDB would error loudly first); the only doubles
+# are CAST(exact int) / SQRT(CAST(exact int)), fixed-order IEEE on
+# both engines. Constant dimensions (V = 0) whiten to NULL rather
+# than a division blowup, mirrored by the oracle's CASE.
+#
+# Scale: one D-row map-side-combinable moment aggregate, broadcast
+# back into a map-only transform — no corpus-scale shuffle, no
+# driver-held state beyond the 64-row scale frame the broadcast
+# carries.
+# --------------------------------------------------------------------
+
+_WHITEN_ORACLE = f"""
+WITH gv AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * {_PCA_GRID}.0) AS BIGINT))
+         AS xg
+  FROM embeddings WHERE len(embedding) = {_PCA_DIM}
+),
+dims AS (SELECT CAST(unnest(range(1, {_PCA_DIM} + 1)) AS INT) AS dim),
+lng AS (SELECT vec_id, d.dim, xg[d.dim] AS val FROM gv, dims d),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gv),
+diag AS (
+  SELECT dim, CAST(SUM(val) AS BIGINT) AS s,
+         CAST(SUM(val * val) AS BIGINT) AS m
+  FROM lng GROUP BY dim
+),
+sc AS (
+  SELECT dim, s, nn.n AS n,
+         CAST(nn.n * m - s * s AS DOUBLE) AS v
+  FROM diag, nn
+)
+SELECT l.vec_id, l.dim,
+       CASE WHEN c.v > 0e0
+            THEN CAST(c.n * l.val - c.s AS DOUBLE) / SQRT(c.v)
+       END AS whitened
+FROM lng l JOIN sc c USING (dim)
+ORDER BY l.vec_id, l.dim
+"""
+
+
+@register("embedding_whitening_apply", oracle=_WHITEN_ORACLE)
+def embedding_whitening_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Apply diagonal covariance whitening to the embedding column:
+    (vec_id, dim, whitened) where whitened mean-centers on the exact
+    integer grid and scales by the in-plan-trained per-dim standard
+    deviation, so every non-constant dimension comes out with
+    population variance exactly 1 (property-tested). Completes the
+    spectral family's estimate -> maintain -> apply lifecycle; see
+    the section design comment for the determinism algebra and the
+    broadcast map-only scale shape."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.expr(f"size(embedding) = {_PCA_DIM}"))
+        .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {_PCA_GRID}.0) as bigint)) as xg",
+        )
+    )
+    lng = emb.select(
+        "vec_id", F.posexplode("xg").alias("pos", "val")
+    ).selectExpr("vec_id", "cast(pos + 1 as int) as dim", "val")
+    nn = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    diag = lng.groupBy("dim").agg(
+        F.sum("val").cast("long").alias("s"),
+        F.expr("cast(sum(val * val) as bigint)").alias("m"),
+    )
+    sc = diag.crossJoin(F.broadcast(nn)).selectExpr(
+        "dim", "s", "n", "cast(n * m - s * s as double) as v"
+    )
+    # emb appears three times in the plan (transform leg, n, diag) —
+    # left uncached on purpose: the output is corpus x D rows (no
+    # cheap localCheckpoint), and the re-reads are a pruned parquet
+    # scan + a map-only grid transform, cheaper than caching the
+    # corpus-scale frame.
+    return (
+        lng.join(F.broadcast(sc), "dim")
+        .selectExpr(
+            "vec_id",
+            "dim",
+            "case when v > 0e0"
+            " then cast(n * val - s as double) / sqrt(v) end"
+            " as whitened",
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
+# --------------------------------------------------------------------
 # Hybrid search via Reciprocal Rank Fusion (Cormack et al. 2009, the
 # fusion every modern lexical+vector stack runs): the documents table
 # supplies the LEXICAL ranking (token-set Jaccard to the query doc)
