@@ -1679,10 +1679,12 @@ def test_diversity_profile_matches_sequential(spark):
 def test_gate_attribution_consistent_with_standalone_gates(spark):
     """The attribution report must agree with the standalone
     operators it composes: per-doc flags rebuilt from
-    text_repetition_filter, text_lm_perplexity_buckets, and the
-    exact-dup keeper rule must reproduce every row of the report."""
+    text_repetition_filter, text_lm_perplexity_buckets,
+    corpus_dsir_importance_weights, and the exact-dup keeper rule
+    must reproduce every row of the report."""
     from tests.conftest import SF_SMOKE
     from workshop3_etl_spark.operators.corpus import (
+        corpus_dsir_importance_weights,
         corpus_gate_attribution,
     )
     from workshop3_etl_spark.operators.text import (
@@ -1716,12 +1718,19 @@ def test_gate_attribution_consistent_with_standalone_gates(spark):
         for ids in groups.values()
         for d in ids
     }
+    dsir_out = {
+        r["doc_id"]: not r["selected"]
+        for r in corpus_dsir_importance_weights(
+            spark, SF_SMOKE
+        ).collect()
+    }
     flags = {
         d: (
             not (20 <= ntok[d] <= 1000),
             rep[d],
             dup[d],
             tail.get(d, False),
+            dsir_out.get(d, True),
         )
         for d in ntok
     }
@@ -1733,7 +1742,7 @@ def test_gate_attribution_consistent_with_standalone_gates(spark):
         for r in corpus_gate_attribution(spark, SF_SMOKE).collect()
     }
     for i, gate in enumerate(
-        ("length", "repetition", "exact_dup", "lm_tail")
+        ("length", "repetition", "exact_dup", "lm_tail", "dsir_out")
     ):
         flagged = sum(1 for f in flags.values() if f[i])
         alone = sum(
@@ -1743,3 +1752,88 @@ def test_gate_attribution_consistent_with_standalone_gates(spark):
     any_f = sum(1 for f in flags.values() if any(f))
     any_alone = sum(1 for f in flags.values() if sum(f) == 1)
     assert got["any"] == (n, any_f, any_alone)
+
+
+def test_curation_v3_funnel_consistent_with_standalone_stages(spark):
+    """corpus_e2e_curation_v3's stages == recomputing the composition
+    from the standalone pieces: gates = length x raw-text LM keep x
+    DSIR top quartile, substring removal applied to gate survivors,
+    keep-first md5 dedup, and the packed-bin count from a pure-Python
+    contiguous fill (per lang, doc_id order, 2048 cap) whose token
+    total must equal dedup_final's exactly."""
+    import hashlib
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.corpus import (
+        _PACK_CAP,
+        corpus_dsir_importance_weights,
+        corpus_e2e_curation_v3,
+    )
+    from workshop3_etl_spark.operators.dedup import (
+        corpus_remove_substring_runs,
+    )
+    from workshop3_etl_spark.operators.text import (
+        text_lm_perplexity_buckets,
+    )
+
+    cleaned = {
+        r["doc_id"]: (
+            r["lang"], r["n_tokens"], r["kept_tokens"],
+            r["cleaned_text"],
+        )
+        for r in corpus_remove_substring_runs(spark, SF_SMOKE).collect()
+    }
+    keep_lm = {
+        r["doc_id"]
+        for r in text_lm_perplexity_buckets(spark, SF_SMOKE).collect()
+        if r["ppl_bucket"] != "tail"
+    }
+    keep_ds = {
+        r["doc_id"]
+        for r in corpus_dsir_importance_weights(
+            spark, SF_SMOKE
+        ).collect()
+        if r["selected"]
+    }
+    gated = {
+        d
+        for d, (_, n, _, _) in cleaned.items()
+        if 20 <= n <= 1000 and d in keep_lm and d in keep_ds
+    }
+    funnel = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in corpus_e2e_curation_v3(spark, SF_SMOKE).collect()
+    }
+    assert funnel["raw"] == (
+        len(cleaned),
+        sum(n for _, n, _, _ in cleaned.values()),
+    )
+    assert funnel["gates"] == (
+        len(gated),
+        sum(cleaned[d][1] for d in gated),
+    )
+    assert funnel["substring_clean"] == (
+        len(gated),
+        sum(cleaned[d][2] for d in gated),
+    )
+    seen, surv = set(), []
+    for d in sorted(gated):
+        fp = hashlib.md5(cleaned[d][3].encode()).hexdigest()
+        if fp in seen:
+            continue
+        seen.add(fp)
+        surv.append(d)
+    assert funnel["dedup_final"] == (
+        len(surv),
+        sum(cleaned[d][2] for d in surv),
+    )
+    bins, by_lang = set(), {}
+    for d in sorted(surv):
+        lang, _, kept, _ = cleaned[d]
+        off = by_lang.get(lang, 0)
+        bins.add((lang, off // _PACK_CAP))
+        by_lang[lang] = off + kept
+    assert funnel["packed"] == (
+        len(bins),
+        sum(cleaned[d][2] for d in surv),
+    )

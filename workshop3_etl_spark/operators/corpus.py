@@ -1521,64 +1521,81 @@ _DSIR_BUCKET = (
 )
 _DSIR_BUCKET_DUCK = "CAST('0x' || substr(md5(tok), 1, 3) AS BIGINT)"
 
-_DSIR_ORACLE = f"""
-WITH tk AS (
+def _dsir_ctes(p: str) -> str:
+    """The DSIR scoring chain as prefixable CTEs, ending in
+    ``{p}dsel`` (doc_id, lang, n_tokens, target_bits, raw_bits,
+    logratio_bits, selected). One source of truth: the standalone
+    oracle uses prefix '' and the composed curation/attribution
+    oracles a collision-free prefix."""
+    return f"""{p}tk AS (
   SELECT doc_id, lang, {_TOKENS_DUCK} AS toks FROM documents
 ),
-target_tok AS (
+{p}target_tok AS (
   SELECT {_DSIR_BUCKET_DUCK} AS bucket
-  FROM (SELECT lang, unnest(toks) AS tok FROM tk
+  FROM (SELECT lang, unnest(toks) AS tok FROM {p}tk
         WHERE {_DSIR_GATE_DUCK})
 ),
-raw_tok AS (
+{p}raw_tok AS (
   SELECT {_DSIR_BUCKET_DUCK} AS bucket
-  FROM (SELECT unnest(toks) AS tok FROM tk)
+  FROM (SELECT unnest(toks) AS tok FROM {p}tk)
 ),
-tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM target_tok GROUP BY bucket),
-rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM raw_tok GROUP BY bucket),
-tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM target_tok),
-rt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM raw_tok),
-score_tok AS (
+{p}tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+          FROM {p}target_tok GROUP BY bucket),
+{p}rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+          FROM {p}raw_tok GROUP BY bucket),
+{p}tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM {p}target_tok),
+{p}rt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM {p}raw_tok),
+{p}score_tok AS (
   SELECT doc_id, {_DSIR_BUCKET_DUCK} AS bucket
-  FROM (SELECT doc_id, unnest(toks) AS tok FROM tk WHERE len(toks) >= 1)
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM {p}tk
+        WHERE len(toks) >= 1)
 ),
-per_doc AS (
+{p}per_doc AS (
   SELECT s.doc_id,
          CAST(SUM(length(bin((rt.t + {_DSIR_B}) // (COALESCE(rc.c, 0) + 1))) - 1
                 - (length(bin((tt.t + {_DSIR_B}) // (COALESCE(tc.c, 0) + 1))) - 1)
               ) AS BIGINT) AS logratio_bits,
          CAST(SUM(length(bin((tt.t + {_DSIR_B}) // (COALESCE(tc.c, 0) + 1))) - 1) AS BIGINT) AS target_bits,
          CAST(SUM(length(bin((rt.t + {_DSIR_B}) // (COALESCE(rc.c, 0) + 1))) - 1) AS BIGINT) AS raw_bits
-  FROM score_tok s
-  LEFT JOIN tc ON tc.bucket = s.bucket
-  LEFT JOIN rc ON rc.bucket = s.bucket
-  CROSS JOIN tt CROSS JOIN rt
+  FROM {p}score_tok s
+  LEFT JOIN {p}tc tc ON tc.bucket = s.bucket
+  LEFT JOIN {p}rc rc ON rc.bucket = s.bucket
+  CROSS JOIN {p}tt tt CROSS JOIN {p}rt rt
   GROUP BY s.doc_id
-)
-SELECT p.doc_id, k.lang,
-       CAST(len(k.toks) AS BIGINT) AS n_tokens,
-       p.target_bits, p.raw_bits, p.logratio_bits,
-       (NTILE(4) OVER (ORDER BY p.logratio_bits DESC, p.doc_id) = 1)
-         AS selected
-FROM per_doc p JOIN tk k USING (doc_id)
+),
+{p}dsel AS (
+  SELECT p.doc_id, k.lang,
+         CAST(len(k.toks) AS BIGINT) AS n_tokens,
+         p.target_bits, p.raw_bits, p.logratio_bits,
+         (NTILE(4) OVER (ORDER BY p.logratio_bits DESC, p.doc_id) = 1)
+           AS selected
+  FROM {p}per_doc p JOIN {p}tk k USING (doc_id)
+)"""
+
+
+_DSIR_ORACLE = f"""
+WITH {_dsir_ctes('')}
+SELECT doc_id, lang, n_tokens, target_bits, raw_bits,
+       logratio_bits, selected
+FROM dsel
 ORDER BY doc_id
 """
 
 
-@register("corpus_dsir_importance_weights", oracle=_DSIR_ORACLE)
-def corpus_dsir_importance_weights(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """DSIR data selection: per-document importance weight as the
-    exact-integer-bits log-likelihood ratio of the hashed-unigram
-    target model (English in-gate slice) vs the raw model (whole
-    corpus), top quartile selected — (doc_id, lang, n_tokens,
-    target_bits, raw_bits, logratio_bits, selected). See the section
-    design comment for the floor-log2 identity and the broadcast
-    4096-bucket scale shape."""
+def dsir_selection_frame(
+    raw_docs: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """The DSIR scorer over any (doc_id, lang, text) frame: returns
+    (scored, per_doc) where scored = (doc_id, lang, n_tokens,
+    target_bits, raw_bits, logratio_bits, selected) unordered and
+    per_doc is the persisted score frame the CALLER must release
+    (the remove_substring_runs_frame contract). Shared by the
+    registered query and the composed curation funnel / gate
+    attribution (so the composition can never drift from the
+    standalone operator's semantics)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").selectExpr(
+    docs = raw_docs.selectExpr(
         "doc_id", "lang", f"{_TOKENS} as toks"
     )
     bucket = _DSIR_BUCKET
@@ -1686,7 +1703,213 @@ def corpus_dsir_importance_weights(
             "doc_id", "lang", "n_tokens", "target_bits", "raw_bits",
             "logratio_bits", "selected",
         )
+    ), per_doc
+
+
+@register("corpus_dsir_importance_weights", oracle=_DSIR_ORACLE)
+def corpus_dsir_importance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR data selection: per-document importance weight as the
+    exact-integer-bits log-likelihood ratio of the hashed-unigram
+    target model (English in-gate slice) vs the raw model (whole
+    corpus), top quartile selected — (doc_id, lang, n_tokens,
+    target_bits, raw_bits, logratio_bits, selected). See the section
+    design comment for the floor-log2 identity and the broadcast
+    4096-bucket scale shape."""
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+
+    scored, per_doc = dsir_selection_frame(
+        load_table(spark, sf_dir, "documents")
+    )
+    return materialize_and_release(scored.orderBy("doc_id"), per_doc)
+
+
+# --------------------------------------------------------------------
+# Curation funnel v3 (VERDICT r9 #5): v2 plus the two round-9 quality
+# gates, composed in the production order — DETECT substring runs on
+# the full corpus, GATE on the raw text (length 20..1000, CCNet LM
+# keep-bucket != 'tail', DSIR top importance quartile), APPLY the
+# removal to gate survivors, exact-dedup the cleaned keepers, then
+# PACK the final corpus into fixed-capacity training bins. Every
+# stage reuses the standalone operator's exact semantics via the
+# shared frame helpers (dedup.remove_substring_runs_frame,
+# text.lm_perplexity_frame, dsir_selection_frame) and the packing
+# recipe of corpus_pack_sequences, so the composition is fully
+# oracle-checked end to end. The repetition gate deliberately stays
+# a standalone audit (corpus_gate_attribution attributes it); v3's
+# gate set is the funnel a pipeline owner would actually run before
+# packing.
+#
+# Funnel rows (stage_id, stage, n_docs, n_tokens): raw -> gates
+# (docs drop, tokens still raw) -> substring_clean (same docs,
+# tokens shrink) -> dedup_final (docs drop) -> packed, where the
+# LAST row counts BINS in n_docs (the packing unit) and the packed
+# token total equals dedup_final's by construction (contiguous fill
+# loses no tokens — the funnel makes that accounting visible).
+#
+# Scale shape: detection/removal and every gate are the standalone
+# operators' plans; the composition adds one fingerprint window, the
+# per-lang packing prefix window over the final survivors, and five
+# 1-row stage aggregates.
+# --------------------------------------------------------------------
+
+
+def _curation_v3_oracle() -> str:
+    from workshop3_etl_spark.operators.dedup import (
+        _SUBRUN_CLEAN_CTES,
+        _SUBRUN_MERGED_CTES,
+        _SUBRUN_RUNS_CTES,
+    )
+    from workshop3_etl_spark.operators.text import _lm_bucket_ctes
+
+    return f"""
+WITH {_SUBRUN_RUNS_CTES},
+{_SUBRUN_MERGED_CTES},
+{_SUBRUN_CLEAN_CTES},
+{_lm_bucket_ctes('lm_')},
+{_dsir_ctes('ds_')},
+gated AS MATERIALIZED (
+  SELECT c.doc_id, c.lang, c.n_tokens, c.kept_tokens, c.cleaned_text
+  FROM cleaned c
+  JOIN lm_buckets b ON b.doc_id = c.doc_id AND b.ppl_bucket <> 'tail'
+  JOIN ds_dsel d ON d.doc_id = c.doc_id AND d.selected
+  WHERE c.n_tokens BETWEEN 20 AND 1000
+),
+surv AS MATERIALIZED (
+  SELECT doc_id, lang, kept_tokens FROM (
+    SELECT doc_id, lang, kept_tokens,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(cleaned_text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+po AS (
+  SELECT lang, kept_tokens,
+         COALESCE(SUM(kept_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_off
+  FROM surv
+),
+bins AS (
+  SELECT lang, start_off // {_PACK_CAP} AS bin_id,
+         CAST(SUM(kept_tokens) AS BIGINT) AS bt
+  FROM po GROUP BY lang, start_off // {_PACK_CAP}
+)
+SELECT * FROM (
+  SELECT 1 AS stage_id, 'raw' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM cleaned
+  UNION ALL
+  SELECT 2, 'gates', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tokens) AS BIGINT) FROM gated
+  UNION ALL
+  SELECT 3, 'substring_clean', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(kept_tokens) AS BIGINT) FROM gated
+  UNION ALL
+  SELECT 4, 'dedup_final', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(kept_tokens) AS BIGINT) FROM surv
+  UNION ALL
+  SELECT 5, 'packed', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(bt) AS BIGINT) FROM bins
+) ORDER BY stage_id
+"""
+
+
+@register("corpus_e2e_curation_v3", oracle=_curation_v3_oracle())
+def corpus_e2e_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed round-10 curation funnel: detect substring runs
+    corpus-wide, gate the raw text (length + LM keep-bucket + DSIR
+    top quartile), apply the removal to survivors, exact-dedup the
+    cleaned keepers, pack the final corpus into 2048-token bins —
+    (stage_id, stage, n_docs, n_tokens) per stage, with the 'packed'
+    row counting bins. See the section design comment for the
+    composition contract and plan shape."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+    from workshop3_etl_spark.operators.dedup import (
+        remove_substring_runs_frame,
+    )
+    from workshop3_etl_spark.operators.text import lm_perplexity_frame
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    cleaned, seeds = remove_substring_runs_frame(docs)
+    cleaned = cleaned.persist()
+    lmk = (
+        lm_perplexity_frame(docs)
+        .filter(F.col("ppl_bucket") != "tail")
+        .select("doc_id")
+    )
+    ds_scored, ds_pd = dsir_selection_frame(docs)
+    dsk = ds_scored.filter(F.col("selected")).select("doc_id")
+    gated = (
+        cleaned.filter(F.expr("n_tokens between 20 and 1000"))
+        .join(lmk, "doc_id")
+        .join(dsk, "doc_id")
+        .persist()
+    )
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
+    surv = (
+        gated.selectExpr(
+            "doc_id", "lang", "kept_tokens",
+            "md5(cleaned_text) as fp",
+        )
+        .withColumn("rn", F.row_number().over(wfp))
+        .filter(F.col("rn") == 1)
+        .persist()
+    )
+    wo = (
+        Window.partitionBy("lang")
         .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bins = (
+        surv.select(
+            "lang",
+            "kept_tokens",
+            F.coalesce(F.sum("kept_tokens").over(wo), F.lit(0)).alias(
+                "start_off"
+            ),
+        )
+        .groupBy(
+            "lang", F.expr(f"start_off div {_PACK_CAP}").alias("bin_id")
+        )
+        .agg(F.sum("kept_tokens").cast("long").alias("bt"))
+    )
+
+    def _leg(df, stage_id, stage, tok_expr):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr(f"cast(sum({tok_expr}) as bigint)").alias(
+                "n_tokens"
+            ),
+        ).selectExpr(
+            f"cast({stage_id} as int) as stage_id",
+            f"'{stage}' as stage",
+            "n_docs",
+            "n_tokens",
+        )
+
+    legs = [
+        _leg(cleaned, 1, "raw", "n_tokens"),
+        _leg(gated, 2, "gates", "n_tokens"),
+        _leg(gated, 3, "substring_clean", "kept_tokens"),
+        _leg(surv, 4, "dedup_final", "kept_tokens"),
+        _leg(bins, 5, "packed", "bt"),
+    ]
+    result = reduce(DataFrame.unionAll, legs).orderBy("stage_id")
+    return materialize_and_release(
+        result, seeds, cleaned, gated, surv, ds_pd
     )
 
 
@@ -1717,7 +1940,8 @@ def _gate_attribution_oracle() -> str:
 
     g2 = _GATE_GRAMS2_DUCK
     return f"""
-WITH tk AS MATERIALIZED (
+WITH {_dsir_ctes('ds_')},
+tk AS MATERIALIZED (
   SELECT doc_id, lang, text, {_TOKENS_DUCK} AS t,
          {_TOKENS_DUCK} AS toks
   FROM documents
@@ -1794,19 +2018,22 @@ flags AS MATERIALIZED (
          (COALESCE(r.dup2 > 0.2, FALSE)
           OR COALESCE(r.maxtok > 0.2, FALSE)) AS f_rep,
          (k.doc_id <> kp.keeper) AS f_dup,
-         COALESCE(b.ppl_bucket = 'tail', FALSE) AS f_tail
+         COALESCE(b.ppl_bucket = 'tail', FALSE) AS f_tail,
+         COALESCE(NOT d.selected, TRUE) AS f_dsir
   FROM tk k
   JOIN fp ON fp.doc_id = k.doc_id
   JOIN keepers kp ON kp.fingerprint = fp.fingerprint
   LEFT JOIN rep r ON r.doc_id = k.doc_id
   LEFT JOIN buckets b ON b.doc_id = k.doc_id
+  LEFT JOIN ds_dsel d ON d.doc_id = k.doc_id
 ),
 wide AS MATERIALIZED (
-  SELECT doc_id, f_len, f_rep, f_dup, f_tail,
+  SELECT doc_id, f_len, f_rep, f_dup, f_tail, f_dsir,
          (CASE WHEN f_len THEN 1 ELSE 0 END
           + CASE WHEN f_rep THEN 1 ELSE 0 END
           + CASE WHEN f_dup THEN 1 ELSE 0 END
-          + CASE WHEN f_tail THEN 1 ELSE 0 END) AS n_gates
+          + CASE WHEN f_tail THEN 1 ELSE 0 END
+          + CASE WHEN f_dsir THEN 1 ELSE 0 END) AS n_gates
   FROM flags
 )
 SELECT * FROM (
@@ -1818,6 +2045,15 @@ SELECT 'any' AS gate,
          AS n_flagged_alone,
        CAST(SUM(CASE WHEN n_gates >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
          / CAST(COUNT(*) AS DOUBLE) AS frac_flagged
+FROM wide
+UNION ALL
+SELECT 'dsir_out',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN f_dsir THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN f_dsir AND n_gates = 1 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN f_dsir THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE)
 FROM wide
 UNION ALL
 SELECT 'exact_dup',
@@ -1863,8 +2099,9 @@ FROM wide
 def corpus_gate_attribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Cross-tabulated drop-reason report for the four quality gates
-    (length, repetition, exact-dup, LM tail): per gate (plus 'any'),
+    """Cross-tabulated drop-reason report for the five quality gates
+    (length, repetition, exact-dup, LM tail, DSIR out-of-quartile):
+    per gate (plus 'any'),
     (gate, n_docs, n_flagged, n_flagged_alone, frac_flagged). See the
     section design comment for why n_flagged_alone is the actionable
     column and how the report composes the filters' own frame
@@ -1912,6 +2149,11 @@ def corpus_gate_attribution(
     lm = lm_perplexity_frame(docs).selectExpr(
         "doc_id", "ppl_bucket = 'tail' as f_tail"
     )
+    # DSIR out-gate (r10): a doc is flagged when it does NOT make the
+    # top importance quartile; unscorable empty docs have no DSIR row
+    # and count as out (coalesce true), mirroring the oracle.
+    ds_scored, ds_pd = dsir_selection_frame(docs)
+    ds = ds_scored.selectExpr("doc_id", "not selected as f_dsir")
     flags = (
         toks.selectExpr(
             "doc_id", "not (size(toks) between 20 and 1000) as f_len"
@@ -1920,6 +2162,7 @@ def corpus_gate_attribution(
         .join(tokc, "doc_id", "left")
         .join(dup, "doc_id")
         .join(lm, "doc_id", "left")
+        .join(ds, "doc_id", "left")
         .selectExpr(
             "doc_id",
             "f_len",
@@ -1927,13 +2170,15 @@ def corpus_gate_attribution(
             " or coalesce(maxtok > 0.2, false)) as f_rep",
             "f_dup",
             "coalesce(f_tail, false) as f_tail",
+            "coalesce(f_dsir, true) as f_dsir",
         )
         .selectExpr(
-            "doc_id", "f_len", "f_rep", "f_dup", "f_tail",
+            "doc_id", "f_len", "f_rep", "f_dup", "f_tail", "f_dsir",
             "(case when f_len then 1 else 0 end"
             " + case when f_rep then 1 else 0 end"
             " + case when f_dup then 1 else 0 end"
-            " + case when f_tail then 1 else 0 end) as n_gates",
+            " + case when f_tail then 1 else 0 end"
+            " + case when f_dsir then 1 else 0 end) as n_gates",
         )
         .persist()
     )
@@ -1964,10 +2209,11 @@ def corpus_gate_attribution(
 
     legs = [
         leg("any", "n_gates >= 1"),
+        leg("dsir_out", "f_dsir"),
         leg("exact_dup", "f_dup"),
         leg("length", "f_len"),
         leg("lm_tail", "f_tail"),
         leg("repetition", "f_rep"),
     ]
     result = reduce(DataFrame.unionByName, legs).orderBy("gate")
-    return materialize_and_release(result, flags)
+    return materialize_and_release(result, flags, ds_pd)

@@ -637,64 +637,79 @@ _LM_BIGRAMS = (
     " element_at(toks, i + 1) as w2))"
 )
 
-_LM_PPL_ORACLE = f"""
-WITH tk AS (
+def _lm_bucket_ctes(p: str) -> str:
+    """The raw-text CCNet bigram-LM chain as prefixable CTEs, ending
+    in ``{p}scored`` (doc_id, lang, n_bigrams, doc_bits,
+    mean_bits_x16) and ``{p}buckets`` (doc_id, ppl_bucket). One
+    source of truth: the standalone oracle uses prefix '' and the
+    composed curation/attribution oracles a collision-free prefix."""
+    return f"""{p}tk AS (
   SELECT doc_id, lang, {_TOKENS_DUCK} AS toks FROM documents
 ),
-train_bi AS (
+{p}train_bi AS (
   SELECT lang, toks[i] AS w1, toks[i + 1] AS w2
-  FROM tk, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  FROM {p}tk, unnest(generate_series(1, len(toks) - 1)) AS u(i)
   WHERE {_LM_TRAIN_GATE_DUCK}
 ),
-c2 AS (
+{p}c2 AS (
   SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
-  FROM train_bi GROUP BY lang, w1, w2
+  FROM {p}train_bi GROUP BY lang, w1, w2
 ),
-c1 AS (
+{p}c1 AS (
   SELECT lang, w1, CAST(SUM(c2) AS BIGINT) AS c1
-  FROM c2 GROUP BY lang, w1
+  FROM {p}c2 GROUP BY lang, w1
 ),
-voc AS (
+{p}voc AS (
   SELECT lang, CAST(COUNT(DISTINCT w) AS BIGINT) AS v
   FROM (
-    SELECT lang, unnest(toks) AS w FROM tk WHERE {_LM_TRAIN_GATE_DUCK}
+    SELECT lang, unnest(toks) AS w FROM {p}tk
+    WHERE {_LM_TRAIN_GATE_DUCK}
   ) GROUP BY lang
 ),
-score_bi AS (
+{p}score_bi AS (
   SELECT t.doc_id, t.lang, t.toks[i] AS w1, t.toks[i + 1] AS w2
-  FROM tk t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  FROM {p}tk t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
   WHERE len(t.toks) >= 2
 ),
-bits AS (
+{p}bits AS (
   SELECT s.doc_id, s.lang,
          CAST(length(bin(
            (COALESCE(c1.c1, 0) + COALESCE(voc.v, 1))
              // (COALESCE(c2.c2, 0) + 1)
          )) - 1 AS BIGINT) AS b
-  FROM score_bi s
-  LEFT JOIN c2 ON s.lang = c2.lang AND s.w1 = c2.w1 AND s.w2 = c2.w2
-  LEFT JOIN c1 ON s.lang = c1.lang AND s.w1 = c1.w1
-  LEFT JOIN voc ON s.lang = voc.lang
+  FROM {p}score_bi s
+  LEFT JOIN {p}c2 c2 ON s.lang = c2.lang AND s.w1 = c2.w1
+                    AND s.w2 = c2.w2
+  LEFT JOIN {p}c1 c1 ON s.lang = c1.lang AND s.w1 = c1.w1
+  LEFT JOIN {p}voc voc ON s.lang = voc.lang
 ),
-per_doc AS (
+{p}per_doc AS (
   SELECT doc_id, lang,
          CAST(COUNT(*) AS BIGINT) AS n_bigrams,
          CAST(SUM(b) AS BIGINT) AS doc_bits
-  FROM bits GROUP BY doc_id, lang
+  FROM {p}bits GROUP BY doc_id, lang
 ),
-scored AS (
+{p}scored AS (
   SELECT doc_id, lang, n_bigrams, doc_bits,
          CAST(FLOOR(CAST(16 * doc_bits AS DOUBLE)
                     / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
            AS mean_bits_x16
-  FROM per_doc
-)
-SELECT doc_id, lang, n_bigrams, doc_bits, mean_bits_x16,
-       CASE NTILE(3) OVER (
-         PARTITION BY lang ORDER BY mean_bits_x16, doc_id)
-         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-       END AS ppl_bucket
-FROM scored
+  FROM {p}per_doc
+),
+{p}buckets AS (
+  SELECT doc_id, lang, n_bigrams, doc_bits, mean_bits_x16,
+         CASE NTILE(3) OVER (
+           PARTITION BY lang ORDER BY mean_bits_x16, doc_id)
+           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         END AS ppl_bucket
+  FROM {p}scored
+)"""
+
+
+_LM_PPL_ORACLE = f"""
+WITH {_lm_bucket_ctes('')}
+SELECT doc_id, lang, n_bigrams, doc_bits, mean_bits_x16, ppl_bucket
+FROM buckets
 ORDER BY doc_id
 """
 
