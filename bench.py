@@ -241,6 +241,21 @@ def main() -> None:
         # the five stream_* maintenance rows; the two mv_* index
         # maintainers re-run priced assignment/signature machinery
         # plus a bounded merge.
+        #
+        # round-10 flagship: the whitening APPLY transform — a D-row
+        # moment aggregate broadcast into a map-only corpus x D
+        # rewrite (the apply-leg physical class the estimate/maintain
+        # rows don't price: output is corpus-proportional, ~1.1s
+        # steady at sf0.1). The other round-10 operators stay out
+        # deliberately: search_hybrid_indexed_topk is ~90% the
+        # trained-IVF-PQ training loop (priced by the trainer rows;
+        # its lexical+fusion legs add <1s and the composed row is
+        # timed in bench_full); corpus_e2e_curation_v3 re-runs the
+        # detection/LM/DSIR stages already priced individually
+        # (corpus_remove_substring_runs, text_lm_perplexity_buckets);
+        # corpus_gate_attribution likewise re-runs its five priced
+        # gates.
+        "embedding_whitening_apply",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

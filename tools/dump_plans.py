@@ -145,6 +145,14 @@ HEADLINE = [
     "profile_diversity_categoricals",
     "corpus_gate_attribution",
     "search_rrf_hybrid_topk",
+    # round-10 additions: the index-fed hybrid (broadcast query-term
+    # posting join + probes-broadcast ADC + bounded full-outer RRF
+    # fusion — the no-corpus-cross-join evidence the verdict asked
+    # for), the whitening apply leg (D-row moment broadcast into a
+    # map-only rewrite), and the composed curation funnel v3.
+    "search_hybrid_indexed_topk",
+    "embedding_whitening_apply",
+    "corpus_e2e_curation_v3",
 ]
 
 

@@ -52,105 +52,80 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # not listed follows in registration order. A plan test asserts the
 # list stays registered, oracled, and exactly 50 long.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-9 rotation (VERDICT r8 task #7): the official book closed
-    # in r8 (every registered query has a lifetime green row), so the
-    # budget now cycles the STALEST greens back through the gate.
+    # Round-10 rotation (VERDICT r9 #2): the official book stays
+    # closed (every registered query has a lifetime green row), so
+    # the budget cycles the STALEST greens back through the gate.
     #
-    # HEAD (1-29): the round-9 operators (changed-code-gets-official-
-    # row rule), each verified green via driver-protocol parity at
+    # HEAD (1-10): the round-10 operators and every operator whose
+    # code changed this round (changed-code-gets-official-row rule),
+    # each verified green via driver-protocol parity at
     # sf0.001/0.01/0.1 before registration.
-    #
-    # MIDDLE (30-33): per-family keepers for plan-test families not
-    # otherwise represented this round — picking each family's
-    # STALEST member where one exists (multimodal_ r3) and the
-    # single-member flagships otherwise.
-    #
-    # TAIL (34-50): stale-green re-checks — ALL 16 queries whose
-    # latest official row is r1, then 1 of the 31 whose latest is r2
-    # (deferred to the r10 tail: the nine sql_ rows listed below,
-    # plus window_top3_per_supplier, window_running_customer_spend,
-    # window_share_of_customer, text_token_stats and
-    # corpus_stratified_sample — their families keep a fresher or
-    # r1-vintage representative in this budget).
-    "corpus_remove_substring_runs",
-    "sim_ann_pq_trained_topk",
-    "text_lm_perplexity_buckets",
-    "text_bpe_train_merges",
-    "text_bpe_tokenize_corpus",
-    "sim_ann_ivfpq_trained_topk",
-    "stream_lm_bigram_refresh",
-    "sim_ann_ivf_filtered_topk",
-    "dq_k_anonymity_profile",
-    "corpus_e2e_curation_v2",
-    "sim_hard_negative_mining",
-    "mv_ivf_incremental_maintenance",
-    # round-9 late additions (changed-code rule), same three-SF
-    # driver-protocol parity verification before registration; they
-    # displace the nine r2-vintage re-checks listed at the tail
-    # comment below, which now head the r10 tail instead.
-    "mv_lsh_incremental_maintenance",
-    "corpus_dsir_importance_weights",
-    "search_bm25_topk",
-    "stats_conformal_ols_interval",
-    "text_nb_langid_confusion",
-    "sim_ann_random_projection_topk",
-    "graph_link_prediction_jaccard",
-    "stream_bm25_index_refresh",
-    "ml_perceptron_train_embeddings",
-    "multimodal_wav_energy_zcr",
-    "embedding_spectral_norm_power",
-    "dedup_lsh_eval_metrics",
-    "ts_holt_linear_forecast",
-    "stream_covariance_moment_refresh",
-    "profile_diversity_categoricals",
+    "search_hybrid_indexed_topk",
+    "embedding_whitening_apply",
+    "corpus_e2e_curation_v3",
     "corpus_gate_attribution",
-    "search_rrf_hybrid_topk",
-    # family keepers (stalest member / single-member flagships;
-    # stream_stateful_user_metrics' keeper slot was ceded to the
-    # late operators — the stream_ family holds three fresh head
-    # rows this round and the r3-stale re-check defers to r10)
-    "multimodal_payload_stats",
+    "corpus_dsir_importance_weights",
+    "stats_conformal_ols_interval",
+    "multimodal_wav_energy_zcr",
+    "ml_perceptron_train_embeddings",
+    "sim_ann_ivfpq_trained_topk",
+    "text_lm_perplexity_buckets",
+    # TAIL A (11-40): ALL 30 queries whose latest official row is
+    # r2-vintage — the nine sql_ rows plus the five named rows the
+    # r9 registry comment promised to this budget, and the sixteen
+    # displaced re-checks from r9.
+    "corpus_decontaminate_vs_benchmark",
+    "corpus_e2e_training_prep",
+    "corpus_stratified_sample",
+    "dedup_connected_components",
+    "ml_ols_qty_price",
+    "profile_describe_lineitem",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "salted_agg_returnflag_revenue",
+    "sim_cosine_topk_bruteforce",
+    "sim_embedding_neardup_blocked",
+    "sql_disjunctive_join_revenue",
+    "sql_exists_high_value_suppliers",
+    "sql_grouping_sets_lineitem",
+    "sql_in_subquery_segments",
+    "sql_large_quantity_orders",
+    "sql_nation_market_share",
+    "sql_setops_nations",
+    "sql_sole_late_shipper",
+    "sql_top_return_customers",
+    "sql_top_revenue_supplier",
+    "sql_wealthy_inactive_customers",
+    "text_lang_id_confusion",
+    "text_repetition_filter",
+    "text_tfidf_top_terms_per_lang",
+    "text_token_stats",
+    "window_running_customer_spend",
+    "window_share_of_customer",
+    "window_top3_per_supplier",
+    # TAIL B (41-47): 7 of the 20 r3-vintage greens, picked for
+    # family spread (incl. the promised stream_stateful_user_metrics
+    # keeper and the ground-truth prefix-filter join). The other
+    # thirteen r3 rows head the r11 tail: cohort_retention_daily,
+    # corpus_mixture_weights_sqrt, dq_referential_orphans,
+    # json_props_extract_stats, ml_ols2_qty_retailprice,
+    # profile_null_counts_events, range_join_orders_events_7d,
+    # scd2_user_type_history, sketch_hll_registers_custkeys,
+    # streaks_user_active_days, stream_stream_join_view_purchase,
+    # udtf_tokenize_positions, window_spend_deciles.
+    "stream_stateful_user_metrics",
+    "dedup_prefix_filter_jaccard",
+    "asof_join_view_before_purchase",
+    "sessionize_events_30min",
+    "stream_tumbling_hourly_counts",
+    "graph_kcore_copurchase",
+    "cdc_apply_latest_snapshot",
+    # KEEPERS (48-50): single-member family flagships the budget
+    # must always carry (plan-test family coverage), all r9-green.
     "q1_pricing_summary",
     "udf_named_functions_docs",
     "happiness_unified_profile",
-    # stale-green re-checks: latest official row r1 (all 16)
-    "dedup_key_orders_same_day",
-    "dedup_ngram_jaccard_blocked",
-    "dedup_simhash_hamming_pairs",
-    "dedup_simhash_signatures",
-    "join_semi_anti_customers",
-    "pivot_qty_by_linestatus",
-    "profile_categorical_describe",
-    "profile_iqr_outliers_by_year",
-    "profile_iqr_outliers_price",
-    "profile_quantiles_lineitem",
-    "profile_winsorized_mean_price",
-    "profile_zscore_outliers",
-    "rollup_lineitem_status",
-    "topk_orders_by_price",
-    "union_account_balances",
-    "window_percent_rank_orders",
-    # stale-green re-checks: latest official row r2 (17 of 31; the
-    # nine deferred, all sql_ — the family keeps three fresher
-    # representatives below and the other nine head the r10 tail:
-    # sql_disjunctive_join_revenue, sql_grouping_sets_lineitem,
-    # sql_in_subquery_segments, sql_large_quantity_orders,
-    # sql_setops_nations, sql_sole_late_shipper,
-    # sql_top_return_customers, sql_top_revenue_supplier,
-    # sql_wealthy_inactive_customers)
-    # (sixteen more re-checks displaced by the late round-9
-    # operators, deferred to the r10 tail with the sql_ nine above:
-    # corpus_decontaminate_vs_benchmark, corpus_e2e_training_prep,
-    # dedup_connected_components, ml_ols_qty_price,
-    # profile_describe_lineitem, q3_shipping_priority,
-    # q5_regional_revenue, q6_forecast_revenue,
-    # salted_agg_returnflag_revenue, sim_cosine_topk_bruteforce,
-    # sim_embedding_neardup_blocked, sql_exists_high_value_suppliers,
-    # sql_nation_market_share, text_lang_id_confusion,
-    # text_repetition_filter, text_tfidf_top_terms_per_lang, plus the
-    # r3-stale stream_stateful_user_metrics keeper — every displaced
-    # family keeps a fresher representative in this budget.)
-    "sql_correlated_min_unit_price",
 )
 
 
