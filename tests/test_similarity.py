@@ -955,3 +955,28 @@ def test_whitening_apply_unit_variance_property(spark):
         a = np.array(vals, dtype=np.float64)
         assert abs(a.mean()) < 1e-9, (d, a.mean())
         assert abs(np.mean(a * a) - 1.0) < 1e-9, (d, np.mean(a * a))
+
+
+def test_whitened_topk_agreement_with_raw_space(spark):
+    """Whitened-space cosine top-10 vs raw-space brute force: on this
+    near-isotropic corpus (no spectral gap — see the spectral-norm
+    section) whitening must barely reorder. Measured 48/50 agreement
+    at sf0.01, deterministic; pinned >= 40 — a collapse below that
+    would mean the whitening transform is distorting rather than
+    rescaling."""
+    from collections import defaultdict
+
+    from tests.conftest import SF_CORRECT
+    from workshop3_etl_spark.operators.similarity import (
+        sim_cosine_topk_bruteforce,
+        sim_whitened_cosine_topk,
+    )
+
+    r, w = defaultdict(set), defaultdict(set)
+    for x in sim_cosine_topk_bruteforce(spark, SF_CORRECT).collect():
+        r[x["query_id"]].add(x["candidate_id"])
+    for x in sim_whitened_cosine_topk(spark, SF_CORRECT).collect():
+        w[x["query_id"]].add(x["candidate_id"])
+    assert sorted(r) == sorted(w)
+    total = sum(len(r[q] & w[q]) for q in r)
+    assert total >= 40, {q: len(r[q] & w[q]) for q in r}

@@ -3021,33 +3021,47 @@ def embedding_spectral_norm_power(
 # carries.
 # --------------------------------------------------------------------
 
-_WHITEN_ORACLE = f"""
-WITH gv AS (
+def _whiten_ctes(p: str) -> str:
+    """The diagonal-whitening derivation as prefixable CTEs, ending
+    in ``{p}wl`` (vec_id, dim, whitened). One source of truth for the
+    apply-leg oracle (prefix '') and downstream whitened-space
+    consumers (collision-free prefix)."""
+    return f"""{p}gv AS (
   SELECT vec_id,
          list_transform(embedding, x ->
            CAST(FLOOR(CAST(x AS DOUBLE) * {_PCA_GRID}.0) AS BIGINT))
          AS xg
   FROM embeddings WHERE len(embedding) = {_PCA_DIM}
 ),
-dims AS (SELECT CAST(unnest(range(1, {_PCA_DIM} + 1)) AS INT) AS dim),
-lng AS (SELECT vec_id, d.dim, xg[d.dim] AS val FROM gv, dims d),
-nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gv),
-diag AS (
+{p}dims AS (
+  SELECT CAST(unnest(range(1, {_PCA_DIM} + 1)) AS INT) AS dim),
+{p}lng AS (
+  SELECT vec_id, d.dim, xg[d.dim] AS val FROM {p}gv, {p}dims d),
+{p}nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {p}gv),
+{p}diag AS (
   SELECT dim, CAST(SUM(val) AS BIGINT) AS s,
          CAST(SUM(val * val) AS BIGINT) AS m
-  FROM lng GROUP BY dim
+  FROM {p}lng GROUP BY dim
 ),
-sc AS (
+{p}sc AS (
   SELECT dim, s, nn.n AS n,
          CAST(nn.n * m - s * s AS DOUBLE) AS v
-  FROM diag, nn
-)
-SELECT l.vec_id, l.dim,
-       CASE WHEN c.v > 0e0
-            THEN CAST(c.n * l.val - c.s AS DOUBLE) / SQRT(c.v)
-       END AS whitened
-FROM lng l JOIN sc c USING (dim)
-ORDER BY l.vec_id, l.dim
+  FROM {p}diag, {p}nn nn
+),
+{p}wl AS (
+  SELECT l.vec_id, l.dim,
+         CASE WHEN c.v > 0e0
+              THEN CAST(c.n * l.val - c.s AS DOUBLE) / SQRT(c.v)
+         END AS whitened
+  FROM {p}lng l JOIN {p}sc c USING (dim)
+)"""
+
+
+_WHITEN_ORACLE = f"""
+WITH {_whiten_ctes('')}
+SELECT vec_id, dim, whitened
+FROM wl
+ORDER BY vec_id, dim
 """
 
 
@@ -3099,6 +3113,153 @@ def embedding_whitening_apply(
         )
         .orderBy("vec_id", "dim")
     )
+
+
+# --------------------------------------------------------------------
+# Whitened-space retrieval: cosine top-k computed ON THE WHITENED
+# embedding column — the serving CONSUMER of the whitening apply leg
+# (estimate -> maintain -> apply -> serve, the full arc). Whitening
+# rescales each dimension to unit variance, so high-variance
+# dimensions stop dominating the dot product (the textbook reason
+# retrieval stacks whiten before indexing). Honesty note: this
+# corpus is near-isotropic (the spectral-norm section documents the
+# missing spectral gap), so whitening barely reorders — measured
+# 48/50 top-10 agreement with raw-space sim_cosine_topk_bruteforce
+# at sf0.01 (pinned by a pytest). Both orderings are exactly
+# oracled, so the transform's (small) effect on neighbor structure
+# is itself hash-checked; on anisotropic production embeddings the
+# same plan is where the reordering shows up. Brute-force by design — the exactness baseline class
+# (bounded 5-query broadcast side, one corpus-scale map pass + the
+# per-query top-k window), exactly like sim_cosine_topk_bruteforce;
+# the index-fed path at scale is the IVF/PQ family applied to the
+# whitened column, which the trained-quantizer rows already price.
+#
+# Determinism: whitened values are CAST(exact int)/SQRT(exact int)
+# doubles (proven hash-identical by the apply-leg gate); dot and
+# norm are the engine's fixed-order left folds (dot_fold /
+# _dot_duck), so cosine and its ordering are engine-identical. NULL
+# whitened dims (constant columns) would propagate NULL through the
+# fold identically in both engines; this corpus has none (the
+# apply-leg property test pins all dims non-constant).
+# --------------------------------------------------------------------
+
+
+def _whitened_topk_oracle() -> str:
+    return f"""
+WITH {_whiten_ctes('')},
+wv AS (
+  SELECT vec_id, list(whitened ORDER BY dim) AS w
+  FROM wl GROUP BY vec_id
+),
+q AS (
+  SELECT vec_id AS query_id, w AS qw, {_norm2_duck('w')} AS qn
+  FROM wv WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS candidate_id, w AS cw, {_norm2_duck('w')} AS cn
+  FROM wv
+),
+ranked AS (
+  SELECT q.query_id, c.candidate_id,
+         {_dot_duck('q.qw', 'c.cw')} / (SQRT(q.qn) * SQRT(c.cn))
+           AS cosine_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_dot_duck('q.qw', 'c.cw')}
+                      / (SQRT(q.qn) * SQRT(c.cn)) DESC,
+                    c.candidate_id
+         ) AS rank
+  FROM q, c
+  WHERE q.query_id <> c.candidate_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, candidate_id, cosine_sim
+FROM ranked
+WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_whitened_cosine_topk", oracle=_whitened_topk_oracle())
+def sim_whitened_cosine_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cosine top-{_TOP_K} retrieval in the WHITENED embedding space
+    (per-dim unit variance via the in-plan-trained diagonal scales):
+    (query_id, rank, candidate_id, cosine_sim) for the first
+    {_N_QUERIES} query vectors — the serving consumer completing the
+    spectral family's estimate -> maintain -> apply -> serve arc.
+    See the section design comment for the determinism contract and
+    the brute-force-baseline rationale."""
+    from pyspark.sql import Window
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.expr(f"size(embedding) = {_PCA_DIM}"))
+        .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {_PCA_GRID}.0) as bigint)) as xg",
+        )
+    )
+    lng = emb.select(
+        "vec_id", F.posexplode("xg").alias("pos", "val")
+    ).selectExpr("vec_id", "cast(pos + 1 as int) as dim", "val")
+    nn = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    diag = lng.groupBy("dim").agg(
+        F.sum("val").cast("long").alias("s"),
+        F.expr("cast(sum(val * val) as bigint)").alias("m"),
+    )
+    sc = diag.crossJoin(F.broadcast(nn)).selectExpr(
+        "dim", "s", "n", "cast(n * m - s * s as double) as v"
+    )
+    wv = (
+        lng.join(F.broadcast(sc), "dim")
+        .selectExpr(
+            "vec_id",
+            "dim",
+            "case when v > 0e0"
+            " then cast(n * val - s as double) / sqrt(v) end as w",
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, w))),"
+                " t -> t.w)"
+            ).alias("w")
+        )
+        .persist()
+    )
+    norm = (
+        "aggregate(transform({0}, x -> CAST(x AS DOUBLE)"
+        " * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v)"
+    )
+    q = wv.filter(F.col("vec_id") < _N_QUERIES).selectExpr(
+        "vec_id as query_id", "w as qw", f"{norm.format('w')} as qn"
+    )
+    c = wv.selectExpr(
+        "vec_id as candidate_id", "w as cw", f"{norm.format('w')} as cn"
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("candidate_id")
+    )
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
+    )
+
+    result = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .withColumn(
+            "cosine_sim",
+            dot_fold("qw", "cw") / (F.sqrt("qn") * F.sqrt("cn")),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "rank", "candidate_id", "cosine_sim")
+        .orderBy("query_id", "rank")
+    )
+    return materialize_and_release(result, wv)
 
 
 # --------------------------------------------------------------------
