@@ -153,6 +153,12 @@ HEADLINE = [
     "search_hybrid_indexed_topk",
     "embedding_whitening_apply",
     "corpus_e2e_curation_v3",
+    # search_eval_hybrid_vs_exact is deliberately NOT dumped: it
+    # composes the two retrieval operators' materialized outputs
+    # (localCheckpoint frames), so the dumped plan would be bare RDD
+    # scans; its plan evidence is the two upstream dumps plus the
+    # composed oracle.
+    "sim_whitened_cosine_topk",
 ]
 
 

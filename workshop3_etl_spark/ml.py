@@ -2265,11 +2265,15 @@ _HYB_TOPK = 10  # fused output depth (== similarity._TOP_K)
 _HYB_RRF_K = 60  # RRF constant (== similarity._RRF_K)
 
 
-def _hybrid_oracle() -> str:
+def _hybrid_ctes() -> str:
+    """The index-fed hybrid derivation as CTEs (assumes
+    _ivfpqt_ctes(_HYB_QUERIES) is already in scope for ``ex``),
+    ending in ``hyb_out`` (query_id, rank, candidate_id, lex_rank,
+    sem_rank, rrf_score). Shared by the standalone oracle and the
+    hybrid-vs-exact eval oracle."""
     from workshop3_etl_spark.operators.text import _TOKENS_DUCK
 
-    return f"""WITH {_ivfpqt_ctes(_HYB_QUERIES)},
-sem AS (
+    return f"""sem AS (
   SELECT query_id, candidate_id,
          ROW_NUMBER() OVER (
            PARTITION BY query_id
@@ -2336,15 +2340,24 @@ fused AS (
            AS rrf_score
   FROM lex l FULL JOIN sem s
     ON s.query_id = l.query_id AND s.candidate_id = l.candidate_id
-)
-SELECT query_id, CAST(rank AS INT) AS rank, candidate_id,
-       lex_rank, sem_rank, rrf_score
-FROM (
-  SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY query_id
-    ORDER BY rrf_score DESC, candidate_id) AS rank
-  FROM fused
-) WHERE rank <= {_HYB_TOPK}
+),
+hyb_out AS (
+  SELECT query_id, CAST(rank AS INT) AS rank, candidate_id,
+         lex_rank, sem_rank, rrf_score
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY rrf_score DESC, candidate_id) AS rank
+    FROM fused
+  ) WHERE rank <= {_HYB_TOPK}
+)"""
+
+
+def _hybrid_oracle() -> str:
+    return f"""WITH {_ivfpqt_ctes(_HYB_QUERIES)},
+{_hybrid_ctes()}
+SELECT query_id, rank, candidate_id, lex_rank, sem_rank, rrf_score
+FROM hyb_out
 ORDER BY query_id, rank"""
 
 
@@ -2468,6 +2481,108 @@ def search_hybrid_indexed_topk(
         .orderBy("query_id", "rank")
     )
     return materialize_and_release(result, g, rga, tk)
+
+
+# --------------------------------------------------------------------
+# Hybrid-retrieval EVAL harness: the indexed-vs-exact agreement
+# metric promoted from a pytest pin into a registered, ORACLED
+# operator — the same flywheel move as dedup_lsh_eval_metrics (the
+# LSH eval) applied to the retrieval stack. Per query: the fused
+# top-10 of the exact-leg RRF baseline (Jaccard + cosine brute
+# force, similarity.search_rrf_hybrid_topk) vs the index-fed hybrid
+# (BM25-shaped postings + trained IVF-PQ,
+# search_hybrid_indexed_topk), with the overlap count and fraction.
+# The structurally-modest agreement (different leg scorers BY
+# DESIGN — see the hybrid section comment) is exactly what this row
+# makes auditable: a driver-green row pins the deterministic
+# agreement level every round, so an index regression that silently
+# collapses it to zero fails the hash gate, not just a unit test.
+#
+# Deliberate ground-truth class (perf_class): the exact legs are
+# corpus x query brute-force enumerations — the cost IS the point,
+# as with the containment/prefix-filter verification joins;
+# headline-excluded, class-tagged in bench_full.
+# --------------------------------------------------------------------
+
+
+def _hybrid_eval_oracle() -> str:
+    from workshop3_etl_spark.operators.similarity import _rrf_ctes
+
+    return f"""WITH {_ivfpqt_ctes(_HYB_QUERIES)},
+{_hybrid_ctes()},
+{_rrf_ctes('x_')},
+ov AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM x_rrf_out e
+  JOIN hyb_out i
+    ON i.query_id = e.query_id AND i.candidate_id = e.candidate_id
+  GROUP BY e.query_id
+),
+ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM x_rrf_out GROUP BY query_id
+),
+ni AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_indexed
+  FROM hyb_out GROUP BY query_id
+)
+SELECT ne.query_id, ne.n_exact, ni.n_indexed,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
+         / CAST(ne.n_exact AS DOUBLE) AS overlap_frac
+FROM ne
+JOIN ni ON ni.query_id = ne.query_id
+LEFT JOIN ov ON ov.query_id = ne.query_id
+ORDER BY ne.query_id"""
+
+
+@register(
+    "search_eval_hybrid_vs_exact",
+    oracle=_hybrid_eval_oracle(),
+    perf_class="ground_truth",
+)
+def search_eval_hybrid_vs_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-query agreement of the index-fed hybrid retrieval against
+    the exact-leg RRF baseline: (query_id, n_exact, n_indexed,
+    n_overlap, overlap_frac) over the fused top-{_HYB_TOPK} lists.
+    A deliberate ground-truth eval harness (both exact legs run);
+    see the section design comment."""
+    from workshop3_etl_spark.operators.similarity import (
+        search_rrf_hybrid_topk,
+    )
+
+    exact = search_rrf_hybrid_topk(spark, sf_dir).select(
+        "query_id", "candidate_id"
+    )
+    idx = search_hybrid_indexed_topk(spark, sf_dir).select(
+        "query_id", "candidate_id"
+    )
+    ov = (
+        exact.join(idx, ["query_id", "candidate_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    ne = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    ni = idx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_indexed")
+    )
+    return (
+        ne.join(ni, "query_id")
+        .join(ov, "query_id", "left")
+        .selectExpr(
+            "query_id",
+            "n_exact",
+            "n_indexed",
+            "coalesce(n_overlap, 0L) as n_overlap",
+            "cast(coalesce(n_overlap, 0L) as double)"
+            " / cast(n_exact as double) as overlap_frac",
+        )
+        .orderBy("query_id")
+    )
 
 
 # --------------------------------------------------------------------

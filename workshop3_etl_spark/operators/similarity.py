@@ -3284,15 +3284,19 @@ def sim_whitened_cosine_topk(
 _RRF_K = 60
 
 
-def _rrf_oracle() -> str:
+def _rrf_ctes(p: str) -> str:
+    """The exact-leg RRF derivation as prefixable CTEs, ending in
+    ``{p}rrf_out`` (query_id, rank, candidate_id, lex_rank, sem_rank,
+    rrf_score). One source of truth for the standalone oracle
+    (prefix '') and the hybrid-vs-exact eval oracle (collision-free
+    prefix)."""
     from workshop3_etl_spark.operators.dedup import _TOKENS_DUCK
 
-    return f"""
-WITH tk AS (
+    return f"""{p}tk AS (
   SELECT doc_id, list_distinct({_TOKENS_DUCK}) AS tokens
   FROM documents
 ),
-lex AS (
+{p}lex AS (
   SELECT q.doc_id AS query_id, c.doc_id AS candidate_id,
          ROW_NUMBER() OVER (
            PARTITION BY q.doc_id
@@ -3303,14 +3307,14 @@ lex AS (
                       DESC,
                     c.doc_id
          ) AS lex_rank
-  FROM tk q JOIN tk c ON q.doc_id <> c.doc_id
+  FROM {p}tk q JOIN {p}tk c ON q.doc_id <> c.doc_id
   WHERE q.doc_id < {_N_QUERIES}
 ),
-ev AS (
+{p}ev AS (
   SELECT vec_id, embedding, {_norm2_duck('embedding')} AS nrm
   FROM embeddings
 ),
-sem AS (
+{p}sem AS (
   SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
          ROW_NUMBER() OVER (
            PARTITION BY q.vec_id
@@ -3318,26 +3322,35 @@ sem AS (
                       / (SQRT(q.nrm) * SQRT(c.nrm)) DESC,
                     c.vec_id
          ) AS sem_rank
-  FROM ev q JOIN ev c ON q.vec_id <> c.vec_id
+  FROM {p}ev q JOIN {p}ev c ON q.vec_id <> c.vec_id
   WHERE q.vec_id < {_N_QUERIES}
 ),
-fused AS (
+{p}fused AS (
   SELECT l.query_id, l.candidate_id,
          CAST(l.lex_rank AS BIGINT) AS lex_rank,
          CAST(s.sem_rank AS BIGINT) AS sem_rank,
          1e0 / ({_RRF_K} + l.lex_rank)
            + 1e0 / ({_RRF_K} + s.sem_rank) AS rrf_score
-  FROM lex l JOIN sem s
+  FROM {p}lex l JOIN {p}sem s
     ON s.query_id = l.query_id AND s.candidate_id = l.candidate_id
-)
-SELECT query_id, CAST(rank AS INT) AS rank, candidate_id,
-       lex_rank, sem_rank, rrf_score
-FROM (
-  SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY query_id
-    ORDER BY rrf_score DESC, candidate_id) AS rank
-  FROM fused
-) WHERE rank <= {_TOP_K}
+),
+{p}rrf_out AS (
+  SELECT query_id, CAST(rank AS INT) AS rank, candidate_id,
+         lex_rank, sem_rank, rrf_score
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY rrf_score DESC, candidate_id) AS rank
+    FROM {p}fused
+  ) WHERE rank <= {_TOP_K}
+)"""
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH {_rrf_ctes('')}
+SELECT query_id, rank, candidate_id, lex_rank, sem_rank, rrf_score
+FROM rrf_out
 ORDER BY query_id, rank
 """
 

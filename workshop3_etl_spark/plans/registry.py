@@ -56,11 +56,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # closed (every registered query has a lifetime green row), so
     # the budget cycles the STALEST greens back through the gate.
     #
-    # HEAD (1-10): the round-10 operators and every operator whose
+    # HEAD (1-12): the round-10 operators and every operator whose
     # code changed this round (changed-code-gets-official-row rule),
     # each verified green via driver-protocol parity at
     # sf0.001/0.01/0.1 before registration.
     "search_hybrid_indexed_topk",
+    "search_eval_hybrid_vs_exact",
+    "sim_whitened_cosine_topk",
     "embedding_whitening_apply",
     "corpus_e2e_curation_v3",
     "corpus_gate_attribution",
@@ -104,11 +106,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_running_customer_spend",
     "window_share_of_customer",
     "window_top3_per_supplier",
-    # TAIL B (41-47): 7 of the 20 r3-vintage greens, picked for
+    # TAIL B (43-47): 5 of the 20 r3-vintage greens, picked for
     # family spread (incl. the promised stream_stateful_user_metrics
-    # keeper and the ground-truth prefix-filter join). The other
-    # thirteen r3 rows head the r11 tail: cohort_retention_daily,
-    # corpus_mixture_weights_sqrt, dq_referential_orphans,
+    # keeper and the ground-truth prefix-filter join; two picks were
+    # displaced by the late round-10 operators above). The other
+    # fifteen r3 rows head the r11 tail: cdc_apply_latest_snapshot,
+    # cohort_retention_daily, corpus_mixture_weights_sqrt,
+    # dq_referential_orphans, graph_kcore_copurchase,
     # json_props_extract_stats, ml_ols2_qty_retailprice,
     # profile_null_counts_events, range_join_orders_events_7d,
     # scd2_user_type_history, sketch_hll_registers_custkeys,
@@ -119,8 +123,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_join_view_before_purchase",
     "sessionize_events_30min",
     "stream_tumbling_hourly_counts",
-    "graph_kcore_copurchase",
-    "cdc_apply_latest_snapshot",
     # KEEPERS (48-50): single-member family flagships the budget
     # must always carry (plan-test family coverage), all r9-green.
     "q1_pricing_summary",
