@@ -442,6 +442,15 @@ def test_hybrid_indexed_overlap_and_consistency(spark):
         search_rrf_hybrid_topk,
     )
 
+    # the hybrid's query set / output depth / RRF constant mirror the
+    # exact-leg operator's by design — pin the cross-module constants
+    # so a retune on one side cannot silently break comparability
+    from workshop3_etl_spark.operators import similarity as _sim
+
+    assert _HYB_QUERIES == _sim._N_QUERIES
+    assert _HYB_TOPK == _sim._TOP_K
+    assert _HYB_RRF_K == _sim._RRF_K
+
     idx = search_hybrid_indexed_topk(spark, SF_CORRECT).collect()
     exact = search_rrf_hybrid_topk(spark, SF_CORRECT).collect()
 

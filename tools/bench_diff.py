@@ -79,11 +79,12 @@ def main() -> int:
             f"new {new.get('sf')}) — ratios are not comparable"
         )
     oq, nq = old["queries"], new["queries"]
-    gt = {
-        n
-        for n, c in {**old.get("classes", {}), **new.get("classes", {})}.items()
-        if c == "ground_truth"
-    }
+    # the NEW sidecar's classes are the current registry's intent; the
+    # old sidecar is only a fallback for diffs against pre-class
+    # sidecars — unioning both would let a stale ground_truth tag keep
+    # exempting a query after it is reclassified to pipeline
+    cls = new.get("classes", old.get("classes", {}))
+    gt = {n for n, c in cls.items() if c == "ground_truth"}
     common = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))

@@ -2260,7 +2260,7 @@ def sim_ann_ivfpq_trained_topk(
 
 _HYB_QUERIES = 5  # == similarity._N_QUERIES (exact-leg RRF query set)
 _HYB_QTERMS = 4  # rarest distinct tokens representing each query
-_HYB_SHORT = 50  # per-leg candidate list length (== _PQT_RERANK)
+_HYB_SHORT = _PQT_RERANK  # per-leg candidate list length
 _HYB_TOPK = 10  # fused output depth (== similarity._TOP_K)
 _HYB_RRF_K = 60  # RRF constant (== similarity._RRF_K)
 

@@ -3065,18 +3065,17 @@ ORDER BY vec_id, dim
 """
 
 
-@register("embedding_whitening_apply", oracle=_WHITEN_ORACLE)
-def embedding_whitening_apply(
+def whitened_long_frame(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Apply diagonal covariance whitening to the embedding column:
-    (vec_id, dim, whitened) where whitened mean-centers on the exact
-    integer grid and scales by the in-plan-trained per-dim standard
-    deviation, so every non-constant dimension comes out with
-    population variance exactly 1 (property-tested). Completes the
-    spectral family's estimate -> maintain -> apply lifecycle; see
-    the section design comment for the determinism algebra and the
-    broadcast map-only scale shape."""
+    """(vec_id, dim, whitened) — the diagonal-whitening transform in
+    long form, the single Spark-side derivation shared by the apply
+    leg and the whitened-space serve leg (the _whiten_ctes contract,
+    mirrored). The grid frame appears three times in the plan
+    (transform leg, n, diag) — left uncached on purpose: the output
+    is corpus x D rows (no cheap localCheckpoint), and the re-reads
+    are a pruned parquet scan + a map-only grid transform, cheaper
+    than caching the corpus-scale frame."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.expr(f"size(embedding) = {_PCA_DIM}"))
@@ -3097,21 +3096,29 @@ def embedding_whitening_apply(
     sc = diag.crossJoin(F.broadcast(nn)).selectExpr(
         "dim", "s", "n", "cast(n * m - s * s as double) as v"
     )
-    # emb appears three times in the plan (transform leg, n, diag) —
-    # left uncached on purpose: the output is corpus x D rows (no
-    # cheap localCheckpoint), and the re-reads are a pruned parquet
-    # scan + a map-only grid transform, cheaper than caching the
-    # corpus-scale frame.
-    return (
-        lng.join(F.broadcast(sc), "dim")
-        .selectExpr(
-            "vec_id",
-            "dim",
-            "case when v > 0e0"
-            " then cast(n * val - s as double) / sqrt(v) end"
-            " as whitened",
-        )
-        .orderBy("vec_id", "dim")
+    return lng.join(F.broadcast(sc), "dim").selectExpr(
+        "vec_id",
+        "dim",
+        "case when v > 0e0"
+        " then cast(n * val - s as double) / sqrt(v) end"
+        " as whitened",
+    )
+
+
+@register("embedding_whitening_apply", oracle=_WHITEN_ORACLE)
+def embedding_whitening_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Apply diagonal covariance whitening to the embedding column:
+    (vec_id, dim, whitened) where whitened mean-centers on the exact
+    integer grid and scales by the in-plan-trained per-dim standard
+    deviation, so every non-constant dimension comes out with
+    population variance exactly 1 (property-tested). Completes the
+    spectral family's estimate -> maintain -> apply lifecycle; see
+    the section design comment for the determinism algebra and the
+    broadcast map-only scale shape."""
+    return whitened_long_frame(spark, sf_dir).orderBy(
+        "vec_id", "dim"
     )
 
 
@@ -3192,39 +3199,13 @@ def sim_whitened_cosine_topk(
     the brute-force-baseline rationale."""
     from pyspark.sql import Window
 
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.expr(f"size(embedding) = {_PCA_DIM}"))
-        .selectExpr(
-            "vec_id",
-            "transform(embedding, x -> cast(floor(cast(x as double)"
-            f" * {_PCA_GRID}.0) as bigint)) as xg",
-        )
-    )
-    lng = emb.select(
-        "vec_id", F.posexplode("xg").alias("pos", "val")
-    ).selectExpr("vec_id", "cast(pos + 1 as int) as dim", "val")
-    nn = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    diag = lng.groupBy("dim").agg(
-        F.sum("val").cast("long").alias("s"),
-        F.expr("cast(sum(val * val) as bigint)").alias("m"),
-    )
-    sc = diag.crossJoin(F.broadcast(nn)).selectExpr(
-        "dim", "s", "n", "cast(n * m - s * s as double) as v"
-    )
     wv = (
-        lng.join(F.broadcast(sc), "dim")
-        .selectExpr(
-            "vec_id",
-            "dim",
-            "case when v > 0e0"
-            " then cast(n * val - s as double) / sqrt(v) end as w",
-        )
+        whitened_long_frame(spark, sf_dir)
         .groupBy("vec_id")
         .agg(
             F.expr(
-                "transform(array_sort(collect_list(struct(dim, w))),"
-                " t -> t.w)"
+                "transform(array_sort(collect_list("
+                "struct(dim, whitened))), t -> t.whitened)"
             ).alias("w")
         )
         .persist()

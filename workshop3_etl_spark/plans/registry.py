@@ -72,7 +72,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ml_perceptron_train_embeddings",
     "sim_ann_ivfpq_trained_topk",
     "text_lm_perplexity_buckets",
-    # TAIL A (11-40): ALL 30 queries whose latest official row is
+    # TAIL A (13-42): ALL 30 queries whose latest official row is
     # r2-vintage — the nine sql_ rows plus the five named rows the
     # r9 registry comment promised to this budget, and the sixteen
     # displaced re-checks from r9.
