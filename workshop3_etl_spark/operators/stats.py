@@ -2086,3 +2086,158 @@ def stats_conformal_ols_interval(
     )
 
     return materialize_and_release(result, base, calib)
+
+
+# --------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test between the train and test
+# splits on orders.o_totalprice — the distribution-free sibling of
+# the Welch t-test (location only) and the per-bin drift report
+# (fixed 10 bins): KS reacts to ANY CDF divergence, not just the
+# mean, and is the standard "did the hash split bias this feature?"
+# gate in a training-data pipeline.
+#
+# Determinism + scale contract: the ECDFs are evaluated on a
+# FIXED-WIDTH value grid (bin = floor(x / 64), width 64 = 2^6 so the
+# scaling is an exact IEEE mantissa shift and floor is engine-stable)
+# rather than at every distinct value — the statistic is the exact
+# KS distance of the 64-unit histogram ECDFs, a LOWER BOUND on the
+# distinct-value D (documented, same honesty rule as the spectral
+# norm). This keeps the cumulative window on a frame bounded by the
+# VALUE DOMAIN (range/64 rows, data-size independent), never a
+# corpus-wide distinct-value sort (the DSIR advice rule).
+#
+# Everything is integer-exact: per-bin counts, cumulative counts,
+# and the cross-multiplied ECDF gap |cum1*N2 - cum2*N1| (<= N1*N2,
+# int64-safe through ~3e9 rows per split; the reject test squares it,
+# so that compare runs in decimal(38,0) / HUGEINT). The alpha = 0.05
+# decision uses the large-sample critical value
+# D > c(a) * sqrt((N1+N2)/(N1*N2)), c(0.05)^2 = 1.8444 exactly as the
+# rational 18444/10000 — squared into
+#   10000 * d_num^2 > 18444 * (N1+N2) * N1 * N2
+# so no sqrt/libm enters the hashed row.
+# --------------------------------------------------------------------
+
+_KS_BIN_W = 64
+_KS_CSQ_X1E4 = 18444  # c(0.05)^2 * 1e4, c = 1.3581 (Smirnov)
+
+_KS_ORACLE = f"""
+WITH f AS (
+  SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / {_KS_BIN_W}.0)
+              AS BIGINT) AS bin_id,
+         {_SPLIT_SQL} AS g
+  FROM orders
+),
+counts AS (
+  SELECT bin_id,
+         CAST(SUM(g) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(g) AS BIGINT) AS n2
+  FROM f GROUP BY bin_id
+),
+tots AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2
+  FROM counts
+),
+cums AS (
+  SELECT bin_id,
+         CAST(SUM(n1) OVER (ORDER BY bin_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c1,
+         CAST(SUM(n2) OVER (ORDER BY bin_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c2
+  FROM counts
+),
+gaps AS (
+  SELECT c.bin_id, ABS(c.c1 * t.t2 - c.c2 * t.t1) AS d_num
+  FROM cums c CROSS JOIN tots t
+),
+top AS (
+  SELECT bin_id, d_num FROM gaps
+  ORDER BY d_num DESC, bin_id LIMIT 1
+)
+SELECT
+  t.t1 AS n_train,
+  t.t2 AS n_test,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM counts) AS n_bins,
+  top.d_num AS d_num,
+  CAST((1000000 * top.d_num) // (t.t1 * t.t2) AS BIGINT) AS ks_x1e6,
+  top.bin_id AS argmax_bin_id,
+  CAST(top.bin_id AS DOUBLE) * {_KS_BIN_W}.0 AS argmax_lo_edge,
+  CAST(CASE WHEN 10000 * CAST(top.d_num AS HUGEINT)
+                       * CAST(top.d_num AS HUGEINT)
+             > {_KS_CSQ_X1E4} * CAST(t.t1 + t.t2 AS HUGEINT)
+               * CAST(t.t1 AS HUGEINT) * CAST(t.t2 AS HUGEINT)
+       THEN 1 ELSE 0 END AS INT) AS reject_05
+FROM top CROSS JOIN tots t
+"""
+
+
+@register("stats_ks_two_sample_price", oracle=_KS_ORACLE)
+def stats_ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS test (histogram-ECDF form, 64-unit fixed-width
+    grid) between the md5-split train/test halves of order totals:
+    (n_train, n_test, n_bins, d_num, ks_x1e6, argmax bin, reject_05).
+    d_num = max_bin |cum_train * N_test - cum_test * N_train| — the
+    cross-multiplied integer ECDF gap; see the section comment for
+    the exact-rational alpha = 0.05 decision rule.
+
+    Scale shape: one map-only bin pass + a map-side-combinable
+    groupBy to a VALUE-DOMAIN-bounded bin frame (range/64 rows at any
+    corpus size), a cumulative window over that bounded frame, a
+    TakeOrdered(1) argmax, and 1-row broadcast joins. The squared
+    reject compare runs in decimal(38,0) (HUGEINT in the oracle);
+    d_num itself is int64-exact through ~3e9 rows per split —
+    beyond that the gap products widen to decimal(38,0) like the
+    canon limb folds.
+    """
+    from pyspark.sql import Window
+
+    f = _with_split(load_table(spark, sf_dir, "orders")).select(
+        F.floor(F.col("o_totalprice").cast("double") / float(_KS_BIN_W))
+        .cast("long")
+        .alias("bin_id"),
+        "g",
+    )
+    counts = f.groupBy("bin_id").agg(
+        F.sum("g").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("n2"),
+    )
+    tots = counts.agg(
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n2").cast("long").alias("t2"),
+    )
+    nbins = counts.agg(F.count(F.lit(1)).cast("long").alias("n_bins"))
+    # Bounded frame: the window runs over the aggregated bin frame
+    # (value-domain rows), not the corpus.
+    w = Window.orderBy("bin_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cums = counts.select(
+        "bin_id",
+        F.sum("n1").over(w).cast("long").alias("c1"),
+        F.sum("n2").over(w).cast("long").alias("c2"),
+    )
+    gaps = cums.crossJoin(F.broadcast(tots)).select(
+        "bin_id",
+        F.abs(F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1"))
+        .alias("d_num"),
+    )
+    top = gaps.orderBy(F.desc("d_num"), "bin_id").limit(1)
+    return (
+        top.crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(nbins))
+        .selectExpr(
+            "t1 as n_train",
+            "t2 as n_test",
+            "n_bins",
+            "d_num",
+            "cast((1000000L * d_num) div (t1 * t2) as bigint) as ks_x1e6",
+            "bin_id as argmax_bin_id",
+            f"cast(bin_id as double) * {_KS_BIN_W}.0 as argmax_lo_edge",
+            "cast(case when 10000 * cast(d_num as decimal(38,0))"
+            "                 * cast(d_num as decimal(38,0))"
+            f"     > {_KS_CSQ_X1E4} * cast(t1 + t2 as decimal(38,0))"
+            "       * cast(t1 as decimal(38,0)) * cast(t2 as decimal(38,0))"
+            " then 1 else 0 end as int) as reject_05",
+        )
+    )
