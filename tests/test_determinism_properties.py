@@ -1837,3 +1837,50 @@ def test_curation_v3_funnel_consistent_with_standalone_stages(spark):
         len(bins),
         sum(cleaned[d][2] for d in surv),
     )
+
+
+def test_phrase_match_matches_sequential(spark):
+    """Sequential recompute of the positional phrase search: pick the
+    3 most frequent adjacent bigrams and count per-doc adjacent hits
+    with a plain Python scan; the distributed positional-join answer
+    must agree exactly (phrases, totals, per-doc counts, ranking)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.text import search_phrase_match_topk
+
+    rows = search_phrase_match_topk(spark, SF_SMOKE).collect()
+
+    pdf = pd.read_parquet(SF_SMOKE + "/documents.parquet",
+                          columns=["doc_id", "text"])
+    toks = {
+        int(d): [t for t in str(x).split(" ") if t]
+        for d, x in zip(pdf["doc_id"], pdf["text"])
+    }
+    bc: Counter = Counter()
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            bc[(a, b)] += 1
+    top = sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    phrases = {i + 1: (w, n) for i, (w, n) in enumerate(top)}
+
+    got = {}
+    for r in rows:
+        got.setdefault(r["phrase_id"], []).append(r)
+    assert sorted(got) == sorted(phrases)
+    for pid, (w, n_total) in phrases.items():
+        occ = {
+            d: sum(1 for a, b in zip(ts, ts[1:]) if (a, b) == w)
+            for d, ts in toks.items()
+        }
+        expect = sorted(
+            ((c, d) for d, c in occ.items() if c > 0),
+            key=lambda cd: (-cd[0], cd[1]),
+        )[:10]
+        have = sorted(got[pid], key=lambda r: r["rank"])
+        assert [(r["n_occ"], r["doc_id"]) for r in have] == expect
+        assert all(r["phrase"] == " ".join(w) for r in have)
+        assert all(r["n_total"] == n_total for r in have)
+        assert [r["rank"] for r in have] == list(range(1, len(have) + 1))

@@ -107,3 +107,42 @@ def test_acf_matches_sequential_recompute(spark):
         assert abs(rg - re) < 1e-12
     # weekly order flow: lag-7 autocorrelation exists and is finite
     assert all(abs(r) <= 1.0 + 1e-12 for _, _, r in got)
+
+
+def test_seasonal_decompose_identities(spark):
+    """Structural identities of the weekly additive decomposition:
+    the spine is gap-free, edge rows (incomplete centered window)
+    have NULL trend, 7*value - trend == detrended exactly, the dow
+    seasonal pair recomputes from the detrended column, and
+    residual = detrended - seasonal mean in one IEEE step."""
+    import datetime
+
+    from workshop3_etl_spark.operators.timeseries import (
+        ts_seasonal_decompose_weekly,
+    )
+
+    rows = ts_seasonal_decompose_weekly(spark, SF_SMOKE).collect()
+    days = [r["d"] for r in rows]
+    assert days == sorted(days)
+    assert len(days) == (days[-1] - days[0]).days + 1  # gap-free spine
+    # First/last 3 rows: incomplete window => NULL trend/detrended.
+    for r in rows[:3] + rows[-3:]:
+        assert r["trend_sum7"] is None and r["detrended_x7"] is None
+    by_dow: dict[int, list[int]] = {}
+    for i, r in enumerate(rows):
+        assert r["dow"] == ((r["d"] - datetime.datetime(1970, 1, 1)).days % 7)
+        if 3 <= i < len(rows) - 3:
+            win = sum(x["revenue_cents"] for x in rows[i - 3 : i + 4])
+            assert r["trend_sum7"] == win
+            assert r["detrended_x7"] == 7 * r["revenue_cents"] - win
+            by_dow.setdefault(r["dow"], []).append(r["detrended_x7"])
+    for r in rows:
+        vals = by_dow[r["dow"]]
+        assert r["seasonal_num"] == sum(vals)
+        assert r["seasonal_den"] == len(vals)
+        mean = sum(vals) / len(vals)
+        assert r["seasonal_x7"] == mean
+        if r["detrended_x7"] is not None:
+            assert r["residual_x7"] == r["detrended_x7"] - mean
+        else:
+            assert r["residual_x7"] is None

@@ -1437,3 +1437,147 @@ def text_nb_langid_confusion(
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# --------------------------------------------------------------------
+# Positional phrase search: exact-adjacency phrase matching over the
+# positional inverted index — the operator search_inverted_index_
+# postings' postings can't answer (it stores doc sets, not
+# positions). The query phrases are data-driven and deterministic:
+# the 3 most frequent adjacent word bigrams corpus-wide (count desc,
+# then lexicographic), mirroring BM25's df-rank query-term protocol.
+#
+# Serving shape (the point of the operator): the corpus token stream
+# is exploded ONCE with positions; each phrase term then broadcast-
+# semi-joins the postings down to query-term rows ONLY before the
+# adjacency equi-join (doc_id, position) == (doc_id, position - 1) —
+# at 100 TB the match join touches O(postings of 3 phrases), never
+# the corpus. The oracle re-derives the truth a DIFFERENT way (a
+# per-document array comprehension scan counting adjacent hits), so
+# an off-by-one in the positional join fails the hash.
+#
+# The per-phrase top-10 ranking window partitions by phrase_id; its
+# partition size is the phrase's document frequency — for the
+# head-of-vocabulary phrases used here that is corpus-proportional
+# in the worst case, so the 100-TB form would swap the window for a
+# per-phrase TakeOrdered loop over the (tiny, known) phrase list.
+# With 3 phrases the window is one 3-partition shuffle of
+# (phrase_id, doc_id, n_occ) triples — candidate counts, not text.
+# --------------------------------------------------------------------
+
+_PHRASE_N = 3
+_PHRASE_TOPK = 10
+
+_PHRASE_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS w
+  FROM tk
+),
+bi AS (
+  SELECT w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+  FROM pos
+),
+bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM bi WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+phrases AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_total DESC, w1, w2)
+              AS INT) AS phrase_id,
+         w1, w2, n_total
+  FROM bc
+  ORDER BY n_total DESC, w1, w2 LIMIT {_PHRASE_N}
+),
+occ AS (
+  SELECT ph.phrase_id, ph.w1, ph.w2, ph.n_total, tk.doc_id,
+         CAST(len([i FOR i IN range(1, len(tk.toks))
+                   IF tk.toks[i] = ph.w1 AND tk.toks[i + 1] = ph.w2])
+              AS BIGINT) AS n_occ
+  FROM tk CROSS JOIN phrases ph
+),
+ranked AS (
+  SELECT phrase_id, w1, w2, n_total, doc_id, n_occ,
+         CAST(ROW_NUMBER() OVER (PARTITION BY phrase_id
+              ORDER BY n_occ DESC, doc_id) AS INT) AS rank
+  FROM occ WHERE n_occ > 0
+)
+SELECT phrase_id, w1 || ' ' || w2 AS phrase, n_total,
+       rank, doc_id, n_occ
+FROM ranked WHERE rank <= {_PHRASE_TOPK}
+ORDER BY phrase_id, rank
+"""
+
+
+@register("search_phrase_match_topk", oracle=_PHRASE_ORACLE)
+def search_phrase_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search for the 3 most frequent corpus bigrams:
+    per phrase the top-10 documents by adjacent-occurrence count,
+    matched through the positional inverted index (broadcast
+    query-term postings + (doc, position) adjacency equi-join). The
+    oracle counts the same phrases with an independent per-document
+    array scan — see the section comment for the serving-shape and
+    scale notes."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
+    tk = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKENS).alias("toks")
+    )
+    pos = tk.select(
+        "doc_id", F.posexplode("toks").alias("p", "w")
+    ).persist()
+    try:
+        wb = Window.partitionBy("doc_id").orderBy("p")
+        bi = pos.select(
+            F.col("w").alias("w1"), F.lead("w").over(wb).alias("w2")
+        ).filter(F.col("w2").isNotNull())
+        bc = bi.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("n_total")
+        )
+        head = bc.orderBy(F.desc("n_total"), "w1", "w2").limit(_PHRASE_N)
+        wp = Window.orderBy(F.desc("n_total"), "w1", "w2")
+        phrases = head.select(
+            F.row_number().over(wp).cast("int").alias("phrase_id"),
+            "w1", "w2", "n_total",
+        )
+        # Postings of the query terms only (broadcast semi-joins).
+        p1 = pos.join(
+            F.broadcast(phrases.select("phrase_id", F.col("w1").alias("w"))),
+            "w",
+        ).select("phrase_id", "doc_id", "p")
+        p2 = pos.join(
+            F.broadcast(phrases.select("phrase_id", F.col("w2").alias("w"))),
+            "w",
+        ).select("phrase_id", "doc_id", (F.col("p") - 1).alias("p"))
+        occ = (
+            p1.join(p2, ["phrase_id", "doc_id", "p"])
+            .groupBy("phrase_id", "doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        )
+        wr = Window.partitionBy("phrase_id").orderBy(
+            F.desc("n_occ"), "doc_id"
+        )
+        out = (
+            occ.withColumn("rank", F.row_number().over(wr).cast("int"))
+            .filter(F.col("rank") <= _PHRASE_TOPK)
+            .join(F.broadcast(phrases), "phrase_id")
+            .select(
+                "phrase_id",
+                F.concat_ws(" ", "w1", "w2").alias("phrase"),
+                "n_total",
+                "rank",
+                "doc_id",
+                "n_occ",
+            )
+            .orderBy("phrase_id", "rank")
+        )
+        out = materialize_and_release(out, pos)
+    except Exception:
+        pos.unpersist()
+        raise
+    return out

@@ -1000,3 +1000,172 @@ def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "element_at(s, 1) + element_at(s, 2) as forecast_next",
         "element_at(s, 3) as sse",
     )
+
+
+# --------------------------------------------------------------------
+# Classical additive seasonal decomposition (weekly period) of daily
+# order revenue: value = trend + seasonal + residual — the
+# moving-average decomposition (the STL ancestor) that turns the
+# seasonal-naive/Holt forecasters' implicit structure into explicit,
+# auditable components.
+#
+# Exactness ladder: revenue is integer cents (cents_sql canon); the
+# centered 7-day trend is surfaced as the INTEGER window sum
+# trend_sum7 (not the /7 mean — division would force a rounding
+# choice), so the detrended series is the exact integer
+# detrended_x7 = 7*value_cents - trend_sum7. The per-day-of-week
+# seasonal component is kept as the exact integer pair
+# (seasonal_num, seasonal_den) = (sum, count) of detrended_x7 —
+# integer floor-division is NOT engine-stable for negatives (DuckDB
+# // floors, Spark div truncates), so the mean is exposed as ONE
+# double division, and the residual as one further subtraction —
+# fixed-order IEEE, bit-identical. Day-of-week is epoch-day mod 7
+# (calendar-function-free: Spark dayofweek and DuckDB dayofweek
+# disagree on numbering).
+#
+# Scale: the corpus collapses to the calendar-day spine in one
+# map-side-combinable aggregate (~2.5k rows at ANY corpus size); the
+# centered window, the 7-row seasonal aggregate, and the joins all
+# ride bounded frames. detrended_x7 is int64-exact while daily
+# revenue stays under ~1.3e18 cents; the dow sums widen to
+# decimal(38,0) beyond ~sf10000 (same bound family as the ACF
+# moments).
+# --------------------------------------------------------------------
+
+_DECOMP_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(cast(floor(o_totalprice * 100e0 + 0.5e0) as bigint))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+spine AS (
+  SELECT CAST(unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY))
+              AS TIMESTAMP) AS d
+  FROM b
+),
+filled AS (
+  SELECT s.d, COALESCE(daily.x, CAST(0 AS BIGINT)) AS x
+  FROM spine s LEFT JOIN daily ON daily.d = s.d
+),
+win AS (
+  SELECT d, x,
+         CAST(date_diff('day', TIMESTAMP '1970-01-01', d) % 7
+              AS BIGINT) AS dow,
+         CAST(SUM(x) OVER (ORDER BY d
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+              AS BIGINT) AS w_sum,
+         CAST(COUNT(*) OVER (ORDER BY d
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+              AS BIGINT) AS w_n
+  FROM filled
+),
+det AS (
+  SELECT d, dow, x,
+         CASE WHEN w_n = 7 THEN w_sum END AS trend_sum7,
+         CASE WHEN w_n = 7 THEN 7 * x - w_sum END AS detrended_x7
+  FROM win
+),
+seas AS (
+  SELECT dow,
+         CAST(SUM(detrended_x7) AS BIGINT) AS seasonal_num,
+         CAST(COUNT(detrended_x7) AS BIGINT) AS seasonal_den
+  FROM det GROUP BY dow
+)
+SELECT det.d, det.dow,
+       det.x AS revenue_cents,
+       det.trend_sum7,
+       det.detrended_x7,
+       s.seasonal_num, s.seasonal_den,
+       CAST(s.seasonal_num AS DOUBLE) / CAST(s.seasonal_den AS DOUBLE)
+         AS seasonal_x7,
+       CAST(det.detrended_x7 AS DOUBLE)
+         - CAST(s.seasonal_num AS DOUBLE) / CAST(s.seasonal_den AS DOUBLE)
+         AS residual_x7
+FROM det JOIN seas s USING (dow)
+ORDER BY det.d
+"""
+
+
+@register("ts_seasonal_decompose_weekly", oracle=_DECOMP_ORACLE)
+def ts_seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive weekly decomposition of daily order revenue on the
+    gap-filled calendar spine: integer centered-7-day trend sum,
+    exact integer detrended series (x7 scale), per-day-of-week
+    seasonal component as an exact (sum, count) pair plus its single
+    double division, and the IEEE residual. See the section comment
+    for the exactness ladder and the bounded-frame scale shape.
+    """
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+    from workshop3_etl_spark.functions.canon import cents_sql
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").alias("d"),
+            F.expr(cents_sql("o_totalprice")).alias("xc"),
+        )
+        .groupBy("d")
+        .agg(F.sum("xc").cast("long").alias("x"))
+    )
+    b = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = b.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    filled = spine.join(F.broadcast(daily), "d", "left").select(
+        "d", F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x")
+    )
+    # Bounded frame: both windows run over the ~2.5k-row day spine.
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    det = (
+        filled.select(
+            "d",
+            "x",
+            F.expr("cast(datediff(d, timestamp'1970-01-01') % 7 as bigint)")
+            .alias("dow"),
+            F.sum("x").over(w).cast("long").alias("w_sum"),
+            F.count(F.lit(1)).over(w).cast("long").alias("w_n"),
+        )
+        .select(
+            "d",
+            "dow",
+            "x",
+            F.when(F.col("w_n") == 7, F.col("w_sum")).alias("trend_sum7"),
+            F.when(F.col("w_n") == 7, 7 * F.col("x") - F.col("w_sum"))
+            .alias("detrended_x7"),
+        )
+        .persist()
+    )
+    try:
+        seas = det.groupBy("dow").agg(
+            F.sum("detrended_x7").cast("long").alias("seasonal_num"),
+            F.count("detrended_x7").cast("long").alias("seasonal_den"),
+        )
+        out = (
+            det.join(F.broadcast(seas), "dow")
+            .select(
+                "d",
+                "dow",
+                F.col("x").alias("revenue_cents"),
+                "trend_sum7",
+                "detrended_x7",
+                "seasonal_num",
+                "seasonal_den",
+                (
+                    F.col("seasonal_num").cast("double")
+                    / F.col("seasonal_den").cast("double")
+                ).alias("seasonal_x7"),
+                (
+                    F.col("detrended_x7").cast("double")
+                    - F.col("seasonal_num").cast("double")
+                    / F.col("seasonal_den").cast("double")
+                ).alias("residual_x7"),
+            )
+            .orderBy("d")
+        )
+        out = materialize_and_release(out, det)
+    except Exception:
+        det.unpersist()
+        raise
+    return out
