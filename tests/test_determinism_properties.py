@@ -1884,3 +1884,82 @@ def test_phrase_match_matches_sequential(spark):
         assert all(r["phrase"] == " ".join(w) for r in have)
         assert all(r["n_total"] == n_total for r in have)
         assert [r["rank"] for r in have] == list(range(1, len(have) + 1))
+
+
+def test_prf_expansion_matches_sequential(spark):
+    """Sequential recompute of the full two-pass PRF pipeline:
+    round-1 BM25, feedback-doc selection, (fb_tf x idf-surrogate)
+    expansion-term mining, round-2 rescore with 8 terms, and the
+    round-1-rank annotation — all in plain Python integers."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.text import (
+        _BM25_RANK_HI,
+        _BM25_RANK_LO,
+        _BM25_TOPK,
+        _PRF_EXP_TERMS,
+        _PRF_FB_DOCS,
+        search_prf_expanded_topk,
+    )
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+    df = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    n = len(docs)
+    t_total = sum(len(toks) for toks in docs.values())
+
+    def score_round(qset):
+        scores = {}
+        for doc_id, toks in docs.items():
+            dl = len(toks)
+            s, m = 0, 0
+            for q in qset:
+                tf = toks.count(q)
+                if tf == 0:
+                    continue
+                idf_bits = ((n + 1) // (df[q] + 1)).bit_length() - 1
+                s += (idf_bits * 44 * t_total * tf * 1000) // (
+                    20 * t_total * tf + 6 * t_total + 18 * n * dl
+                )
+                m += 1
+            if m:
+                scores[doc_id] = (m, s)
+        return scores
+
+    ranked = sorted(df, key=lambda t: (-df[t], t))
+    q1 = ranked[_BM25_RANK_LO - 1 : _BM25_RANK_HI]
+    s1 = score_round(q1)
+    order1 = sorted(s1, key=lambda d: (-s1[d][1], d))
+    fb = order1[:_PRF_FB_DOCS]
+    r1rank = {d: i + 1 for i, d in enumerate(order1[:_BM25_TOPK])}
+    fb_tf = {}
+    for d in fb:
+        for t in docs[d]:
+            if t not in q1:
+                fb_tf[t] = fb_tf.get(t, 0) + 1
+    expn = sorted(
+        fb_tf,
+        key=lambda t: (-(fb_tf[t] * ((1000 * (n + 1)) // (df[t] + 1))), t),
+    )[:_PRF_EXP_TERMS]
+    q2 = q1 + expn
+    assert len(set(q2)) == len(q2)
+    s2 = score_round(q2)
+    order2 = sorted(s2, key=lambda d: (-s2[d][1], d))[:_BM25_TOPK]
+    expect = [
+        (i + 1, d, s2[d][0], s2[d][1], r1rank.get(d))
+        for i, d in enumerate(order2)
+    ]
+    got = [
+        (r["rank"], r["doc_id"], r["n_terms_matched"], r["score_x1000"],
+         r["r1_rank"])
+        for r in search_prf_expanded_topk(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    # Structural bounds: round 2 scores an 8-term query.
+    assert all(1 <= m <= len(q2) for _, _, m, _, _ in got)

@@ -1122,52 +1122,75 @@ def text_bpe_tokenize_corpus(
 _BM25_RANK_LO, _BM25_RANK_HI = 10, 13  # df-rank window of query terms
 _BM25_TOPK = 20
 
-_BM25_ORACLE = f"""
-WITH tk AS (
+def _bm25_base_ctes(p: str) -> str:
+    """The corpus-level BM25 frames as prefixable CTEs: ``{p}tk``,
+    ``{p}pos`` (token postings), ``{p}termdf`` (term -> df), ``{p}dl``
+    (doc lengths), ``{p}stats`` (N, T). Shared by the standalone
+    ranking, the PRF expansion rounds, and any future composed
+    retrieval oracle — one source of truth for the index side."""
+    return f"""{p}tk AS (
   SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
 ),
-pos AS (SELECT doc_id, unnest(toks) AS w FROM tk),
-termdf AS (
+{p}pos AS (SELECT doc_id, unnest(toks) AS w FROM {p}tk),
+{p}termdf AS (
   SELECT w AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-  FROM pos GROUP BY w
+  FROM {p}pos GROUP BY w
 ),
-head AS (
-  SELECT term, df FROM termdf
+{p}dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM {p}tk),
+{p}stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t
+  FROM {p}dl
+)"""
+
+
+def _bm25_qterms_ctes(p: str) -> str:
+    """The deterministic df-rank {LO}..{HI} query-term CTE
+    ``{p}qterms`` (term, df) over ``{p}termdf``."""
+    return f"""{p}head AS (
+  SELECT term, df FROM {p}termdf
   ORDER BY df DESC, term LIMIT {_BM25_RANK_HI}
 ),
-qterms AS (
+{p}qterms AS (
   SELECT term, df FROM (
     SELECT term, df,
            ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
-    FROM head
+    FROM {p}head
   ) WHERE rn BETWEEN {_BM25_RANK_LO} AND {_BM25_RANK_HI}
-),
-dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
-stats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t
-  FROM dl
-),
-tf AS (
+)"""
+
+
+def _bm25_score_ctes(p: str, qcte: str, r: str) -> str:
+    """One BM25 scoring round of query CTE ``qcte`` (term, df)
+    against the base frames of prefix ``p``, ending in ``{r}scored``
+    (doc_id, n_terms_matched, score_x1000). The integer algebra is
+    the section comment's exact-rational form."""
+    return f"""{r}tf AS (
   SELECT p.doc_id, p.w AS term, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM pos p JOIN qterms q ON q.term = p.w
+  FROM {p}pos p JOIN {qcte} q ON q.term = p.w
   GROUP BY p.doc_id, p.w
 ),
-contrib AS (
+{r}contrib AS (
   SELECT tf.doc_id,
          ((CAST(length(bin((s.n + 1) // (q.df + 1))) - 1 AS BIGINT)
            * 44 * s.t * tf.tf * 1000)
           // (20 * s.t * tf.tf + 6 * s.t + 18 * s.n * d.dl)) AS c
-  FROM tf
-  JOIN qterms q USING (term)
-  JOIN dl d USING (doc_id)
-  CROSS JOIN stats s
+  FROM {r}tf tf
+  JOIN {qcte} q USING (term)
+  JOIN {p}dl d USING (doc_id)
+  CROSS JOIN {p}stats s
 ),
-scored AS (
+{r}scored AS (
   SELECT doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
          CAST(SUM(c) AS BIGINT) AS score_x1000
-  FROM contrib GROUP BY doc_id
-),
+  FROM {r}contrib GROUP BY doc_id
+)"""
+
+
+_BM25_ORACLE = f"""
+WITH {_bm25_base_ctes('')},
+{_bm25_qterms_ctes('')},
+{_bm25_score_ctes('', 'qterms', '')},
 top AS (
   SELECT doc_id, n_terms_matched, score_x1000 FROM scored
   ORDER BY score_x1000 DESC, doc_id LIMIT {_BM25_TOPK}
@@ -1180,36 +1203,42 @@ ORDER BY rank
 """
 
 
-@register("search_bm25_topk", oracle=_BM25_ORACLE)
-def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-20 retrieval for the deterministic mid-frequency
-    query-term set (df ranks 10-13): (rank, doc_id, n_terms_matched,
-    score_x1000) with k1 = 1.2, b = 0.75, integer-bits idf and
-    exact-integer rational tf saturation. See the section design
-    comment for the determinism algebra and the broadcast-only
-    scoring join shape."""
-    from pyspark.sql import Window
-
+def _bm25_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """Spark twins of _bm25_base_ctes: tk/pos/termdf/dl/stats."""
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select("doc_id", F.expr(_TOKENS).alias("toks"))
     pos = tk.select("doc_id", F.explode("toks").alias("w"))
     termdf = pos.groupBy(F.col("w").alias("term")).agg(
         F.countDistinct("doc_id").cast("long").alias("df")
     )
-    head = termdf.orderBy(F.desc("df"), "term").limit(_BM25_RANK_HI)
-    wq = Window.orderBy(F.desc("df"), "term")
-    qterms = (
-        head.withColumn("rn", F.row_number().over(wq))
-        .filter(
-            F.col("rn").between(_BM25_RANK_LO, _BM25_RANK_HI)
-        )
-        .select("term", "df")
+    dl = tk.select(
+        "doc_id", F.expr("cast(size(toks) as bigint)").alias("dl")
     )
-    dl = tk.select("doc_id", F.expr("cast(size(toks) as bigint)").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dl").cast("long").alias("t"),
     )
+    return {"pos": pos, "termdf": termdf, "dl": dl, "stats": stats}
+
+
+def _bm25_qterms(termdf: DataFrame) -> DataFrame:
+    """Spark twin of _bm25_qterms_ctes (df ranks LO..HI)."""
+    from pyspark.sql import Window
+
+    head = termdf.orderBy(F.desc("df"), "term").limit(_BM25_RANK_HI)
+    wq = Window.orderBy(F.desc("df"), "term")
+    return (
+        head.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn").between(_BM25_RANK_LO, _BM25_RANK_HI))
+        .select("term", "df")
+    )
+
+
+def _bm25_score(
+    pos: DataFrame, dl: DataFrame, stats: DataFrame, qterms: DataFrame
+) -> DataFrame:
+    """Spark twin of _bm25_score_ctes: one broadcast-sided scoring
+    round -> (doc_id, n_terms_matched, score_x1000)."""
     tf = (
         pos.join(F.broadcast(qterms.select(F.col("term").alias("w"))), "w")
         .groupBy("doc_id", F.col("w").alias("term"))
@@ -1226,10 +1255,25 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (20L * t * tf + 6L * t + 18L * n * dl)) as c",
         )
     )
-    scored = contrib.groupBy("doc_id").agg(
+    return contrib.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
         F.sum("c").cast("long").alias("score_x1000"),
     )
+
+
+@register("search_bm25_topk", oracle=_BM25_ORACLE)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval for the deterministic mid-frequency
+    query-term set (df ranks 10-13): (rank, doc_id, n_terms_matched,
+    score_x1000) with k1 = 1.2, b = 0.75, integer-bits idf and
+    exact-integer rational tf saturation. See the section design
+    comment for the determinism algebra and the broadcast-only
+    scoring join shape."""
+    from pyspark.sql import Window
+
+    fr = _bm25_frames(spark, sf_dir)
+    qterms = _bm25_qterms(fr["termdf"])
+    scored = _bm25_score(fr["pos"], fr["dl"], fr["stats"], qterms)
     top = scored.orderBy(F.desc("score_x1000"), "doc_id").limit(
         _BM25_TOPK
     )
@@ -1239,6 +1283,150 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "doc_id", "n_terms_matched", "score_x1000")
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------
+# Pseudo-relevance-feedback query expansion (Rocchio/RM1 family):
+# run the deterministic BM25 round, treat its top-10 documents as
+# relevant, mine the 4 best expansion terms from them, and rescore
+# the corpus with the 8-term expanded query — the classical two-pass
+# recall upgrade every lexical retrieval stack carries.
+#
+# Expansion-term weight: feedback collection frequency x the same
+# exact-rational idf surrogate the hybrid's lexical leg documents
+# ((1000 * (N + 1)) // (df + 1)) — pure fb_tf would hand the slots
+# to corpus-head stopwords on this flat-frequency vocabulary, while
+# the surrogate mixes in selectivity without a libm log. All
+# integer: fb_tf <= feedback tokens, surrogate <= 1000 * (N + 1),
+# product int64-safe through ~1e9 documents.
+#
+# Scale: both scoring rounds are the broadcast-sided _bm25_score
+# shape; the feedback set is 10 rows (broadcast), the candidate mine
+# is one groupBy over ONLY the postings of 10 documents, and the
+# anti-join against the 4 round-1 terms is broadcast. Nothing new
+# touches the corpus beyond the two scoring passes — at 100 TB the
+# token explode is persisted once and reused (done below).
+# --------------------------------------------------------------------
+
+_PRF_FB_DOCS = 10
+_PRF_EXP_TERMS = 4
+
+_PRF_ORACLE = f"""
+WITH {_bm25_base_ctes('')},
+{_bm25_qterms_ctes('')},
+{_bm25_score_ctes('', 'qterms', 'r1_')},
+fb AS (
+  SELECT doc_id FROM r1_scored
+  ORDER BY score_x1000 DESC, doc_id LIMIT {_PRF_FB_DOCS}
+),
+r1rank AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_x1000 DESC, doc_id)
+              AS INT) AS r1_rank
+  FROM (
+    SELECT doc_id, score_x1000 FROM r1_scored
+    ORDER BY score_x1000 DESC, doc_id LIMIT {_BM25_TOPK}
+  )
+),
+cand AS (
+  SELECT p.w AS term, CAST(COUNT(*) AS BIGINT) AS fb_tf
+  FROM pos p JOIN fb USING (doc_id)
+  WHERE p.w NOT IN (SELECT term FROM qterms)
+  GROUP BY p.w
+),
+expn AS (
+  SELECT c.term, t.df
+  FROM cand c JOIN termdf t USING (term) CROSS JOIN stats s
+  ORDER BY c.fb_tf * ((1000 * (s.n + 1)) // (t.df + 1)) DESC, c.term
+  LIMIT {_PRF_EXP_TERMS}
+),
+q2 AS (
+  SELECT term, df FROM qterms
+  UNION ALL SELECT term, df FROM expn
+),
+{_bm25_score_ctes('', 'q2', 'r2_')},
+top AS (
+  SELECT doc_id, n_terms_matched, score_x1000 FROM r2_scored
+  ORDER BY score_x1000 DESC, doc_id LIMIT {_BM25_TOPK}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.score_x1000 DESC, t.doc_id)
+            AS INT) AS rank,
+       t.doc_id, t.n_terms_matched, t.score_x1000, r.r1_rank
+FROM top t LEFT JOIN r1rank r USING (doc_id)
+ORDER BY rank
+"""
+
+
+@register("search_prf_expanded_topk", oracle=_PRF_ORACLE)
+def search_prf_expanded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass BM25 with pseudo-relevance-feedback expansion: round
+    1 = the standalone query (df ranks 10-13); its top-10 docs donate
+    the 4 highest (fb_tf x idf-surrogate)-weighted new terms; round 2
+    rescores with all 8 terms. Output is the round-2 top-20 with each
+    doc's round-1 rank (NULL = newly surfaced by expansion). See the
+    section comment for weights and scale shape."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
+    fr = _bm25_frames(spark, sf_dir)
+    pos = fr["pos"].persist()
+    dl = fr["dl"].persist()
+    try:
+        stats = fr["stats"]
+        q1 = _bm25_qterms(fr["termdf"])
+        s1 = _bm25_score(pos, dl, stats, q1).persist()
+        fb = s1.orderBy(F.desc("score_x1000"), "doc_id").limit(
+            _PRF_FB_DOCS
+        ).select("doc_id")
+        wr = Window.orderBy(F.desc("score_x1000"), "doc_id")
+        r1rank = (
+            s1.orderBy(F.desc("score_x1000"), "doc_id")
+            .limit(_BM25_TOPK)
+            .withColumn("r1_rank", F.row_number().over(wr).cast("int"))
+            .select("doc_id", "r1_rank")
+        )
+        cand = (
+            pos.join(F.broadcast(fb), "doc_id")
+            .join(
+                F.broadcast(q1.select(F.col("term").alias("w"))),
+                "w",
+                "left_anti",
+            )
+            .groupBy(F.col("w").alias("term"))
+            .agg(F.count(F.lit(1)).cast("long").alias("fb_tf"))
+        )
+        expn = (
+            cand.join(fr["termdf"], "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "fb_score",
+                F.expr("fb_tf * ((1000L * (n + 1)) div (df + 1))"),
+            )
+            .orderBy(F.desc("fb_score"), "term")
+            .limit(_PRF_EXP_TERMS)
+            .select("term", "df")
+        )
+        q2 = q1.unionByName(expn)
+        s2 = _bm25_score(pos, dl, stats, q2)
+        top = s2.orderBy(F.desc("score_x1000"), "doc_id").limit(
+            _BM25_TOPK
+        )
+        out = (
+            top.withColumn("rank", F.row_number().over(wr).cast("int"))
+            .join(F.broadcast(r1rank), "doc_id", "left")
+            .select(
+                "rank", "doc_id", "n_terms_matched", "score_x1000",
+                "r1_rank",
+            )
+            .orderBy("rank")
+        )
+        out = materialize_and_release(out, pos, dl, s1)
+    except Exception:
+        pos.unpersist()
+        dl.unpersist()
+        raise
+    return out
 
 
 # --------------------------------------------------------------------
