@@ -386,3 +386,96 @@ def test_wav_samples_skips_odd_chunk_with_pad_byte():
     assert _wav_samples(payload) == [
         (b - _WAV_OFS) * _WAV_SCALE for b in data
     ]
+
+
+def test_bmp_dhash_kernel_known_image_and_text_prediction():
+    """dHash ground truths: (a) a hand-built horizontal-gradient BMP
+    whose every gradient sign is positive left-to-right must hash to
+    all-ones columns; (b) for synthesized payloads the kernel's
+    decode-path hash must equal the hash predicted straight from the
+    source bytes (the oracle's derivation, here in Python)."""
+    import pandas as pd
+
+    from workshop3_etl_spark.operators.multimodal import (
+        _BMP_H_MOD,
+        _BMP_W_MOD,
+        _encode_bmp,
+        _pack_bmp,
+        bmp_dhash_kernel,
+    )
+
+    # (a) 9x8 image, pixel value = 3 * (8 - x): strictly decreasing
+    # left-to-right, constant per column => every g(gx) > g(gx+1).
+    w, h = 9, 8
+    px = bytes(
+        min(255, 8 - x) for y in range(h) for x in range(w) for _ in range(3)
+    )
+    grad = _pack_bmp(w, h, px)
+    out = list(
+        bmp_dhash_kernel(
+            iter([pd.DataFrame({"media_id": [1], "payload": [grad]})])
+        )
+    )[0]
+    assert out["dhash"][0] == "1" * 64
+
+    # (b) decode-path hash == source-byte prediction for real texts.
+    texts = ["hello world this is a test doc", "a" * 37, "xyz" * 50]
+    payloads = [_encode_bmp(t.encode()) for t in texts]
+    out = list(
+        bmp_dhash_kernel(
+            iter(
+                [
+                    pd.DataFrame(
+                        {
+                            "media_id": list(range(len(texts))),
+                            "payload": payloads,
+                        }
+                    )
+                ]
+            )
+        )
+    )[0]
+    for t, got in zip(texts, out["dhash"]):
+        data = t.encode()
+        ln = len(data)
+        iw = 1 + (ln % _BMP_W_MOD)
+        ih = 1 + ((ln // _BMP_W_MOD) % _BMP_H_MOD)
+
+        def g(sy, sx):
+            k = sy * iw + sx
+            return sum(data[(3 * k + j) % ln] for j in range(3))
+
+        bits = []
+        for gy in range(8):
+            sy = (gy * ih) // 8
+            vals = [g(sy, (gx * iw) // 9) for gx in range(9)]
+            bits += ["1" if vals[i] > vals[i + 1] else "0" for i in range(8)]
+        assert got == "".join(bits)
+
+
+def test_bmp_dhash_neardup_pigeonhole_and_dup_detection(spark):
+    """The registered audit finds the planted duplicates: identical
+    texts (mod-3-aligned) produce identical BMPs, so n_identical >=
+    the number of exact-dup image pairs recomputed from the raw
+    corpus; and every identical pair is also within 3."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from workshop3_etl_spark.operators.multimodal import (
+        multimodal_bmp_dhash_neardup,
+    )
+
+    row = multimodal_bmp_dhash_neardup(spark, SF_SMOKE).collect()[0]
+    pdf = pd.read_parquet(SF_SMOKE + "/documents.parquet",
+                          columns=["doc_id", "text"])
+    texts = Counter(
+        t for d, t in zip(pdf["doc_id"], pdf["text"]) if d % 3 == 0
+    )
+    exact_pairs = sum(n * (n - 1) // 2 for n in texts.values())
+    n_imgs = sum(texts.values())
+    assert row["n_images"] == n_imgs
+    assert row["n_distinct_hashes"] <= n_imgs
+    assert row["n_identical"] >= exact_pairs
+    assert row["n_within_3"] >= row["n_identical"]
+    assert row["n_candidate_pairs"] >= row["n_within_3"]

@@ -1017,3 +1017,216 @@ def multimodal_wav_energy_zcr(
         wav_features_kernel, schema=_WAV_FEATURES_SCHEMA
     )
     return feats.orderBy("media_id")
+
+
+# --------------------------------------------------------------------
+# Perceptual-hash (dHash) near-duplicate detection over the REAL
+# decoded BMP pixels — the image sibling of dedup_simhash_hamming_
+# pairs, closing the multimodal dedup gap: text dedup has
+# exact/MinHash/SimHash families, images get the standard
+# difference-hash. The pipeline is the real-decode arc: synthesize
+# actual BI_RGB payloads, struct-parse them back, nearest-neighbor
+# downsample the pixel grid to 9x8 luma cells (integer channel sums
+# — no libm), hash the horizontal gradient signs into a 64-bit
+# signature, then pigeonhole-block on 16-bit signature quarters
+# (any pair with hamming <= 3 shares >= 1 exact quarter — the same
+# no-false-negative guarantee as the SimHash blocker).
+#
+# Oracle honesty (the WAV-energy recipe): the synthesis cycles the
+# document's bytes through the pixel stream, so the oracle predicts
+# every grid cell — and therefore the full 64-bit hash — from the
+# source CHARACTERS (pixel k's channels are text[(3k+j) mod L]; the
+# corpus is pure printable ASCII, verified r9). A single misparsed
+# header field, row-padding slip, or resampling off-by-one produces
+# different signatures and fails the hash gate.
+#
+# Scale: signature extraction is map-only Arrow kernels; the blocked
+# self-join touches 4 x 16-bit band buckets (bucket sizes are
+# hash-distribution-bounded — measured max 21 of 167 images at
+# sf0.01; a skewed bucket at 100 TB gets the LSH family's logged cap
+# treatment). Output is a 1-row audit, not the pair list.
+# --------------------------------------------------------------------
+
+_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.StringType()),
+    ]
+)
+
+
+def bmp_dhash_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode each BMP payload's actual bytes and
+    emit the 64-char '0'/'1' dHash string (9x8 nearest-neighbor grid,
+    horizontal gradient signs, row-major gy then gx)."""
+    for pdf in batches:
+        ids, hs = [], []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            w, h, rows = _bmp_pixels(bytes(payload))
+            bits = []
+            for gy in range(8):
+                sy = (gy * h) // 8
+                row = rows[sy]
+                vals = []
+                for gx in range(9):
+                    sx = (gx * w) // 9
+                    vals.append(
+                        row[3 * sx] + row[3 * sx + 1] + row[3 * sx + 2]
+                    )
+                bits.extend(
+                    "1" if vals[i] > vals[i + 1] else "0"
+                    for i in range(8)
+                )
+            ids.append(int(mid))
+            hs.append("".join(bits))
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "dhash": pd.Series(hs, dtype="object"),
+            }
+        )
+
+
+_BMP_DHASH_ORACLE = f"""
+WITH imgs AS (
+  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS l,
+         CAST(1 + (strlen(text) % {_BMP_W_MOD}) AS BIGINT) AS w,
+         CAST(1 + ((strlen(text) // {_BMP_W_MOD}) % {_BMP_H_MOD})
+              AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+cells AS (
+  SELECT i.doc_id, g.gy, g.gx,
+         (SELECT SUM(ord(substr(i.text,
+                  CAST(((3 * (((g.gy * i.h) // 8) * i.w
+                         + ((g.gx * i.w) // 9)) + j.j) % i.l) + 1
+                       AS INT), 1)))
+          FROM (SELECT unnest(range(3)) AS j) j) AS g
+  FROM imgs i,
+       (SELECT gys.gy, gxs.gx
+        FROM (SELECT unnest(range(8)) AS gy) gys,
+             (SELECT unnest(range(9)) AS gx) gxs) g
+),
+sigs AS (
+  SELECT a.doc_id AS media_id,
+         string_agg(CASE WHEN a.g > b.g THEN '1' ELSE '0' END, ''
+                    ORDER BY a.gy, a.gx) AS dhash
+  FROM cells a JOIN cells b
+    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+  WHERE a.gx < 8
+  GROUP BY a.doc_id
+),
+blocks AS (
+  SELECT media_id, dhash, q AS quarter_id,
+         substr(dhash, q * 16 + 1, 16) AS quarter
+  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS q)
+),
+cands AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.dhash AS sig_a, b.dhash AS sig_b
+  FROM blocks a JOIN blocks b
+    ON a.quarter_id = b.quarter_id AND a.quarter = b.quarter
+   AND a.media_id < b.media_id
+),
+measured AS (
+  SELECT id_a, id_b, hamming(sig_a, sig_b) AS dist FROM cands
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM sigs) AS n_images,
+  (SELECT CAST(COUNT(DISTINCT dhash) AS BIGINT) FROM sigs)
+    AS n_distinct_hashes,
+  CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+  CAST(COALESCE(SUM(CASE WHEN dist <= 3 THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_within_3,
+  CAST(COALESCE(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_identical
+FROM measured
+"""
+
+
+@register("multimodal_bmp_dhash_neardup", oracle=_BMP_DHASH_ORACLE)
+def multimodal_bmp_dhash_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image near-duplicate audit via 64-bit dHash over the real
+    decoded BMP pixels: (n_images, n_distinct_hashes,
+    n_candidate_pairs, n_within_3, n_identical) with 16-bit-quarter
+    pigeonhole blocking (exact recall for hamming <= 3). The oracle
+    predicts every signature from the source characters — see the
+    section design comment."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id % 3 = 0")
+    )
+    media = docs.mapInPandas(encode_media_kernel, schema=_MEDIA_SCHEMA)
+    sigs = media.mapInPandas(
+        bmp_dhash_kernel, schema=_DHASH_SCHEMA
+    ).persist()
+    try:
+        counts = sigs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.countDistinct("dhash").cast("long").alias(
+                "n_distinct_hashes"
+            ),
+        )
+        blocks = sigs.select(
+            "media_id",
+            "dhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.substring("dhash", q * 16 + 1, 16)
+                        for q in range(4)
+                    ]
+                )
+            ).alias("quarter_id", "quarter"),
+        )
+        a = blocks.alias("a")
+        b = blocks.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.quarter_id") == F.col("b.quarter_id"))
+                & (F.col("a.quarter") == F.col("b.quarter"))
+                & (F.col("a.media_id") < F.col("b.media_id")),
+            )
+            .select(
+                F.col("a.media_id").alias("id_a"),
+                F.col("b.media_id").alias("id_b"),
+                F.col("a.dhash").alias("sig_a"),
+                F.col("b.dhash").alias("sig_b"),
+            )
+            .distinct()
+        )
+        dist = F.expr(
+            "aggregate(sequence(1, 64), 0, (acc, i) -> acc +"
+            " IF(substring(sig_a, i, 1) = substring(sig_b, i, 1), 0, 1))"
+        )
+        pairstats = cands.select(dist.alias("dist")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+            F.coalesce(
+                F.sum(F.expr("case when dist <= 3 then 1 else 0 end")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_within_3"),
+            F.coalesce(
+                F.sum(F.expr("case when dist = 0 then 1 else 0 end")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_identical"),
+        )
+        out = counts.crossJoin(F.broadcast(pairstats))
+        from workshop3_etl_spark.functions.cache import (
+            materialize_and_release,
+        )
+
+        out = materialize_and_release(out, sigs)
+    except Exception:
+        sigs.unpersist()
+        raise
+    return out
