@@ -1963,3 +1963,50 @@ def test_prf_expansion_matches_sequential(spark):
     assert got == expect
     # Structural bounds: round 2 scores an 8-term query.
     assert all(1 <= m <= len(q2) for _, _, m, _, _ in got)
+
+
+def test_ngram_novelty_curve_matches_sequential(spark):
+    """Sequential recompute of the 3-gram novelty curve: first-shard
+    attribution per distinct gram, per-shard doc/instance counts,
+    cumulative totals — plus the closure invariant that the last
+    cumulative value equals the corpus's distinct-gram count."""
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.corpus import (
+        _NOVELTY_SHARDS,
+        corpus_ngram_novelty_curve,
+    )
+
+    rows = corpus_ngram_novelty_curve(spark, SF_SMOKE).collect()
+
+    pdf = pd.read_parquet(SF_SMOKE + "/documents.parquet",
+                          columns=["doc_id", "text"])
+    first = {}
+    n_docs = {s: 0 for s in range(_NOVELTY_SHARDS)}
+    n_inst = {s: 0 for s in range(_NOVELTY_SHARDS)}
+    for d, t in zip(pdf["doc_id"], pdf["text"]):
+        s = int(d) % _NOVELTY_SHARDS
+        toks = [x for x in str(t).split(" ") if x]
+        grams = [
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ]
+        n_docs[s] += 1
+        n_inst[s] += len(grams)
+        for g in grams:
+            if g not in first or s < first[g]:
+                first[g] = s
+    new_types = {s: 0 for s in range(_NOVELTY_SHARDS)}
+    for s in first.values():
+        new_types[s] += 1
+    assert [r["shard"] for r in rows] == list(range(_NOVELTY_SHARDS))
+    cum = 0
+    for r in rows:
+        s = r["shard"]
+        cum += new_types[s]
+        assert r["n_docs"] == n_docs[s]
+        assert r["n_gram_instances"] == n_inst[s]
+        assert r["n_new_gram_types"] == new_types[s]
+        assert r["cum_gram_types"] == cum
+        assert r["novelty_rate"] == new_types[s] / n_inst[s]
+    assert rows[-1]["cum_gram_types"] == len(first)

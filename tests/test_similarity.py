@@ -980,3 +980,44 @@ def test_whitened_topk_agreement_with_raw_space(spark):
     assert sorted(r) == sorted(w)
     total = sum(len(r[q] & w[q]) for q in r)
     assert total >= 40, {q: len(r[q] & w[q]) for q in r}
+
+
+def test_rp_ndcg_mrr_recomputes_from_legs(spark):
+    """The graded eval must re-derive from the two legs it composes:
+    rebuild n_hits / first-hit / DCG / nDCG / MRR in Python from the
+    registered truth and ANN outputs, and check the metric algebra
+    (identity case = all-1e6 nDCG iff the index IS the truth)."""
+    from workshop3_etl_spark.operators.similarity import (
+        _NDCG_IDCG_X2520,
+        search_eval_rp_ndcg_mrr,
+        sim_ann_random_projection_topk,
+    )
+
+    truth = {}
+    for r in sim_cosine_topk_bruteforce(spark, SF_SMOKE).collect():
+        truth[(r["query_id"], r["candidate_id"])] = r["rank"]
+    got = {r["query_id"]: r for r in
+           search_eval_rp_ndcg_mrr(spark, SF_SMOKE).collect()}
+    cand = {}
+    for r in sim_ann_random_projection_topk(spark, SF_SMOKE).collect():
+        cand.setdefault(r["query_id"], []).append(
+            (r["rank"], r["candidate_id"])
+        )
+    assert sorted(got) == sorted(cand)
+    for qid, lst in cand.items():
+        hits = [(cr, truth.get((qid, cid))) for cr, cid in sorted(lst)]
+        n_hits = sum(1 for _, t in hits if t is not None)
+        first = next((cr for cr, t in hits if t is not None), None)
+        dcg = sum(
+            (11 - t) * (2520 // cr) for cr, t in hits if t is not None
+        )
+        row = got[qid]
+        assert row["n_hits"] == n_hits
+        assert row["first_hit_rank"] == first
+        assert row["mrr_x2520"] == (2520 // first if first else 0)
+        assert row["dcg_x2520"] == dcg
+        assert row["ndcg_x1e6"] == (1_000_000 * dcg) // _NDCG_IDCG_X2520
+        # Perfect retrieval in truth order would score exactly 1e6.
+        if hits == [(i, i) for i in range(1, 11)]:
+            assert row["ndcg_x1e6"] == 1_000_000
+        assert 0 <= row["ndcg_x1e6"] <= 1_000_000

@@ -2217,3 +2217,131 @@ def corpus_gate_attribution(
     ]
     result = reduce(DataFrame.unionByName, legs).orderBy("gate")
     return materialize_and_release(result, flags, ds_pd)
+
+
+# --------------------------------------------------------------------
+# N-gram novelty curve: how much NEW 3-gram vocabulary each
+# successive corpus shard contributes — the diminishing-returns
+# diagnostic behind "is more of this source still adding
+# information?" decisions (data-accumulation curves in corpus
+# scaling work). Shard = doc_id % 8 (engine-stable integer), shards
+# "arrive" in id order; a gram type is NEW at shard s when s is the
+# smallest shard containing it.
+#
+# Distributed shape: one explode to (shard, gram-md5) rows, ONE
+# map-side-combinable groupBy(gram) -> MIN(shard) (vocabulary-sized
+# output, the BPE pair-count class), then an 8-row novelty frame
+# with a bounded cumulative window. 16-byte hashes shuffle, text
+# never does. At 100 TB the gram->min aggregation is the one real
+# shuffle and is exactly as wide as the distinct-gram vocabulary.
+# --------------------------------------------------------------------
+
+_NOVELTY_SHARDS = 8
+
+_NOVELTY_GRAMS = (
+    f"case when size({_TOKENS}) < 3 then array() else"
+    f" transform(sequence(1, size({_TOKENS}) - 2),"
+    f" i -> md5(cast(concat_ws(' ', slice({_TOKENS}, i, 3)) as binary)))"
+    " end"
+)
+_NOVELTY_GRAMS_DUCK = (
+    "CASE WHEN len(toks) < 3 THEN [] ELSE"
+    " [md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])"
+    "  FOR i IN range(1, len(toks) - 1)] END"
+)
+
+_NOVELTY_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id % {_NOVELTY_SHARDS} AS shard,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT shard, unnest({_NOVELTY_GRAMS_DUCK}) AS g FROM tk
+),
+firsts AS (
+  SELECT g, CAST(MIN(shard) AS BIGINT) AS first_shard
+  FROM grams GROUP BY g
+),
+novel AS (
+  SELECT first_shard AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_new_gram_types
+  FROM firsts GROUP BY first_shard
+),
+per_shard AS (
+  SELECT shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_NOVELTY_GRAMS_DUCK})) AS BIGINT)
+           AS n_gram_instances
+  FROM tk GROUP BY shard
+)
+SELECT p.shard, p.n_docs, p.n_gram_instances,
+       COALESCE(n.n_new_gram_types, 0) AS n_new_gram_types,
+       CAST(SUM(COALESCE(n.n_new_gram_types, 0)) OVER (
+            ORDER BY p.shard
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_gram_types,
+       CAST(COALESCE(n.n_new_gram_types, 0) AS DOUBLE)
+         / CAST(NULLIF(p.n_gram_instances, 0) AS DOUBLE)
+         AS novelty_rate
+FROM per_shard p LEFT JOIN novel n ON n.shard = p.shard
+ORDER BY p.shard
+"""
+
+
+@register("corpus_ngram_novelty_curve", oracle=_NOVELTY_ORACLE)
+def corpus_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard 3-gram novelty: (shard, n_docs, n_gram_instances,
+    n_new_gram_types, cum_gram_types, novelty_rate) where a gram is
+    new at the smallest doc_id%8 shard containing it — the
+    data-accumulation curve. One vocabulary-sized MIN(shard)
+    aggregate; see the section comment for the scale shape."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        (F.col("doc_id") % _NOVELTY_SHARDS).alias("shard"),
+        F.explode(F.expr(_NOVELTY_GRAMS)).alias("g"),
+    )
+    firsts = grams.groupBy("g").agg(
+        F.min("shard").cast("long").alias("first_shard")
+    )
+    novel = firsts.groupBy(F.col("first_shard").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_gram_types")
+    )
+    per_shard = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % _NOVELTY_SHARDS).alias("shard"),
+            F.expr(f"size({_NOVELTY_GRAMS})").alias("n_inst"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("n_inst").cast("long").alias("n_gram_instances"),
+        )
+    )
+    # Bounded frame: the window runs over the 8-row shard spine.
+    w = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_shard.join(F.broadcast(novel), "shard", "left")
+        .select(
+            "shard",
+            "n_docs",
+            "n_gram_instances",
+            F.coalesce(F.col("n_new_gram_types"), F.lit(0).cast("long"))
+            .alias("n_new_gram_types"),
+        )
+        .withColumn(
+            "cum_gram_types",
+            F.sum("n_new_gram_types").over(w).cast("long"),
+        )
+        .withColumn(
+            "novelty_rate",
+            F.col("n_new_gram_types").cast("double")
+            / F.expr("cast(nullif(n_gram_instances, 0) as double)"),
+        )
+        .orderBy("shard")
+    )

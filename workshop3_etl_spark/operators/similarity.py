@@ -72,35 +72,46 @@ def _norm2_duck(a: str) -> str:
     )
 
 
-_TOPK_ORACLE = f"""
-WITH q AS (
+def _cosine_topk_ctes(p: str) -> str:
+    """The exact brute-force cosine top-K chain as prefixable CTEs,
+    ending in ``{p}exact`` (query_id, rank, candidate_id,
+    candidate_label, cosine_sim; rank <= TOP_K). Single source of
+    truth for the standalone oracle and the retrieval-eval oracles
+    that grade an index against this ground truth."""
+    return f"""{p}q AS (
   SELECT vec_id AS query_id, embedding AS qv,
          {_norm2_duck('embedding')} AS qn
   FROM embeddings WHERE vec_id < {_N_QUERIES}
 ),
-c AS (
+{p}c AS (
   SELECT vec_id AS candidate_id, label AS candidate_label, embedding AS cv,
          {_norm2_duck('embedding')} AS cn
   FROM embeddings
 ),
-ranked AS (
-  SELECT
-    q.query_id,
-    c.candidate_id,
-    c.candidate_label,
-    {_dot_duck('q.qv', 'c.cv')} / (SQRT(q.qn) * SQRT(c.cn)) AS cosine_sim,
-    ROW_NUMBER() OVER (
-      PARTITION BY q.query_id
-      ORDER BY {_dot_duck('q.qv', 'c.cv')} / (SQRT(q.qn) * SQRT(c.cn)) DESC,
-               c.candidate_id
-    ) AS rank
-  FROM q, c
-  WHERE q.query_id <> c.candidate_id
-)
+{p}exact AS (
+  SELECT query_id, rank, candidate_id, candidate_label, cosine_sim
+  FROM (
+    SELECT
+      q.query_id,
+      c.candidate_id,
+      c.candidate_label,
+      {_dot_duck('q.qv', 'c.cv')} / (SQRT(q.qn) * SQRT(c.cn)) AS cosine_sim,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY {_dot_duck('q.qv', 'c.cv')} / (SQRT(q.qn) * SQRT(c.cn)) DESC,
+                 c.candidate_id
+      ) AS rank
+    FROM {p}q q, {p}c c
+    WHERE q.query_id <> c.candidate_id
+  ) WHERE rank <= {_TOP_K}
+)"""
+
+
+_TOPK_ORACLE = f"""
+WITH {_cosine_topk_ctes('')}
 SELECT query_id, CAST(rank AS INT) AS rank, candidate_id, candidate_label,
        cosine_sim
-FROM ranked
-WHERE rank <= {_TOP_K}
+FROM exact
 ORDER BY query_id, rank
 """
 
@@ -2702,23 +2713,26 @@ def _rp_proj_duck(col: str) -> str:
     return f"[{folds}]"
 
 
-_RP_ORACLE = f"""
-WITH v AS (
+def _rp_topk_ctes(p: str) -> str:
+    """The random-projection ANN chain as prefixable CTEs, ending in
+    ``{p}rptop`` (query_id, rank, candidate_id, cosine_sim;
+    rank <= TOP_K)."""
+    return f"""{p}v AS (
   SELECT vec_id, embedding, {_rp_proj_duck('embedding')} AS proj
   FROM embeddings
 ),
-n AS (
+{p}n AS (
   SELECT vec_id, embedding, proj,
          {_norm2_duck('embedding')} AS nrm,
          {_norm2_duck('proj')} AS pn
-  FROM v
+  FROM {p}v
 ),
-q AS (
+{p}qf AS (
   SELECT vec_id AS query_id, embedding AS qv, proj AS qp,
          nrm AS qn, pn AS qpn
-  FROM n WHERE vec_id < {_N_QUERIES}
+  FROM {p}n WHERE vec_id < {_N_QUERIES}
 ),
-short AS (
+{p}short AS (
   SELECT query_id, candidate_id, qv, cv, qn, cn FROM (
     SELECT q.query_id, c.vec_id AS candidate_id,
            q.qv AS qv, c.embedding AS cv, q.qn AS qn, c.nrm AS cn,
@@ -2728,22 +2742,28 @@ short AS (
                         / (SQRT(q.qpn) * SQRT(c.pn)) DESC,
                       c.vec_id
            ) AS sr
-    FROM q, n c
+    FROM {p}qf q, {p}n c
     WHERE q.query_id <> c.vec_id
   ) WHERE sr <= {_RP_SHORTLIST}
 ),
-ranked AS (
-  SELECT query_id, candidate_id,
-         {_dot_duck('qv', 'cv')} / (SQRT(qn) * SQRT(cn)) AS cosine_sim,
-         ROW_NUMBER() OVER (
-           PARTITION BY query_id
-           ORDER BY {_dot_duck('qv', 'cv')} / (SQRT(qn) * SQRT(cn)) DESC,
-                    candidate_id
-         ) AS rank
-  FROM short
-)
+{p}rptop AS (
+  SELECT query_id, rank, candidate_id, cosine_sim FROM (
+    SELECT query_id, candidate_id,
+           {_dot_duck('qv', 'cv')} / (SQRT(qn) * SQRT(cn)) AS cosine_sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY {_dot_duck('qv', 'cv')} / (SQRT(qn) * SQRT(cn)) DESC,
+                      candidate_id
+           ) AS rank
+    FROM {p}short
+  ) WHERE rank <= {_TOP_K}
+)"""
+
+
+_RP_ORACLE = f"""
+WITH {_rp_topk_ctes('')}
 SELECT query_id, CAST(rank AS INT) AS rank, candidate_id, cosine_sim
-FROM ranked WHERE rank <= {_TOP_K}
+FROM rptop
 ORDER BY query_id, rank
 """
 
@@ -3416,3 +3436,115 @@ def search_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------
+# Rank-aware retrieval quality: nDCG@10 / MRR of the random-
+# projection ANN against the exact brute-force cosine ground truth —
+# the graded upgrade of search_eval_hybrid_vs_exact's set-overlap
+# metric (overlap says WHETHER the index found the neighbors; these
+# say WHERE it put them).
+#
+# Log-free exact metrics (the libm ban): the classical 1/log2(i+1)
+# DCG discount is replaced by the documented harmonic surrogate
+# 1/i, scaled by lcm(1..10) = 2520 so every per-rank discount
+# 2520/i is an exact integer; graded relevance is 11 - truth_rank
+# (10 points for the true nearest neighbor down to 1 for the 10th).
+# The per-query ideal (all ten truth docs in truth order) is then
+# the constant sum_i (11-i)*(2520/i) — computed below in Python —
+# and ndcg_x1e6 is one integer floor-division against it. MRR is
+# 2520 / first-hit-rank, 0 when the index misses everything.
+#
+# Scale: both legs are the operators' own plans (shortlist + rerank
+# for the index, the deliberate exact enumeration for the truth) —
+# this is an EVAL-harness row (perf_class ground_truth, the
+# dedup_lsh_eval_metrics precedent); the metric join itself is
+# 50x50 rows per query.
+# --------------------------------------------------------------------
+
+_NDCG_IDCG_X2520 = sum((11 - i) * (2520 // i) for i in range(1, 11))
+
+_RP_EVAL_ORACLE = f"""
+WITH {_cosine_topk_ctes('t_')},
+{_rp_topk_ctes('r_')},
+j AS (
+  SELECT r.query_id, r.rank AS c_rank, t.rank AS t_rank
+  FROM r_rptop r LEFT JOIN t_exact t
+    ON t.query_id = r.query_id AND t.candidate_id = r.candidate_id
+),
+m AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN t_rank IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits,
+         CAST(MIN(CASE WHEN t_rank IS NOT NULL THEN c_rank END)
+              AS INT) AS first_hit_rank,
+         CAST(SUM(CASE WHEN t_rank IS NOT NULL
+                  THEN (11 - t_rank) * (2520 // c_rank)
+                  ELSE 0 END) AS BIGINT) AS dcg_x2520
+  FROM j GROUP BY query_id
+)
+SELECT query_id, n_hits, first_hit_rank,
+       CAST(COALESCE(2520 // first_hit_rank, 0) AS BIGINT) AS mrr_x2520,
+       dcg_x2520,
+       CAST((1000000 * dcg_x2520) // {_NDCG_IDCG_X2520} AS BIGINT)
+         AS ndcg_x1e6
+FROM m
+ORDER BY query_id
+"""
+
+
+@register(
+    "search_eval_rp_ndcg_mrr",
+    oracle=_RP_EVAL_ORACLE,
+    perf_class="ground_truth",
+)
+def search_eval_rp_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query nDCG@10 (x1e6, harmonic-discount surrogate) and MRR
+    (x2520) of the random-projection ANN vs the exact cosine truth:
+    (query_id, n_hits, first_hit_rank, mrr_x2520, dcg_x2520,
+    ndcg_x1e6). Composes the two registered operators' own frames so
+    the eval cannot drift from what it grades; all metric arithmetic
+    is exact integers (see the section comment)."""
+    truth = sim_cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id",
+        F.col("rank").alias("t_rank"),
+        "candidate_id",
+    )
+    cand = sim_ann_random_projection_topk(spark, sf_dir).select(
+        "query_id",
+        F.col("rank").alias("c_rank"),
+        "candidate_id",
+    )
+    j = cand.join(
+        F.broadcast(truth), ["query_id", "candidate_id"], "left"
+    )
+    m = j.groupBy("query_id").agg(
+        F.sum(
+            F.expr("case when t_rank is not null then 1 else 0 end")
+        )
+        .cast("long")
+        .alias("n_hits"),
+        F.min(
+            F.expr("case when t_rank is not null then c_rank end")
+        )
+        .cast("int")
+        .alias("first_hit_rank"),
+        F.sum(
+            F.expr(
+                "case when t_rank is not null"
+                " then (11 - t_rank) * (2520 div c_rank) else 0 end"
+            )
+        )
+        .cast("long")
+        .alias("dcg_x2520"),
+    )
+    return m.selectExpr(
+        "query_id",
+        "n_hits",
+        "first_hit_rank",
+        "cast(coalesce(2520 div first_hit_rank, 0L) as bigint)"
+        " as mrr_x2520",
+        "dcg_x2520",
+        f"cast((1000000L * dcg_x2520) div {_NDCG_IDCG_X2520} as bigint)"
+        " as ndcg_x1e6",
+    ).orderBy("query_id")
