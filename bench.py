@@ -256,6 +256,26 @@ def main() -> None:
         # corpus_gate_attribution likewise re-runs its five priced
         # gates.
         "embedding_whitening_apply",
+        # round-10 session-2 flagships (warm single-sample costs at
+        # sf0.1 in parens). Each prices a physical class the set
+        # lacked: the value-domain-bounded cumulative-window KS gate
+        # (1.3s); the calendar-spine additive decomposition with a
+        # centered window + dow-seasonal broadcast join (1.1s); the
+        # positional-postings adjacency equi-join behind phrase
+        # search (2.2s); the two-pass feedback-expansion retrieval —
+        # two broadcast-sided BM25 scoring rounds over one persisted
+        # postings frame (3.8s); the image dHash Arrow kernel +
+        # 16-bit-quarter pigeonhole blocked self-join (2.5s); and the
+        # vocabulary-sized MIN(shard) first-occurrence aggregate
+        # behind the novelty curve (2.7s). search_eval_rp_ndcg_mrr
+        # stays out (ground_truth eval class — it deliberately
+        # re-runs the exact brute-force enumeration).
+        "stats_ks_two_sample_price",
+        "ts_seasonal_decompose_weekly",
+        "search_phrase_match_topk",
+        "search_prf_expanded_topk",
+        "multimodal_bmp_dhash_neardup",
+        "corpus_ngram_novelty_curve",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

@@ -1242,3 +1242,49 @@ def test_moment_state_merge_is_batch_split_invariant(spark, tmp_path):
         for r in read_moments(spark, state).collect()
     }
     assert merged2 == oneshot
+
+
+def test_novelty_state_merge_is_batch_split_invariant(spark, tmp_path):
+    """The novelty state's two merge laws must both hold: per-gram
+    first-shard by MIN (associative AND idempotent — merging a
+    replayed epoch cannot move a minimum), per-shard counters by SUM
+    over disjoint row sets. Two epoch partials merged == the one-shot
+    state, replay changes nothing, and a doc_id-split (which CROSSES
+    shards) still attributes every gram to its smallest shard."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.streaming.rollup import (
+        _batch_novelty_partial,
+        read_novelty_state,
+        write_novelty_partial,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    state = str(tmp_path / "nov")
+    write_novelty_partial(docs.where("doc_id % 2 = 0"), 0, state)
+    write_novelty_partial(docs.where("doc_id % 2 = 1"), 1, state)
+    firsts, per_shard = read_novelty_state(spark, state)
+    merged_f = {r["g"]: r["first_shard"] for r in firsts.collect()}
+    merged_s = {
+        r["shard"]: (r["n_docs"], r["n_inst"])
+        for r in per_shard.collect()
+    }
+    one = _batch_novelty_partial(docs).collect()
+    one_f = {}
+    one_s = {}
+    for r in one:
+        if r["g"] is not None:
+            one_f[r["g"]] = min(one_f.get(r["g"], 99), r["shard"])
+        else:
+            one_s[r["shard"]] = (r["n_docs"], r["n_inst"])
+    assert merged_f == one_f
+    assert merged_s == one_s
+    # replay idempotence (MIN rows truly idempotent, SUM rows via the
+    # epoch-partition overwrite)
+    write_novelty_partial(docs.where("doc_id % 2 = 1"), 1, state)
+    firsts2, per_shard2 = read_novelty_state(spark, state)
+    assert {r["g"]: r["first_shard"] for r in firsts2.collect()} == one_f
+    assert {
+        r["shard"]: (r["n_docs"], r["n_inst"])
+        for r in per_shard2.collect()
+    } == one_s
+    assert sum(v[0] for v in merged_s.values()) == docs.count()

@@ -159,6 +159,22 @@ HEADLINE = [
     # scans; its plan evidence is the two upstream dumps plus the
     # composed oracle.
     "sim_whitened_cosine_topk",
+    # round-10 session-2 operators. The plan evidence sought: the KS
+    # gate's single map-side-combinable bin aggregate + bounded
+    # window; the decomposition's calendar-spine windows + broadcast
+    # dow join; phrase search's broadcast query-term semi-joins ahead
+    # of the positional adjacency join; PRF's two broadcast-sided
+    # scoring rounds reusing one persisted postings frame; the
+    # novelty curve's vocabulary-sized MIN aggregate.
+    # multimodal_bmp_dhash_neardup and search_eval_rp_ndcg_mrr are
+    # deliberately NOT dumped: both end in localCheckpoint-
+    # materialized composition (the WAV/eval precedent) — their plan
+    # evidence is the kernels + the upstream operators' dumps.
+    "stats_ks_two_sample_price",
+    "ts_seasonal_decompose_weekly",
+    "search_phrase_match_topk",
+    "search_prf_expanded_topk",
+    "corpus_ngram_novelty_curve",
 ]
 
 

@@ -52,14 +52,31 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # not listed follows in registration order. A plan test asserts the
 # list stays registered, oracled, and exactly 50 long.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-10 rotation (VERDICT r9 #2): the official book stays
-    # closed (every registered query has a lifetime green row), so
-    # the budget cycles the STALEST greens back through the gate.
+    # Round-10 rotation, session-2 revision (VERDICT r9 #2 + the
+    # changed-code rule): the official book stays closed (every
+    # registered query has a lifetime green row), so the budget
+    # cycles this round's new/changed operators first, then the
+    # stalest greens.
     #
-    # HEAD (1-12): the round-10 operators and every operator whose
-    # code changed this round (changed-code-gets-official-row rule),
-    # each verified green via driver-protocol parity at
-    # sf0.001/0.01/0.1 before registration.
+    # HEAD part 1 (1-11): the session-2 operators and every operator
+    # whose code or oracle changed in session 2 (search_bm25_topk's
+    # oracle/plan were refactored into the shared builders; the
+    # cosine/RP oracles were refactored into _cosine_topk_ctes /
+    # _rp_topk_ctes), each verified green via driver-protocol parity
+    # at sf0.001/0.01/0.1 before registration.
+    "stats_ks_two_sample_price",
+    "ts_seasonal_decompose_weekly",
+    "search_phrase_match_topk",
+    "search_prf_expanded_topk",
+    "search_bm25_topk",
+    "multimodal_bmp_dhash_neardup",
+    "search_eval_rp_ndcg_mrr",
+    "sim_cosine_topk_bruteforce",
+    "sim_ann_random_projection_topk",
+    "corpus_ngram_novelty_curve",
+    "stream_ngram_novelty_refresh",
+    # HEAD part 2 (12-23): the session-1 operators (no official row
+    # yet this round).
     "search_hybrid_indexed_topk",
     "search_eval_hybrid_vs_exact",
     "sim_whitened_cosine_topk",
@@ -72,12 +89,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ml_perceptron_train_embeddings",
     "sim_ann_ivfpq_trained_topk",
     "text_lm_perplexity_buckets",
-    # TAIL A (13-42): ALL 30 queries whose latest official row is
-    # r2-vintage — the nine sql_ rows plus the five named rows the
-    # r9 registry comment promised to this budget, and the sixteen
-    # displaced re-checks from r9.
-    "corpus_decontaminate_vs_benchmark",
-    "corpus_e2e_training_prep",
+    # TAIL (24-46): the r2-vintage greens — all eleven sql_ rows and
+    # the five rows the r9 registry comment promised to this budget
+    # (text_token_stats, corpus_stratified_sample, and the three
+    # window_ rows), plus the re-checks that fit. Five r2 re-checks
+    # were displaced by the session-2 head and join the r11 tail
+    # head alongside the previously-queued r3 rows:
+    # corpus_e2e_training_prep, sim_embedding_neardup_blocked,
+    # text_lang_id_confusion, text_repetition_filter,
+    # text_tfidf_top_terms_per_lang, and TAIL B's four r3 rows
+    # (dedup_prefix_filter_jaccard, asof_join_view_before_purchase,
+    # sessionize_events_30min, stream_tumbling_hourly_counts), and
+    # corpus_decontaminate_vs_benchmark (displaced by the novelty
+    # maintenance leg joining the head).
     "corpus_stratified_sample",
     "dedup_connected_components",
     "ml_ols_qty_price",
@@ -86,8 +110,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q5_regional_revenue",
     "q6_forecast_revenue",
     "salted_agg_returnflag_revenue",
-    "sim_cosine_topk_bruteforce",
-    "sim_embedding_neardup_blocked",
     "sql_disjunctive_join_revenue",
     "sql_exists_high_value_suppliers",
     "sql_grouping_sets_lineitem",
@@ -99,30 +121,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_top_return_customers",
     "sql_top_revenue_supplier",
     "sql_wealthy_inactive_customers",
-    "text_lang_id_confusion",
-    "text_repetition_filter",
-    "text_tfidf_top_terms_per_lang",
     "text_token_stats",
     "window_running_customer_spend",
     "window_share_of_customer",
     "window_top3_per_supplier",
-    # TAIL B (43-47): 5 of the 20 r3-vintage greens, picked for
-    # family spread (incl. the promised stream_stateful_user_metrics
-    # keeper and the ground-truth prefix-filter join; two picks were
-    # displaced by the late round-10 operators above). The other
-    # fifteen r3 rows head the r11 tail: cdc_apply_latest_snapshot,
-    # cohort_retention_daily, corpus_mixture_weights_sqrt,
-    # dq_referential_orphans, graph_kcore_copurchase,
-    # json_props_extract_stats, ml_ols2_qty_retailprice,
-    # profile_null_counts_events, range_join_orders_events_7d,
-    # scd2_user_type_history, sketch_hll_registers_custkeys,
-    # streaks_user_active_days, stream_stream_join_view_purchase,
-    # udtf_tokenize_positions, window_spend_deciles.
+    # STREAM KEEPER (47): the promised stream-family representative.
     "stream_stateful_user_metrics",
-    "dedup_prefix_filter_jaccard",
-    "asof_join_view_before_purchase",
-    "sessionize_events_30min",
-    "stream_tumbling_hourly_counts",
     # KEEPERS (48-50): single-member family flagships the budget
     # must always carry (plan-test family coverage), all r9-green.
     "q1_pricing_summary",

@@ -2078,3 +2078,80 @@ def stream_covariance_moment_refresh(
         out = result.localCheckpoint(eager=True)
         mom.unpersist()
         return out
+
+
+# --------------------------------------------------------------------
+# Streaming n-gram novelty refresh (streaming/rollup.
+# maintain_novelty): the maintenance leg of corpus_ngram_novelty_
+# curve — per-gram first-shard attribution kept as MIN-mergeable
+# epoch partials (idempotent even under partial replay), per-shard
+# doc/instance counters as disjoint sums. Batch equivalence (the
+# oracle's assertion): MIN and SUM are associative under any
+# micro-batch split, so the refreshed curve equals the one-shot
+# batch recompute. Completes the family arc: estimate (corpus.py)
+# -> maintain (here), like the quantizer/LM/BM25/moment families.
+# --------------------------------------------------------------------
+
+
+def _novelty_refresh_oracle() -> str:
+    from workshop3_etl_spark.operators.corpus import _NOVELTY_ORACLE
+
+    return _NOVELTY_ORACLE
+
+
+@register(
+    "stream_ngram_novelty_refresh", oracle=_novelty_refresh_oracle()
+)
+def stream_ngram_novelty_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Refreshed 3-gram novelty curve from the streaming-maintained
+    state: identical output contract to corpus_ngram_novelty_curve
+    (shard, n_docs, n_gram_instances, n_new_gram_types,
+    cum_gram_types, novelty_rate) — the batch-recompute oracle IS the
+    batch operator's, which is the equivalence assertion."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.streaming.rollup import (
+        maintain_novelty,
+        read_novelty_state,
+    )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        state = f"{workdir}/novelty"
+        with _few_state_partitions(spark):
+            maintain_novelty(
+                spark,
+                _documents_stream(spark, sf_dir),
+                state,
+                f"{workdir}/ck",
+            )
+        firsts, per_shard = read_novelty_state(spark, state)
+        novel = firsts.groupBy(
+            F.col("first_shard").alias("shard")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_new_gram_types"))
+        w = Window.orderBy("shard").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        result = (
+            per_shard.join(F.broadcast(novel), "shard", "left")
+            .select(
+                "shard",
+                "n_docs",
+                F.col("n_inst").alias("n_gram_instances"),
+                F.coalesce(
+                    F.col("n_new_gram_types"), F.lit(0).cast("long")
+                ).alias("n_new_gram_types"),
+            )
+            .withColumn(
+                "cum_gram_types",
+                F.sum("n_new_gram_types").over(w).cast("long"),
+            )
+            .withColumn(
+                "novelty_rate",
+                F.col("n_new_gram_types").cast("double")
+                / F.expr("cast(nullif(n_gram_instances, 0) as double)"),
+            )
+            .orderBy("shard")
+        )
+        return result.localCheckpoint(eager=True)

@@ -1005,3 +1005,108 @@ def read_moments(spark: SparkSession, state_path: str) -> DataFrame:
         .groupBy("da", "db")
         .agg(F.sum("v").cast("long").alias("v"))
     )
+
+
+# --------------------------------------------------------------------
+# N-GRAM NOVELTY maintenance: the streaming leg of
+# corpus_ngram_novelty_curve (operators/corpus.py) — the per-gram
+# first-shard attribution and the per-shard doc/instance counters
+# maintained as epoch partials over the documents stream. The merge
+# laws differ per row kind and both are replay-safe: gram rows merge
+# by MIN(shard) (associative, commutative AND idempotent — a
+# replayed partial cannot shift a minimum), counter rows by SUM over
+# disjoint row sets (exact under the epoch-partition overwrite
+# discipline). State rows are (g, shard, n_docs, n_inst): g set is a
+# gram's first-shard-so-far, g NULL is a shard's counter row.
+# --------------------------------------------------------------------
+
+
+def _batch_novelty_partial(batch: DataFrame) -> DataFrame:
+    """One micro-batch's novelty partial: per-gram (g, min shard)
+    rows plus per-shard g=NULL counter rows."""
+    from workshop3_etl_spark.operators.corpus import (
+        _NOVELTY_GRAMS,
+        _NOVELTY_SHARDS,
+    )
+
+    tk = batch.selectExpr(
+        f"cast(doc_id % {_NOVELTY_SHARDS} as bigint) as shard",
+        f"{_NOVELTY_GRAMS} as gs",
+    )
+    grams = (
+        tk.select("shard", F.explode("gs").alias("g"))
+        .groupBy("g")
+        .agg(F.min("shard").cast("long").alias("shard"))
+        .selectExpr(
+            "g", "shard",
+            "cast(0 as bigint) as n_docs",
+            "cast(0 as bigint) as n_inst",
+        )
+    )
+    stats = tk.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.expr("size(gs)")).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("n_inst"),
+    ).selectExpr("cast(null as string) as g", "shard", "n_docs", "n_inst")
+    return grams.unionByName(stats)
+
+
+def write_novelty_partial(
+    batch: DataFrame, epoch_id: int, state_path: str
+) -> None:
+    """foreachBatch body: one micro-batch's novelty partial under its
+    epoch partition (idempotent under replay)."""
+    from workshop3_etl_spark.sources.lakehouse import (
+        dynamic_partition_overwrite,
+    )
+
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return
+    b = _batch_novelty_partial(batch).withColumn(
+        "epoch", F.lit(int(epoch_id))
+    )
+    with dynamic_partition_overwrite(spark):
+        b.write.mode("overwrite").partitionBy("epoch").parquet(state_path)
+
+
+def maintain_novelty(
+    spark: SparkSession,
+    documents_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Run novelty-state maintenance to completion (availableNow)."""
+    (
+        documents_stream.writeStream.foreachBatch(
+            lambda b, epoch: write_novelty_partial(b, epoch, state_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_novelty_state(
+    spark: SparkSession, state_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """The merged novelty state over the live partials:
+    (firsts(g, first_shard), per_shard(shard, n_docs, n_inst))."""
+    live = _read_live(spark, state_path)
+    firsts = (
+        live.filter(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.min("shard").cast("long").alias("first_shard"))
+    )
+    per_shard = (
+        live.filter(F.col("g").isNull())
+        .groupBy("shard")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_inst").cast("long").alias("n_inst"),
+        )
+    )
+    return firsts, per_shard
