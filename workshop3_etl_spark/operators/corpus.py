@@ -2289,39 +2289,16 @@ ORDER BY p.shard
 """
 
 
-@register("corpus_ngram_novelty_curve", oracle=_NOVELTY_ORACLE)
-def corpus_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-shard 3-gram novelty: (shard, n_docs, n_gram_instances,
-    n_new_gram_types, cum_gram_types, novelty_rate) where a gram is
-    new at the smallest doc_id%8 shard containing it — the
-    data-accumulation curve. One vocabulary-sized MIN(shard)
-    aggregate; see the section comment for the scale shape."""
+def assemble_novelty_curve(
+    per_shard: DataFrame, novel: DataFrame
+) -> DataFrame:
+    """Shared curve assembler for the batch operator and the
+    streaming refresh (one source of truth for the output contract):
+    per_shard(shard, n_docs, n_gram_instances) LEFT JOIN
+    novel(shard, n_new_gram_types) -> the six-column curve with the
+    bounded cumulative window over the 8-row shard spine."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        (F.col("doc_id") % _NOVELTY_SHARDS).alias("shard"),
-        F.explode(F.expr(_NOVELTY_GRAMS)).alias("g"),
-    )
-    firsts = grams.groupBy("g").agg(
-        F.min("shard").cast("long").alias("first_shard")
-    )
-    novel = firsts.groupBy(F.col("first_shard").alias("shard")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_new_gram_types")
-    )
-    per_shard = (
-        docs.select(
-            "doc_id",
-            (F.col("doc_id") % _NOVELTY_SHARDS).alias("shard"),
-            F.expr(f"size({_NOVELTY_GRAMS})").alias("n_inst"),
-        )
-        .groupBy("shard")
-        .agg(
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            F.sum("n_inst").cast("long").alias("n_gram_instances"),
-        )
-    )
-    # Bounded frame: the window runs over the 8-row shard spine.
     w = Window.orderBy("shard").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -2345,3 +2322,37 @@ def corpus_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register("corpus_ngram_novelty_curve", oracle=_NOVELTY_ORACLE)
+def corpus_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard 3-gram novelty: (shard, n_docs, n_gram_instances,
+    n_new_gram_types, cum_gram_types, novelty_rate) where a gram is
+    new at the smallest doc_id%8 shard containing it — the
+    data-accumulation curve. One vocabulary-sized MIN(shard)
+    aggregate; see the section comment for the scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        (F.col("doc_id") % _NOVELTY_SHARDS).alias("shard"),
+        F.explode(F.expr(_NOVELTY_GRAMS)).alias("g"),
+    )
+    firsts = grams.groupBy("g").agg(
+        F.min("shard").cast("long").alias("first_shard")
+    )
+    novel = firsts.groupBy(F.col("first_shard").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_gram_types")
+    )
+    per_shard = (
+        docs.select(
+            (F.col("doc_id") % _NOVELTY_SHARDS).alias("shard"),
+            F.expr(f"size({_NOVELTY_GRAMS})").alias("n_inst"),
+        )
+        .groupBy("shard")
+        .agg(
+            # doc_id is unique per row, so a plain count matches the
+            # oracle's COUNT(*) without a distinct expansion.
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_inst").cast("long").alias("n_gram_instances"),
+        )
+    )
+    return assemble_novelty_curve(per_shard, novel)

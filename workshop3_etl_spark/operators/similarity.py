@@ -3459,7 +3459,8 @@ def search_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for the index, the deliberate exact enumeration for the truth) —
 # this is an EVAL-harness row (perf_class ground_truth, the
 # dedup_lsh_eval_metrics precedent); the metric join itself is
-# 50x50 rows per query.
+# TOP_K x TOP_K = 10x10 rows per query (the 50-candidate shortlist
+# never reaches it).
 # --------------------------------------------------------------------
 
 _NDCG_IDCG_X2520 = sum((11 - i) * (2520 // i) for i in range(1, 11))

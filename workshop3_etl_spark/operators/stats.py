@@ -2107,9 +2107,16 @@ def stats_conformal_ols_interval(
 # corpus-wide distinct-value sort (the DSIR advice rule).
 #
 # Everything is integer-exact: per-bin counts, cumulative counts,
-# and the cross-multiplied ECDF gap |cum1*N2 - cum2*N1| (<= N1*N2,
-# int64-safe through ~3e9 rows per split; the reject test squares it,
-# so that compare runs in decimal(38,0) / HUGEINT). The alpha = 0.05
+# and the cross-multiplied ECDF gap |cum1*N2 - cum2*N1| (<= N1*N2 —
+# int64-exact while N1*N2 < 2^63, ~3e9 balanced rows per split).
+# The DERIVED columns have tighter envelopes and are widened
+# accordingly: ks_x1e6 multiplies the gap by 1e6, so it runs in
+# decimal(38,0) / HUGEINT end to end (exact through N1*N2 ~ 1e32);
+# the reject compare squares the gap, and 1e4 * d_num^2 fits 38
+# digits only while d_num <= ~1.8e17, i.e. N1*N2 <= ~1.8e17 (~sf200
+# of orders under balanced splits) — beyond that envelope the
+# compare needs a wider-than-128-bit path; re-audit if the driver
+# ever hash-checks past it. The alpha = 0.05
 # decision uses the large-sample critical value
 # D > c(a) * sqrt((N1+N2)/(N1*N2)), c(0.05)^2 = 1.8444 exactly as the
 # rational 18444/10000 — squared into
@@ -2160,7 +2167,9 @@ SELECT
   t.t2 AS n_test,
   (SELECT CAST(COUNT(*) AS BIGINT) FROM counts) AS n_bins,
   top.d_num AS d_num,
-  CAST((1000000 * top.d_num) // (t.t1 * t.t2) AS BIGINT) AS ks_x1e6,
+  CAST((1000000 * CAST(top.d_num AS HUGEINT))
+       // (CAST(t.t1 AS HUGEINT) * CAST(t.t2 AS HUGEINT))
+       AS BIGINT) AS ks_x1e6,
   top.bin_id AS argmax_bin_id,
   CAST(top.bin_id AS DOUBLE) * {_KS_BIN_W}.0 AS argmax_lo_edge,
   CAST(CASE WHEN 10000 * CAST(top.d_num AS HUGEINT)
@@ -2184,11 +2193,11 @@ def stats_ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-only bin pass + a map-side-combinable
     groupBy to a VALUE-DOMAIN-bounded bin frame (range/64 rows at any
     corpus size), a cumulative window over that bounded frame, a
-    TakeOrdered(1) argmax, and 1-row broadcast joins. The squared
-    reject compare runs in decimal(38,0) (HUGEINT in the oracle);
-    d_num itself is int64-exact through ~3e9 rows per split —
-    beyond that the gap products widen to decimal(38,0) like the
-    canon limb folds.
+    TakeOrdered(1) argmax, and 1-row broadcast joins. ks_x1e6 and
+    the squared reject compare run in decimal(38,0) (HUGEINT in the
+    oracle); d_num itself is int64-exact through ~3e9 rows per
+    split, and the reject compare's 38-digit envelope (~sf200) is
+    stated in the section comment.
     """
     from pyspark.sql import Window
 
@@ -2231,7 +2240,9 @@ def stats_ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t2 as n_test",
             "n_bins",
             "d_num",
-            "cast((1000000L * d_num) div (t1 * t2) as bigint) as ks_x1e6",
+            "cast((1000000 * cast(d_num as decimal(38,0)))"
+            " div (cast(t1 as decimal(38,0)) * cast(t2 as decimal(38,0)))"
+            " as bigint) as ks_x1e6",
             "bin_id as argmax_bin_id",
             f"cast(bin_id as double) * {_KS_BIN_W}.0 as argmax_lo_edge",
             "cast(case when 10000 * cast(d_num as decimal(38,0))"

@@ -1372,6 +1372,7 @@ def search_prf_expanded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fr = _bm25_frames(spark, sf_dir)
     pos = fr["pos"].persist()
     dl = fr["dl"].persist()
+    s1 = None
     try:
         stats = fr["stats"]
         q1 = _bm25_qterms(fr["termdf"])
@@ -1425,6 +1426,8 @@ def search_prf_expanded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pos.unpersist()
         dl.unpersist()
+        if s1 is not None:
+            s1.unpersist()
         raise
     return out
 

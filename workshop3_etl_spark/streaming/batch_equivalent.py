@@ -2110,8 +2110,9 @@ def stream_ngram_novelty_refresh(
     (shard, n_docs, n_gram_instances, n_new_gram_types,
     cum_gram_types, novelty_rate) — the batch-recompute oracle IS the
     batch operator's, which is the equivalence assertion."""
-    from pyspark.sql import Window
-
+    from workshop3_etl_spark.operators.corpus import (
+        assemble_novelty_curve,
+    )
     from workshop3_etl_spark.streaming.rollup import (
         maintain_novelty,
         read_novelty_state,
@@ -2130,28 +2131,11 @@ def stream_ngram_novelty_refresh(
         novel = firsts.groupBy(
             F.col("first_shard").alias("shard")
         ).agg(F.count(F.lit(1)).cast("long").alias("n_new_gram_types"))
-        w = Window.orderBy("shard").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        result = (
-            per_shard.join(F.broadcast(novel), "shard", "left")
-            .select(
-                "shard",
-                "n_docs",
+        result = assemble_novelty_curve(
+            per_shard.select(
+                "shard", "n_docs",
                 F.col("n_inst").alias("n_gram_instances"),
-                F.coalesce(
-                    F.col("n_new_gram_types"), F.lit(0).cast("long")
-                ).alias("n_new_gram_types"),
-            )
-            .withColumn(
-                "cum_gram_types",
-                F.sum("n_new_gram_types").over(w).cast("long"),
-            )
-            .withColumn(
-                "novelty_rate",
-                F.col("n_new_gram_types").cast("double")
-                / F.expr("cast(nullif(n_gram_instances, 0) as double)"),
-            )
-            .orderBy("shard")
+            ),
+            novel,
         )
         return result.localCheckpoint(eager=True)
