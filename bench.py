@@ -276,6 +276,14 @@ def main() -> None:
         "search_prf_expanded_topk",
         "multimodal_bmp_dhash_neardup",
         "corpus_ngram_novelty_curve",
+        # Late session-2 adds: content-defined chunking (the per-char
+        # code-array Gear hash — one interpreted HOF pass over every
+        # character, the heaviest pure-expression map in the engine,
+        # 2.2s warm after the 10x codes-array rewrite) and the
+        # rolling-origin backtest (14 bounded prefix refolds over the
+        # 30-day spine, 0.6s — the bounded-fold class).
+        "dedup_cdc_chunk_stats",
+        "ts_backtest_rolling_origin",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

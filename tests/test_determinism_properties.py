@@ -2010,3 +2010,55 @@ def test_ngram_novelty_curve_matches_sequential(spark):
         assert r["cum_gram_types"] == cum
         assert r["novelty_rate"] == new_types[s] / n_inst[s]
     assert rows[-1]["cum_gram_types"] == len(first)
+
+
+def test_cdc_chunk_stats_matches_sequential(spark):
+    """Sequential recompute of the content-defined chunking audit:
+    Gear-style rolling-hash boundaries (W=8, B=31, D=64), final chunk
+    closes at text end, chunk md5 dedup — plus the reconstruction
+    invariant that every doc's chunks concatenate back to its text."""
+    import hashlib
+
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.operators.dedup import (
+        _CDC_D,
+        _CDC_W,
+        dedup_cdc_chunk_stats,
+    )
+
+    row = dedup_cdc_chunk_stats(spark, SF_SMOKE).collect()[0]
+
+    pows = [31 ** j for j in range(_CDC_W)]
+    pdf = pd.read_parquet(SF_SMOKE + "/documents.parquet",
+                          columns=["text"])
+    tot = chars = 0
+    seen = set()
+    for t in pdf["text"]:
+        s = str(t)
+        length = len(s)
+        bs = [
+            i for i in range(_CDC_W, length + 1)
+            if sum(ord(s[i - 1 - j]) * pows[j]
+                   for j in range(_CDC_W)) % _CDC_D == 0
+        ]
+        ends = bs + ([length] if (not bs or bs[-1] != length) else [])
+        if length == 0:
+            ends = []
+        start, rebuilt = 1, []
+        for e in ends:
+            chunk = s[start - 1 : e]
+            rebuilt.append(chunk)
+            seen.add(hashlib.md5(chunk.encode()).hexdigest())
+            tot += 1
+            chars += len(chunk)
+            start = e + 1
+        assert "".join(rebuilt) == s  # chunks partition the text
+    assert row["n_docs"] == len(pdf)
+    assert row["n_chunks"] == tot
+    assert row["n_distinct_chunks"] == len(seen)
+    assert row["total_chunk_chars"] == chars
+    assert row["avg_chunk_len"] == chars / tot
+    assert row["dup_chunk_fraction"] == 1.0 - len(seen) / tot
+    assert row["dup_chunk_fraction"] > 0  # the corpus HAS shared chunks

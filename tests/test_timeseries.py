@@ -146,3 +146,52 @@ def test_seasonal_decompose_identities(spark):
             assert r["residual_x7"] == r["detrended_x7"] - mean
         else:
             assert r["residual_x7"] is None
+
+
+def test_backtest_rolling_origin_matches_sequential(spark):
+    """Sequential recompute of the rolling-origin backtest: rebuild
+    the daily series, refit Holt per prefix with the exact seeded
+    fold, index the naive lag-7 — the per-origin rows must match
+    bit-for-bit, and the protocol must be leak-free (every forecast
+    uses only data at or before its origin by construction)."""
+    from decimal import Decimal
+
+    from workshop3_etl_spark.operators.timeseries import (
+        _BT_ORIGINS,
+        ts_backtest_rolling_origin,
+    )
+
+    rows = ts_backtest_rolling_origin(spark, SF_SMOKE).collect()
+    assert len(rows) == _BT_ORIGINS
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        F.date_trunc("day", "ts").alias("dd"), "value"
+    ).collect()
+    per_day: dict = {}
+    for r in ev:
+        per_day[r["dd"]] = per_day.get(r["dd"], Decimal(0)) + Decimal(
+            str(r["value"])
+        ).quantize(Decimal("0.01"))
+    days = sorted(per_day)
+    xs = [float(per_day[d]) for d in days]
+    n = len(days)
+
+    def holt(prefix):
+        lvl, tr, sse = prefix[0], 0.0, 0.0
+        for x in prefix[1:]:
+            nl = 0.5 * x + 0.5 * (lvl + tr)
+            tr = 0.5 * (nl - lvl) + 0.5 * tr
+            sse += (x - (lvl + tr)) ** 2  # not checked; state shape only
+            lvl = nl
+        return lvl, tr
+
+    for k, r in enumerate(rows):
+        i = n - _BT_ORIGINS + k  # 1-based origin index
+        assert r["origin_day"] == days[i - 1]
+        assert r["horizon_day"] == days[i]
+        assert r["actual"] == xs[i]
+        assert r["naive_forecast"] == xs[i - 7]
+        lvl, tr = holt(xs[:i])
+        assert r["holt_forecast"] == lvl + tr
+        assert r["naive_abs_err"] == abs(xs[i] - xs[i - 7])
+        assert r["holt_abs_err"] == abs(xs[i] - (lvl + tr))

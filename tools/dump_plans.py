@@ -175,6 +175,8 @@ HEADLINE = [
     "search_phrase_match_topk",
     "search_prf_expanded_topk",
     "corpus_ngram_novelty_curve",
+    "dedup_cdc_chunk_stats",
+    "ts_backtest_rolling_origin",
 ]
 
 

@@ -1169,3 +1169,121 @@ def ts_seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         det.unpersist()
         raise
     return out
+
+
+# --------------------------------------------------------------------
+# Rolling-origin forecast backtest (time-series cross-validation):
+# for each of the last 14 origin days t, forecast day t+1 using only
+# data <= t, with BOTH registered forecasters — the seasonal-naive
+# lag-7 baseline and Holt double-exponential smoothing — and score
+# the absolute errors side by side. This is the evaluation harness
+# the two forecasters have lacked: ts_seasonal_naive_mae scores
+# in-sample, ts_holt_linear_forecast reports in-sample SSE; rolling
+# origin is the honest out-of-sample protocol. (14 origins because
+# the events table spans 30 days at every SF — the origin count must
+# leave a 7-day seasonal lag plus a Holt warm-up prefix.)
+#
+# Determinism: the daily series is the events-value day rollup
+# (decimal sums -> one double cast, the Holt operator's own series);
+# each Holt refit is the SAME engine-identical DOUBLE[3] array fold
+# (_HOLT_STEP_SPARK / _HOLT_STEP_DUCK — the struct-lambda hazard
+# already litigated) over a PREFIX slice, so every per-origin
+# forecast is bit-identical cross-engine. The naive leg is pure
+# element indexing.
+#
+# Scale: the corpus collapses to the day spine once (one
+# map-side-combinable aggregate); the 28 refits are per-row
+# expression folds over a 28-row exploded frame of array slices —
+# bounded by the calendar, independent of event volume. (A k-fold
+# over thousands of origins would instead carry Welford-style
+# mergeable state; 28 explicit refits at ~2.4k days each are ~67k
+# fold steps — noise.)
+# --------------------------------------------------------------------
+
+_BT_ORIGINS = 14
+
+_BT_ORACLE = f"""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS dd,
+         CAST(SUM(CAST(value AS decimal(27,2))) AS DOUBLE) AS xv
+  FROM events GROUP BY 1
+),
+arr AS (
+  SELECT list(dd ORDER BY dd) AS days,
+         list([xv, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]
+              ORDER BY dd) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM d
+),
+origins AS (
+  SELECT a.days, a.w, a.n, u.i
+  FROM arr a, unnest(generate_series(a.n - {_BT_ORIGINS}, a.n - 1))
+       AS u(i)
+  WHERE a.n > {_BT_ORIGINS} + 8
+),
+fc AS (
+  SELECT days[i] AS origin_day,
+         days[i + 1] AS horizon_day,
+         w[i + 1][1] AS actual,
+         w[i - 6][1] AS naive_forecast,
+         list_reduce(w[1 : CAST(i AS INT)], {_HOLT_STEP_DUCK}) AS hs
+  FROM origins
+)
+SELECT CAST(origin_day AS TIMESTAMP) AS origin_day,
+       CAST(horizon_day AS TIMESTAMP) AS horizon_day,
+       actual, naive_forecast,
+       hs[1] + hs[2] AS holt_forecast,
+       ABS(actual - naive_forecast) AS naive_abs_err,
+       ABS(actual - (hs[1] + hs[2])) AS holt_abs_err
+FROM fc
+ORDER BY origin_day
+"""
+
+
+@register("ts_backtest_rolling_origin", oracle=_BT_ORACLE)
+def ts_backtest_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step rolling-origin backtest over the last 14 days of the
+    daily event-value series: per origin the actual, the seasonal-
+    naive lag-7 forecast, the prefix-refit Holt forecast, and both
+    absolute errors. Reuses the Holt operators' engine-identical
+    array-fold step; see the section comment for the protocol and
+    the bounded-refit scale note."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("dd"), "value"
+    )
+    d = ev.groupBy("dd").agg(M.dsum("value", "xv"))
+    arr = d.agg(
+        F.expr("sort_array(collect_list(dd)) as days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(dd, xv))),"
+            " p -> array(p.xv, cast(0 as double),"
+            " cast(0 as double))) as w"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    origins = arr.filter(F.col("n") > _BT_ORIGINS + 8).select(
+        "days",
+        "w",
+        F.explode(
+            F.expr(f"sequence(n - {_BT_ORIGINS}, n - 1)")
+        ).alias("i"),
+    )
+    fc = origins.selectExpr(
+        "element_at(days, cast(i as int)) as origin_day",
+        "element_at(days, cast(i as int) + 1) as horizon_day",
+        "element_at(element_at(w, cast(i as int) + 1), 1) as actual",
+        "element_at(element_at(w, cast(i as int) - 6), 1)"
+        " as naive_forecast",
+        "aggregate(slice(w, 2, cast(i as int) - 1), element_at(w, 1),"
+        f" {_HOLT_STEP_SPARK}) as hs",
+    )
+    return fc.selectExpr(
+        "origin_day",
+        "horizon_day",
+        "actual",
+        "naive_forecast",
+        "element_at(hs, 1) + element_at(hs, 2) as holt_forecast",
+        "abs(actual - naive_forecast) as naive_abs_err",
+        "abs(actual - (element_at(hs, 1) + element_at(hs, 2)))"
+        " as holt_abs_err",
+    ).orderBy("origin_day")

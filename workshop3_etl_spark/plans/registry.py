@@ -58,7 +58,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # cycles this round's new/changed operators first, then the
     # stalest greens.
     #
-    # HEAD part 1 (1-11): the session-2 operators and every operator
+    # HEAD part 1 (1-13): the session-2 operators and every operator
     # whose code or oracle changed in session 2 (search_bm25_topk's
     # oracle/plan were refactored into the shared builders; the
     # cosine/RP oracles were refactored into _cosine_topk_ctes /
@@ -75,7 +75,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ann_random_projection_topk",
     "corpus_ngram_novelty_curve",
     "stream_ngram_novelty_refresh",
-    # HEAD part 2 (12-23): the session-1 operators (no official row
+    "dedup_cdc_chunk_stats",
+    "ts_backtest_rolling_origin",
+    # HEAD part 2 (14-25): the session-1 operators (no official row
     # yet this round).
     "search_hybrid_indexed_topk",
     "search_eval_hybrid_vs_exact",
@@ -89,7 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ml_perceptron_train_embeddings",
     "sim_ann_ivfpq_trained_topk",
     "text_lm_perplexity_buckets",
-    # TAIL (24-46): the r2-vintage greens — all eleven sql_ rows and
+    # TAIL (26-46): the r2-vintage greens — all eleven sql_ rows and
     # the five rows the r9 registry comment promised to this budget
     # (text_token_stats, corpus_stratified_sample, and the three
     # window_ rows), plus the re-checks that fit. Five r2 re-checks
@@ -100,11 +102,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # text_tfidf_top_terms_per_lang, and TAIL B's four r3 rows
     # (dedup_prefix_filter_jaccard, asof_join_view_before_purchase,
     # sessionize_events_30min, stream_tumbling_hourly_counts), and
-    # corpus_decontaminate_vs_benchmark (displaced by the novelty
-    # maintenance leg joining the head).
+    # corpus_decontaminate_vs_benchmark, dedup_connected_components,
+    # and ml_ols_qty_price (displaced by the novelty maintenance leg,
+    # CDC chunking, and the forecast backtest joining the head; the
+    # dedup_/ml_ family slots are covered by the head's
+    # dedup_cdc_chunk_stats and ml_perceptron_train_embeddings).
     "corpus_stratified_sample",
-    "dedup_connected_components",
-    "ml_ols_qty_price",
     "profile_describe_lineitem",
     "q3_shipping_priority",
     "q5_regional_revenue",
