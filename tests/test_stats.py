@@ -410,3 +410,98 @@ def test_ks_matches_bruteforce_python(spark):
     # past the line (D = 0.0260 vs crit 0.0244, measured) — exactly
     # the false-positive rate the alpha promises. sf0.001 and sf0.1
     # both accept.
+
+
+def test_kaplan_meier_matches_sequential_product_limit(spark):
+    """Pure-Python product-limit recompute: rebuild per-subject
+    (duration, event) from raw events with the documented censoring
+    protocol, then the KM table row by row — counts exact, survival
+    bit-identical to the same left-fold float product, and the curve
+    non-increasing from 1."""
+    from workshop3_etl_spark.operators.stats import (
+        stats_kaplan_meier_conversion,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    got = stats_kaplan_meier_conversion(spark, SF_CORRECT).collect()
+    assert got, "KM table is empty"
+
+    ev = load_table(spark, SF_CORRECT, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    mx = max(r["ts"] for r in ev)
+    su: dict = {}
+    for r in ev:
+        if r["event_type"] == "signup":
+            u = r["user_id"]
+            if u not in su or r["ts"] < su[u]:
+                su[u] = r["ts"]
+    pu: dict = {}
+    for r in ev:
+        if r["event_type"] == "purchase" and r["user_id"] in su:
+            u = r["user_id"]
+            if r["ts"] >= su[u] and (u not in pu or r["ts"] < pu[u]):
+                pu[u] = r["ts"]
+    subj = []
+    for u, s in su.items():
+        if u in pu:
+            subj.append(((pu[u].date() - s.date()).days, 1))
+        else:
+            subj.append(((mx.date() - s.date()).days, 0))
+
+    durs = sorted({d for d, _ in subj})
+    assert [r["duration_days"] for r in got] == durs
+    s_prev = 1.0
+    surv = 1.0
+    for r in got:
+        d = r["duration_days"]
+        n_event = sum(1 for dd, e in subj if dd == d and e == 1)
+        n_cens = sum(1 for dd, e in subj if dd == d and e == 0)
+        n_risk = sum(1 for dd, _ in subj if dd >= d)
+        assert (r["n_event"], r["n_censored"], r["n_risk"]) == (
+            n_event,
+            n_cens,
+            n_risk,
+        )
+        surv = surv * ((n_risk - n_event) / n_risk)
+        assert r["survival"] == surv
+        assert r["survival"] <= s_prev
+        s_prev = r["survival"]
+    # every subject is accounted for exactly once
+    assert sum(r["n_event"] + r["n_censored"] for r in got) == len(subj)
+
+
+def test_l_diversity_matches_bruteforce(spark):
+    """Brute-force recompute of the distinct-l sweep from raw
+    customer rows (QI = nation x segment, sensitive = $1000 balance
+    band), including the min-l and basis-point columns."""
+    import math
+
+    from workshop3_etl_spark.operators.stats import (
+        _LDIV_LS,
+        dq_l_diversity_profile,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    got = {r["l"]: r for r in dq_l_diversity_profile(spark, SF_CORRECT).collect()}
+    assert sorted(got) == list(_LDIV_LS)
+
+    rows = load_table(spark, SF_CORRECT, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    groups: dict = {}
+    for r in rows:
+        band = math.floor(float(r["c_acctbal"]) / 1000.0)
+        key = (r["c_nationkey"], r["c_mktsegment"])
+        groups.setdefault(key, []).append(band)
+    n_rows = len(rows)
+    min_l = min(len(set(v)) for v in groups.values())
+    for l in _LDIV_LS:
+        weak = {k: v for k, v in groups.items() if len(set(v)) < l}
+        n_weak_rows = sum(len(v) for v in weak.values())
+        r = got[l]
+        assert r["n_groups"] == len(groups)
+        assert r["min_l"] == min_l
+        assert r["n_weak_groups"] == len(weak)
+        assert r["n_weak_rows"] == n_weak_rows
+        assert r["weak_rows_bp"] == math.floor(10000 * n_weak_rows / n_rows)

@@ -195,3 +195,78 @@ def test_backtest_rolling_origin_matches_sequential(spark):
         assert r["holt_forecast"] == lvl + tr
         assert r["naive_abs_err"] == abs(xs[i] - xs[i - 7])
         assert r["holt_abs_err"] == abs(xs[i] - (lvl + tr))
+
+
+def test_theilsen_mann_kendall_matches_bruteforce(spark):
+    """Brute-force pure-Python recompute of the Theil-Sen lower-median
+    slope, intercept, Mann-Kendall S, tie-corrected 18*Var(S), and the
+    continuity-corrected alpha=0.05 decision over the gap-filled daily
+    cents series — every hashed column must match exactly."""
+    import datetime
+    import math
+
+    from workshop3_etl_spark.operators.timeseries import (
+        _TS_SLOPE_SCALE,
+        ts_theilsen_mann_kendall,
+    )
+
+    got = ts_theilsen_mann_kendall(spark, SF_SMOKE).collect()
+    assert len(got) == 1
+    got = got[0]
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(F.col("ts").cast("date").alias("d"), "value")
+        .collect()
+    )
+    per_day: dict = {}
+    for r in ev:
+        cents = math.floor(r["value"] * 100.0 + 0.5)
+        per_day[r["d"]] = per_day.get(r["d"], 0) + cents
+    mn, mx = min(per_day), max(per_day)
+    days = []
+    cur = mn
+    while cur <= mx:
+        days.append(per_day.get(cur, 0))
+        cur += datetime.timedelta(days=1)
+    n = len(days)
+    assert got["n_days"] == n
+
+    pairs = []
+    s_stat = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dy, dt = days[j] - days[i], j - i
+            s_stat += (dy > 0) - (dy < 0)
+            # floor division: Python // IS floor for positive divisor
+            pairs.append((dy * _TS_SLOPE_SCALE // dt, i, j))
+    assert got["n_pairs"] == len(pairs)
+    assert got["s_stat"] == s_stat
+
+    pairs.sort()
+    slope = pairs[(len(pairs) + 1) // 2 - 1][0]
+    assert got["slope_x1e6"] == slope
+
+    ics = sorted(
+        (days[t] * _TS_SLOPE_SCALE - slope * t, t) for t in range(n)
+    )
+    assert got["intercept_x1e6"] == ics[(n + 1) // 2 - 1][0]
+
+    from collections import Counter
+
+    tie_adj = sum(
+        c * (c - 1) * (2 * c + 5)
+        for c in Counter(days).values()
+        if c > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie_adj
+    assert got["var_s_x18"] == var18
+    expect_reject = int(
+        s_stat != 0
+        and 180000 * (abs(s_stat) - 1) ** 2 > 38416 * var18
+    )
+    assert got["reject_05"] == expect_reject
+    # cross-check the squared decision against the float z-score form
+    if s_stat != 0 and var18 > 0:
+        z = (abs(s_stat) - 1) / math.sqrt(var18 / 18.0)
+        assert expect_reject == int(z * z > 3.8416)

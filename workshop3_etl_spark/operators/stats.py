@@ -2252,3 +2252,260 @@ def stats_ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             " then 1 else 0 end as int) as reject_05",
         )
     )
+
+
+# --------------------------------------------------------------------
+# Kaplan-Meier product-limit survival estimator over signup ->
+# first-purchase conversion lag, with right censoring at the end of
+# the observation window — the survival-analysis surface (funnel
+# "time_to_convert" reports conversions only; KM is the estimator
+# that uses the NON-converted users too instead of dropping them,
+# the standard fix for attrition bias in time-to-event telemetry).
+#
+# Protocol: subject = a user with >= 1 signup; origin = first
+# signup; event = first purchase AT OR AFTER the origin (day
+# granularity); users with no qualifying purchase are censored at
+# the global max event timestamp. Censored subjects at duration d
+# count in the risk set AT d (the standard events-before-censoring
+# tie convention).
+#
+# Exactness: counts are integers; the risk set is a reverse
+# cumulative window over the DURATION-DOMAIN frame (calendar-bounded
+# rows, never the corpus); the survival curve is the left-fold
+# product of per-duration factors (n_risk - n_event)/n_risk — each
+# factor ONE IEEE division, the running product a fixed-order
+# DOUBLE-array fold (the Holt fold contract: Spark aggregate with a
+# 1e0 seed == DuckDB list_reduce's first-element seed because
+# 1.0 * x == x exactly).
+#
+# Scale shape: the corpus pays two map-side-combinable per-user
+# min() aggregates and one user-keyed join (events are already
+# user-keyed partials); everything downstream rides O(distinct
+# durations) <= calendar-days rows.
+# --------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH su AS (
+  SELECT user_id, MIN(ts) AS su_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+mx AS (SELECT MAX(ts) AS mx_ts FROM events),
+pu AS (
+  SELECT e.user_id, MIN(e.ts) AS pu_ts
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= su.su_ts
+  GROUP BY 1
+),
+subj AS (
+  SELECT CAST(CASE WHEN pu.pu_ts IS NOT NULL
+       THEN datediff('day', CAST(su.su_ts AS DATE), CAST(pu.pu_ts AS DATE))
+       ELSE datediff('day', CAST(su.su_ts AS DATE), CAST(mx.mx_ts AS DATE))
+       END AS BIGINT) AS dur,
+         CASE WHEN pu.pu_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM su LEFT JOIN pu ON su.user_id = pu.user_id CROSS JOIN mx
+),
+km AS (
+  SELECT dur AS duration_days,
+         CAST(SUM(ev) AS BIGINT) AS n_event,
+         CAST(COUNT(*) - SUM(ev) AS BIGINT) AS n_censored
+  FROM subj GROUP BY 1
+),
+risk AS (
+  SELECT duration_days, n_event, n_censored,
+         CAST(SUM(n_event + n_censored) OVER (
+              ORDER BY duration_days DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_risk,
+         ROW_NUMBER() OVER (ORDER BY duration_days) AS rn
+  FROM km
+),
+arr AS (
+  SELECT list(CAST(n_risk - n_event AS DOUBLE) / CAST(n_risk AS DOUBLE)
+              ORDER BY duration_days) AS fs
+  FROM risk
+)
+SELECT duration_days, n_risk, n_event, n_censored,
+       list_reduce(list_slice(fs, 1, CAST(rn AS BIGINT)),
+                   (acc, x) -> acc * x) AS survival
+FROM risk CROSS JOIN arr
+ORDER BY duration_days
+"""
+
+
+@register("stats_kaplan_meier_conversion", oracle=_KM_ORACLE)
+def stats_kaplan_meier_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier survival table of signup -> first-purchase lag
+    (day granularity, right-censored at the observation-window end):
+    one row per distinct duration with (n_risk, n_event, n_censored,
+    survival). Survival is the product-limit left fold over the
+    duration-ordered factor array; see the section comment for the
+    censoring protocol and the cross-engine fold contract.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("su_ts"))
+    )
+    mx = ev.agg(F.max("ts").alias("mx_ts"))
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("su_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pu_ts"))
+    )
+    subj = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "cast(case when pu_ts is not null"
+            " then datediff(cast(pu_ts as date), cast(su_ts as date))"
+            " else datediff(cast(mx_ts as date), cast(su_ts as date))"
+            " end as bigint) as dur",
+            "case when pu_ts is not null then 1 else 0 end as ev",
+        )
+    )
+    km = subj.groupBy(F.col("dur").alias("duration_days")).agg(
+        F.sum("ev").cast("long").alias("n_event"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("n_censored"),
+    )
+    wrisk = Window.orderBy(F.desc("duration_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = km.select(
+        "duration_days",
+        "n_event",
+        "n_censored",
+        F.sum(F.col("n_event") + F.col("n_censored"))
+        .over(wrisk)
+        .cast("long")
+        .alias("n_risk"),
+    ).withColumn(
+        "rn", F.row_number().over(Window.orderBy("duration_days"))
+    )
+    arr = risk.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(duration_days,"
+            " cast(n_risk - n_event as double)"
+            " / cast(n_risk as double) as f))), p -> p.f) as fs"
+        )
+    )
+    return (
+        risk.crossJoin(F.broadcast(arr))
+        .selectExpr(
+            "duration_days",
+            "n_risk",
+            "n_event",
+            "n_censored",
+            "aggregate(slice(fs, 1, cast(rn as int)),"
+            " cast(1e0 as double), (acc, x) -> acc * x) as survival",
+        )
+        .orderBy("duration_days")
+    )
+
+
+# --------------------------------------------------------------------
+# l-diversity audit: the companion to dq_k_anonymity_profile. A QI
+# group can be large (k-anonymous) yet expose everyone in it because
+# all members share ONE sensitive value — Machanavajjhala et al.'s
+# l-diversity closes that hole by requiring >= l distinct sensitive
+# values per group. Here QI = (nation, market segment) and the
+# sensitive attribute is the $1000 account-balance band (the same
+# banding canon as the k-anonymity QI, reused deliberately so the
+# two audits compose into one anonymization story).
+#
+# Shape: ONE (QI -> n_rows, n_distinct_sensitive) aggregate — the
+# distinct count is per-group exact (count(distinct) over a bounded
+# band domain) — then a 3-literal broadcast sweep, the k-anonymity
+# recipe. All integers; the basis-point ratio is the one double op,
+# floored.
+# --------------------------------------------------------------------
+
+_LDIV_LS = (2, 3, 5)
+
+_LDIV_ORACLE = f"""
+WITH gs AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT {_KANON_BAND}) AS BIGINT) AS l_div
+  FROM customer
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(MIN(l_div) AS BIGINT) AS min_l
+  FROM gs
+),
+ls AS (SELECT CAST(unnest([{", ".join(str(v) for v in _LDIV_LS)}])
+              AS INT) AS l)
+SELECT ls.l,
+       ANY_VALUE(tot.n_groups) AS n_groups,
+       ANY_VALUE(tot.min_l) AS min_l,
+       CAST(COUNT(CASE WHEN gs.l_div < ls.l THEN 1 END) AS BIGINT)
+         AS n_weak_groups,
+       CAST(COALESCE(SUM(CASE WHEN gs.l_div < ls.l THEN gs.n END), 0)
+            AS BIGINT) AS n_weak_rows,
+       CAST(FLOOR(CAST(10000 * COALESCE(
+              SUM(CASE WHEN gs.l_div < ls.l THEN gs.n END), 0) AS DOUBLE)
+            / CAST(ANY_VALUE(tot.n_rows) AS DOUBLE)) AS BIGINT)
+         AS weak_rows_bp
+FROM ls CROSS JOIN gs CROSS JOIN tot
+GROUP BY ls.l
+ORDER BY ls.l
+"""
+
+
+@register("dq_l_diversity_profile", oracle=_LDIV_ORACLE)
+def dq_l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity risk curve: QI = (nation, segment),
+    sensitive = $1000 balance band. For l in {2, 3, 5}: groups with
+    fewer than l distinct sensitive values and the row mass they
+    expose (absolute + basis points), plus the global min l. One
+    group aggregate + a literal sweep; see the section comment."""
+    gs = (
+        load_table(spark, sf_dir, "customer")
+        .selectExpr(
+            "c_nationkey", "c_mktsegment", f"{_KANON_BAND} as bal_band"
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("bal_band").cast("long").alias("l_div"),
+        )
+    )
+    ls = spark.createDataFrame([(v,) for v in _LDIV_LS], "l int")
+    tot = gs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("l_div").cast("long").alias("min_l"),
+    )
+    return (
+        gs.crossJoin(F.broadcast(ls))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("l")
+        .agg(
+            F.any_value(F.col("n_groups")).alias("n_groups"),
+            F.any_value(F.col("min_l")).alias("min_l"),
+            F.sum(F.when(F.col("l_div") < F.col("l"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_weak_groups"),
+            F.coalesce(
+                F.sum(F.when(F.col("l_div") < F.col("l"), F.col("n"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_weak_rows"),
+            F.expr(
+                "cast(floor(cast(10000 * coalesce(sum(case when l_div < l"
+                " then n end), 0) as double)"
+                " / cast(any_value(n_rows) as double)) as bigint)"
+            ).alias("weak_rows_bp"),
+        )
+        .orderBy("l")
+    )

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from workshop3_etl_spark.functions import metrics as M
+from workshop3_etl_spark.functions.canon import cents_sql
 from workshop3_etl_spark.plans.registry import register
 from workshop3_etl_spark.sources.tables import load_table
 
@@ -1287,3 +1288,245 @@ def ts_backtest_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "abs(actual - (element_at(hs, 1) + element_at(hs, 2)))"
         " as holt_abs_err",
     ).orderBy("origin_day")
+
+
+# --------------------------------------------------------------------
+# Robust trend: Theil-Sen median slope + Mann-Kendall trend test over
+# the daily event-value series. OLS slopes (ts_holt / the backtest)
+# chase outlier days; the Theil-Sen estimator (median of all pairwise
+# slopes) has a 29% breakdown point and Mann-Kendall gives a
+# distribution-free monotone-trend decision — the standard robust
+# pairing for "is this telemetry series actually drifting?".
+#
+# Exactness ladder (no libm in any hashed column):
+# - Daily values are integer cents (the cents_sql canon), day index
+#   t = datediff from the spine start, gap days filled with 0 (the
+#   CUSUM calendar-spine discipline), so EVERY pairwise quantity
+#   (dy, dt, sign) is an exact integer.
+# - Pairwise slope dy/dt is carried as the scaled FLOOR quotient
+#   floor(dy*1e6 / dt). Integer division is NOT engine-stable for
+#   negative numerators (Spark `div` truncates, DuckDB `//` floors —
+#   the seasonal-decompose finding), so the floor is built from the
+#   non-negative remainder identity fd = (a - ((a % b + b) % b)) / b,
+#   exact in both engines for b > 0 (`%` is sign-of-dividend in
+#   both). |dy|*1e6 must fit int64 => |dy| < ~9.2e12 cents per day
+#   gap — a ~$92B daily swing; envelope stated, re-audit beyond.
+# - Median = the LOWER median (rank (n+1)//2 by (key, tie-break)) —
+#   a row_number pick, never an engine mean of two middles.
+# - Mann-Kendall S = sum of pair signs; Var18 = 18*Var(S) =
+#   n(n-1)(2n+5) - sum_ties t(t-1)(2t+5) stays integer (the /18
+#   never happens); the alpha = 0.05 two-sided decision with
+#   continuity correction z = (|S|-1)/sqrt(Var) is squared into
+#   10000 * 18 * (|S|-1)^2 > 38416 * Var18 — exact-rational, the KS
+#   recipe.
+#
+# Scale shape: the corpus pays ONE map-side-combinable daily groupBy;
+# everything after runs on the calendar-bounded spine (n days) and
+# its pair frame (n(n-1)/2 rows — ~6.7M pairs for a decade of days,
+# still a broadcastable side), so cost is calendar-bounded, not
+# data-bounded. The pair join is a broadcast non-equi self-join of
+# the aggregated spine.
+# --------------------------------------------------------------------
+
+_TS_SLOPE_SCALE = 1_000_000
+_MK_ZSQ_X1E4 = 38416  # 1.96^2 * 1e4 (two-sided alpha = 0.05)
+
+
+def _floor_div_sql(num: str, den: str) -> str:
+    """Engine-stable floor division for a positive divisor, via the
+    non-negative-remainder identity (see section comment). Emits
+    plain `/` wrapped in an exact-divisibility form, so the quotient
+    is integer in Spark; the oracle twin uses DuckDB `//`."""
+    return f"(({num}) - ((({num}) % ({den}) + ({den})) % ({den}))) div ({den})"
+
+
+def _floor_div_duck(num: str, den: str) -> str:
+    return f"(({num}) - ((({num}) % ({den}) + ({den})) % ({den}))) // ({den})"
+
+
+_THEILSEN_ORACLE = f"""
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM({cents_sql('value')}) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM days),
+spine AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d,
+         mn
+  FROM b
+),
+filled AS (
+  SELECT CAST(datediff('day', s.mn, CAST(s.d AS DATE)) AS BIGINT) AS t,
+         COALESCE(days.x, CAST(0 AS BIGINT)) AS x
+  FROM spine s LEFT JOIN days ON CAST(s.d AS DATE) = days.d
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM filled),
+pairs AS (
+  SELECT a.t AS ta, p.t AS tb,
+         p.x - a.x AS dy, p.t - a.t AS dt,
+         CAST(CASE WHEN p.x > a.x THEN 1
+                   WHEN p.x < a.x THEN -1 ELSE 0 END AS BIGINT) AS sgn,
+         {_floor_div_duck(f'(p.x - a.x) * {_TS_SLOPE_SCALE}', 'p.t - a.t')}
+           AS slope_key
+  FROM filled a JOIN filled p ON a.t < p.t
+),
+s AS (
+  SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs
+),
+med AS (
+  SELECT slope_key AS slope_x1e6
+  FROM (
+    SELECT slope_key,
+           ROW_NUMBER() OVER (ORDER BY slope_key, ta, tb) AS rn,
+           COUNT(*) OVER () AS np
+    FROM pairs
+  ) WHERE rn = (np + 1) // 2
+),
+ties AS (
+  SELECT COALESCE(CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT),
+                  CAST(0 AS BIGINT)) AS tie_adj
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM filled GROUP BY x)
+  WHERE c > 1
+),
+icept AS (
+  SELECT ic AS intercept_x1e6
+  FROM (
+    SELECT f.x * {_TS_SLOPE_SCALE} - m.slope_x1e6 * f.t AS ic,
+           ROW_NUMBER() OVER (
+             ORDER BY f.x * {_TS_SLOPE_SCALE} - m.slope_x1e6 * f.t, f.t
+           ) AS rn,
+           COUNT(*) OVER () AS nd
+    FROM filled f CROSS JOIN med m
+  ) WHERE rn = (nd + 1) // 2
+)
+SELECT
+  n.n_days,
+  s.n_pairs,
+  s.s_stat,
+  n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie_adj
+    AS var_s_x18,
+  med.slope_x1e6,
+  icept.intercept_x1e6,
+  CAST(CASE WHEN s.s_stat <> 0
+             AND 180000 * (ABS(s.s_stat) - 1) * (ABS(s.s_stat) - 1)
+                 > {_MK_ZSQ_X1E4}
+                   * (n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                      - ties.tie_adj)
+       THEN 1 ELSE 0 END AS INT) AS reject_05
+FROM n CROSS JOIN s CROSS JOIN med CROSS JOIN ties CROSS JOIN icept
+"""
+
+
+@register("ts_theilsen_mann_kendall", oracle=_THEILSEN_ORACLE)
+def ts_theilsen_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen median slope (x1e6, integer-cents per day) +
+    Mann-Kendall trend test (exact S, 18*Var(S), alpha = 0.05
+    squared-rational decision with continuity correction) over the
+    gap-filled daily event-value series. One corpus shuffle (the
+    daily groupBy); the pair frame and both median picks run on
+    calendar-bounded rows. See the section comment for the
+    engine-stable floor-division identity and the int64 envelope.
+    """
+    days = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.expr(f"cast(sum({cents_sql('value')}) as bigint)").alias("x"))
+    )
+    b = days.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = b.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+        ).alias("d"),
+        "mn",
+    )
+    filled = (
+        spine.join(F.broadcast(days), "d", "left")
+        .select(
+            F.datediff("d", "mn").cast("long").alias("t"),
+            F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
+        )
+        .persist()
+    )
+    n = filled.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    a = filled.select(
+        F.col("t").alias("ta"), F.col("x").alias("xa")
+    )
+    p = filled.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(F.broadcast(p), F.col("ta") < F.col("tb"))
+        .selectExpr(
+            "ta",
+            "tb",
+            "cast(case when xb > xa then 1 when xb < xa then -1"
+            " else 0 end as bigint) as sgn",
+            f"{_floor_div_sql(f'(xb - xa) * {_TS_SLOPE_SCALE}', 'tb - ta')}"
+            " as slope_key",
+        )
+        .persist()
+    )
+    s = pairs.agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    wmed = Window.orderBy("slope_key", "ta", "tb")
+    med = (
+        pairs.withColumn("rn", F.row_number().over(wmed))
+        .withColumn("np", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.expr("rn = (np + 1) div 2"))
+        .select(F.col("slope_key").alias("slope_x1e6"))
+    )
+    ties = (
+        filled.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("tie_adj")
+        )
+    )
+    wic = Window.orderBy("ic", "t")
+    icept = (
+        filled.crossJoin(F.broadcast(med))
+        .select(
+            "t",
+            (
+                F.col("x") * F.lit(_TS_SLOPE_SCALE)
+                - F.col("slope_x1e6") * F.col("t")
+            ).alias("ic"),
+        )
+        .withColumn("rn", F.row_number().over(wic))
+        .withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.expr("rn = (nd + 1) div 2"))
+        .select(F.col("ic").alias("intercept_x1e6"))
+    )
+    result = (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(icept))
+        .selectExpr(
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            "n_days * (n_days - 1) * (2 * n_days + 5) - tie_adj"
+            " as var_s_x18",
+            "slope_x1e6",
+            "intercept_x1e6",
+            "cast(case when s_stat <> 0"
+            "            and 180000 * (abs(s_stat) - 1) * (abs(s_stat) - 1)"
+            f"               > {_MK_ZSQ_X1E4}"
+            "                 * (n_days * (n_days - 1) * (2 * n_days + 5)"
+            "                    - tie_adj)"
+            " then 1 else 0 end as int) as reject_05",
+        )
+    )
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
+    return materialize_and_release(result, filled, pairs)
