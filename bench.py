@@ -284,6 +284,29 @@ def main() -> None:
         # 30-day spine, 0.6s — the bounded-fold class).
         "dedup_cdc_chunk_stats",
         "ts_backtest_rolling_origin",
+        # Round-10 session-3 adds — new operator families, each a
+        # physical class the set lacked: the calendar-bounded pair
+        # frame behind the robust trend (Theil-Sen/Mann-Kendall);
+        # the duration-domain risk window + product-limit fold
+        # (Kaplan-Meier); the QI distinct-count sweep (l-diversity);
+        # histogram split finding over the bounded bin frame (stump)
+        # and its 3-round boosted-residual chain (6 scans of one
+        # persisted projection); moment-subtraction LOO refits; the
+        # 16-literal-fold silhouette scoring pass; Hamilton
+        # apportionment on the source frame; the loop-free B^3
+        # minimax PAVA; and the Sobel Arrow kernel over real BMPs.
+        # stream_stump_histogram_refresh stays out (streaming
+        # drain-harness class, the novelty-refresh precedent).
+        "ts_theilsen_mann_kendall",
+        "stats_kaplan_meier_conversion",
+        "dq_l_diversity_profile",
+        "ml_decision_stump_price_qty",
+        "ml_gbt_stumps_train",
+        "ml_loo_group_influence",
+        "ml_kmeans_silhouette_eval",
+        "corpus_token_budget_apportion",
+        "ml_isotonic_calibration_bins",
+        "multimodal_bmp_sobel_stats",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

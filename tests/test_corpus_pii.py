@@ -148,3 +148,48 @@ def test_resample_temperature_acceptance_matches_python(spark):
         sigma = math.sqrt(max(g["target_share"] * (1 - g["target_share"])
                               / ta, 1e-12))
         assert abs(g["achieved_share"] - g["target_share"]) < 6 * sigma + 0.02
+
+
+def test_token_budget_apportionment_is_exact_hamilton(spark):
+    """Brute-force Hamilton recompute from raw documents: quotas,
+    remainders, seat assignment — and the defining invariant that
+    allocations sum to the budget EXACTLY."""
+    from workshop3_etl_spark.operators.corpus import (
+        _BUDGET_TOKENS,
+        corpus_token_budget_apportion,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    got = corpus_token_budget_apportion(spark, SF_SMOKE).collect()
+    assert sum(r["alloc_tokens"] for r in got) == _BUDGET_TOKENS
+
+    rows = load_table(spark, SF_SMOKE, "documents").select(
+        "source", "text"
+    ).collect()
+    mass: dict = {}
+    for r in rows:
+        nd, nt = mass.get(r["source"], (0, 0))
+        mass[r["source"]] = (
+            nd + 1,
+            nt + len([w for w in r["text"].split(" ") if w]),
+        )
+    tt = sum(nt for _, nt in mass.values())
+    quotas = {
+        src: (
+            _BUDGET_TOKENS * nt // tt,
+            _BUDGET_TOKENS * nt % tt,
+        )
+        for src, (_, nt) in mass.items()
+    }
+    n_extra = _BUDGET_TOKENS - sum(f for f, _ in quotas.values())
+    order = sorted(quotas, key=lambda s: (-quotas[s][1], s))
+    extras = set(order[:n_extra])
+    for r in got:
+        src = r["source"]
+        nd, nt = mass[src]
+        f, rem = quotas[src]
+        assert (r["n_docs"], r["n_tokens"]) == (nd, nt)
+        assert r["floor_alloc"] == f
+        assert r["remainder_num"] == rem
+        assert r["extra"] == int(src in extras)
+        assert r["alloc_tokens"] == f + int(src in extras)

@@ -482,3 +482,330 @@ def test_hybrid_indexed_overlap_and_consistency(spark):
         i[r["query_id"]].add(r["candidate_id"])
     total_overlap = sum(len(e[q] & i[q]) for q in e)
     assert total_overlap >= 4, {q: len(e[q] & i[q]) for q in e}
+
+
+def test_decision_stump_matches_bruteforce(spark):
+    """Brute-force recompute of the histogram stump: rebuild the bin
+    moments and score every candidate edge with exact Python ints —
+    the chosen threshold, side stats, floor(gain*1e6), and the two
+    prediction means must all match."""
+    import math
+
+    from workshop3_etl_spark.ml import (
+        _STUMP_BIN_W,
+        _STUMP_GAIN_SCALE,
+        ml_decision_stump_price_qty,
+    )
+
+    got = ml_decision_stump_price_qty(spark, SF_SMOKE).collect()
+    assert len(got) == 1
+    got = got[0]
+
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    ).collect()
+    bins: dict = {}
+    for r in rows:
+        cents = math.floor(float(r["l_extendedprice"]) * 100.0 + 0.5)
+        b = cents // _STUMP_BIN_W
+        n, sy = bins.get(b, (0, 0))
+        bins[b] = (n + 1, sy + int(r["l_quantity"]))
+    nt = sum(n for n, _ in bins.values())
+    st = sum(s for _, s in bins.values())
+    assert got["n_rows"] == nt
+
+    best = None
+    nl = sl = 0
+    for b in sorted(bins):
+        n, sy = bins[b]
+        nl, sl = nl + n, sl + sy
+        if nl >= nt:
+            continue
+        nr, sr = nt - nl, st - sl
+        gain = (
+            (sl * sl * nr * nt + sr * sr * nl * nt - st * st * nl * nr)
+            * _STUMP_GAIN_SCALE
+            // (nl * nr * nt)
+        )
+        key = (-gain, (b + 1) * _STUMP_BIN_W)
+        if best is None or key < best[0]:
+            best = (key, (b + 1) * _STUMP_BIN_W, nl, nr, sl, sr, gain)
+    _, thr, nl, nr, sl, sr, gain = best
+    assert got["threshold_cents"] == thr
+    assert (got["n_left"], got["n_right"]) == (nl, nr)
+    assert (got["sum_y_left"], got["sum_y_right"]) == (sl, sr)
+    assert got["gain_sse_x1e6"] == gain
+    assert got["mean_left"] == sl / nl
+    assert got["mean_right"] == sr / nr
+    # the gain really is the SSE reduction (scaled): recompute from
+    # raw rows via the sum-of-squares identity
+    ys = [
+        (math.floor(float(r["l_extendedprice"]) * 100.0 + 0.5), int(r["l_quantity"]))
+        for r in rows
+    ]
+    sse_parent = sum(y * y for _, y in ys) - st * st / nt
+    left = [y for c, y in ys if c < thr]
+    right = [y for c, y in ys if c >= thr]
+    sse_children = (
+        sum(y * y for y in left)
+        - sum(left) ** 2 / len(left)
+        + sum(y * y for y in right)
+        - sum(right) ** 2 / len(right)
+    )
+    # gain is floored to the 1e-6 grid; float recompute adds ~ulp noise
+    assert math.isclose(
+        gain / _STUMP_GAIN_SCALE, sse_parent - sse_children, abs_tol=1e-3
+    )
+
+
+def test_gbt_stumps_matches_sequential_boosting(spark):
+    """Sequential pure-Python recompute of the 3-round boosted-stump
+    trainer: same histogram split finding, same fixed-point floor
+    predictions, same residual updates — every row must match, and
+    the training SSE must be non-increasing across rounds."""
+    import math
+
+    from workshop3_etl_spark.ml import (
+        _GBT_FP,
+        _GBT_ROUNDS,
+        _STUMP_BIN_W,
+        ml_gbt_stumps_train,
+    )
+
+    got = ml_gbt_stumps_train(spark, SF_SMOKE).collect()
+    assert [r["round"] for r in got] == list(range(1, _GBT_ROUNDS + 1))
+
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    ).collect()
+    data = [
+        (
+            math.floor(float(r["l_extendedprice"]) * 100.0 + 0.5),
+            int(r["l_quantity"]) * _GBT_FP,
+        )
+        for r in rows
+    ]
+
+    prev_sse = None
+    for rnd in range(1, _GBT_ROUNDS + 1):
+        bins: dict = {}
+        for c, r in data:
+            b = c // _STUMP_BIN_W
+            n, s = bins.get(b, (0, 0))
+            bins[b] = (n + 1, s + r)
+        nt = sum(n for n, _ in bins.values())
+        st = sum(s for _, s in bins.values())
+        best = None
+        nl = sl = 0
+        for b in sorted(bins):
+            n, s = bins[b]
+            nl, sl = nl + n, sl + s
+            if nl >= nt:
+                continue
+            nr, sr = nt - nl, st - sl
+            gain = (
+                sl * sl * nr * nt + sr * sr * nl * nt - st * st * nl * nr
+            ) // (nl * nr * nt)
+            key = (-gain, (b + 1) * _STUMP_BIN_W)
+            if best is None or key < best[0]:
+                # Python // IS floor division (positive divisor)
+                best = (
+                    key,
+                    (b + 1) * _STUMP_BIN_W,
+                    nl,
+                    nr,
+                    gain,
+                    sl // nl,
+                    sr // nr,
+                )
+        _, thr, nl, nr, gain, pl, pr = best
+        data = [
+            (c, r - (pl if c < thr else pr)) for c, r in data
+        ]
+        sse = sum(r * r for _, r in data)
+        g = got[rnd - 1]
+        assert g["threshold_cents"] == thr
+        assert (g["n_left"], g["n_right"]) == (nl, nr)
+        assert (g["pred_left_x1e4"], g["pred_right_x1e4"]) == (pl, pr)
+        assert g["gain_fp2"] == gain
+        assert g["sse_after_fp2"] == sse
+        if prev_sse is not None:
+            assert sse <= prev_sse
+        prev_sse = sse
+
+
+def test_loo_group_influence_matches_exact_moments(spark):
+    """Recompute the per-group moment partials with exact Python
+    ints and replay the same fixed-order double algebra — every
+    surfaced coefficient must match bit-for-bit; and the LOO
+    coefficients must agree with a direct refit on the complement
+    rows (exact-fraction cross-check)."""
+    import math
+    from fractions import Fraction
+
+    from workshop3_etl_spark.ml import ml_loo_group_influence
+
+    got = {
+        r["l_returnflag"]: r
+        for r in ml_loo_group_influence(spark, SF_SMOKE).collect()
+    }
+
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    mom: dict = {}
+    for r in rows:
+        x = int(r["l_quantity"])
+        y = math.floor(float(r["l_extendedprice"]) * 100.0 + 0.5)
+        m = mom.setdefault(r["l_returnflag"], [0, 0, 0, 0, 0])
+        m[0] += 1
+        m[1] += x
+        m[2] += y
+        m[3] += x * x
+        m[4] += x * y
+    t = [sum(m[i] for m in mom.values()) for i in range(5)]
+
+    def beta_alpha(n, sx, sy, sxx, sxy):
+        tn, tsx, tsy, tsxx, tsxy = map(float, (n, sx, sy, sxx, sxy))
+        den = tn * tsxx - tsx * tsx
+        return (tn * tsxy - tsx * tsy) / den, (
+            tsy * tsxx - tsx * tsxy
+        ) / den
+
+    bf, af = beta_alpha(*t)
+    for flag, m in mom.items():
+        loo = [t[i] - m[i] for i in range(5)]
+        bl, al = beta_alpha(*loo)
+        g = got[flag]
+        assert g["n_group"] == m[0] and g["n_loo"] == loo[0]
+        assert g["beta_full"] == bf and g["alpha_full"] == af
+        assert g["beta_loo"] == bl and g["alpha_loo"] == al
+        assert g["delta_beta"] == bl - bf
+        # exact-fraction refit on the complement rows agrees to float
+        # precision with the double-space algebra
+        n, sx, sy, sxx, sxy = loo
+        exact_beta = Fraction(n * sxy - sx * sy, n * sxx - sx * sx)
+        assert math.isclose(bl, float(exact_beta), rel_tol=1e-12)
+
+
+def test_silhouette_matches_bruteforce_scoring(spark):
+    """Score every point against the trained centroids with pure
+    Python ints (same replayed trainer) and rebuild the per-cell
+    aggregate — counts and floor-scaled scores exact, means
+    bit-identical; cells partition the corpus; s2 in [0, 1e6)."""
+    from tests.conftest import SF_SMOKE
+    from workshop3_etl_spark.ml import (
+        _KM_ITERS,
+        _KM_K,
+        _SIL_SCALE,
+        _SIL_WEAK_X1E6,
+        _km_grid_frame,
+        _km_seed_cents,
+        _km_update_collect,
+        ml_kmeans_silhouette_eval,
+    )
+
+    got = {r["cell"]: r for r in ml_kmeans_silhouette_eval(spark, SF_SMOKE).collect()}
+
+    g = _km_grid_frame(spark, SF_SMOKE).persist()
+    cents = _km_seed_cents(g, _KM_K)
+    for _ in range(_KM_ITERS):
+        cents = _km_update_collect(g, cents)
+    pts = [[int(v) for v in r["g"]] for r in g.collect()]
+    g.unpersist()
+
+    agg: dict = {}
+    for p in pts:
+        ds = [
+            sum((a - b) * (a - b) for a, b in zip(p, c)) for c in cents
+        ]
+        a2 = min(ds)
+        cell = ds.index(a2)
+        b2 = sorted(ds)[1]
+        s2 = 0 if b2 == 0 else (b2 - a2) * _SIL_SCALE // b2
+        assert 0 <= s2 < _SIL_SCALE
+        n, tot, mn, weak = agg.get(cell, (0, 0, None, 0))
+        agg[cell] = (
+            n + 1,
+            tot + s2,
+            s2 if mn is None else min(mn, s2),
+            weak + (1 if s2 < _SIL_WEAK_X1E6 else 0),
+        )
+    assert sum(n for n, _, _, _ in agg.values()) == len(pts)
+    assert set(got) == set(agg)
+    for cell, (n, tot, mn, weak) in agg.items():
+        r = got[cell]
+        assert r["n_points"] == n
+        assert r["mean_s2_x1e6"] == tot / n
+        assert r["min_s2_x1e6"] == mn
+        assert r["n_weak"] == weak
+
+
+def test_isotonic_calibration_matches_sequential_pava(spark):
+    """Sequential exact-fraction pool-adjacent-violators recompute
+    over the same equal-width bins: the minimax fit must equal the
+    PAVA block means (to double rounding), be non-decreasing, and
+    conserve total mass."""
+    import math
+    from fractions import Fraction
+
+    from workshop3_etl_spark.ml import (
+        _ISO_BINS,
+        ml_isotonic_calibration_bins,
+    )
+
+    got = ml_isotonic_calibration_bins(spark, SF_SMOKE).collect()
+    assert len(got) <= _ISO_BINS
+
+    rows = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    ).collect()
+    pts = [
+        (math.floor(float(r["l_extendedprice"]) * 100.0 + 0.5),
+         int(r["l_quantity"]))
+        for r in rows
+    ]
+    lo, hi = min(c for c, _ in pts), max(c for c, _ in pts)
+    bins: dict = {}
+    for c, y in pts:
+        b = (c - lo) * _ISO_BINS // (hi - lo + 1)
+        n, s = bins.get(b, (0, 0))
+        bins[b] = (n + 1, s + y)
+    ordered = [bins[b] for b in sorted(bins)]
+    assert [r["bin_id"] for r in got] == sorted(bins)
+    assert [(r["n"], r["sum_y"]) for r in got] == ordered
+
+    # sequential PAVA with exact fractions
+    blocks: list = []  # (n, s)
+    for n, s in ordered:
+        blocks.append((n, s))
+        while len(blocks) > 1 and (
+            Fraction(blocks[-2][1], blocks[-2][0])
+            > Fraction(blocks[-1][1], blocks[-1][0])
+        ):
+            n2, s2 = blocks.pop()
+            n1, s1 = blocks.pop()
+            blocks.append((n1 + n2, s1 + s2))
+    # expand each pooled block back to one fitted value per bin
+    expansion = []
+    bi = 0
+    for n, s in blocks:
+        consumed = 0
+        while consumed < n:
+            consumed += ordered[bi][0]
+            expansion.append(Fraction(s, n))
+            bi += 1
+        assert consumed == n
+    assert bi == len(ordered)
+
+    prev = None
+    for r, f in zip(got, expansion):
+        assert math.isclose(r["iso_mean"], float(f), rel_tol=1e-12)
+        if prev is not None:
+            assert r["iso_mean"] >= prev
+        prev = r["iso_mean"]
+    # mass conservation: sum n * iso == sum y (exact in fractions)
+    total = sum(
+        Fraction(s, n) * n for n, s in blocks
+    )
+    assert total == sum(s for _, s in ordered)

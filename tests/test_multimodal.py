@@ -479,3 +479,61 @@ def test_bmp_dhash_neardup_pigeonhole_and_dup_detection(spark):
     assert row["n_identical"] >= exact_pairs
     assert row["n_within_3"] >= row["n_identical"]
     assert row["n_candidate_pairs"] >= row["n_within_3"]
+
+
+def test_bmp_sobel_kernel_matches_numpy_convolution():
+    """Drive the Sobel kernel directly with a hand-built BMP (vertical
+    step edge) and check the statistics against an independent numpy
+    convolution — the kernel-ground-truth check that does not go
+    through the cycling synthesis."""
+    import numpy as np
+    import pandas as pd
+
+    from workshop3_etl_spark.operators.multimodal import (
+        _SOBEL_EDGE_THRESH,
+        _pack_bmp,
+        bmp_sobel_kernel,
+    )
+
+    w, h = 7, 5
+    # left half dark (10,10,10), right half bright (200,200,200)
+    px = bytearray()
+    for r in range(h):
+        for c in range(w):
+            v = 10 if c < w // 2 else 200
+            px += bytes((v, v, v))
+    payload = _pack_bmp(w, h, bytes(px))
+
+    out = pd.concat(
+        list(
+            bmp_sobel_kernel(
+                iter(
+                    [pd.DataFrame({"media_id": [7], "payload": [payload]})]
+                )
+            )
+        )
+    )
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["width"], row["height"]) == (w, h)
+    assert row["n_interior"] == (w - 2) * (h - 2)
+
+    luma = np.array(
+        [[30 if c < w // 2 else 600 for c in range(w)] for r in range(h)],
+        dtype=np.int64,
+    )
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.int64)
+    ky = kx.T
+    g1 = np.zeros((h, w), dtype=np.int64)
+    for r in range(1, h - 1):
+        for c in range(1, w - 1):
+            win = luma[r - 1 : r + 2, c - 1 : c + 2]
+            g1[r, c] = abs(int((kx * win).sum())) + abs(
+                int((ky * win).sum())
+            )
+    interior = g1[1 : h - 1, 1 : w - 1]
+    assert row["grad_l1_sum"] == int(interior.sum())
+    assert row["grad_l1_max"] == int(interior.max())
+    assert row["n_edge"] == int((interior > _SOBEL_EDGE_THRESH).sum())
+    # the step edge must actually register as edge pixels
+    assert row["n_edge"] > 0

@@ -393,3 +393,48 @@ def test_tws_user_metrics_matches_batch(spark):
     assert [(r["user_id"], r["n_events"], r["total_value"]) for r in got] == [
         (r["user_id"], r["n_events"], r["total_value"]) for r in want
     ]
+
+
+def test_stump_histogram_state_equals_batch(spark, tmp_path):
+    """The maintained per-bin label-moment state merged over epochs
+    must equal the one-shot batch histogram bit-for-bit (per-bin
+    sums are associative under any micro-batch split)."""
+    from workshop3_etl_spark.ml import _STUMP_BIN_W, _STUMP_CENTS
+    from workshop3_etl_spark.sources.tables import load_table
+    from workshop3_etl_spark.streaming.batch_equivalent import (
+        _few_state_partitions,
+        _lineitem_stream,
+    )
+    from workshop3_etl_spark.streaming.rollup import (
+        maintain_stump_hist,
+        read_stump_hist,
+    )
+    from tests.conftest import SF_SMOKE
+
+    state = str(tmp_path / "stump_hist")
+    with _few_state_partitions(spark):
+        maintain_stump_hist(
+            spark,
+            _lineitem_stream(spark, SF_SMOKE),
+            state,
+            str(tmp_path / "ck"),
+        )
+    got = {
+        r["bin_id"]: (r["n"], r["sy"])
+        for r in read_stump_hist(spark, state).collect()
+    }
+    batch = {
+        r["bin_id"]: (r["n"], r["sy"])
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .selectExpr(
+            f"({_STUMP_CENTS}) div {_STUMP_BIN_W} as bin_id",
+            "cast(l_quantity as bigint) as y",
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+        .collect()
+    }
+    assert got == batch

@@ -2946,3 +2946,863 @@ def ml_perceptron_train_embeddings(
         "step int, n_mistakes long, accuracy double, w_l1 long,"
         " bias_grid long",
     ).orderBy("step")
+
+
+# --------------------------------------------------------------------
+# Histogram-based decision stump (regression tree depth 1) predicting
+# l_quantity from l_extendedprice — the tree-model family opener,
+# built the way distributed GBM libraries (LightGBM/XGBoost hist
+# mode) do split finding: the corpus collapses to a FIXED-WIDTH
+# value-histogram of exact integer label moments (n, sum_y, sum_y2
+# per price bin — ONE map-side-combinable aggregate), and every
+# candidate split = a bin edge is scored from cumulative sums over
+# that bounded bin frame. No per-candidate corpus pass, no sort of
+# the raw data; the corpus cost is one scan at ANY candidate count.
+#
+# Split score: variance reduction == maximizing sum_l^2/n_l +
+# sum_r^2/n_r. Scored as the exact SSE-reduction rational
+#   gain = (sl^2*nr*nt + sr^2*nl*nt - st^2*nl*nr) / (nl*nr*nt)
+# carried as floor(gain * 1e6) in decimal(38,0): the numerator is
+# non-negative (Cauchy-Schwarz), so floor division is engine-stable
+# (Spark decimal `div` == DuckDB HUGEINT `//` on non-negatives — the
+# KS precedent). Envelope: numerator*1e6 <= (sum_y)^2 * n * 1e6 ~
+# 3e32 at sf0.1, 38-digit-safe through ~sf30; re-audit beyond.
+# Argmax tie-break: smallest threshold.
+#
+# The bin width 2^14 cents (~$164) is a VALUE-DOMAIN constant: the
+# bin frame is range/16384 rows at any corpus size.
+# --------------------------------------------------------------------
+
+_STUMP_BIN_W = 16384  # cents; 2^14 so the division is exact-friendly
+_STUMP_GAIN_SCALE = 1_000_000
+
+_STUMP_CENTS = "cast(floor(l_extendedprice * 100e0 + 0.5e0) as bigint)"
+
+_STUMP_ORACLE = f"""
+WITH b AS (
+  SELECT ({_STUMP_CENTS}) // {_STUMP_BIN_W} AS bin_id,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+),
+bins AS (
+  SELECT bin_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy
+  FROM b GROUP BY bin_id
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(sy) AS BIGINT) AS st
+  FROM bins
+),
+cum AS (
+  SELECT bin_id,
+         CAST(SUM(n) OVER (ORDER BY bin_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS nl,
+         CAST(SUM(sy) OVER (ORDER BY bin_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sl
+  FROM bins
+),
+cand AS (
+  SELECT c.bin_id,
+         (c.bin_id + 1) * {_STUMP_BIN_W} AS threshold_cents,
+         c.nl, t.nt - c.nl AS nr, c.sl, t.st - c.sl AS sr, t.nt, t.st
+  FROM cum c CROSS JOIN tot t
+  WHERE c.nl < t.nt
+),
+scored AS (
+  SELECT threshold_cents, nl, nr, sl, sr,
+         CAST((CAST(sl AS HUGEINT) * sl * nr * nt
+               + CAST(sr AS HUGEINT) * sr * nl * nt
+               - CAST(st AS HUGEINT) * st * nl * nr)
+              * {_STUMP_GAIN_SCALE}
+              // (CAST(nl AS HUGEINT) * nr * nt) AS HUGEINT)
+           AS gain_sse_x1e6
+  FROM cand
+)
+SELECT t.nt AS n_rows,
+       s.threshold_cents,
+       s.nl AS n_left, s.nr AS n_right,
+       s.sl AS sum_y_left, s.sr AS sum_y_right,
+       CAST(s.gain_sse_x1e6 AS BIGINT) AS gain_sse_x1e6,
+       CAST(s.sl AS DOUBLE) / CAST(s.nl AS DOUBLE) AS mean_left,
+       CAST(s.sr AS DOUBLE) / CAST(s.nr AS DOUBLE) AS mean_right
+FROM (SELECT * FROM scored
+      ORDER BY gain_sse_x1e6 DESC, threshold_cents LIMIT 1) s
+CROSS JOIN tot t
+"""
+
+
+@register("ml_decision_stump_price_qty", oracle=_STUMP_ORACLE)
+def ml_decision_stump_price_qty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Best depth-1 regression split of l_quantity on l_extendedprice
+    via histogram split finding: one integer label-moment histogram
+    over 2^14-cent price bins, cumulative-sum candidate scoring on
+    the bounded bin frame, exact-rational SSE-reduction argmax
+    (floor(gain*1e6), smallest-threshold tie-break). Output: one row
+    with the threshold, side counts/sums, gain, and the two side
+    means (the stump's predictions — each ONE IEEE division). See
+    the section comment for the scale/envelope contract.
+    """
+    b = load_table(spark, sf_dir, "lineitem").selectExpr(
+        f"({_STUMP_CENTS}) div {_STUMP_BIN_W} as bin_id",
+        "cast(l_quantity as bigint) as y",
+    )
+    bins = b.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    return stump_best_from_bins(bins)
+
+
+def stump_best_from_bins(bins: DataFrame) -> DataFrame:
+    """Score every bin edge of a (bin_id, n, sy) label-moment
+    histogram and return the 1-row best-split frame (n_rows,
+    threshold_cents, side counts/sums, gain, side means) — shared by
+    the batch stump and the streaming histogram refresh (so the
+    served split cannot drift from the batch definition)."""
+    from pyspark.sql import Window
+
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("sy").cast("long").alias("st"),
+    )
+    w = Window.orderBy("bin_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "bin_id",
+        F.sum("n").over(w).cast("long").alias("nl"),
+        F.sum("sy").over(w).cast("long").alias("sl"),
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("nt"))
+        .selectExpr(
+            f"(bin_id + 1) * {_STUMP_BIN_W} as threshold_cents",
+            "nl",
+            "nt - nl as nr",
+            "sl",
+            "st - sl as sr",
+            "nt",
+            "st",
+        )
+    )
+    scored = cand.selectExpr(
+        "threshold_cents",
+        "nl",
+        "nr",
+        "sl",
+        "sr",
+        "cast((cast(sl as decimal(38,0)) * sl * nr * nt"
+        " + cast(sr as decimal(38,0)) * sr * nl * nt"
+        " - cast(st as decimal(38,0)) * st * nl * nr)"
+        f" * {_STUMP_GAIN_SCALE}"
+        " div (cast(nl as decimal(38,0)) * nr * nt) as decimal(38,0))"
+        " as gain_sse_x1e6",
+    )
+    best = scored.orderBy(
+        F.desc("gain_sse_x1e6"), "threshold_cents"
+    ).limit(1)
+    return best.crossJoin(F.broadcast(tot)).selectExpr(
+        "nt as n_rows",
+        "threshold_cents",
+        "nl as n_left",
+        "nr as n_right",
+        "sl as sum_y_left",
+        "sr as sum_y_right",
+        "cast(gain_sse_x1e6 as bigint) as gain_sse_x1e6",
+        "cast(sl as double) / cast(nl as double) as mean_left",
+        "cast(sr as double) / cast(nr as double) as mean_right",
+    )
+
+
+# --------------------------------------------------------------------
+# Gradient-boosted stumps (3 rounds, learning rate 1, squared loss)
+# on the same histogram machinery as ml_decision_stump_price_qty —
+# the boosting lifecycle: each round fits the best depth-1 split to
+# the CURRENT residual and subtracts its side-mean predictions.
+# For squared loss the gradient IS the residual, so this is honest
+# gradient boosting in its simplest exact form.
+#
+# Exactness ladder (every hashed column an exact integer):
+# - Labels ride a FIXED-POINT x1e4 grid (r0 = l_quantity * 1e4);
+#   every round's predictions are FLOORED to the same grid
+#   (pred = floor(sum_r / n_side)), so residuals stay integers on
+#   one common scale across rounds — no denominator blow-up, no
+#   IEEE drift. Residual sums go negative from round 2, so the
+#   prediction floor uses the non-negative-remainder identity
+#   (Spark `div` truncates, DuckDB `//` floors — the Theil-Sen
+#   rule); the GAIN divisions stay plain div/// because the SSE
+#   reduction numerator is non-negative (Cauchy-Schwarz).
+# - Split score per round: the exact integer
+#   floor((sl^2*nr*nt + sr^2*nl*nt - st^2*nl*nr) / (nl*nr*nt)) in
+#   fp^2 units (already x1e8), decimal(38,0)/HUGEINT; smallest-
+#   threshold tie-break. Envelope: numerator <= (6e5*5e5)^2 * 3.6e11
+#   ~ 3e34 at sf0.1 — 38-digit-safe through roughly sf0.5 of
+#   lineitem; re-audit beyond (widen to a two-limb compare).
+# - sse_after_fp2 = sum(r^2) <= 6e5 * 1e12 ~ 6e17 — int64-safe at
+#   sf0.1, stated.
+#
+# Scale shape: the corpus is persisted ONCE as (cents, r0); each
+# round is one map-side-combinable histogram over the shared
+# 2^14-cent bins (bounded frame) + a 1-row broadcast of the round's
+# (threshold, pred_l, pred_r) back into the next round's map stage.
+# 3 rounds = 4 scans of the persisted (cents, residual) projection
+# (3 histograms, each also summing r^2 so round k's histogram is
+# round k-1's SSE audit, + 1 final SSE scan). Per-round state is the
+# collected 1-row best split (the bounded Lloyd/perceptron trainer
+# protocol).
+# --------------------------------------------------------------------
+
+_GBT_ROUNDS = 3
+_GBT_FP = 10_000
+
+
+def _gbt_round_ctes(i: int, src: str) -> str:
+    """DuckDB CTE block for boosting round i reading residuals from
+    relation `src` (columns c = price cents, r = residual_x1e4):
+    defines bins{i}, tot{i}, cum{i}, best{i}, resid{i}."""
+    return f"""
+bins{i} AS (
+  SELECT c // {_STUMP_BIN_W} AS bin_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r) AS BIGINT) AS s
+  FROM {src} GROUP BY 1
+),
+tot{i} AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st
+  FROM bins{i}
+),
+cum{i} AS (
+  SELECT bin_id,
+         CAST(SUM(n) OVER (ORDER BY bin_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS nl,
+         CAST(SUM(s) OVER (ORDER BY bin_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sl
+  FROM bins{i}
+),
+best{i} AS (
+  SELECT (bin_id + 1) * {_STUMP_BIN_W} AS thr,
+         nl, t.nt - nl AS nr, sl, t.st - sl AS sr,
+         CAST((CAST(sl AS HUGEINT) * sl * (t.nt - nl) * t.nt
+               + CAST(t.st - sl AS HUGEINT) * (t.st - sl) * nl * t.nt
+               - CAST(t.st AS HUGEINT) * t.st * nl * (t.nt - nl))
+              // (CAST(nl AS HUGEINT) * (t.nt - nl) * t.nt)
+              AS BIGINT) AS gain_fp2,
+         (sl - ((sl % nl + nl) % nl)) // nl AS pl,
+         ((t.st - sl) - (((t.st - sl) % (t.nt - nl) + (t.nt - nl))
+                         % (t.nt - nl))) // (t.nt - nl) AS pr
+  FROM cum{i} CROSS JOIN tot{i} t
+  WHERE nl < t.nt
+  ORDER BY gain_fp2 DESC, thr
+  LIMIT 1
+),
+resid{i} AS (
+  SELECT s.c,
+         s.r - CASE WHEN s.c < b.thr THEN b.pl ELSE b.pr END AS r
+  FROM {src} s CROSS JOIN best{i} b
+)"""
+
+
+def _gbt_oracle() -> str:
+    parts = [
+        f"""WITH base AS (
+  SELECT {_STUMP_CENTS} AS c,
+         CAST(l_quantity AS BIGINT) * {_GBT_FP} AS r
+  FROM lineitem
+)"""
+    ]
+    for i in range(1, _GBT_ROUNDS + 1):
+        src = "base" if i == 1 else f"resid{i - 1}"
+        parts.append(_gbt_round_ctes(i, src))
+    selects = []
+    for i in range(1, _GBT_ROUNDS + 1):
+        selects.append(f"""
+SELECT {i} AS round, b.thr AS threshold_cents,
+       b.nl AS n_left, b.nr AS n_right,
+       b.pl AS pred_left_x1e4, b.pr AS pred_right_x1e4,
+       b.gain_fp2,
+       (SELECT CAST(SUM(CAST(r AS HUGEINT) * r) AS BIGINT)
+        FROM resid{i}) AS sse_after_fp2
+FROM best{i} b""")
+    return ",".join(parts) + "\nSELECT * FROM (" + (
+        " UNION ALL ".join(selects)
+    ) + ") ORDER BY round"
+
+
+def _gbt_fit_round(df: DataFrame) -> DataFrame:
+    """One boosting round over (c, r): returns the 1-row best-split
+    frame (thr, nl, nr, sl, sr, gain_fp2, pl, pr)."""
+    from pyspark.sql import Window
+
+    bins = (
+        df.selectExpr(f"c div {_STUMP_BIN_W} as bin_id", "r")
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("r").cast("long").alias("s"),
+            F.sum(F.col("r").cast("decimal(38,0)") * F.col("r"))
+            .cast("long")
+            .alias("s2"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("s2").cast("long").alias("st2"),
+    )
+    w = Window.orderBy("bin_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "bin_id",
+        F.sum("n").over(w).cast("long").alias("nl"),
+        F.sum("s").over(w).cast("long").alias("sl"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("nt"))
+        .selectExpr(
+            f"(bin_id + 1) * {_STUMP_BIN_W} as thr",
+            "nl",
+            "nt - nl as nr",
+            "sl",
+            "st - sl as sr",
+            "cast((cast(sl as decimal(38,0)) * sl * (nt - nl) * nt"
+            " + cast(st - sl as decimal(38,0)) * (st - sl) * nl * nt"
+            " - cast(st as decimal(38,0)) * st * nl * (nt - nl))"
+            " div (cast(nl as decimal(38,0)) * (nt - nl) * nt)"
+            " as bigint) as gain_fp2",
+            "(sl - ((sl % nl + nl) % nl)) div nl as pl",
+            "((st - sl) - (((st - sl) % (nt - nl) + (nt - nl))"
+            " % (nt - nl))) div (nt - nl) as pr",
+            "st2",
+        )
+        .orderBy(F.desc("gain_fp2"), "thr")
+        .limit(1)
+    )
+
+
+@register("ml_gbt_stumps_train", oracle=_gbt_oracle())
+def ml_gbt_stumps_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round gradient-boosted histogram stumps of l_quantity on
+    l_extendedprice: per round one bounded-bin histogram over the
+    persisted (cents, residual) projection, with the round's 1-row
+    best split collected to the driver and injected back as literals
+    (the bounded Lloyd/perceptron trainer protocol — collecting the
+    1-row frame instead of broadcasting it avoids re-evaluating the
+    whole boosting lineage once per downstream reference, a measured
+    12x on the bench). Output: one row per round with the split, the
+    fixed-point x1e4 side predictions, the exact fp^2 gain, and the
+    post-round training SSE (monotone non-increasing — pinned in
+    pytest). SSE tracking rides the NEXT round's histogram (each
+    bins pass also sums r^2), so the whole trainer is 4 corpus
+    scans. See the section comment for the fixed-point contract and
+    envelopes.
+    """
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            f"{_STUMP_CENTS} as c",
+            f"cast(l_quantity as bigint) * {_GBT_FP} as r",
+        )
+        .persist()
+    )
+    try:
+        rows = []
+        cur = base
+        for i in range(1, _GBT_ROUNDS + 1):
+            best = _gbt_fit_round(cur).collect()[0]
+            if i > 1:
+                # this histogram's total r^2 is the PREVIOUS round's
+                # post-update SSE
+                rows[-1]["sse_after_fp2"] = int(best["st2"])
+            rows.append(
+                {
+                    "round": i,
+                    "threshold_cents": int(best["thr"]),
+                    "n_left": int(best["nl"]),
+                    "n_right": int(best["nr"]),
+                    "pred_left_x1e4": int(best["pl"]),
+                    "pred_right_x1e4": int(best["pr"]),
+                    "gain_fp2": int(best["gain_fp2"]),
+                    "sse_after_fp2": None,
+                }
+            )
+            cur = cur.selectExpr(
+                "c",
+                f"r - (case when c < {int(best['thr'])}"
+                f" then {int(best['pl'])}"
+                f" else {int(best['pr'])} end) as r",
+            )
+        final_sse = cur.agg(
+            F.sum(F.col("r").cast("decimal(38,0)") * F.col("r"))
+            .cast("long")
+            .alias("s2")
+        ).collect()[0]["s2"]
+        rows[-1]["sse_after_fp2"] = int(final_sse)
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                r["round"],
+                r["threshold_cents"],
+                r["n_left"],
+                r["n_right"],
+                r["pred_left_x1e4"],
+                r["pred_right_x1e4"],
+                r["gain_fp2"],
+                r["sse_after_fp2"],
+            )
+            for r in rows
+        ],
+        "round int, threshold_cents bigint, n_left bigint,"
+        " n_right bigint, pred_left_x1e4 bigint, pred_right_x1e4"
+        " bigint, gain_fp2 bigint, sse_after_fp2 bigint",
+    ).orderBy("round")
+
+
+# --------------------------------------------------------------------
+# Leave-one-group-out OLS influence: which slice of the data moves
+# the model? For each l_returnflag group, refit the closed-form OLS
+# (y = extendedprice cents ~ l_quantity, the ml_ols_qty_price model)
+# WITHOUT that group and report the coefficient shift — the
+# data-valuation primitive (group Shapley's first term / the
+# "influence of a data source" audit a training pipeline runs before
+# dropping or down-weighting a source).
+#
+# The whole point of the closed form here: LOO refits need NO second
+# pass. ONE map-side-combinable aggregate produces per-group exact
+# moment partials (n, Sx, Sy, Sxx, Sxy — x integer quantity, y
+# integer cents); the full-data moments are the sum of the (bounded)
+# group frame, and each group's LOO moments are global minus group —
+# moment subtraction, the same algebra that makes the streaming OLS
+# incremental.
+#
+# Determinism contract (found the hard way): a >2^53 exact integer
+# numerator cast to DOUBLE is NOT engine-stable — DuckDB's
+# HUGEINT->DOUBLE conversion can be 1 ulp off correct rounding
+# (observed on alpha_loo at sf0.1). So every moment stays int64 and
+# is converted to DOUBLE individually (BIGINT->DOUBLE is correctly
+# rounded in both engines), and the normal-equation algebra
+# (n*Sxy - Sx*Sy etc.) runs in fixed-order IEEE double space —
+# identical op sequence => bit-identical quotients. sxy <= 5.5e8 per
+# row keeps the int64 moments exact through ~sf1000.
+#
+# Scale: corpus cost = one scan; everything after rides the
+# G-row group frame (G = 3 here; any bounded source count at 100 TB).
+# --------------------------------------------------------------------
+
+_LOO_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(cast(floor(l_extendedprice * 100e0 + 0.5e0) as bigint))
+              AS BIGINT) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS sxx,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+              * cast(floor(l_extendedprice * 100e0 + 0.5e0) as bigint))
+              AS BIGINT) AS sxy
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+         CAST(SUM(sy) AS BIGINT) AS sy, CAST(SUM(sxx) AS BIGINT) AS sxx,
+         CAST(SUM(sxy) AS BIGINT) AS sxy
+  FROM g
+),
+d AS (
+  SELECT g.l_returnflag, g.n AS n_group, t.n - g.n AS n_loo,
+         CAST(t.n AS DOUBLE) AS tn, CAST(t.sx AS DOUBLE) AS tsx,
+         CAST(t.sy AS DOUBLE) AS tsy, CAST(t.sxx AS DOUBLE) AS tsxx,
+         CAST(t.sxy AS DOUBLE) AS tsxy,
+         CAST(t.n - g.n AS DOUBLE) AS ln, CAST(t.sx - g.sx AS DOUBLE) AS lsx,
+         CAST(t.sy - g.sy AS DOUBLE) AS lsy,
+         CAST(t.sxx - g.sxx AS DOUBLE) AS lsxx,
+         CAST(t.sxy - g.sxy AS DOUBLE) AS lsxy
+  FROM g CROSS JOIN tot t
+)
+SELECT l_returnflag, n_group, n_loo,
+       (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS beta_full,
+       (tsy * tsxx - tsx * tsxy) / (tn * tsxx - tsx * tsx) AS alpha_full,
+       (ln * lsxy - lsx * lsy) / (ln * lsxx - lsx * lsx) AS beta_loo,
+       (lsy * lsxx - lsx * lsxy) / (ln * lsxx - lsx * lsx) AS alpha_loo,
+       (ln * lsxy - lsx * lsy) / (ln * lsxx - lsx * lsx)
+       - (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS delta_beta
+FROM d
+ORDER BY l_returnflag
+"""
+
+
+@register("ml_loo_group_influence", oracle=_LOO_ORACLE)
+def ml_loo_group_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-l_returnflag leave-one-group-out OLS influence on the
+    quantity->price model: one exact moment-partial aggregate, LOO
+    coefficients by moment subtraction on the bounded group frame,
+    (beta_full, alpha_full, beta_loo, alpha_loo, delta_beta) with one
+    IEEE division per surfaced coefficient. See the section comment.
+    """
+    cents = "cast(floor(l_extendedprice * 100e0 + 0.5e0) as bigint)"
+    g = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_returnflag",
+            "cast(l_quantity as bigint) as x",
+            f"{cents} as y",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("t_n"),
+        F.sum("sx").cast("long").alias("t_sx"),
+        F.sum("sy").cast("long").alias("t_sy"),
+        F.sum("sxx").cast("long").alias("t_sxx"),
+        F.sum("sxy").cast("long").alias("t_sxy"),
+    )
+    d = g.crossJoin(F.broadcast(tot)).selectExpr(
+        "l_returnflag",
+        "n as n_group",
+        "t_n - n as n_loo",
+        "cast(t_n as double) as tn",
+        "cast(t_sx as double) as tsx",
+        "cast(t_sy as double) as tsy",
+        "cast(t_sxx as double) as tsxx",
+        "cast(t_sxy as double) as tsxy",
+        "cast(t_n - n as double) as ln",
+        "cast(t_sx - sx as double) as lsx",
+        "cast(t_sy - sy as double) as lsy",
+        "cast(t_sxx - sxx as double) as lsxx",
+        "cast(t_sxy - sxy as double) as lsxy",
+    )
+    return (
+        d.selectExpr(
+            "l_returnflag",
+            "n_group",
+            "n_loo",
+            "(tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)"
+            " as beta_full",
+            "(tsy * tsxx - tsx * tsxy) / (tn * tsxx - tsx * tsx)"
+            " as alpha_full",
+            "(ln * lsxy - lsx * lsy) / (ln * lsxx - lsx * lsx)"
+            " as beta_loo",
+            "(lsy * lsxx - lsx * lsxy) / (ln * lsxx - lsx * lsx)"
+            " as alpha_loo",
+            "(ln * lsxy - lsx * lsy) / (ln * lsxx - lsx * lsx)"
+            " - (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)"
+            " as delta_beta",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------
+# Simplified-silhouette evaluation of the TRAINED k-means clustering
+# (ml_kmeans_lloyd_embeddings) — the missing eval leg of the
+# clustering arc (train -> elbow -> silhouette). Full silhouette is
+# O(n^2) pairwise; the simplified (centroid-based) silhouette
+# replaces mean intra/inter distances with distances to centroids —
+# the standard large-scale surrogate, and on the integer grid it is
+# EXACT: a2 = squared grid distance to the own (nearest) centroid,
+# b2 = squared distance to the second-nearest, per-point score
+# s2 = (b2 - a2) / b2 in [0, 1) carried as floor(s2 * 1e6) (the
+# numerator is non-negative because assignment IS argmin, so floor
+# division is engine-stable; b2 = 0 => 0 by convention).
+#
+# The trainer is replayed exactly (same seeding, same 3 Lloyd
+# steps, driver-held K x D = 1024-int state — the bounded-trainer
+# protocol), so the evaluated quantizer IS the registered trained
+# artifact; the oracle re-derives it through the same unrolled
+# chain CTEs the kmeans oracle uses, then scores every point
+# against the chain's final centroids.
+#
+# Scale: scoring is map-only (16 literal folds per row); the output
+# aggregate is K rows. mean numerators stay < 2^53 through ~9e9
+# points per cell (stated).
+# --------------------------------------------------------------------
+
+_SIL_SCALE = 1_000_000
+_SIL_WEAK_X1E6 = 200_000  # s2 < 0.2 => weakly separated point
+
+
+def _silhouette_oracle() -> str:
+    return f"""WITH {_KM_BASE_CTES},
+{_km_chain_ctes(_KM_K)},
+cfin AS (
+  SELECT cell, dim, cg FROM c{_KM_ITERS}
+),
+pd AS (
+  SELECT gg.vec_id, c.cell,
+         CAST(SUM((gg.val - c.cg) * (gg.val - c.cg)) AS BIGINT) AS dist2
+  FROM glong gg JOIN cfin c USING (dim)
+  GROUP BY gg.vec_id, c.cell
+),
+ranked AS (
+  SELECT vec_id, cell, dist2,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+  FROM pd
+),
+pts AS (
+  SELECT a.vec_id, a.cell, a.dist2 AS a2, b.dist2 AS b2,
+         CASE WHEN b.dist2 = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST((CAST(b.dist2 - a.dist2 AS HUGEINT)
+                         * {_SIL_SCALE}) // b.dist2 AS BIGINT)
+         END AS s2_x1e6
+  FROM (SELECT * FROM ranked WHERE rn = 1) a
+  JOIN (SELECT * FROM ranked WHERE rn = 2) b USING (vec_id)
+)
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(s2_x1e6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_s2_x1e6,
+       CAST(MIN(s2_x1e6) AS BIGINT) AS min_s2_x1e6,
+       CAST(COUNT(CASE WHEN s2_x1e6 < {_SIL_WEAK_X1E6} THEN 1 END)
+            AS BIGINT) AS n_weak
+FROM pts
+GROUP BY cell
+ORDER BY cell"""
+
+
+@register("ml_kmeans_silhouette_eval", oracle=_silhouette_oracle())
+def ml_kmeans_silhouette_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-cluster simplified silhouette of the trained k-means
+    quantizer: (cell, n_points, mean_s2_x1e6, min_s2_x1e6, n_weak)
+    where s2 = (b2 - a2)/b2 on exact integer grid distances, a2/b2 =
+    squared distance to the nearest / second-nearest trained
+    centroid. Map-only scoring via 16 literal distance folds; the
+    oracle re-derives the trained centroids through the kmeans chain
+    CTEs. See the section comment.
+    """
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+
+    g = _km_grid_frame(spark, sf_dir).persist()
+    cents = _km_seed_cents(g, _KM_K)
+    for _ in range(_KM_ITERS - 1):
+        cents = _km_update_collect(g, cents)
+    cents = _km_update_collect(g, cents)  # the trained quantizer
+    folds = ", ".join(
+        "aggregate(zip_with(g, array("
+        + ", ".join(f"{int(v)}L" for v in c)
+        + "), (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+        for c in cents
+    )
+    pts = (
+        g.selectExpr("vec_id", f"array({folds}) as ds")
+        .selectExpr(
+            "vec_id",
+            "cast(array_position(ds, array_min(ds)) - 1 as int) as cell",
+            "array_min(ds) as a2",
+            "element_at(array_sort(ds), 2) as b2",
+        )
+        .selectExpr(
+            "vec_id",
+            "cell",
+            "case when b2 = 0 then 0L"
+            f" else cast((cast(b2 - a2 as decimal(38,0)) * {_SIL_SCALE})"
+            " div b2 as bigint) end as s2_x1e6",
+        )
+    )
+    out = (
+        pts.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            (
+                F.sum("s2_x1e6").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_s2_x1e6"),
+            F.min("s2_x1e6").cast("long").alias("min_s2_x1e6"),
+            F.sum(
+                F.when(F.col("s2_x1e6") < _SIL_WEAK_X1E6, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_weak"),
+        )
+        .orderBy("cell")
+    )
+    return materialize_and_release(out, g)
+
+
+# --------------------------------------------------------------------
+# Isotonic regression (PAVA) of l_quantity on binned l_extendedprice
+# — the monotone-calibration primitive (the order-preserving curve a
+# scored model's outputs get calibrated through). Rather than the
+# sequential pool-adjacent-violators loop, the fit uses the MINIMAX
+# characterization of isotonic regression:
+#
+#     iso_i = max_{j <= i} min_{k >= i} avg(y over bins j..k)
+#
+# which is loop-free and relational: with B ordered bins it is a
+# bounded B^3 enumeration over the AGGREGATED bin frame — the corpus
+# pays one map-side-combinable (bin -> n, sum) pass, everything else
+# rides <= B^2 tiny-frame joins. B = 10 equal-WIDTH price bins from
+# the broadcast min/max (never an ntile corpus sort — the DSIR
+# advice rule); empty bins are skipped and the occupied bins
+# renumbered, so the fit is over the realized ordered sequence.
+#
+# Determinism: bin sums/counts are exact integers; every range
+# average is ONE IEEE division of < 2^53 integers (correctly rounded
+# in both engines); min/max over those doubles is order-free. The
+# fitted curve is non-decreasing by construction (pinned in pytest
+# against a sequential exact-fraction PAVA recompute).
+# --------------------------------------------------------------------
+
+_ISO_BINS = 10
+
+_ISO_ORACLE = f"""
+WITH b AS (
+  SELECT cast(floor(l_extendedprice * 100e0 + 0.5e0) as bigint) AS c,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+),
+mm AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM b),
+binned AS (
+  SELECT ((b.c - m.lo) * {_ISO_BINS}) // (m.hi - m.lo + 1) AS bin_id,
+         b.y
+  FROM b CROSS JOIN mm m
+),
+bins AS (
+  SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy
+  FROM binned GROUP BY bin_id
+),
+idx AS (
+  SELECT bin_id, n, sy,
+         ROW_NUMBER() OVER (ORDER BY bin_id) AS i
+  FROM bins
+),
+cum AS (
+  SELECT i, bin_id, n, sy,
+         CAST(SUM(n) OVER (ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cc,
+         CAST(SUM(sy) OVER (ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cs
+  FROM idx
+),
+z AS (
+  SELECT i, cc, cs FROM cum
+  UNION ALL SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+),
+ranges AS (
+  SELECT lo.i + 1 AS j, hi.i AS k,
+         CAST(hi.cs - lo.cs AS DOUBLE)
+           / CAST(hi.cc - lo.cc AS DOUBLE) AS avg_y
+  FROM z lo JOIN cum hi ON lo.i < hi.i
+),
+inner_min AS (
+  SELECT x.i, r.j, MIN(r.avg_y) AS m
+  FROM idx x JOIN ranges r ON r.j <= x.i AND r.k >= x.i
+  GROUP BY x.i, r.j
+),
+fit AS (
+  SELECT i, MAX(m) AS iso_mean FROM inner_min GROUP BY i
+)
+SELECT c.bin_id,
+       CAST(m.lo + (c.bin_id * (m.hi - m.lo + 1)) // {_ISO_BINS}
+            AS BIGINT) AS lo_edge_cents,
+       c.n, c.sy AS sum_y,
+       CAST(c.sy AS DOUBLE) / CAST(c.n AS DOUBLE) AS raw_mean,
+       f.iso_mean
+FROM cum c JOIN fit f USING (i) CROSS JOIN mm m
+ORDER BY c.bin_id
+"""
+
+
+@register("ml_isotonic_calibration_bins", oracle=_ISO_ORACLE)
+def ml_isotonic_calibration_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (PAVA) fit of mean l_quantity over 10 equal-width
+    price bins via the loop-free minimax characterization on the
+    bounded bin frame: (bin_id, lo_edge_cents, n, sum_y, raw_mean,
+    iso_mean) with iso_mean non-decreasing. One corpus aggregate;
+    see the section comment for the exactness contract."""
+    from pyspark.sql import Window
+
+    b = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "cast(floor(l_extendedprice * 100e0 + 0.5e0) as bigint) as c",
+        "cast(l_quantity as bigint) as y",
+    )
+    mm = b.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+    binned = b.crossJoin(F.broadcast(mm)).selectExpr(
+        f"((c - lo) * {_ISO_BINS}) div (hi - lo + 1) as bin_id", "y"
+    )
+    bins = binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    idx = bins.withColumn(
+        "i", F.row_number().over(Window.orderBy("bin_id"))
+    )
+    wcum = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = idx.select(
+        "i",
+        "bin_id",
+        "n",
+        "sy",
+        F.sum("n").over(wcum).cast("long").alias("cc"),
+        F.sum("sy").over(wcum).cast("long").alias("cs"),
+    )
+    z = cum.select("i", "cc", "cs").unionByName(
+        cum.sparkSession.createDataFrame(
+            [(0, 0, 0)], "i long, cc long, cs long"
+        )
+    )
+    ranges = (
+        z.alias("lo")
+        .join(
+            F.broadcast(cum.alias("hi")),
+            F.col("lo.i") < F.col("hi.i"),
+        )
+        .selectExpr(
+            "lo.i + 1 as j",
+            "hi.i as k",
+            "cast(hi.cs - lo.cs as double)"
+            " / cast(hi.cc - lo.cc as double) as avg_y",
+        )
+    )
+    inner_min = (
+        idx.select(F.col("i"))
+        .join(
+            F.broadcast(ranges),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_y").alias("m"))
+    )
+    fit = inner_min.groupBy("i").agg(F.max("m").alias("iso_mean"))
+    return (
+        cum.join(F.broadcast(fit), "i")
+        .crossJoin(F.broadcast(mm))
+        .selectExpr(
+            "bin_id",
+            f"cast(lo + (bin_id * (hi - lo + 1)) div {_ISO_BINS}"
+            " as bigint) as lo_edge_cents",
+            "n",
+            "sy as sum_y",
+            "cast(sy as double) / cast(n as double) as raw_mean",
+            "iso_mean",
+        )
+        .orderBy("bin_id")
+    )

@@ -2356,3 +2356,105 @@ def corpus_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return assemble_novelty_curve(per_shard, novel)
+
+
+# --------------------------------------------------------------------
+# Token-budget apportionment (Hamilton's largest-remainder method):
+# given a fixed training-token budget, allocate it across sources in
+# exact proportion to their token mass — the integer-exact step
+# between the mixture-weight queries (which emit fractional shares)
+# and a shard plan (which needs whole token counts that SUM TO THE
+# BUDGET exactly). Hamilton: floor the exact quota B*t_i/T, then
+# hand the leftover seats to the largest remainders (B*t_i mod T),
+# ties broken by source name — every quantity an integer, no IEEE
+# anywhere.
+#
+# Scale: the corpus pays one map-side-combinable (source -> n_docs,
+# n_tokens) aggregate; the quota/remainder ranking rides the bounded
+# source frame. B*t_i fits int64 while the corpus holds < ~9e6
+# billion tokens / B — at B = 1e6 that is ~9e12 tokens (stated;
+# widen to decimal beyond).
+# --------------------------------------------------------------------
+
+_BUDGET_TOKENS = 1_000_000
+
+_APPORTION_ORACLE = f"""
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_TOKENS_DUCK})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+             CAST(COUNT(*) AS BIGINT) AS n_sources FROM s),
+q AS (
+  SELECT s.source, s.n_docs, s.n_tokens,
+         ({_BUDGET_TOKENS} * s.n_tokens) // t.tt AS floor_alloc,
+         ({_BUDGET_TOKENS} * s.n_tokens) % t.tt AS remainder_num
+  FROM s CROSS JOIN t
+),
+r AS (
+  SELECT q.*,
+         ROW_NUMBER() OVER (ORDER BY remainder_num DESC, source) AS rk,
+         {_BUDGET_TOKENS} - SUM(floor_alloc) OVER () AS n_extra
+  FROM q
+)
+SELECT source, n_docs, n_tokens, floor_alloc, remainder_num,
+       CAST(CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS INT) AS extra,
+       CAST(floor_alloc + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_tokens
+FROM r
+ORDER BY source
+"""
+
+
+@register("corpus_token_budget_apportion", oracle=_APPORTION_ORACLE)
+def corpus_token_budget_apportion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-remainder apportionment of a 1M-token training budget
+    across sources by exact token mass: per source the floored quota,
+    the remainder numerator, the extra-seat flag, and the final
+    allocation (allocations sum to the budget exactly — pinned in
+    pytest). One corpus aggregate + bounded-frame ranking; see the
+    section comment."""
+    from pyspark.sql import Window
+
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("source", f"size({_TOKENS}) as ntok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+    )
+    t = s.agg(F.sum("n_tokens").cast("long").alias("tt"))
+    q = s.crossJoin(F.broadcast(t)).selectExpr(
+        "source",
+        "n_docs",
+        "n_tokens",
+        f"({_BUDGET_TOKENS} * n_tokens) div tt as floor_alloc",
+        f"({_BUDGET_TOKENS} * n_tokens) % tt as remainder_num",
+    )
+    wr = Window.orderBy(F.desc("remainder_num"), "source")
+    wall = Window.partitionBy()
+    return (
+        q.withColumn("rk", F.row_number().over(wr))
+        .withColumn(
+            "n_extra",
+            F.lit(_BUDGET_TOKENS) - F.sum("floor_alloc").over(wall),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "floor_alloc",
+            "remainder_num",
+            "cast(case when rk <= n_extra then 1 else 0 end as int)"
+            " as extra",
+            "cast(floor_alloc + case when rk <= n_extra then 1 else 0 end"
+            " as bigint) as alloc_tokens",
+        )
+        .orderBy("source")
+    )

@@ -1230,3 +1230,174 @@ def multimodal_bmp_dhash_neardup(
         sigs.unpersist()
         raise
     return out
+
+
+# --------------------------------------------------------------------
+# Sobel edge statistics over the REAL decoded BMP pixels — the
+# feature-extraction sibling of the dHash signature: where dHash
+# reduces the image to a comparable fingerprint, this extracts the
+# interior gradient field (the classic 3x3 Sobel kernels on integer
+# channel-sum luma) and reports per-image edge statistics, the
+# filter-feature an image-quality gate runs at ingest (blank /
+# low-texture image detection).
+#
+# Integer-exact end to end: luma = r+g+b in [0, 765], Gx/Gy are
+# +-1/+-2 integer convolutions (|G| <= 3060), per-image sums are
+# exact int64. Oracle honesty (the dHash/WAV recipe): the synthesis
+# cycles document bytes through the pixel stream, so the oracle
+# predicts EVERY interior gradient from the source characters via a
+# bounded per-image pixel spine (<= 16x8 cells) and a 9-row Sobel
+# coefficient spine — a misparsed header, stride slip, or
+# convolution off-by-one changes the sums and fails the hash gate.
+#
+# Scale: encode + Sobel are map-only Arrow kernels (no shuffle
+# before the final ORDER BY); per-image work is bounded by the
+# synthesized dims. Images too small for an interior (w < 3 or
+# h < 3) report zero edge pixels rather than being dropped.
+# --------------------------------------------------------------------
+
+_SOBEL_EDGE_THRESH = 1020  # |Gx| + |Gy| above this = edge pixel
+
+_SOBEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_interior", T.LongType()),
+        T.StructField("grad_l1_sum", T.LongType()),
+        T.StructField("grad_l1_max", T.LongType()),
+        T.StructField("n_edge", T.LongType()),
+    ]
+)
+
+_SOBEL_KX = ((-1, 0, 1), (-2, 0, 2), (-1, 0, 1))
+_SOBEL_KY = ((-1, -2, -1), (0, 0, 0), (1, 2, 1))
+
+
+def bmp_sobel_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode each BMP payload's actual bytes,
+    build the integer luma grid, convolve the interior with the two
+    Sobel kernels, emit per-image edge statistics."""
+    for pdf in batches:
+        recs = []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            w, h, rows = _bmp_pixels(bytes(payload))
+            luma = [
+                [
+                    rows[r][3 * c] + rows[r][3 * c + 1] + rows[r][3 * c + 2]
+                    for c in range(w)
+                ]
+                for r in range(h)
+            ]
+            n_int = s = mx = ne = 0
+            for r in range(1, h - 1):
+                for c in range(1, w - 1):
+                    gx = gy = 0
+                    for dr in (-1, 0, 1):
+                        for dc in (-1, 0, 1):
+                            v = luma[r + dr][c + dc]
+                            gx += _SOBEL_KX[dr + 1][dc + 1] * v
+                            gy += _SOBEL_KY[dr + 1][dc + 1] * v
+                    g1 = abs(gx) + abs(gy)
+                    n_int += 1
+                    s += g1
+                    mx = max(mx, g1)
+                    ne += 1 if g1 > _SOBEL_EDGE_THRESH else 0
+            recs.append((int(mid), w, h, n_int, s, mx, ne))
+        yield pd.DataFrame(
+            recs,
+            columns=[
+                "media_id",
+                "width",
+                "height",
+                "n_interior",
+                "grad_l1_sum",
+                "grad_l1_max",
+                "n_edge",
+            ],
+        )
+
+
+def _sobel_coef_values() -> str:
+    vals = []
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            vals.append(
+                f"({dr}, {dc}, {_SOBEL_KX[dr + 1][dc + 1]},"
+                f" {_SOBEL_KY[dr + 1][dc + 1]})"
+            )
+    return ", ".join(vals)
+
+
+_BMP_SOBEL_ORACLE = f"""
+WITH imgs AS (
+  SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS l,
+         CAST(1 + (strlen(text) % {_BMP_W_MOD}) AS BIGINT) AS w,
+         CAST(1 + ((strlen(text) // {_BMP_W_MOD}) % {_BMP_H_MOD})
+              AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+  SELECT i.doc_id, r.r, c.c,
+         (SELECT SUM(ord(substr(i.text,
+                  CAST((3 * (r.r * i.w + c.c) + j.j) % i.l + 1 AS INT),
+                  1)))
+          FROM (SELECT unnest(range(3)) AS j) j) AS luma
+  FROM imgs i,
+       (SELECT unnest(range({_BMP_H_MOD})) AS r) r,
+       (SELECT unnest(range({_BMP_W_MOD})) AS c) c
+  WHERE r.r < i.h AND c.c < i.w
+),
+coef(dr, dc, cx, cy) AS (VALUES {_sobel_coef_values()}),
+grads AS (
+  SELECT p.doc_id, p.r, p.c,
+         CAST(SUM(k.cx * q.luma) AS BIGINT) AS gx,
+         CAST(SUM(k.cy * q.luma) AS BIGINT) AS gy
+  FROM px p
+  JOIN imgs i ON i.doc_id = p.doc_id
+  JOIN coef k ON TRUE
+  JOIN px q ON q.doc_id = p.doc_id
+           AND q.r = p.r + k.dr AND q.c = p.c + k.dc
+  WHERE p.r >= 1 AND p.r <= i.h - 2 AND p.c >= 1 AND p.c <= i.w - 2
+  GROUP BY p.doc_id, p.r, p.c
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_interior,
+         CAST(SUM(ABS(gx) + ABS(gy)) AS BIGINT) AS grad_l1_sum,
+         CAST(MAX(ABS(gx) + ABS(gy)) AS BIGINT) AS grad_l1_max,
+         CAST(COUNT(CASE WHEN ABS(gx) + ABS(gy) > {_SOBEL_EDGE_THRESH}
+                    THEN 1 END) AS BIGINT) AS n_edge
+  FROM grads GROUP BY doc_id
+)
+SELECT i.doc_id AS media_id,
+       CAST(i.w AS INT) AS width, CAST(i.h AS INT) AS height,
+       COALESCE(a.n_interior, 0) AS n_interior,
+       COALESCE(a.grad_l1_sum, 0) AS grad_l1_sum,
+       COALESCE(a.grad_l1_max, 0) AS grad_l1_max,
+       COALESCE(a.n_edge, 0) AS n_edge
+FROM imgs i LEFT JOIN agg a USING (doc_id)
+ORDER BY media_id
+"""
+
+
+@register("multimodal_bmp_sobel_stats", oracle=_BMP_SOBEL_ORACLE)
+def multimodal_bmp_sobel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-image Sobel edge statistics from the REAL decoded BMP
+    pixels: (media_id, width, height, n_interior, grad_l1_sum,
+    grad_l1_max, n_edge) — encode kernel synthesizes actual BI_RGB
+    payloads, the Sobel kernel struct-parses and convolves them, and
+    the oracle independently predicts every gradient from the source
+    characters. Map-only end to end; see the section comment."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id % 3 = 0")
+    )
+    media = docs.mapInPandas(encode_media_kernel, schema=_MEDIA_SCHEMA)
+    feats = media.mapInPandas(bmp_sobel_kernel, schema=_SOBEL_SCHEMA)
+    return feats.orderBy("media_id")

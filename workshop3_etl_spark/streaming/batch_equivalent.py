@@ -2139,3 +2139,67 @@ def stream_ngram_novelty_refresh(
             novel,
         )
         return result.localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------
+# Streaming decision-stump histogram refresh (streaming/rollup.
+# maintain_stump_hist): the maintenance leg of
+# ml_decision_stump_price_qty — per-price-bin label moments (n,
+# sum_y) kept as epoch partials, the served split recomputed from
+# the merged state through ml.stump_best_from_bins (the SAME scorer
+# the batch stump uses, so the served split cannot drift from the
+# batch definition). Batch equivalence (the oracle's assertion):
+# per-bin sums are associative under any micro-batch split, so the
+# refreshed best split equals the one-shot batch stump. Completes
+# the family arc: estimate (ml.py stump/GBT) -> maintain (here),
+# like the quantizer/LM/BM25/moment/novelty families.
+# --------------------------------------------------------------------
+
+
+def _lineitem_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the lineitem table."""
+    static = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _stump_refresh_oracle() -> str:
+    from workshop3_etl_spark.ml import _STUMP_ORACLE
+
+    return _STUMP_ORACLE
+
+
+@register(
+    "stream_stump_histogram_refresh", oracle=_stump_refresh_oracle()
+)
+def stream_stump_histogram_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Best depth-1 split served from the streaming-maintained
+    per-bin label-moment state — identical output contract to
+    ml_decision_stump_price_qty (the oracle IS the batch stump's),
+    proving the maintained histogram is batch-equivalent under the
+    file stream's micro-batching."""
+    from workshop3_etl_spark.ml import stump_best_from_bins
+    from workshop3_etl_spark.streaming.rollup import (
+        maintain_stump_hist,
+        read_stump_hist,
+    )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        state = f"{workdir}/stump_hist"
+        with _few_state_partitions(spark):
+            maintain_stump_hist(
+                spark,
+                _lineitem_stream(spark, sf_dir),
+                state,
+                f"{workdir}/ck",
+            )
+        bins = read_stump_hist(spark, state).persist()
+        bins.count()
+        out = stump_best_from_bins(bins).localCheckpoint(eager=True)
+        bins.unpersist()
+        return out

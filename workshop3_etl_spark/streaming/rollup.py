@@ -1110,3 +1110,99 @@ def read_novelty_state(
         )
     )
     return firsts, per_shard
+
+
+# --------------------------------------------------------------------
+# Incrementally-maintained decision-stump label histogram: the tree
+# family's mergeable state (CMS = sum, HLL = max, OLS = moment sums,
+# histogram = per-bin sum, stump = per-bin LABEL-MOMENT sum). Each
+# micro-batch writes its (price_bin -> n, sum_y) partial under its
+# epoch partition (idempotent under replay); partials merge by
+# per-bin addition, so the refreshed histogram — and therefore the
+# split the serving leg derives from it — equals the batch-built one
+# exactly for any micro-batch split. State is VALUE-DOMAIN-bounded
+# (price range / 2^14 cents rows per epoch, independent of row
+# count).
+# --------------------------------------------------------------------
+
+
+def _batch_stump_partial(batch: DataFrame) -> DataFrame:
+    from workshop3_etl_spark.ml import _STUMP_BIN_W, _STUMP_CENTS
+
+    return (
+        batch.selectExpr(
+            f"({_STUMP_CENTS}) div {_STUMP_BIN_W} as bin_id",
+            "cast(l_quantity as bigint) as y",
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+
+
+def write_stump_partial(
+    batch: DataFrame, epoch_id: int, state_path: str
+) -> None:
+    """foreachBatch body: one micro-batch's per-bin label moments
+    under its epoch partition (idempotent under replay)."""
+    from workshop3_etl_spark.sources.lakehouse import (
+        dynamic_partition_overwrite,
+    )
+
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return
+    b = _batch_stump_partial(batch).withColumn(
+        "epoch", F.lit(int(epoch_id))
+    )
+    with dynamic_partition_overwrite(spark):
+        b.write.mode("overwrite").partitionBy("epoch").parquet(state_path)
+
+
+def maintain_stump_hist(
+    spark: SparkSession,
+    lineitem_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Run stump-histogram maintenance to completion (availableNow)."""
+    (
+        lineitem_stream.writeStream.foreachBatch(
+            lambda b, epoch: write_stump_partial(b, epoch, state_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_stump_hist(spark: SparkSession, state_path: str) -> DataFrame:
+    """The merged label histogram: per-bin sums over live partials."""
+    return (
+        _read_live(spark, state_path)
+        .groupBy("bin_id")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sy").cast("long").alias("sy"),
+        )
+    )
+
+
+def compact_stump_hist(
+    spark: SparkSession, state_path: str, through_epoch: int
+) -> None:
+    """Fold committed partials into the base generation (shared
+    crash-safe protocol; per-bin sums are associative)."""
+
+    def fold(old: DataFrame) -> DataFrame:
+        return old.groupBy("bin_id").agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sy").cast("long").alias("sy"),
+        )
+
+    compact_partials(
+        spark, state_path, through_epoch, fold, partition_cols=("epoch",)
+    )
