@@ -307,6 +307,9 @@ def main() -> None:
         "corpus_token_budget_apportion",
         "ml_isotonic_calibration_bins",
         "multimodal_bmp_sobel_stats",
+        # and the bounded-domain midrank Spearman (one contingency
+        # aggregate + two marginal-frame windows).
+        "stats_spearman_rank_corr",
     ]
     all_queries = registry.queries()
     headline = [n for n in headline if n in all_queries]

@@ -505,3 +505,59 @@ def test_l_diversity_matches_bruteforce(spark):
         assert r["n_weak_groups"] == len(weak)
         assert r["n_weak_rows"] == n_weak_rows
         assert r["weak_rows_bp"] == math.floor(10000 * n_weak_rows / n_rows)
+
+
+def test_spearman_matches_direct_midrank_computation(spark):
+    """Direct recompute: assign tie-aware midranks to the raw
+    (quantity, price-bin) pairs, Pearson over the ranks — must match
+    the contingency-moment formulation bit-for-bit via the same
+    double algebra, and lie in [-1, 1]."""
+    import math
+
+    from workshop3_etl_spark.operators.stats import (
+        _SPEAR_BIN_W,
+        stats_spearman_rank_corr,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    got = stats_spearman_rank_corr(spark, SF_CORRECT).collect()[0]
+
+    rows = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    ).collect()
+    data = [
+        (
+            int(r["l_quantity"]),
+            math.floor(float(r["l_extendedprice"]) * 100.0 + 0.5)
+            // _SPEAR_BIN_W,
+        )
+        for r in rows
+    ]
+    n = len(data)
+    assert got["n_rows"] == n
+    assert got["n_x_levels"] == len({x for x, _ in data})
+    assert got["n_y_bins"] == len({y for _, y in data})
+
+    def midranks2(vals):
+        from collections import Counter
+
+        cnt = Counter(vals)
+        out, cum = {}, 0
+        for v in sorted(cnt):
+            out[v] = 2 * cum + cnt[v] + 1  # 2 * midrank
+            cum += cnt[v]
+        return out
+
+    rx = midranks2([x for x, _ in data])
+    ry = midranks2([y for _, y in data])
+    sa = sum(rx[x] for x, _ in data)
+    sb = sum(ry[y] for _, y in data)
+    saa = sum(rx[x] * rx[x] for x, _ in data)
+    sbb = sum(ry[y] * ry[y] for _, y in data)
+    sab = sum(rx[x] * ry[y] for x, y in data)
+    rho = (float(n) * float(sab) - float(sa) * float(sb)) / (
+        math.sqrt(float(n) * float(saa) - float(sa) * float(sa))
+        * math.sqrt(float(n) * float(sbb) - float(sb) * float(sb))
+    )
+    assert got["rho_spearman"] == rho
+    assert -1.0 <= rho <= 1.0

@@ -177,6 +177,27 @@ HEADLINE = [
     "corpus_ngram_novelty_curve",
     "dedup_cdc_chunk_stats",
     "ts_backtest_rolling_origin",
+    # round-10 session-3 operators. Plan evidence sought: the robust
+    # trend's calendar-bounded broadcast pair self-join; the KM risk
+    # window over the duration-domain frame; the l-diversity /
+    # Hamilton / Spearman bounded-frame sweeps; the stump's single
+    # bin histogram + bounded cumulative window; the LOO moment
+    # subtraction on the 3-row group frame; the silhouette's
+    # 16-literal-fold map pass; the minimax PAVA's tiny-frame
+    # triple join; and the Sobel Arrow-kernel map chain.
+    # ml_gbt_stumps_train is deliberately NOT dumped (driver-held
+    # trainer output -> LocalTableScan, the perceptron precedent);
+    # stream_stump_histogram_refresh likewise (drain harness).
+    "ts_theilsen_mann_kendall",
+    "stats_kaplan_meier_conversion",
+    "dq_l_diversity_profile",
+    "ml_decision_stump_price_qty",
+    "ml_loo_group_influence",
+    "ml_kmeans_silhouette_eval",
+    "corpus_token_budget_apportion",
+    "ml_isotonic_calibration_bins",
+    "multimodal_bmp_sobel_stats",
+    "stats_spearman_rank_corr",
 ]
 
 

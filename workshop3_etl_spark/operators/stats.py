@@ -2509,3 +2509,161 @@ def dq_l_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l")
     )
+
+
+# --------------------------------------------------------------------
+# Spearman rank correlation between l_quantity and l_extendedprice —
+# the rank sibling of the Pearson profile_corr_pairs: monotone
+# association, robust to the heavy price tail. Computing ranks
+# naively is a corpus-wide sort; instead both variables are reduced
+# to BOUNDED domains (quantity is already discrete; price uses the
+# stump family's fixed 2^14-cent bins) and the tie-aware MIDRANKS
+# come from cumulative counts over those bounded marginal frames:
+# midrank(v) = cum_before(v) + (cnt(v) + 1)/2, carried as the exact
+# integer 2*midrank. Spearman = Pearson over the midranks, weighted
+# by the (x, ybin) contingency counts — ONE map-side-combinable
+# contingency aggregate over the corpus, everything else on bounded
+# frames. (Binning price makes this Spearman-of-the-binned-pair —
+# exact for the stated discretization, the KS/histogram honesty
+# rule.)
+#
+# Determinism: all five weighted moments are exact int64 (envelope:
+# sum(w * a * b) <= n * (2n)^2 — int64-safe to ~n = 1.3e6 rows, i.e.
+# ~sf2; widen the moment columns to decimal beyond, stated); each is
+# cast to DOUBLE individually (the LOO rule — never a >2^53 product
+# through DuckDB's HUGEINT cast) and the correlation is fixed-order
+# IEEE double algebra. sqrt IS IEEE-correctly-rounded (unlike
+# ln/exp), the cosine-similarity precedent.
+# --------------------------------------------------------------------
+
+_SPEAR_BIN_W = 16384  # cents (the stump bin canon)
+
+_SPEARMAN_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         (cast(floor(l_extendedprice * 100e0 + 0.5e0) as bigint))
+           // {_SPEAR_BIN_W} AS yb
+  FROM lineitem
+),
+ct AS (
+  SELECT x, yb, CAST(COUNT(*) AS BIGINT) AS w
+  FROM base GROUP BY x, yb
+),
+mx AS (
+  SELECT x,
+         2 * (CAST(SUM(cw) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) - cw) + cw + 1 AS mr2x
+  FROM (SELECT x, CAST(SUM(w) AS BIGINT) AS cw FROM ct GROUP BY x)
+),
+my AS (
+  SELECT yb,
+         2 * (CAST(SUM(cw) OVER (ORDER BY yb
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) - cw) + cw + 1 AS mr2y
+  FROM (SELECT yb, CAST(SUM(w) AS BIGINT) AS cw FROM ct GROUP BY yb)
+),
+mom AS (
+  SELECT CAST(SUM(c.w) AS BIGINT) AS n,
+         CAST(SUM(c.w * mx.mr2x) AS BIGINT) AS sa,
+         CAST(SUM(c.w * my.mr2y) AS BIGINT) AS sb,
+         CAST(SUM(c.w * mx.mr2x * mx.mr2x) AS BIGINT) AS saa,
+         CAST(SUM(c.w * my.mr2y * my.mr2y) AS BIGINT) AS sbb,
+         CAST(SUM(c.w * mx.mr2x * my.mr2y) AS BIGINT) AS sab,
+         CAST(COUNT(DISTINCT c.x) AS BIGINT) AS n_x_levels,
+         CAST(COUNT(DISTINCT c.yb) AS BIGINT) AS n_y_bins
+  FROM ct c JOIN mx USING (x) JOIN my USING (yb)
+)
+SELECT n AS n_rows, n_x_levels, n_y_bins,
+       (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+       / (SQRT(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+          * SQRT(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+         AS rho_spearman
+FROM mom
+"""
+
+
+@register("stats_spearman_rank_corr", oracle=_SPEARMAN_ORACLE)
+def stats_spearman_rank_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tie-aware Spearman rank correlation of l_quantity vs binned
+    l_extendedprice via exact integer midranks (2*midrank) over
+    bounded marginal frames and one weighted contingency aggregate:
+    (n_rows, n_x_levels, n_y_bins, rho_spearman). See the section
+    comment for the midrank identity and envelopes."""
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "cast(l_quantity as bigint) as x",
+        "(cast(floor(l_extendedprice * 100e0 + 0.5e0) as bigint))"
+        f" div {_SPEAR_BIN_W} as yb",
+    )
+    ct = base.groupBy("x", "yb").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    wx = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mx = (
+        ct.groupBy("x")
+        .agg(F.sum("w").cast("long").alias("cw"))
+        .select(
+            "x",
+            (
+                2 * (F.sum("cw").over(wx).cast("long") - F.col("cw"))
+                + F.col("cw")
+                + 1
+            ).alias("mr2x"),
+        )
+    )
+    wy = Window.orderBy("yb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    my = (
+        ct.groupBy("yb")
+        .agg(F.sum("w").cast("long").alias("cw"))
+        .select(
+            "yb",
+            (
+                2 * (F.sum("cw").over(wy).cast("long") - F.col("cw"))
+                + F.col("cw")
+                + 1
+            ).alias("mr2y"),
+        )
+    )
+    mom = (
+        ct.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "yb")
+        .agg(
+            F.sum("w").cast("long").alias("n"),
+            F.sum(F.col("w") * F.col("mr2x")).cast("long").alias("sa"),
+            F.sum(F.col("w") * F.col("mr2y")).cast("long").alias("sb"),
+            F.sum(F.col("w") * F.col("mr2x") * F.col("mr2x"))
+            .cast("long")
+            .alias("saa"),
+            F.sum(F.col("w") * F.col("mr2y") * F.col("mr2y"))
+            .cast("long")
+            .alias("sbb"),
+            F.sum(F.col("w") * F.col("mr2x") * F.col("mr2y"))
+            .cast("long")
+            .alias("sab"),
+            F.countDistinct("x").cast("long").alias("n_x_levels"),
+            F.countDistinct("yb").cast("long").alias("n_y_bins"),
+        )
+    )
+    return mom.selectExpr(
+        "n as n_rows",
+        "n_x_levels",
+        "n_y_bins",
+        "(cast(n as double) * cast(sab as double)"
+        " - cast(sa as double) * cast(sb as double))"
+        " / (sqrt(cast(n as double) * cast(saa as double)"
+        "         - cast(sa as double) * cast(sa as double))"
+        "    * sqrt(cast(n as double) * cast(sbb as double)"
+        "           - cast(sb as double) * cast(sb as double)))"
+        " as rho_spearman",
+    )

@@ -52,18 +52,54 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # not listed follows in registration order. A plan test asserts the
 # list stays registered, oracled, and exactly 50 long.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-10 rotation, session-2 revision (VERDICT r9 #2 + the
-    # changed-code rule): the official book stays closed (every
-    # registered query has a lifetime green row), so the budget
-    # cycles this round's new/changed operators first, then the
-    # stalest greens.
+    # Round-10 rotation, session-3 revision (the changed-code rule):
+    # every operator added or code-changed in round 10 gets an
+    # official row this round, so the head is the 12 session-3
+    # operators, then the 13 session-2 and 12 session-1 rows (none
+    # of which has an r10 official row yet). That leaves 13 slots:
+    # the promised r2-vintage re-checks that fit (text_token_stats,
+    # corpus_stratified_sample, the three window_ rows, and four of
+    # the nine promised sql_ rows), the profile_ family keeper, and
+    # the three single-member family flagships. The budget cannot
+    # hold 37 new-code rows AND all 14 promised re-checks; the
+    # changed-code rule wins (VERDICT r9 #2: "with the changed-code
+    # rule still applied to anything new"), and the displaced
+    # re-checks join the r11 tail BY NAME:
+    # sql_disjunctive_join_revenue, sql_exists_high_value_suppliers,
+    # sql_in_subquery_segments, sql_large_quantity_orders,
+    # sql_nation_market_share, sql_setops_nations,
+    # sql_top_revenue_supplier, q3_shipping_priority,
+    # q5_regional_revenue, q6_forecast_revenue,
+    # salted_agg_returnflag_revenue, stream_stateful_user_metrics,
+    # profile_describe_lineitem (carried this round as the profile_
+    # keeper but still owed a fresh re-check slot in r11's tail
+    # ordering), plus the six displaced re-checks already queued by
+    # the session-2 comment (corpus_e2e_training_prep,
+    # sim_embedding_neardup_blocked, text_lang_id_confusion,
+    # text_repetition_filter, text_tfidf_top_terms_per_lang,
+    # dedup_prefix_filter_jaccard) and TAIL B's r3 rows
+    # (asof_join_view_before_purchase, sessionize_events_30min,
+    # stream_tumbling_hourly_counts), and
+    # corpus_decontaminate_vs_benchmark, dedup_connected_components,
+    # ml_ols_qty_price (from the session-2 list).
     #
-    # HEAD part 1 (1-13): the session-2 operators and every operator
-    # whose code or oracle changed in session 2 (search_bm25_topk's
-    # oracle/plan were refactored into the shared builders; the
-    # cosine/RP oracles were refactored into _cosine_topk_ctes /
-    # _rp_topk_ctes), each verified green via driver-protocol parity
-    # at sf0.001/0.01/0.1 before registration.
+    # HEAD part 1 (1-12): session-3 operators, each parity-verified
+    # at sf0.001/0.01/0.1 via the driver-protocol tool before
+    # registration.
+    "stats_spearman_rank_corr",
+    "ts_theilsen_mann_kendall",
+    "stats_kaplan_meier_conversion",
+    "dq_l_diversity_profile",
+    "ml_decision_stump_price_qty",
+    "ml_gbt_stumps_train",
+    "stream_stump_histogram_refresh",
+    "ml_loo_group_influence",
+    "ml_kmeans_silhouette_eval",
+    "corpus_token_budget_apportion",
+    "ml_isotonic_calibration_bins",
+    "multimodal_bmp_sobel_stats",
+    # HEAD part 2 (13-25): the session-2 operators and the rows
+    # whose oracles were refactored in session 2.
     "stats_ks_two_sample_price",
     "ts_seasonal_decompose_weekly",
     "search_phrase_match_topk",
@@ -77,8 +113,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_ngram_novelty_refresh",
     "dedup_cdc_chunk_stats",
     "ts_backtest_rolling_origin",
-    # HEAD part 2 (14-25): the session-1 operators (no official row
-    # yet this round).
+    # HEAD part 3 (26-37): the session-1 operators.
     "search_hybrid_indexed_topk",
     "search_eval_hybrid_vs_exact",
     "sim_whitened_cosine_topk",
@@ -91,47 +126,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ml_perceptron_train_embeddings",
     "sim_ann_ivfpq_trained_topk",
     "text_lm_perplexity_buckets",
-    # TAIL (26-46): the r2-vintage greens — all eleven sql_ rows and
-    # the five rows the r9 registry comment promised to this budget
-    # (text_token_stats, corpus_stratified_sample, and the three
-    # window_ rows), plus the re-checks that fit. Five r2 re-checks
-    # were displaced by the session-2 head and join the r11 tail
-    # head alongside the previously-queued r3 rows:
-    # corpus_e2e_training_prep, sim_embedding_neardup_blocked,
-    # text_lang_id_confusion, text_repetition_filter,
-    # text_tfidf_top_terms_per_lang, and TAIL B's four r3 rows
-    # (dedup_prefix_filter_jaccard, asof_join_view_before_purchase,
-    # sessionize_events_30min, stream_tumbling_hourly_counts), and
-    # corpus_decontaminate_vs_benchmark, dedup_connected_components,
-    # and ml_ols_qty_price (displaced by the novelty maintenance leg,
-    # CDC chunking, and the forecast backtest joining the head; the
-    # dedup_/ml_ family slots are covered by the head's
-    # dedup_cdc_chunk_stats and ml_perceptron_train_embeddings).
-    "corpus_stratified_sample",
-    "profile_describe_lineitem",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "salted_agg_returnflag_revenue",
-    "sql_disjunctive_join_revenue",
-    "sql_exists_high_value_suppliers",
-    "sql_grouping_sets_lineitem",
-    "sql_in_subquery_segments",
-    "sql_large_quantity_orders",
-    "sql_nation_market_share",
-    "sql_setops_nations",
-    "sql_sole_late_shipper",
-    "sql_top_return_customers",
-    "sql_top_revenue_supplier",
-    "sql_wealthy_inactive_customers",
+    # TAIL (38-46): the promised r2-vintage re-checks that fit.
     "text_token_stats",
+    "corpus_stratified_sample",
+    "window_top3_per_supplier",
     "window_running_customer_spend",
     "window_share_of_customer",
-    "window_top3_per_supplier",
-    # STREAM KEEPER (47): the promised stream-family representative.
-    "stream_stateful_user_metrics",
+    "sql_grouping_sets_lineitem",
+    "sql_sole_late_shipper",
+    "sql_wealthy_inactive_customers",
+    "sql_top_return_customers",
+    # FAMILY KEEPER (47): profile_ coverage (plan-test family rule).
+    "profile_describe_lineitem",
     # KEEPERS (48-50): single-member family flagships the budget
-    # must always carry (plan-test family coverage), all r9-green.
+    # must always carry (plan-test family coverage).
     "q1_pricing_summary",
     "udf_named_functions_docs",
     "happiness_unified_profile",
