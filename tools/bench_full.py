@@ -45,10 +45,11 @@ def main() -> int:
     spark = get_spark(app_name="bench-full")
     spark.sparkContext.setLogLevel("ERROR")
 
-    from workshop3_etl_spark.sources import tables
-
     t_setup0 = time.perf_counter()
-    tables.enable_cache(spark, sf_dir)
+    # No base-table cache: the round-10 optimization rules class any
+    # persist of base tables outside the timed region as result
+    # pre-computation (see bench.py / OPTIMIZATION_r10.md); every
+    # timed sample computes from the parquet inputs.
     # global (not per-query) warmups: noop writer + codegen, and the
     # streaming engine's one-time class loading (see bench.py)
     spark.range(1000).selectExpr("sum(id) as s").write.format(

@@ -32,44 +32,50 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
-# Optional in-memory table cache (see enable_cache). The driver
-# testdata ships one parquet row group per table, which caps scan
-# parallelism at ONE task per table regardless of cluster size; a real
-# deployment owns its layout (many files / row groups, partitioned &
-# bucketed). Caching once restores the parallelism the layout took
-# away, so benchmarks measure the engine, not a deliberately
-# unsplittable file.
-_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
-def enable_cache(spark: SparkSession, sf_dir: str, partitions: int = 32) -> None:
-    """Materialize every table into memory, repartitioned for
-    parallelism. Idempotent per (sf_dir, table)."""
-    for name in TABLE_NAMES:
-        key = (sf_dir, name)
-        if key not in _CACHE:
-            df = _load_raw(spark, sf_dir, name)
-            # ~500 rows/partition floor: wide enough for downstream
-            # explodes (shingling, tokenizing) to parallelize, without
-            # shredding the dimension tables into empty tasks.
-            n = max(1, min(partitions, df.count() // 500 or 1))
-            _CACHE[key] = df.repartition(n).persist()
-            _CACHE[key].count()
-
-
-def clear_cache() -> None:
-    for df in _CACHE.values():
-        df.unpersist()
-    _CACHE.clear()
+# Round-10 note: until this round an opt-in in-memory table cache
+# lived here (enable_cache: repartition + persist of every base table,
+# called from the bench setup). The optimization-round rules class any
+# base-table cache outside the timed region as result pre-computation,
+# so the machinery was removed outright — every invocation computes
+# from the parquet files. The scan-parallelism problem it papered over
+# (the driver testdata ships ONE parquet row group per table, capping
+# a bare scan at one task) is now solved where it is paid: operators
+# with heavy per-row work call scan_parallel() below, a
+# repartition-immediately-after-the-read (optimization guide §2.5)
+# whose width tracks the session's core count.
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    cached = _CACHE.get((sf_dir, name))
-    if cached is not None:
-        return cached
     return _load_raw(spark, sf_dir, name)
+
+
+def scan_parallel(
+    spark: SparkSession, sf_dir: str, name: str, per_part_rows: int = 64
+) -> DataFrame:
+    """load_table + repartition sized to the session's parallelism —
+    for operators whose per-row work (HOF folds, shingling, Arrow
+    kernels) dwarfs the scan, on inputs whose file layout caps scan
+    parallelism (guide §2.5: one huge unsplittable file → repartition
+    immediately after the read).
+
+    Width = defaultParallelism, scale-adaptive: it follows
+    $SPARK_GRAFT_CPUS / the cluster size, never a constant tuned to
+    one box. The tiny-table guard (region/nation at low SF) floors
+    partitions at ~per_part_rows rows using parquet row-count
+    metadata (no job: footer statistics only).
+    """
+    df = _load_raw(spark, sf_dir, name)
+    n = spark.sparkContext.defaultParallelism
+    try:
+        import pyarrow.parquet as pq
+
+        rows = pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+        n = max(1, min(n, rows // per_part_rows or 1))
+    except Exception:
+        pass  # non-local path: keep full parallelism
+    return df.repartition(n)
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
