@@ -1111,9 +1111,16 @@ _KM_SEED_H = (
 
 def _km_grid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, g: array<bigint>) — the integer-grid corpus, the one
-    frame every Lloyd pass re-reads (callers persist it)."""
+    frame every Lloyd pass re-reads (callers persist it).
+
+    scan_parallel: every Lloyd pass evaluates K interpreted distance
+    folds per row over this frame (and callers persist it WITH its
+    partitioning); a one-row-group scan would pin all iterations to
+    a single task (guide §2.5)."""
+    from workshop3_etl_spark.sources.tables import scan_parallel
+
     return (
-        load_table(spark, sf_dir, "embeddings")
+        scan_parallel(spark, sf_dir, "embeddings")
         .filter(F.expr(f"size(embedding) = {_KM_DIM}"))
         .selectExpr("vec_id", f"{_KM_GRID_SPARK} as g")
     )
@@ -3306,8 +3313,13 @@ def ml_gbt_stumps_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans. See the section comment for the fixed-point contract and
     envelopes.
     """
+    # scan_parallel: all 4 histogram passes re-read this persisted
+    # frame WITH its partitioning; one-row-group layout would pin
+    # every boosting round to a single task (guide §2.5).
+    from workshop3_etl_spark.sources.tables import scan_parallel
+
     base = (
-        load_table(spark, sf_dir, "lineitem")
+        scan_parallel(spark, sf_dir, "lineitem")
         .selectExpr(
             f"{_STUMP_CENTS} as c",
             f"cast(l_quantity as bigint) * {_GBT_FP} as r",

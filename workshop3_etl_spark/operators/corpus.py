@@ -26,7 +26,7 @@ from workshop3_etl_spark.functions.canon import (
     fp_hash_spark,
 )
 from workshop3_etl_spark.plans.registry import register
-from workshop3_etl_spark.sources.tables import load_table
+from workshop3_etl_spark.sources.tables import load_table, scan_parallel
 
 _TOKENS = "filter(split(text, ' '), x -> x != '')"
 _TOKENS_DUCK = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -2330,8 +2330,11 @@ def corpus_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_new_gram_types, cum_gram_types, novelty_rate) where a gram is
     new at the smallest doc_id%8 shard containing it — the
     data-accumulation curve. One vocabulary-sized MIN(shard)
-    aggregate; see the section comment for the scale shape."""
-    docs = load_table(spark, sf_dir, "documents")
+    aggregate; see the section comment for the scale shape.
+
+    scan_parallel: both legs re-evaluate the 3-gram HOF per document
+    (explode + size); one-row-group layout = one task (guide §2.5)."""
+    docs = scan_parallel(spark, sf_dir, "documents")
     grams = docs.select(
         (F.col("doc_id") % _NOVELTY_SHARDS).alias("shard"),
         F.explode(F.expr(_NOVELTY_GRAMS)).alias("g"),

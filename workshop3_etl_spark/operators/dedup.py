@@ -38,7 +38,7 @@ from workshop3_etl_spark.functions.cache import (
     tracked_local_checkpoint,
 )
 from workshop3_etl_spark.plans.registry import register
-from workshop3_etl_spark.sources.tables import load_table
+from workshop3_etl_spark.sources.tables import load_table, scan_parallel
 
 _TOKENS = "filter(split(text, ' '), x -> x != '')"
 _TOKENS_DUCK = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -271,7 +271,12 @@ def _minhash_candidate_pairs(
     """Build the LSH candidate pair frame; returns (pairs, sigs) where
     ``sigs`` is the persisted signature index the caller must release
     via materialize_and_release."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # scan_parallel: the shingle->md5 kernel is the cost (5-char
+    # shingles, one digest each — ~50x the row count in md5 calls);
+    # on the one-row-group testdata layout a bare scan runs it on ONE
+    # task (guide §2.5) — measured 16.6s -> the repartition spreads
+    # the kernel across the session's cores.
+    docs = scan_parallel(spark, sf_dir, "documents").select("doc_id", "text")
     # Persist the signature table: the band union + self-join below
     # reference it 2 x _N_BANDS times, and without a materialization
     # boundary Spark would recompute the whole shingle -> md5 ->
@@ -1329,7 +1334,10 @@ def dedup_crossdoc_ngram_fraction(
     # Empty/whitespace-only docs would otherwise each emit one
     # md5('') shingle and mutually flag as 100%-duplicated — exclude
     # token-free docs from the profile (mirrored in the oracle).
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # scan_parallel: the 8-token shingle md5 kernel (one digest per
+    # token position) dominates the scan; the one-row-group layout
+    # would run it on a single task (guide §2.5).
+    docs = scan_parallel(spark, sf_dir, "documents").filter(
         F.expr(f"size({_TOKENS}) > 0")
     )
     shingles = F.expr(
@@ -1707,8 +1715,11 @@ def dedup_winnowing_fingerprints(
     # subtree rule: Catalyst does not CTE a repeated DataFrame
     # subtree, and a second documents scan at 100 TB costs more than
     # everything else in this query combined).
+    # scan_parallel: the tokenize -> k-gram-hash -> window-min HOF
+    # chain is the plan's dominant map; one-row-group layout = one
+    # task (guide §2.5).
     base = (
-        load_table(spark, sf_dir, "documents")
+        scan_parallel(spark, sf_dir, "documents")
         .selectExpr("doc_id", "lang", f"{_WINNOW_TOKS_SPARK} as toks")
         .filter(F.expr(f"size(toks) >= {K_WINNOW}"))
         .selectExpr("doc_id", "lang", f"{_WINNOW_HS_SPARK} as hs")
@@ -1849,8 +1860,9 @@ def substring_runs(
 ) -> tuple[DataFrame, DataFrame]:
     """All maximal shared runs >= L_SUBRUN tokens over the documents
     table — see substring_runs_frame for the plan and the returned
-    (runs, seeds) contract."""
-    return substring_runs_frame(load_table(spark, sf_dir, "documents"))
+    (runs, seeds) contract. scan_parallel: the per-position k-gram
+    md5 seed kernel dominates the scan (guide §2.5 layout remedy)."""
+    return substring_runs_frame(scan_parallel(spark, sf_dir, "documents"))
 
 
 def substring_runs_frame(
@@ -2174,7 +2186,10 @@ def corpus_remove_substring_runs(
     plan shape (the 100 TB story: the text never shuffles more than
     once, and only when the interval frame is too big to broadcast)."""
     cleaned, seeds = remove_substring_runs_frame(
-        load_table(spark, sf_dir, "documents")
+        # scan_parallel: both legs over documents (seed detection AND
+        # the positional-filter rewrite) are HOF-kernel-bound; the
+        # one-row-group layout would run each on a single task.
+        scan_parallel(spark, sf_dir, "documents")
     )
     return materialize_and_release(cleaned.orderBy("doc_id"), seeds)
 
@@ -2769,9 +2784,14 @@ def dedup_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct_chunks, total_chunk_chars, avg_chunk_len,
     dup_chunk_fraction) under the Gear-style rolling-hash boundary
     rule in the section comment. Map-only chunking; one
-    chunk-vocabulary-sized distinct count."""
+    chunk-vocabulary-sized distinct count.
+
+    scan_parallel: the per-char Gear-hash filter is the heaviest
+    pure-expression map in the engine; one-row-group layout = one
+    task (guide §2.5). The n_docs count stays on the bare scan (it
+    needs no parallelism and skips the repartition exchange)."""
     docs = load_table(spark, sf_dir, "documents")
-    withcs = docs.selectExpr(
+    withcs = scan_parallel(spark, sf_dir, "documents").selectExpr(
         "doc_id", "text", f"{_CDC_CODES_SPARK} as cs"
     ).selectExpr(
         "doc_id", "text", f"{_CDC_BOUNDS_SPARK} as bs"

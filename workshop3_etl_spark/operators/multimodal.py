@@ -1155,9 +1155,15 @@ def multimodal_bmp_dhash_neardup(
     n_candidate_pairs, n_within_3, n_identical) with 16-bit-quarter
     pigeonhole blocking (exact recall for hamming <= 3). The oracle
     predicts every signature from the source characters — see the
-    section design comment."""
+    section design comment.
+
+    scan_parallel: the encode + dHash Arrow kernels are the cost; a
+    one-row-group scan runs the whole Python kernel chain on one
+    task (guide §2.5 / §4)."""
+    from workshop3_etl_spark.sources.tables import scan_parallel
+
     docs = (
-        load_table(spark, sf_dir, "documents")
+        scan_parallel(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter("doc_id % 3 = 0")
     )
@@ -1392,9 +1398,14 @@ def multimodal_bmp_sobel_stats(
     grad_l1_max, n_edge) — encode kernel synthesizes actual BI_RGB
     payloads, the Sobel kernel struct-parses and convolves them, and
     the oracle independently predicts every gradient from the source
-    characters. Map-only end to end; see the section comment."""
+    characters. Map-only end to end; see the section comment.
+
+    scan_parallel: encode + Sobel are per-row Arrow kernels; a
+    one-row-group scan would serialize them (guide §2.5 / §4)."""
+    from workshop3_etl_spark.sources.tables import scan_parallel
+
     docs = (
-        load_table(spark, sf_dir, "documents")
+        scan_parallel(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter("doc_id % 3 = 0")
     )

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from workshop3_etl_spark.functions import metrics as M
 from workshop3_etl_spark.plans.registry import register
-from workshop3_etl_spark.sources.tables import load_table
+from workshop3_etl_spark.sources.tables import load_table, scan_parallel
 
 _LI_NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
@@ -83,7 +83,10 @@ def _means_of(
         for c in missing:
             aggs.append(F.count(c).cast("long").alias(f"n_{c}"))
             aggs.append(F.sum(F.col(c).cast(M._sum_type(2))).alias(f"s_{c}"))
-        row = load_table(spark, sf_dir, table).agg(*aggs).collect()[0]
+        # scan_parallel: the exact decimal(27,2) sum is BigDecimal
+        # arithmetic per row (precision > 18 defeats the compact long
+        # path); a one-row-group scan serializes it (guide §2.5).
+        row = scan_parallel(spark, sf_dir, table).agg(*aggs).collect()[0]
         for c in missing:
             n, s = row[f"n_{c}"], row[f"s_{c}"]
             _MEAN_MEMO[(sf_dir, table, c)] = (
@@ -134,7 +137,11 @@ def profile_describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas describe uses ddof=1 (`notebooks/EDA.ipynb` cell 4) →
     stddev_samp here.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # scan_parallel: pass 2 evaluates four per-row double->decimal(27)
+    # moment casts (BigDecimal path, ~µs each); a one-row-group scan
+    # runs all 2.4M of them on one task (guide §2.5; measured 4.7s ->
+    # sub-second with the spread).
+    li = scan_parallel(spark, sf_dir, "lineitem")
     means = _means_of(spark, sf_dir, "lineitem", _LI_NUMERIC)
     # Pass 2: every column's stddev/min/max/count in ONE wide
     # aggregate (2 scans total instead of 2 per column), reshaped to

@@ -80,8 +80,18 @@ ORDER BY l_returnflag, l_linestatus
 
 @register("q1_pricing_summary", oracle=_Q1_ORACLE)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pricing summary report (TPC-H Q1 shape) on lineitem."""
-    li = _t(spark, sf_dir, "lineitem")
+    """Pricing summary report (TPC-H Q1 shape) on lineitem.
+
+    scan_parallel: Q1's per-row work is decimal(>18) moment sums —
+    BigDecimal arithmetic that dwarfs the scan; the one-row-group
+    layout would serialize the whole partial-agg pass (guide §2.5;
+    self-disabling on healthy layouts, where the scan's own splits
+    parallelize the partial agg and no repartition fires). The
+    shipdate filter still pushes through the exchange to the scan
+    (verified in plans/r10)."""
+    from workshop3_etl_spark.sources.tables import scan_parallel
+
+    li = scan_parallel(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     return (

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from workshop3_etl_spark.functions.cache import materialize_and_release
 from workshop3_etl_spark.plans.registry import register
-from workshop3_etl_spark.sources.tables import load_table
+from workshop3_etl_spark.sources.tables import load_table, scan_parallel
 
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _TOP_K = 10
@@ -1055,7 +1055,11 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # scan_parallel: the assignment/encode legs are interpreted
+    # fold-heavy (16-cell distance folds, 128-row residual-codebook
+    # ADC folds per vector); a one-row-group scan would serialize
+    # them on one task (guide §2.5).
+    emb = scan_parallel(spark, sf_dir, "embeddings")
     # persist (ev, nrm): the nrm fold re-evaluates per broadcast cell
     # row otherwise, and v feeds assignment + the query legs
     v = emb.select(
@@ -1382,9 +1386,13 @@ def _log_bucket_skew(keyed: DataFrame, cap: int) -> None:
     split/chunked tallies are plain conditional counts over the
     grouped frame — no second pass, no count-distinct shuffle of
     structs (was two jobs; the logging pass showed up at ~15% of the
-    query's steady-state wall)."""
+    query's steady-state wall). Guarded on the effective log level
+    (the substring-run cap logger's ADVICE-r8 discipline): the stats
+    job only runs when the INFO line will actually be emitted."""
     import logging
 
+    if not logging.getLogger(__name__).isEnabledFor(logging.INFO):
+        return
     stats = (
         keyed.groupBy("table_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1428,7 +1436,10 @@ def _neardup_lsh_plan(
     plan tests can inspect the pre-checkpoint pipeline."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # scan_parallel: the 72 interpreted hyperplane folds below are
+    # the plan's dominant map; the one-row-group testdata layout
+    # would evaluate them all on a single task (guide §2.5).
+    emb = scan_parallel(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
         "label",
@@ -1810,7 +1821,10 @@ def sim_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # scan_parallel: the 16-cell assignment folds and the chunk-local
+    # dominance cosines are interpreted HOFs; a one-row-group scan
+    # would run the assignment pass on a single task (guide §2.5).
+    emb = scan_parallel(spark, sf_dir, "embeddings")
     # persist (ev, nrm): the norm fold would otherwise re-evaluate
     # per broadcast cell row (16x per vector)
     v = emb.select(
@@ -1971,7 +1985,10 @@ def embedding_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the diagonal join is a broadcast of 64 rows. At 100 TB the
     exchange still moves 2080 x n_partitions rows.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # scan_parallel: the 2080-pair in-map product expansion is the
+    # plan's cost; a one-row-group scan would evaluate all ~4.2M
+    # interpreted products on a single task (guide §2.5).
+    emb = scan_parallel(spark, sf_dir, "embeddings")
     q = emb.select(
         F.expr(
             "transform(embedding, x -> cast(floor(cast(x as double)"
@@ -2133,11 +2150,19 @@ def search_mmr_diversified_topk(
 
     Scale shape: the ONLY corpus-scale work is the pool retrieval
     (one broadcast-query scan + TakeOrdered 20 — at 100 TB this stage
-    is served by the ANN index operators instead); the pairwise frame
-    and all K greedy steps are pool-bounded (400 rows) broadcast
-    no-shuffle plans, so MMR cost is independent of corpus size.
+    is served by the ANN index operators instead); the pairwise sims
+    are pool-bounded (400 rows), and the greedy recurrence runs over
+    DRIVER-HELD state (the k-means/BPE bounded-collect protocol:
+    20 rel values + 380 sims, constant in corpus size) — it was
+    previously K-1 relational steps, each paying a localCheckpoint
+    round-trip that dominated the operator's wall time (guide §1.2:
+    fix the per-task/per-step overhead once the shape is right; ~7
+    checkpoint jobs removed, bit-identical scores since the driver
+    evaluates the same IEEE-double expression the plan did).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # scan_parallel: the pool stage evaluates three 64-element folds
+    # per corpus row; one-row-group layout = one task (guide §2.5).
+    emb = scan_parallel(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"),
         dot_fold("embedding", "embedding").alias("qn"),
@@ -2189,59 +2214,48 @@ def search_mmr_diversified_topk(
                 ).alias("sim"),
             )
         )
-        lam = F.lit(0.7)
-        # each greedy step references the running selected set three
-        # times (anti-join, max-sim probe, union) — without a
-        # checkpoint the plan tree grows 3^K subtree copies and the
-        # analyzer OOMs; the supersede() discipline (PageRank/BFS)
-        # pins each round to an 8-row materialized frame instead.
-        from workshop3_etl_spark.functions.cache import supersede
-
-        selected = supersede(
-            cand.orderBy(F.desc("rel"), F.asc("cid"))
-            .limit(1)
-            .select(
-                F.lit(1).alias("sel_rank"),
-                "cid",
-                "rel",
-                (lam * F.col("rel")).alias("score"),
-            ),
-            None,
-        )
-        for t in range(1, _MMR_K):
-            rem = cand.join(
-                selected.select(F.col("cid").alias("scid")),
-                F.col("cid") == F.col("scid"),
-                "left_anti",
+        # Greedy selection over DRIVER-HELD pool state. The collected
+        # rel/sim doubles round-trip bit-exactly (IEEE 64), and every
+        # driver-side expression below mirrors the former in-plan
+        # expression tree operation for operation — lam * rel for the
+        # seed pick, lam * rel - (1.0 - lam) * maxsim for the rest —
+        # so scores (and therefore ordering) are bit-identical to the
+        # relational unrolling and to the DuckDB oracle.
+        pool = {
+            r["cid"]: float(r["rel"])
+            for r in cand.select("cid", "rel").collect()
+        }
+        sim = {
+            (r["aid"], r["bid"]): float(r["sim"])
+            for r in pair.collect()
+        }
+        lam = 0.7
+        picked: list[tuple[int, int, float, float]] = []
+        if pool:
+            # ties -> lowest cid (ORDER BY rel DESC, cid ASC)
+            seed = max(pool, key=lambda c: (pool[c], -c))
+            picked.append((1, seed, pool[seed], lam * pool[seed]))
+        while len(picked) < _MMR_K:
+            chosen = {p[1] for p in picked}
+            best = None
+            for c in sorted(pool):
+                if c in chosen:
+                    continue
+                maxsim = max(sim[(c, b)] for b in chosen)
+                score = lam * pool[c] - (1.0 - lam) * maxsim
+                if best is None or score > best[0]:
+                    best = (score, c)
+            if best is None:
+                break
+            picked.append(
+                (len(picked) + 1, best[1], pool[best[1]], best[0])
             )
-            ms = (
-                pair.join(
-                    F.broadcast(selected.select(F.col("cid").alias("bid"))),
-                    "bid",
-                )
-                .groupBy("aid")
-                .agg(F.max("sim").alias("maxsim"))
-            )
-            pick = (
-                rem.join(F.broadcast(ms), F.col("cid") == F.col("aid"))
-                .select(
-                    F.lit(t + 1).alias("sel_rank"),
-                    "cid",
-                    "rel",
-                    (lam * F.col("rel")
-                     - (F.lit(1.0) - lam) * F.col("maxsim")).alias("score"),
-                )
-                .orderBy(F.desc("score"), F.asc("cid"))
-                .limit(1)
-            )
-            selected = supersede(selected.unionByName(pick), selected)
-        out = selected.select(
-            F.col("sel_rank").cast("int").alias("sel_rank"),
-            F.col("cid").alias("vec_id"),
-            F.col("rel").alias("relevance"),
-            F.col("score").alias("mmr_score"),
+        out = spark.createDataFrame(
+            picked,
+            "sel_rank int, vec_id bigint, relevance double,"
+            " mmr_score double",
         ).orderBy("sel_rank")
-        out = materialize_and_release(out, cand, selected)
+        out = materialize_and_release(out, cand)
     except Exception:
         cand.unpersist()
         raise

@@ -47,7 +47,7 @@ from workshop3_etl_spark.functions.canon import (
     fp_hash_spark,
 )
 from workshop3_etl_spark.plans.registry import register
-from workshop3_etl_spark.sources.tables import load_table
+from workshop3_etl_spark.sources.tables import load_table, scan_parallel
 
 # SQL twin of ml.with_split_flags (salted md5 of the row key, first
 # hex byte < 0xb3 => train ~70%); the Spark side reuses
@@ -1178,8 +1178,12 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     displaced resample-shuffle bootstraps for web-scale CIs — and the
     multiplicity column is pure codegen integer arithmetic (no
     Python, no RNG state, no engine random() whose stream would be
-    partitioning-dependent)."""
-    base = load_table(spark, sf_dir, "orders").selectExpr(
+    partitioning-dependent).
+
+    scan_parallel: the x16 in-map replicate expansion computes one
+    salted md5 per (row, rep); a one-row-group scan would run all
+    ~2.4M digests on a single task (guide §2.5)."""
+    base = scan_parallel(spark, sf_dir, "orders").selectExpr(
         "o_orderkey", f"{_cents('o_totalprice')} as cents"
     )
     reps = base.select(
@@ -1558,8 +1562,11 @@ def stats_bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sorted. The quantile analogue of the mean-CI operator
     (quantile uncertainty is where resampling is actually needed:
     the mean has a CLT formula, the median doesn't at finite n).
+
+    scan_parallel: same x17 in-map md5 expansion cost profile as the
+    mean-CI operator above (guide §2.5 layout remedy).
     """
-    base = load_table(spark, sf_dir, "orders").selectExpr(
+    base = scan_parallel(spark, sf_dir, "orders").selectExpr(
         "o_orderkey", f"{_cents('o_totalprice')} as cents"
     )
     reps = base.select(

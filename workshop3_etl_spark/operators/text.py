@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from workshop3_etl_spark.plans.registry import register
-from workshop3_etl_spark.sources.tables import load_table
+from workshop3_etl_spark.sources.tables import load_table, scan_parallel
 
 # Tokens: split on single spaces, drop empties. The same expression is
 # used in every query so token semantics are uniform engine-wide.
@@ -796,8 +796,10 @@ def text_lm_perplexity_buckets(
     doc_bits, mean_bits_x16, ppl_bucket). See the section design
     comment for the floor-log2 integer identity and the 100 TB plan
     shape."""
+    # scan_parallel: train + score legs both tokenize and explode
+    # bigrams per document (guide §2.5 layout remedy).
     return lm_perplexity_frame(
-        load_table(spark, sf_dir, "documents")
+        scan_parallel(spark, sf_dir, "documents")
     ).orderBy("doc_id")
 
 
@@ -1204,8 +1206,13 @@ ORDER BY rank
 
 
 def _bm25_frames(spark: SparkSession, sf_dir: str) -> dict:
-    """Spark twins of _bm25_base_ctes: tk/pos/termdf/dl/stats."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Spark twins of _bm25_base_ctes: tk/pos/termdf/dl/stats.
+
+    scan_parallel: the tokenize+explode postings build is the heavy
+    map of every consumer (one token row per corpus position); the
+    one-row-group testdata layout would run it on a single task
+    (guide §2.5)."""
+    docs = scan_parallel(spark, sf_dir, "documents")
     tk = docs.select("doc_id", F.expr(_TOKENS).alias("toks"))
     pos = tk.select("doc_id", F.explode("toks").alias("w"))
     termdf = pos.groupBy(F.col("w").alias("term")).agg(
@@ -1716,7 +1723,10 @@ def search_phrase_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from workshop3_etl_spark.functions.cache import materialize_and_release
 
-    tk = load_table(spark, sf_dir, "documents").select(
+    # scan_parallel: the tokenize + positional explode is the heavy
+    # map feeding everything; one-row-group layout = one task
+    # (guide §2.5).
+    tk = scan_parallel(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_TOKENS).alias("toks")
     )
     pos = tk.select(

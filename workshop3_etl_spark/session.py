@@ -44,6 +44,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is BYTE-sized (merge post-shuffle partitions
+        # up to minPartitionSize, default 1m). The engine's heavy maps
+        # are interpreted HOF folds whose cost is per ROW, not per
+        # byte — under the default, any CPU-heavy stage whose shuffle
+        # input is small (fold-dense frames: signatures, residual
+        # codes, window outputs) collapses to ONE post-shuffle
+        # partition and serializes on one core. A small floor keeps
+        # AQE's small-partition merging while letting row-heavy tiny
+        # frames keep their parallelism; at cluster scale partitions
+        # far exceed this floor, so the setting is inert there
+        # (scale-adaptive by construction, not tuned to a core count).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

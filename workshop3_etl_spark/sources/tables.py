@@ -65,16 +65,30 @@ def scan_parallel(
     one box. The tiny-table guard (region/nation at low SF) floors
     partitions at ~per_part_rows rows using parquet row-count
     metadata (no job: footer statistics only).
+
+    SELF-DISABLING ON HEALTHY LAYOUTS: the repartition is the remedy
+    for a DEGENERATE file layout (fewer row groups than cores — here
+    the testdata ships ONE row group per table, capping any scan at
+    one task). When the footer shows at least ``n`` row groups the
+    scan already parallelizes by splits and the function returns the
+    bare scan — so at production scale (or on any well-sized layout)
+    this is a no-op, never an extra full-table shuffle. When the
+    footer is unreadable (object store) the layout is assumed healthy
+    for the same reason.
     """
     df = _load_raw(spark, sf_dir, name)
     n = spark.sparkContext.defaultParallelism
     try:
         import pyarrow.parquet as pq
 
-        rows = pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
-        n = max(1, min(n, rows // per_part_rows or 1))
+        meta = pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata
+        if meta.num_row_groups >= n:
+            return df  # healthy layout: splits already parallelize
+        n = max(1, min(n, meta.num_rows // per_part_rows or 1))
     except Exception:
-        pass  # non-local path: keep full parallelism
+        return df  # non-local path: trust the layout's own splits
+    if n <= 1:
+        return df
     return df.repartition(n)
 
 
