@@ -1113,14 +1113,14 @@ def _km_grid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, g: array<bigint>) — the integer-grid corpus, the one
     frame every Lloyd pass re-reads (callers persist it).
 
-    scan_parallel: every Lloyd pass evaluates K interpreted distance
-    folds per row over this frame (and callers persist it WITH its
-    partitioning); a one-row-group scan would pin all iterations to
-    a single task (guide §2.5)."""
-    from workshop3_etl_spark.sources.tables import scan_parallel
-
+    scan_parallel was TRIED here and reverted (interleaved A/B:
+    6.8-8.7s bare vs 8.0-12.0s repartitioned on the Lloyd trainer,
+    wash on the silhouette pass): the trainer is a multi-stage
+    driver-held-centroid loop whose per-stage scheduling dominates;
+    widening the tiny cached grid frame only multiplied shuffle
+    blocks."""
     return (
-        scan_parallel(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "embeddings")
         .filter(F.expr(f"size(embedding) = {_KM_DIM}"))
         .selectExpr("vec_id", f"{_KM_GRID_SPARK} as g")
     )
@@ -3313,13 +3313,12 @@ def ml_gbt_stumps_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans. See the section comment for the fixed-point contract and
     envelopes.
     """
-    # scan_parallel: all 4 histogram passes re-read this persisted
-    # frame WITH its partitioning; one-row-group layout would pin
-    # every boosting round to a single task (guide §2.5).
-    from workshop3_etl_spark.sources.tables import scan_parallel
-
+    # scan_parallel was TRIED here and reverted (interleaved A/B:
+    # 3.0-3.3s bare scan vs 4.0-4.6s repartitioned): the histogram
+    # passes are cheap codegen integer aggregation, so the scan is
+    # NOT per-row-work-bound and the repartition is pure added cost.
     base = (
-        scan_parallel(spark, sf_dir, "lineitem")
+        load_table(spark, sf_dir, "lineitem")
         .selectExpr(
             f"{_STUMP_CENTS} as c",
             f"cast(l_quantity as bigint) * {_GBT_FP} as r",

@@ -124,6 +124,10 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic are all map-only; two more small shuffles count pairs
     and items. lift > 1 ⇒ genuine co-purchase signal.
     """
+    # scan_parallel was TRIED here and reverted (interleaved A/B a
+    # wash: 2.7-3.3s bare vs 3.5-3.9s repartitioned) — the
+    # collect_set hash partial is codegen-cheap; the pair explosion
+    # after the shuffle is already parallel.
     baskets = _baskets(load_table(spark, sf_dir, "lineitem")).persist()
     n_orders = baskets.count()
     item_n = baskets.select(F.explode("arr").alias("l_partkey")).groupBy(
@@ -279,6 +283,8 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — no row-level self-join.
     """
     return (
+        # scan_parallel tried and reverted here too (see
+        # basket_part_pairs_lift — same collect_set profile, wash).
         _baskets(load_table(spark, sf_dir, "lineitem"))
         .select(F.explode(F.expr(_PAIR_SQL)).alias("pr"))
         .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))

@@ -1860,9 +1860,11 @@ def substring_runs(
 ) -> tuple[DataFrame, DataFrame]:
     """All maximal shared runs >= L_SUBRUN tokens over the documents
     table — see substring_runs_frame for the plan and the returned
-    (runs, seeds) contract. scan_parallel: the per-position k-gram
-    md5 seed kernel dominates the scan (guide §2.5 layout remedy)."""
-    return substring_runs_frame(scan_parallel(spark, sf_dir, "documents"))
+    (runs, seeds) contract. scan_parallel was TRIED here and reverted
+    (interleaved A/B: 5.4-6.4s bare vs 8.6-11.0s repartitioned on the
+    run report): the seed join/island/window chain is stage-count
+    bound and the wider map side multiplied shuffle blocks."""
+    return substring_runs_frame(load_table(spark, sf_dir, "documents"))
 
 
 def substring_runs_frame(
@@ -2186,10 +2188,10 @@ def corpus_remove_substring_runs(
     plan shape (the 100 TB story: the text never shuffles more than
     once, and only when the interval frame is too big to broadcast)."""
     cleaned, seeds = remove_substring_runs_frame(
-        # scan_parallel: both legs over documents (seed detection AND
-        # the positional-filter rewrite) are HOF-kernel-bound; the
-        # one-row-group layout would run each on a single task.
-        scan_parallel(spark, sf_dir, "documents")
+        # scan_parallel was TRIED here and reverted (interleaved A/B
+        # a wash: 4.6-5.1s vs 4.8-5.6s) — same stage-count-bound
+        # profile as the run report above; keep the simpler plan.
+        load_table(spark, sf_dir, "documents")
     )
     return materialize_and_release(cleaned.orderBy("doc_id"), seeds)
 

@@ -1157,13 +1157,13 @@ def multimodal_bmp_dhash_neardup(
     predicts every signature from the source characters — see the
     section design comment.
 
-    scan_parallel: the encode + dHash Arrow kernels are the cost; a
-    one-row-group scan runs the whole Python kernel chain on one
-    task (guide §2.5 / §4)."""
-    from workshop3_etl_spark.sources.tables import scan_parallel
-
+    scan_parallel was TRIED here and reverted (interleaved A/B:
+    4.2-5.1s bare vs 5.3-6.2s repartitioned) — the Arrow kernel
+    over the 1/3 media slice is fast enough that the extra shuffle
+    of the text plus wider downstream map sides costs more than the
+    kernel parallelism buys."""
     docs = (
-        scan_parallel(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter("doc_id % 3 = 0")
     )
@@ -1400,12 +1400,12 @@ def multimodal_bmp_sobel_stats(
     the oracle independently predicts every gradient from the source
     characters. Map-only end to end; see the section comment.
 
-    scan_parallel: encode + Sobel are per-row Arrow kernels; a
-    one-row-group scan would serialize them (guide §2.5 / §4)."""
-    from workshop3_etl_spark.sources.tables import scan_parallel
-
+    scan_parallel was TRIED here and reverted (interleaved A/B:
+    1.3-1.4s bare vs 3.7-3.9s repartitioned) — the map-only kernel
+    chain has NO downstream shuffle to amortize the repartition, so
+    the added exchange is pure loss."""
     docs = (
-        scan_parallel(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter("doc_id % 3 = 0")
     )

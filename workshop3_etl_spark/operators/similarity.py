@@ -1436,10 +1436,12 @@ def _neardup_lsh_plan(
     plan tests can inspect the pre-checkpoint pipeline."""
     from pyspark.sql import Window
 
-    # scan_parallel: the 72 interpreted hyperplane folds below are
-    # the plan's dominant map; the one-row-group testdata layout
-    # would evaluate them all on a single task (guide §2.5).
-    emb = scan_parallel(spark, sf_dir, "embeddings")
+    # scan_parallel was TRIED here and reverted (interleaved A/B: a
+    # wash, 5.3-9.5s vs 5.7-5.8s bare) — the 72-fold signature pass
+    # is ~15% of this operator; the persisted-index jobs, the bucket
+    # self-join and the rerank dominate, so parallelizing the scan
+    # map buys nothing measurable.
+    emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
         "label",
@@ -1821,10 +1823,10 @@ def sim_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    # scan_parallel: the 16-cell assignment folds and the chunk-local
-    # dominance cosines are interpreted HOFs; a one-row-group scan
-    # would run the assignment pass on a single task (guide §2.5).
-    emb = scan_parallel(spark, sf_dir, "embeddings")
+    # scan_parallel was TRIED here and reverted (interleaved A/B:
+    # 2.6-2.7s both arms) — the chunked dominance join and window
+    # stages dominate, not the assignment scan map.
+    emb = load_table(spark, sf_dir, "embeddings")
     # persist (ev, nrm): the norm fold would otherwise re-evaluate
     # per broadcast cell row (16x per vector)
     v = emb.select(

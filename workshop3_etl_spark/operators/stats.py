@@ -1304,9 +1304,12 @@ def stats_mannwhitney_u_returnflag(
     Reference parity: the reference's EDA compares group means only
     (notebook describe() cells); this adds the distribution-free test
     over the same grouping surface.
+
+    scan_parallel: the scan stage converts cents and writes the
+    distinct-value shuffle for every row (guide §2.5 layout remedy).
     """
     f = (
-        load_table(spark, sf_dir, "lineitem")
+        scan_parallel(spark, sf_dir, "lineitem")
         .where(F.col("l_returnflag").isin("A", "R"))
         .select(
             F.expr(cents_sql("l_extendedprice")).alias("v"),

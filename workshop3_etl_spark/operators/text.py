@@ -796,10 +796,12 @@ def text_lm_perplexity_buckets(
     doc_bits, mean_bits_x16, ppl_bucket). See the section design
     comment for the floor-log2 integer identity and the 100 TB plan
     shape."""
-    # scan_parallel: train + score legs both tokenize and explode
-    # bigrams per document (guide §2.5 layout remedy).
+    # scan_parallel was TRIED here and reverted (interleaved A/B:
+    # 4.6-5.5s bare vs 9.6-9.8s repartitioned) — the LM train/score
+    # legs are a long chain of cheap stages; widening the map side
+    # of each shuffle doubled the wall time.
     return lm_perplexity_frame(
-        scan_parallel(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents")
     ).orderBy("doc_id")
 
 
@@ -1208,11 +1210,12 @@ ORDER BY rank
 def _bm25_frames(spark: SparkSession, sf_dir: str) -> dict:
     """Spark twins of _bm25_base_ctes: tk/pos/termdf/dl/stats.
 
-    scan_parallel: the tokenize+explode postings build is the heavy
-    map of every consumer (one token row per corpus position); the
-    one-row-group testdata layout would run it on a single task
-    (guide §2.5)."""
-    docs = scan_parallel(spark, sf_dir, "documents")
+    scan_parallel was TRIED here and reverted (interleaved A/B:
+    search_bm25_topk 1.4-1.9s bare vs 2.2-4.4s repartitioned): the
+    tokenize map is cheap next to the multi-stage scoring chain, and
+    widening the map side of every downstream shuffle only added
+    task/fetch overhead per stage."""
+    docs = load_table(spark, sf_dir, "documents")
     tk = docs.select("doc_id", F.expr(_TOKENS).alias("toks"))
     pos = tk.select("doc_id", F.explode("toks").alias("w"))
     termdf = pos.groupBy(F.col("w").alias("term")).agg(
@@ -1723,10 +1726,10 @@ def search_phrase_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from workshop3_etl_spark.functions.cache import materialize_and_release
 
-    # scan_parallel: the tokenize + positional explode is the heavy
-    # map feeding everything; one-row-group layout = one task
-    # (guide §2.5).
-    tk = scan_parallel(spark, sf_dir, "documents").select(
+    # scan_parallel was TRIED here and reverted (interleaved A/B: a
+    # wash at best) — the positional-postings chain is stage-count
+    # bound, not scan-map bound.
+    tk = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_TOKENS).alias("toks")
     )
     pos = tk.select(

@@ -44,18 +44,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE coalescing is BYTE-sized (merge post-shuffle partitions
-        # up to minPartitionSize, default 1m). The engine's heavy maps
-        # are interpreted HOF folds whose cost is per ROW, not per
-        # byte — under the default, any CPU-heavy stage whose shuffle
-        # input is small (fold-dense frames: signatures, residual
-        # codes, window outputs) collapses to ONE post-shuffle
-        # partition and serializes on one core. A small floor keeps
-        # AQE's small-partition merging while letting row-heavy tiny
-        # frames keep their parallelism; at cluster scale partitions
-        # far exceed this floor, so the setting is inert there
-        # (scale-adaptive by construction, not tuned to a core count).
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        # AQE coalescing note (round 10, measured): lowering
+        # coalescePartitions.minPartitionSize (16k) to keep
+        # small-in-bytes/CPU-heavy post-shuffle stages parallel was
+        # tried and REVERTED — interleaved A/B showed it ~2x SLOWER on
+        # window-chain queries (stats_spearman, search_phrase: dozens
+        # of tiny post-shuffle partitions each paying task + sort
+        # overhead) and a wash elsewhere, because the genuinely
+        # CPU-heavy maps run in the SCAN stage, which scan_parallel
+        # (sources/tables.py) already parallelizes. Byte-sized
+        # coalescing stays at its default.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
