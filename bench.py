@@ -395,23 +395,31 @@ def main() -> None:
     detail_file = os.path.abspath(
         os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     )
+    detail = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "query_min_max": spreads,
+        "stat": "median",
+        "samples_per_query": samples,
+        "warmup_runs_per_query": warmup,
+        "loop_wall_sec": loop_wall,
+        "setup_sec": setup_sec,
+        "sf": sf_val,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }
     with open(detail_file, "w", encoding="utf-8") as f:
-        json.dump(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "query_min_max": spreads,
-                "stat": "median",
-                "samples_per_query": samples,
-                "warmup_runs_per_query": warmup,
-                "loop_wall_sec": loop_wall,
-                "setup_sec": setup_sec,
-                "sf": sf_val,
-            },
-            f,
-        )
+        json.dump(detail, f)
+    # PERF r10 could not build its per-query or scaling comparison
+    # because the driver's 32-core and 8-core runs both overwrite
+    # bench_detail.json (VERDICT r10 "Next round" #3). Keep that file
+    # (latest run, stable name referenced by the stdout line) and ALSO
+    # write a per-core-count copy so both of the driver's runs survive
+    # on disk for per-query and scaling diffs.
+    base, ext = os.path.splitext(detail_file)
+    with open(f"{base}_c{detail['cpus']}{ext}", "w", encoding="utf-8") as f:
+        json.dump(detail, f)
     # stdout: ONE compact line (<512 bytes) the driver's tail capture
     # can always parse; the per-query dict lives in detail_file.
     print(

@@ -64,7 +64,7 @@ def main() -> int:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r10",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"),
     )
     for name in selected:
         fn = all_queries[name]

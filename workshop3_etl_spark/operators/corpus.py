@@ -396,32 +396,51 @@ def corpus_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
         F.expr(_TOKENS).alias("t"),
     )
-    tok_share = (
-        base.select("doc_id", F.explode("t").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            (F.max("c").cast("double") / F.sum("c").cast("double"))
-            .alias("max_token_ratio")
-        )
+    # r11 restructure (guide §2.4 remove-shuffles / §1.2 algorithm
+    # first). (a) max_token_ratio == max token multiplicity / total
+    # tokens, so it folds MAP-SIDE over the sorted token array (longest
+    # equal-run scan) — the former token explode -> (doc_id, tok)
+    # groupBy -> per-doc groupBy -> join leg (a full second tokenize of
+    # the corpus plus two aggregates and a join) is gone; the empty-doc
+    # NULL the old left join produced is preserved via the nullif
+    # denominator. (b) the 2-gram array is staged ONCE in its own
+    # projection — HOFs are interpreted (no codegen subexpression
+    # elimination), and the previous dup_ratio expression evaluated the
+    # transform() three times per row. Values are bit-identical: the
+    # same integers enter the same double casts and divisions.
+    staged = base.select(
+        "doc_id",
+        "lang",
+        "fp",
+        "t",
+        F.expr(_E2E_GRAMS_SPARK).alias("g2"),
     )
-    dup_ratio = (
-        F.expr(
-            f"cast(size({_E2E_GRAMS_SPARK}) -"
-            f" size(array_distinct({_E2E_GRAMS_SPARK})) as double)"
-        )
-        / F.expr(f"cast(nullif(size({_E2E_GRAMS_SPARK}), 0) as double)")
+    max_run = (
+        "aggregate(sort_array(t),"
+        " named_struct('prev', cast(null as string), 'run', 0L,"
+        " 'best', 0L),"
+        " (a, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', if(x <=> a.prev, a.run + 1L, 1L),"
+        "   'best', greatest(a.best, if(x <=> a.prev, a.run + 1L, 1L))),"
+        " a -> a.best)"
     )
+    dup_ratio = F.expr(
+        "cast(size(g2) - size(array_distinct(g2)) as double)"
+    ) / F.expr("cast(nullif(size(g2), 0) as double)")
     # All per-row scalars computed where the row lives; `t` (the
     # tokenized document body) is projected away HERE, before the
-    # tok_share join and the fingerprint window exchange rows.
-    scalars = base.select(
+    # fingerprint window exchange rows.
+    scalars = staged.select(
         "doc_id",
         "lang",
         "fp",
         F.expr("cast(size(t) as bigint)").alias("n_tokens"),
         dup_ratio.alias("dup_2gram_ratio"),
+        (
+            F.expr(f"cast({max_run} as double)")
+            / F.expr("cast(nullif(size(t), 0) as double)")
+        ).alias("max_token_ratio"),
         _mix_keep_col().alias("in_sample"),
         F.expr(
             f"case when size(t) = 0 then 0"
@@ -431,8 +450,7 @@ def corpus_e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("fp").orderBy("doc_id")
     flagged = (
-        scalars.join(tok_share, "doc_id", "left")
-        .withColumn(
+        scalars.withColumn(
             "is_unique", (F.row_number().over(w) == 1).cast("int")
         )
         .select(

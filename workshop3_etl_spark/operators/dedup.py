@@ -1860,11 +1860,15 @@ def substring_runs(
 ) -> tuple[DataFrame, DataFrame]:
     """All maximal shared runs >= L_SUBRUN tokens over the documents
     table — see substring_runs_frame for the plan and the returned
-    (runs, seeds) contract. scan_parallel was TRIED here and reverted
-    (interleaved A/B: 5.4-6.4s bare vs 8.6-11.0s repartitioned on the
-    run report): the seed join/island/window chain is stage-count
-    bound and the wider map side multiplied shuffle blocks."""
-    return substring_runs_frame(load_table(spark, sf_dir, "documents"))
+    (runs, seeds) contract. scan_parallel ADOPTED in r11: the r10 A/B
+    that rejected it (5.4-6.4s bare vs 8.6-11.0s repartitioned) did
+    not reproduce on re-measurement — r11 interleaved A/B won ALL nine
+    alternating pairs across both core counts (32c: 6.4/7.6/6.5/6.3
+    -> 6.1/5.2/5.5/6.1; 8c: 4.1/4.2/3.9/4.0/3.9 -> 3.2/3.4/3.2/3.1/
+    3.2, ~1.25x): the per-position k-gram md5 seed map is the chain's
+    heaviest single stage and the one-row-group layout ran it on one
+    task."""
+    return substring_runs_frame(scan_parallel(spark, sf_dir, "documents"))
 
 
 def substring_runs_frame(
@@ -2188,10 +2192,10 @@ def corpus_remove_substring_runs(
     plan shape (the 100 TB story: the text never shuffles more than
     once, and only when the interval frame is too big to broadcast)."""
     cleaned, seeds = remove_substring_runs_frame(
-        # scan_parallel was TRIED here and reverted (interleaved A/B
-        # a wash: 4.6-5.1s vs 4.8-5.6s) — same stage-count-bound
-        # profile as the run report above; keep the simpler plan.
-        load_table(spark, sf_dir, "documents")
+        # scan_parallel ADOPTED in r11 with the detection chain (see
+        # substring_runs): the seed md5 map dominates, and here the
+        # repartitioned frame also feeds the cleaned-text HOF leg.
+        scan_parallel(spark, sf_dir, "documents")
     )
     return materialize_and_release(cleaned.orderBy("doc_id"), seeds)
 

@@ -1436,12 +1436,14 @@ def _neardup_lsh_plan(
     plan tests can inspect the pre-checkpoint pipeline."""
     from pyspark.sql import Window
 
-    # scan_parallel was TRIED here and reverted (interleaved A/B: a
-    # wash, 5.3-9.5s vs 5.7-5.8s bare) — the 72-fold signature pass
-    # is ~15% of this operator; the persisted-index jobs, the bucket
-    # self-join and the rerank dominate, so parallelizing the scan
-    # map buys nothing measurable.
-    emb = load_table(spark, sf_dir, "embeddings")
+    # scan_parallel ADOPTED in r11 (reverses the r10 wash, which did
+    # not reproduce): the 72-hyperplane fold pass alone measured 4.2x
+    # faster parallelized (1.32/1.06s bare -> 0.31/0.32s), and the
+    # rerank's two v legs (norm fold + per-pair cosine inputs) ride
+    # the same repartitioned frame. Full-operator interleaved A/B at
+    # 8c (calm tail): 6.0/5.3/5.4 -> 4.9/4.2/4.0 (~1.3x); 32c a wash
+    # inside host noise. Numbers in OPTIMIZATION_r11.md.
+    emb = scan_parallel(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
         "label",
@@ -1823,35 +1825,50 @@ def sim_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    # scan_parallel was TRIED here and reverted (interleaved A/B:
-    # 2.6-2.7s both arms) — the chunked dominance join and window
-    # stages dominate, not the assignment scan map.
-    emb = load_table(spark, sf_dir, "embeddings")
-    # persist (ev, nrm): the norm fold would otherwise re-evaluate
-    # per broadcast cell row (16x per vector)
+    # r11 restructure (guide §2.4 remove-shuffles): nearest-cell
+    # assignment against the 16 FROZEN literal centroids is computed
+    # MAP-SIDE as a lexicographic array_min over (adist, cell) structs
+    # — the former broadcast crossJoin (16x row expansion) plus the
+    # per-vector row_number window (one full exchange + sort of the
+    # 16x frame) are gone, and with them the need to persist (ev,
+    # nrm). Selection is identical: struct ordering compares adist
+    # first, then cell — exactly ROW_NUMBER() OVER (PARTITION BY
+    # vec_id ORDER BY adist, cell) = 1, NaN ordering included. Each
+    # adist is the SAME IEEE expression tree as before (cc literal -
+    # 2 * the zip_with/aggregate dot fold over the same literal
+    # doubles; repr() round-trips exactly), so every value is
+    # bit-identical. The 16 folds per row still run once each — same
+    # count as the old scored pass. scan_parallel on the scan: with
+    # the window exchange removed the interpreted folds ARE the
+    # operator's heavy stage (A/B in OPTIMIZATION_r11.md; the r10
+    # wash predates this restructure).
+    emb = scan_parallel(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
         F.col("embedding").alias("ev"),
         dot_fold("embedding", "embedding").alias("nrm"),
-    ).persist()
-    scored = v.crossJoin(F.broadcast(_ivf_cells_df(spark))).select(
+    )
+    adist_structs = ", ".join(
+        "named_struct('adist', "
+        + repr(cc)
+        + "D - 2 * aggregate(zip_with(ev, array("
+        + ", ".join(repr(x) + "D" for x in centroid)
+        + "), (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        + " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v),"
+        + f" 'cell', {int(cell)})"
+        for cell, centroid, cc in _artifact_rows_cells()
+    )
+    m = v.selectExpr(
         "vec_id",
         "ev",
         "nrm",
-        "cell",
-        (F.col("cc") - 2 * dot_fold("ev", "centroid")).alias("adist"),
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.asc("adist"), F.asc("cell"))
-    m = (
-        scored.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "ev",
-            "nrm",
-            "cell",
-            (F.col("nrm") + F.col("adist")).alias("pd2"),
-        )
+        f"array_min(array({adist_structs})) as mc",
+    ).select(
+        "vec_id",
+        "ev",
+        "nrm",
+        F.col("mc.cell").alias("cell"),
+        (F.col("nrm") + F.col("mc.adist")).alias("pd2"),
     )
     wc = Window.partitionBy("cell").orderBy(F.desc("pd2"), F.asc("vec_id"))
     # the cluster index: persisted once, read by the members agg and
@@ -1904,7 +1921,7 @@ def sim_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
-    return materialize_and_release(result, v, ch)
+    return materialize_and_release(result, ch)
 
 
 # --------------------------------------------------------------------
@@ -2232,10 +2249,21 @@ def search_mmr_diversified_topk(
             for r in pair.collect()
         }
         lam = 0.7
+
+        # Spark/DuckDB ORDER BY treats NaN as the GREATEST double (a
+        # zero-norm embedding yields 0/0 rel/sim); Python's `>` is
+        # always False for NaN, which would make the argmax depend on
+        # iteration order. Every comparison below goes through this
+        # key so the driver-held greedy ranks NaN exactly like the
+        # former relational plan and the oracle (ADVICE r10). NaN
+        # *arithmetic* needs no shim: IEEE propagation is identical.
+        def _nan_hi(v: float) -> tuple[bool, float]:
+            return (v != v, v)
+
         picked: list[tuple[int, int, float, float]] = []
         if pool:
             # ties -> lowest cid (ORDER BY rel DESC, cid ASC)
-            seed = max(pool, key=lambda c: (pool[c], -c))
+            seed = max(pool, key=lambda c: (_nan_hi(pool[c]), -c))
             picked.append((1, seed, pool[seed], lam * pool[seed]))
         while len(picked) < _MMR_K:
             chosen = {p[1] for p in picked}
@@ -2243,9 +2271,11 @@ def search_mmr_diversified_topk(
             for c in sorted(pool):
                 if c in chosen:
                     continue
-                maxsim = max(sim[(c, b)] for b in chosen)
+                maxsim = max(
+                    (sim[(c, b)] for b in chosen), key=_nan_hi
+                )
                 score = lam * pool[c] - (1.0 - lam) * maxsim
-                if best is None or score > best[0]:
+                if best is None or _nan_hi(score) > _nan_hi(best[0]):
                     best = (score, c)
             if best is None:
                 break

@@ -79,17 +79,49 @@ def scan_parallel(
     df = _load_raw(spark, sf_dir, name)
     n = spark.sparkContext.defaultParallelism
     try:
+        import os
+
         import pyarrow.parquet as pq
 
-        meta = pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata
+        # read_metadata (not ParquetFile): no file handle left open on
+        # the driver per call (ADVICE r10).
+        meta = pq.read_metadata(f"{sf_dir}/{name}.parquet")
+        # A scan task covers one byte-range split; a split yields one
+        # task no matter how many row groups it holds. So the layout
+        # only parallelizes to >= n tasks when BOTH are >= n: the
+        # row-group count (a split reads whole row groups) and the
+        # byte-split count size/maxPartitionBytes (many small row
+        # groups under one split are still one task — ADVICE r10).
         if meta.num_row_groups >= n:
-            return df  # healthy layout: splits already parallelize
+            size = os.path.getsize(f"{sf_dir}/{name}.parquet")
+            if size >= n * _max_partition_bytes(spark):
+                return df  # healthy layout: splits already parallelize
         n = max(1, min(n, meta.num_rows // per_part_rows or 1))
     except Exception:
         return df  # non-local path: trust the layout's own splits
     if n <= 1:
         return df
     return df.repartition(n)
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    """spark.sql.files.maxPartitionBytes in bytes, whatever spelling
+    the session carries ("134217728", "128MB", "128m"...); falls back
+    to the Spark default (128 MiB) on an unparseable value so an odd
+    conf string can never silently flip scan_parallel's layout call."""
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    ).strip().lower()
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    num, mult = raw, 1
+    for suffix in ("kb", "mb", "gb", "tb", "k", "m", "g", "t", "b"):
+        if raw.endswith(suffix):
+            num, mult = raw[: -len(suffix)], units[suffix[0]]
+            break
+    try:
+        return int(num) * mult
+    except ValueError:
+        return 128 * 1024 * 1024
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
