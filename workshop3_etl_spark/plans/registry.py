@@ -52,6 +52,75 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # not listed follows in registration order. A plan test asserts the
 # list stays registered, oracled, and exactly 50 long.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # Round-11 rotation. HEAD part 1 (1-25): the owed r11 tail BY NAME
+    # (VERDICT r10 #4 — the re-checks displaced by the r10 rotation,
+    # exactly as promised in the r10 comment below).
+    "sql_disjunctive_join_revenue",
+    "sql_exists_high_value_suppliers",
+    "sql_in_subquery_segments",
+    "sql_large_quantity_orders",
+    "sql_nation_market_share",
+    "sql_setops_nations",
+    "sql_top_revenue_supplier",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "salted_agg_returnflag_revenue",
+    "stream_stateful_user_metrics",
+    "profile_describe_lineitem",
+    "corpus_e2e_training_prep",
+    "sim_embedding_neardup_blocked",
+    "text_lang_id_confusion",
+    "text_repetition_filter",
+    "text_tfidf_top_terms_per_lang",
+    "dedup_prefix_filter_jaccard",
+    "asof_join_view_before_purchase",
+    "sessionize_events_30min",
+    "stream_tumbling_hourly_counts",
+    "corpus_decontaminate_vs_benchmark",
+    "dedup_connected_components",
+    "ml_ols_qty_price",
+    # HEAD part 2 (26-34): the changed-code rule — every operator
+    # whose plan changed in the r11 optimization session gets an
+    # official row (corpus_e2e_training_prep and
+    # profile_describe_lineitem are already above).
+    "happiness_unified_profile",
+    "search_mmr_diversified_topk",
+    "sim_semantic_dedup_clusters",
+    "sim_neardup_lsh_buckets",
+    "dedup_exact_substring_runs",
+    "dedup_substring_removal_stats",
+    "dedup_substring_run_families",
+    "corpus_remove_substring_runs",
+    "stream_ngram_novelty_refresh",
+    # KEEPERS (35-36): single-member family flagships (plan-test
+    # family coverage: q1_, udf_).
+    "q1_pricing_summary",
+    "udf_named_functions_docs",
+    # FAMILY ROWS (37-38): window_ and multimodal_ coverage, drawn
+    # from the rows the r10 rotation displaced (PERF r10
+    # queries_dropped).
+    "window_percent_rank_orders",
+    "multimodal_payload_stats",
+    # TAIL (39-50): more displaced-in-r10 re-checks, spread across
+    # families so every one regains an official row this round.
+    "topk_orders_by_price",
+    "pivot_qty_by_linestatus",
+    "rollup_lineitem_status",
+    "union_account_balances",
+    "join_semi_anti_customers",
+    "sql_correlated_min_unit_price",
+    "profile_quantiles_lineitem",
+    "dq_k_anonymity_profile",
+    "graph_link_prediction_jaccard",
+    "ts_holt_linear_forecast",
+    "embedding_spectral_norm_power",
+    "search_rrf_hybrid_topk",
+)
+
+# Round-10 list kept for the record (the r11 comment above honors its
+# displaced-re-check promise):
+_DRIVER_PRIORITY_R10: tuple[str, ...] = (
     # Round-10 rotation, session-3 revision (the changed-code rule):
     # every operator added or code-changed in round 10 gets an
     # official row this round, so the head is the 12 session-3

@@ -1029,6 +1029,19 @@ def _batch_novelty_partial(batch: DataFrame) -> DataFrame:
         _NOVELTY_SHARDS,
     )
 
+    # r11 (guide §2.5, the scan_parallel remedy applied to the
+    # micro-batch): the file-source batch arrives with the input's
+    # degenerate split count (one task for a one-row-group file), and
+    # the tokenize + 3-gram HOF map below — the refresh's heaviest
+    # stage, feeding BOTH the per-gram and the per-shard legs — ran
+    # serially on it. Width tracks defaultParallelism; state content
+    # is unchanged (the same rows enter the same aggregates), only
+    # the map-side task count moves. Measured: interleaved A/B won
+    # 7/8 pairs (8c: 9.0/9.2/8.6/9.3 -> 7.3/7.6/6.7/7.7s, ~1.2x;
+    # details in OPTIMIZATION_r11.md, streaming floor section).
+    n = batch.sparkSession.sparkContext.defaultParallelism
+    if n > 1:
+        batch = batch.repartition(n)
     tk = batch.selectExpr(
         f"cast(doc_id % {_NOVELTY_SHARDS} as bigint) as shard",
         f"{_NOVELTY_GRAMS} as gs",
