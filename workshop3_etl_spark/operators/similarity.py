@@ -1068,28 +1068,52 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_fold("embedding", "embedding").alias("nrm"),
     ).persist()
     cells = F.broadcast(_ivf_cells_df(spark))
-    cscored = v.crossJoin(cells).select(
-        "vec_id",
-        "ev",
-        "nrm",
-        "cell",
-        "centroid",
-        (F.col("cc") - 2 * dot_fold("ev", "centroid")).alias("dist2"),
+    # r11 restructure (guide §2.4, the sim_semantic_dedup_clusters
+    # precedent): nearest-cell assignment is computed MAP-SIDE as a
+    # lexicographic array_min over 16 (dist2, cell, centroid) structs
+    # against the frozen literal quantizer — the former broadcast
+    # crossJoin (16x row expansion) and per-vector row_number window
+    # (a full Exchange + sort of the 16x frame CARRYING ev + centroid,
+    # ~768 payload bytes/row — the operator's biggest shuffle) are
+    # gone. Selection is identical: struct ordering compares dist2
+    # then cell (= ROW_NUMBER OVER (PARTITION BY vec_id ORDER BY
+    # dist2, cell) = 1; cell is unique so the centroid field never
+    # reaches the comparator), and each dist2 is the same IEEE tree
+    # (literal cc - 2 * the zip_with/aggregate fold over repr
+    # round-tripped literal doubles). The 16 folds per row still run
+    # once each. The 128-struct encode leg deliberately KEEPS the
+    # crossJoin: the literal-argmin trick was A/B-measured ~2.5x
+    # SLOWER there (~10k-node expression tree, Catalyst re-planning
+    # cost — OPTIMIZATION_r11.md "TRIED AND REVERTED").
+    assign_structs = ", ".join(
+        "named_struct('dist2', "
+        + repr(cc)
+        + "D - 2 * aggregate(zip_with(ev, array("
+        + ", ".join(repr(x) + "D" for x in centroid)
+        + "), (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        + " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v),"
+        + f" 'cell', {int(cell)}, 'centroid', array("
+        + ", ".join(repr(x) + "D" for x in centroid)
+        + "))"
+        for cell, centroid, cc in _artifact_rows_cells()
     )
-    wv = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell"))
     # materialize the residuals BEFORE the 128-row codebook cross join
     # — resid is an interpreted 64-element zip_with, and an unpersisted
     # frame would re-evaluate it once per codebook row (128x per
     # vector)
     assigned = (
-        cscored.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
+        v.selectExpr(
+            "vec_id",
+            "nrm",
+            "ev",
+            f"array_min(array({assign_structs})) as mc",
+        )
         .select(
             "vec_id",
             "nrm",
-            "cell",
+            F.col("mc.cell").alias("cell"),
             F.expr(
-                "zip_with(cast(ev as array<double>), centroid,"
+                "zip_with(cast(ev as array<double>), mc.centroid,"
                 " (x, y) -> x - y)"
             ).alias("resid"),
         )
