@@ -230,3 +230,56 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def _old_seeds(docs):
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.dedup import (
+        _SUBRUN_SEEDS_SPARK,
+        _WINNOW_TOKS_SPARK,
+        K_SUBRUN,
+    )
+
+    return (
+        docs.selectExpr("doc_id", f"{_WINNOW_TOKS_SPARK} as toks")
+        .filter(F.expr(f"size(toks) >= {K_SUBRUN}"))
+        .selectExpr("doc_id", f"{_SUBRUN_SEEDS_SPARK} as ss")
+        .select("doc_id", F.explode("ss").alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+
+
+def _with_seeds(fn_name, seeds_fn):
+    """Run a registered substring-chain query with substring_run_seeds
+    temporarily swapped (old expression form vs new Arrow form)."""
+
+    def run(spark, sf_dir):
+        from workshop3_etl_spark.operators import dedup as D
+        from workshop3_etl_spark.plans import registry
+
+        orig = D.substring_run_seeds
+        D.substring_run_seeds = seeds_fn
+        try:
+            return registry.queries()[fn_name](spark, sf_dir)
+        finally:
+            D.substring_run_seeds = orig
+
+    return run
+
+
+def main2() -> int:
+    from workshop3_etl_spark.operators import dedup as D
+    from workshop3_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="probe_ab_r11c_seeds")
+    new_seeds = D.substring_run_seeds
+    for q in ("dedup_exact_substring_runs", "corpus_remove_substring_runs"):
+        ab(
+            spark,
+            q,
+            _with_seeds(q, _old_seeds),
+            _with_seeds(q, new_seeds),
+        )
+    spark.stop()
+    return 0

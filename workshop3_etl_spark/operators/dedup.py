@@ -1841,17 +1841,68 @@ LIMIT 500
 def substring_run_seeds(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, h): one K_SUBRUN-gram md5 seed per token
     position. Map-only; the text column is projected away before
-    anything shuffles."""
-    return (
-        docs.selectExpr("doc_id", f"{_WINNOW_TOKS_SPARK} as toks")
-        .filter(F.expr(f"size(toks) >= {K_SUBRUN}"))
-        .selectExpr("doc_id", f"{_SUBRUN_SEEDS_SPARK} as ss")
-        .select("doc_id", F.explode("ss").alias("s"))
-        .select(
-            "doc_id",
-            F.col("s.pos").alias("pos"),
-            F.col("s.h").alias("h"),
-        )
+    anything shuffles.
+
+    r11 session 2 (guide §4.2): the former expression form —
+    ``transform(sequence(...), i -> struct(i, md5(concat_ws(' ',
+    slice(toks, i, K)))))`` — is a higher-order function, which Spark
+    evaluates INTERPRETED (CodegenFallback) at a measured ~6 us per
+    expression node per element (tools/probe_seeds2.py: the slice
+    alone cost ~1.5s of the ~2s pass; an element_at formulation was
+    8x worse). mapInArrow computes the SAME md5 hex strings over the
+    SAME gram bytes (Python str.split(' ') + filter == the engine's
+    ``filter(split(text, ' '), x -> x != '')`` for the single-space
+    delimiter; hashlib.md5 over UTF-8 == Spark md5 == DuckDB md5), so
+    the seeds frame is bit-identical by construction — the declared
+    oracle chain is unchanged. Still map-only (no shuffle at any
+    scale); only (doc_id, text) crosses the Arrow boundary (§4.1
+    column-pruning rule), and the per-batch work is a plain loop over
+    positions at CPython speed (~1.5 us/gram) instead of ~25 us/gram
+    of interpreted Catalyst dispatch."""
+    import pyarrow as pa
+
+    k = K_SUBRUN
+    out_schema = "doc_id bigint, pos int, h string"
+    arrow_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("pos", pa.int32()),
+            pa.field("h", pa.string()),
+        ]
+    )
+
+    def _seed_batches(batches):
+        from hashlib import md5 as _md5
+
+        for b in batches:
+            doc_ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            out_doc: list[int] = []
+            out_pos: list[int] = []
+            out_h: list[str] = []
+            for d, t in zip(doc_ids, texts):
+                toks = [x for x in t.split(" ") if x]
+                n = len(toks)
+                if n < k:
+                    continue
+                join = " ".join
+                for i in range(n - k + 1):
+                    out_doc.append(d)
+                    out_pos.append(i + 1)
+                    out_h.append(
+                        _md5(join(toks[i : i + k]).encode()).hexdigest()
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_doc, pa.int64()),
+                    pa.array(out_pos, pa.int32()),
+                    pa.array(out_h, pa.string()),
+                ],
+                schema=arrow_schema,
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        _seed_batches, out_schema
     )
 
 
