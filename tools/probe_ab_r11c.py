@@ -283,3 +283,300 @@ def main2() -> int:
         )
     spark.stop()
     return 0
+
+
+def old_neardup(spark, sf_dir):
+    """Pre-session-2 sim_neardup_lsh_buckets: interpreted fold
+    signature pass (HOF buckets expression + posexplode)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+    from workshop3_etl_spark.operators.similarity import (
+        _log_bucket_skew,
+        _NEARDUP_T,
+        _RAD_BITS,
+        _RAD_BUCKET_CAP,
+        _RAD_SUB_BITS,
+        _RAD_TABLES,
+        _rad_dot_spark,
+        _rad_plane,
+        dot_fold,
+    )
+    from workshop3_etl_spark.sources.tables import scan_parallel
+
+    cap = _RAD_BUCKET_CAP
+    emb = scan_parallel(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("ev"),
+        dot_fold("embedding", "embedding").alias("nrm"),
+    )
+
+    def _bits(t, h0, h1):
+        return F.concat(
+            *[
+                F.when(
+                    F.expr(_rad_dot_spark("ev", _rad_plane(t, h))) >= 0,
+                    "1",
+                ).otherwise("0")
+                for h in range(h0, h1)
+            ]
+        )
+
+    buckets = F.array(
+        *[
+            F.struct(
+                _bits(t, 0, _RAD_BITS).alias("b"),
+                _bits(t, _RAD_BITS, _RAD_BITS + _RAD_SUB_BITS).alias("s"),
+                F.expr(
+                    _rad_dot_spark(
+                        "ev", _rad_plane(t, _RAD_BITS + _RAD_SUB_BITS)
+                    )
+                ).alias("proj"),
+            )
+            for t in range(_RAD_TABLES)
+        ]
+    )
+    sig_raw = v.select(
+        "vec_id", F.posexplode(buckets).alias("table_id", "bs")
+    ).persist()
+    sizes = (
+        sig_raw.groupBy(
+            "table_id",
+            F.col("bs.b").alias("sb"),
+            F.col("bs.s").alias("ss"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_bs"))
+        .withColumn(
+            "n_b",
+            F.sum("n_bs").over(Window.partitionBy("table_id", "sb")),
+        )
+        .select(
+            F.col("table_id").alias("st"),
+            "sb",
+            "ss",
+            (F.col("n_b") > cap).alias("split"),
+            ((F.col("n_b") > cap) & (F.col("n_bs") > cap)).alias("windowed"),
+        )
+    )
+    keyed = (
+        sig_raw.join(
+            F.broadcast(sizes),
+            (F.col("table_id") == F.col("st"))
+            & (F.col("bs.b") == F.col("sb"))
+            & (F.col("bs.s") == F.col("ss")),
+        )
+        .select(
+            "vec_id",
+            "table_id",
+            F.col("bs.proj").alias("proj"),
+            F.when(F.col("split"), F.concat(F.col("bs.b"), F.col("bs.s")))
+            .otherwise(F.col("bs.b"))
+            .alias("bucket"),
+            "windowed",
+        )
+    )
+    half = F.greatest(F.lit(1), F.lit(cap // 2))
+    wrk = Window.partitionBy("table_id", "bucket").orderBy(
+        F.col("proj").asc(), F.col("vec_id").asc()
+    )
+    ranked = keyed.withColumn(
+        "w0", F.floor((F.row_number().over(wrk) - 1) / half).cast("long")
+    )
+    sig = (
+        ranked.select(
+            "vec_id",
+            "table_id",
+            F.explode(
+                F.when(
+                    F.col("windowed"),
+                    F.array(
+                        F.concat(
+                            F.col("bucket"), F.lit("#"),
+                            F.col("w0").cast("string"),
+                        ),
+                        F.concat(
+                            F.col("bucket"), F.lit("#"),
+                            (F.col("w0") + 1).cast("string"),
+                        ),
+                    ),
+                ).otherwise(F.array(F.col("bucket")))
+            ).alias("bucket"),
+        )
+    ).persist()
+    sig.count()
+    sig_raw.unpersist()
+    _log_bucket_skew(sig, cap)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
+    x, y = v.alias("x"), v.alias("y")
+    cos = (
+        F.expr(
+            "aggregate(zip_with(x.ev, y.ev,"
+            " (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"
+        )
+        / (F.sqrt(F.col("x.nrm")) * F.sqrt(F.col("y.nrm")))
+    )
+    result = (
+        cand.join(x, F.col("va") == F.col("x.vec_id"))
+        .join(y, F.col("vb") == F.col("y.vec_id"))
+        .select(
+            F.col("va").alias("vec_id_a"),
+            F.col("vb").alias("vec_id_b"),
+            (F.col("x.label") == F.col("y.label")).alias("same_label"),
+            cos.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= _NEARDUP_T)
+        .orderBy("vec_id_a", "vec_id_b")
+    )
+    return materialize_and_release(result, sig)
+
+
+def main3() -> int:
+    from workshop3_etl_spark.plans import registry
+    from workshop3_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="probe_ab_r11c_neardup")
+    ab(spark, "sim_neardup_lsh_buckets", old_neardup,
+       registry.queries()["sim_neardup_lsh_buckets"])
+    spark.stop()
+    return 0
+
+
+def old_corr_pairs(spark, sf_dir):
+    """Pre-session-2 embedding_corr_pairs: interpreted in-map 2080
+    product expansion + explode + groupBy."""
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+    from workshop3_etl_spark.operators.similarity import (
+        _CORR_SCALE,
+        _CORR_TOPK,
+    )
+    from workshop3_etl_spark.sources.tables import scan_parallel
+
+    emb = scan_parallel(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double)"
+            f" * {_CORR_SCALE}) as bigint))"
+        ).alias("ql")
+    ).persist()
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, 64), i ->"
+                " transform(sequence(i, 64), j -> struct("
+                " i as i, j as j,"
+                " element_at(ql, i) * element_at(ql, j) as p))))"
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", F.col("e.p").cast("decimal(38,0)").alias("p"))
+    p = pairs.groupBy("i", "j").agg(F.sum("p").alias("p"))
+    s = (
+        q.select(F.posexplode("ql").alias("pos", "qv"))
+        .select((F.col("pos") + 1).alias("dim"), "qv")
+        .groupBy("dim")
+        .agg(F.sum("qv").cast("decimal(38,0)").alias("s"))
+    )
+    g = q.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    m = (
+        p.crossJoin(F.broadcast(g))
+        .join(F.broadcast(s.select(F.col("dim").alias("i"), F.col("s").alias("si"))), "i")
+        .join(F.broadcast(s.select(F.col("dim").alias("j"), F.col("s").alias("sj"))), "j")
+        .select(
+            "i", "j",
+            (F.col("n") * F.col("p") - F.col("si") * F.col("sj")).alias("m"),
+        )
+    )
+    diag = m.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("dim"), F.col("m").alias("v")
+    )
+    out = (
+        m.where(F.col("i") < F.col("j"))
+        .join(F.broadcast(diag.select(F.col("dim").alias("i"), F.col("v").alias("vi"))), "i")
+        .join(F.broadcast(diag.select(F.col("dim").alias("j"), F.col("v").alias("vj"))), "j")
+        .select(
+            F.col("i").cast("long").alias("dim_i"),
+            F.col("j").cast("long").alias("dim_j"),
+            (
+                F.col("m").cast("double")
+                / (F.sqrt(F.col("vi").cast("double"))
+                   * F.sqrt(F.col("vj").cast("double")))
+            ).alias("corr"),
+        )
+        .orderBy(F.abs(F.col("corr")).desc(), "dim_i", "dim_j")
+        .limit(_CORR_TOPK)
+    )
+    return materialize_and_release(out, q)
+
+
+def main4() -> int:
+    from workshop3_etl_spark.plans import registry
+    from workshop3_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="probe_ab_r11c_corr")
+    ab(spark, "embedding_corr_pairs", old_corr_pairs,
+       registry.queries()["embedding_corr_pairs"])
+    spark.stop()
+    return 0
+
+
+def old_novelty(spark, sf_dir):
+    """Pre-session-2 corpus_ngram_novelty_curve: two interpreted
+    3-gram md5 HOF passes (explode leg + size leg)."""
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.operators.corpus import (
+        _NOVELTY_GRAMS,
+        _NOVELTY_SHARDS,
+        assemble_novelty_curve,
+    )
+    from workshop3_etl_spark.sources.tables import scan_parallel
+
+    docs = scan_parallel(spark, sf_dir, "documents")
+    grams = docs.select(
+        (F.col("doc_id") % _NOVELTY_SHARDS).alias("shard"),
+        F.explode(F.expr(_NOVELTY_GRAMS)).alias("g"),
+    )
+    firsts = grams.groupBy("g").agg(
+        F.min("shard").cast("long").alias("first_shard")
+    )
+    novel = firsts.groupBy(F.col("first_shard").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_gram_types")
+    )
+    per_shard = (
+        docs.select(
+            (F.col("doc_id") % _NOVELTY_SHARDS).alias("shard"),
+            F.expr(f"size({_NOVELTY_GRAMS})").alias("n_inst"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_inst").cast("long").alias("n_gram_instances"),
+        )
+    )
+    return assemble_novelty_curve(per_shard, novel)
+
+
+def main5() -> int:
+    from workshop3_etl_spark.plans import registry
+    from workshop3_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="probe_ab_r11c_novelty")
+    ab(spark, "corpus_ngram_novelty_curve", old_novelty,
+       registry.queries()["corpus_ngram_novelty_curve"])
+    spark.stop()
+    return 0

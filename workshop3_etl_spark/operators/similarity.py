@@ -1453,6 +1453,103 @@ def _log_bucket_skew(keyed: DataFrame, cap: int) -> None:
     )
 
 
+def _rad_signatures_arrow(emb: DataFrame) -> DataFrame:
+    """(vec_id, table_id, b, s, proj): the full sign-LSH signature
+    frame — all 72 Rademacher folds per vector — as ONE Arrow batch
+    pass (guide §4.2).
+
+    r11 session 2: the fold expressions are higher-order functions,
+    which Spark evaluates interpreted at a measured ~6 us per
+    expression node per element (tools/probe_seeds2.py); the 72 folds
+    x 64 elements were the operator's heaviest stage even after
+    scan_parallel. Here each batch computes every fold with numpy in
+    EXACTLY the engine's IEEE order: products are
+    double(x) * double(+/-1) (a sign flip — exact), and the
+    accumulator adds column j in ascending j via one vectorized add
+    per dimension, which is bit-identical to the sequential
+    ``aggregate(zip_with(...), 0.0D, acc + v)`` left fold (and to
+    DuckDB's list_reduce in the oracle). Sign bits mirror the
+    engine's ``>= 0`` comparator, including NaN-compares-greatest.
+    Map-only at any scale; only (vec_id, embedding) crosses the
+    boundary."""
+    import numpy as np
+    import pyarrow as pa
+
+    planes = np.array(
+        [
+            _rad_plane(t, h)
+            for t in range(_RAD_TABLES)
+            for h in range(_RAD_BITS + _RAD_SUB_BITS + 1)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, tables * 9)
+    n_per_table = _RAD_BITS + _RAD_SUB_BITS + 1
+    arrow_schema = pa.schema(
+        [
+            pa.field("vec_id", pa.int64()),
+            pa.field("table_id", pa.int32()),
+            pa.field("b", pa.string()),
+            pa.field("s", pa.string()),
+            pa.field("proj", pa.float64()),
+        ]
+    )
+
+    def _sig_batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vec_ids = batch.column("vec_id").to_numpy(
+                zero_copy_only=False
+            )
+            col = batch.column("embedding")
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            vals = np.asarray(col.flatten(), dtype=np.float64)
+            dim = vals.size // n
+            E = vals.reshape(n, dim)
+            # sequential left fold over j, vectorized over rows/planes
+            acc = np.zeros((n, planes.shape[1]), dtype=np.float64)
+            for j in range(dim):
+                acc += E[:, j : j + 1] * planes[j]
+            # '1' iff fold >= 0 OR fold is NaN (Spark/DuckDB compare
+            # NaN as greatest; numpy NaN >= 0 is False, so OR it in)
+            ones = (acc >= 0.0) | np.isnan(acc)
+            out_vec: list[int] = []
+            out_tab: list[int] = []
+            out_b: list[str] = []
+            out_s: list[str] = []
+            out_proj: list[float] = []
+            bits = np.where(ones, "1", "0")
+            for t in range(_RAD_TABLES):
+                base = t * n_per_table
+                bcols = bits[:, base : base + _RAD_BITS]
+                scols = bits[
+                    :, base + _RAD_BITS : base + _RAD_BITS + _RAD_SUB_BITS
+                ]
+                proj = acc[:, base + _RAD_BITS + _RAD_SUB_BITS]
+                out_vec.extend(vec_ids.tolist())
+                out_tab.extend([t] * n)
+                out_b.extend("".join(r) for r in bcols)
+                out_s.extend("".join(r) for r in scols)
+                out_proj.extend(proj.tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_vec, pa.int64()),
+                    pa.array(out_tab, pa.int32()),
+                    pa.array(out_b, pa.string()),
+                    pa.array(out_s, pa.string()),
+                    pa.array(out_proj, pa.float64()),
+                ],
+                schema=arrow_schema,
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        _sig_batches, "vec_id bigint, table_id int, b string, s string,"
+        " proj double"
+    )
+
+
 def _neardup_lsh_plan(
     spark: SparkSession, sf_dir: str, cap: int = _RAD_BUCKET_CAP
 ) -> tuple[DataFrame, DataFrame]:
@@ -1475,42 +1572,15 @@ def _neardup_lsh_plan(
         dot_fold("embedding", "embedding").alias("nrm"),
     )
 
-    def _bits(t: int, h0: int, h1: int):
-        return F.concat(
-            *[
-                F.when(
-                    F.expr(_rad_dot_spark("ev", _rad_plane(t, h))) >= 0,
-                    "1",
-                ).otherwise("0")
-                for h in range(h0, h1)
-            ]
-        )
-
-    # one generate pass computes primary + secondary band bits AND the
-    # tier-2 sort projection (one more literal plane per table)
-    buckets = F.array(
-        *[
-            F.struct(
-                _bits(t, 0, _RAD_BITS).alias("b"),
-                _bits(t, _RAD_BITS, _RAD_BITS + _RAD_SUB_BITS).alias("s"),
-                F.expr(
-                    _rad_dot_spark(
-                        "ev", _rad_plane(t, _RAD_BITS + _RAD_SUB_BITS)
-                    )
-                ).alias("proj"),
-            )
-            for t in range(_RAD_TABLES)
-        ]
-    )
-    # The 72 hyperplane folds are higher-order-function expressions
+    # The 72 hyperplane folds were higher-order-function expressions
     # (interpreted, not codegen'd) — the single most expensive map in
-    # the plan. Persist their output once; the stats aggregate AND the
-    # keying join below both read the cache, so the folds run exactly
-    # one pass regardless of plan shape (released after the keyed
-    # index materializes).
-    sig_raw = v.select(
-        "vec_id", F.posexplode(buckets).alias("table_id", "bs")
-    ).persist()
+    # the plan; r11 session 2 moved them into ONE Arrow batch pass
+    # with bit-identical IEEE fold order (_rad_signatures_arrow,
+    # guide §4.2). Persist its output once; the stats aggregate AND
+    # the keying join below both read the cache, so the folds run
+    # exactly one pass regardless of plan shape (released after the
+    # keyed index materializes).
+    sig_raw = _rad_signatures_arrow(emb).persist()
     # Skew-hardening key decisions come from a BOUNDED bucket-stats
     # aggregate, not corpus-wide windows: per-(table, primary,
     # secondary) counts are map-side combinable down to at most
@@ -1521,8 +1591,8 @@ def _neardup_lsh_plan(
     sizes = (
         sig_raw.groupBy(
             "table_id",
-            F.col("bs.b").alias("sb"),
-            F.col("bs.s").alias("ss"),
+            F.col("b").alias("sb"),
+            F.col("s").alias("ss"),
         )
         .agg(F.count(F.lit(1)).alias("n_bs"))
         .withColumn(
@@ -1543,19 +1613,17 @@ def _neardup_lsh_plan(
         sig_raw.join(
             F.broadcast(sizes),
             (F.col("table_id") == F.col("st"))
-            & (F.col("bs.b") == F.col("sb"))
-            & (F.col("bs.s") == F.col("ss")),
+            & (F.col("b") == F.col("sb"))
+            & (F.col("s") == F.col("ss")),
         )
         .select(
             "vec_id",
             "table_id",
-            F.col("bs.proj").alias("proj"),
+            "proj",
             # tier 1: oversized primary buckets re-key on the extended
             # (primary || secondary) signature
-            F.when(
-                F.col("split"), F.concat(F.col("bs.b"), F.col("bs.s"))
-            )
-            .otherwise(F.col("bs.b"))
+            F.when(F.col("split"), F.concat(F.col("b"), F.col("s")))
+            .otherwise(F.col("b"))
             .alias("bucket"),
             "windowed",
         )
@@ -2003,6 +2071,73 @@ LIMIT {_CORR_TOPK}
 """
 
 
+def _corr_moment_partials_arrow(emb: DataFrame) -> DataFrame:
+    """Per-batch EXACT integer moment partials for the correlation
+    monitor, as one Arrow pass: rows (i, j, p) where
+    (i>=1, j>=1)  -> partial sum of q_i * q_j over the batch (i<=j),
+    (i>=1, j==0)  -> partial sum of q_i,
+    (i==0, j==0)  -> batch row count.
+    q = floor(double(x) * 2^21) per element — the exponent-shift
+    quantization is exact in float64, so numpy reproduces the
+    engine's bigint grid exactly; |q| < 2^22 bounds a 16k-row batch's
+    pair partial below 2^58, so every partial is an exact int64 and
+    the decimal sums downstream see the same integers the former
+    explode -> groupBy computed."""
+    import numpy as np
+    import pyarrow as pa
+
+    scale = float(_CORR_SCALE)
+    arrow_schema = pa.schema(
+        [
+            pa.field("i", pa.int32()),
+            pa.field("j", pa.int32()),
+            pa.field("p", pa.int64()),
+        ]
+    )
+    iu = np.triu_indices(64)
+    ii = (iu[0] + 1).astype(np.int32)
+    jj = (iu[1] + 1).astype(np.int32)
+
+    def _moment_batches(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column("embedding")
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            vals = np.asarray(col.flatten(), dtype=np.float64)
+            dim = vals.size // n
+            assert dim == 64, dim  # the (i, j) triangle is 64-wide
+            E = vals.reshape(n, dim)
+            # chunk to bound the exact-int64 pair partial (< 2^58)
+            for lo in range(0, n, 16384):
+                Q = np.floor(E[lo : lo + 16384] * scale).astype(np.int64)
+                P = Q.T @ Q  # exact int64 matmul
+                S = Q.sum(axis=0)  # exact int64
+                out_i = np.concatenate(
+                    [ii, np.arange(1, dim + 1, dtype=np.int32), [0]]
+                )
+                out_j = np.concatenate(
+                    [jj, np.zeros(dim, dtype=np.int32), [0]]
+                )
+                out_p = np.concatenate(
+                    [P[iu], S, [np.int64(Q.shape[0])]]
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_i, pa.int32()),
+                        pa.array(out_j, pa.int32()),
+                        pa.array(out_p, pa.int64()),
+                    ],
+                    schema=arrow_schema,
+                )
+
+    return emb.select("embedding").mapInArrow(
+        _moment_batches, "i int, j int, p bigint"
+    )
+
+
 @register("embedding_corr_pairs", oracle=_CORR_PAIRS_ORACLE)
 def embedding_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-15 most-correlated embedding dimension pairs — the
@@ -2020,43 +2155,42 @@ def embedding_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals. Pearson correlation of the quantized grid differs from
     the float-valued correlation by O(2^-21) — far below any signal.
 
-    Spark-first shape: the 2080 (i<=j) products expand INSIDE the map
-    stage (nested array transform + one explode — no self-join, no
-    corpus shuffle); partial aggregation collapses each partition to
-    2080 rows before the only exchange. The per-dim sums ride a
-    second 64-row aggregate over the same persisted quantized frame,
-    and the diagonal join is a broadcast of 64 rows. At 100 TB the
-    exchange still moves 2080 x n_partitions rows.
+    Shape (r11 session 2): the 2080 (i<=j) products are accumulated
+    INSIDE one Arrow map pass as exact int64 batch partials (no
+    self-join, no corpus shuffle, no per-product rows at all); the
+    only exchange moves ~2145 partial rows per batch, and the
+    diagonal join is a broadcast of 64 rows. At 100 TB the exchange
+    moves ~2145 x n_batches rows.
     """
-    # scan_parallel: the 2080-pair in-map product expansion is the
-    # plan's cost; a one-row-group scan would evaluate all ~4.2M
-    # interpreted products on a single task (guide §2.5).
+    # r11 session 2 (guide §2.3 aggregate-before-the-shuffle + §4.2):
+    # the 2080-pair in-map product expansion was an interpreted HOF
+    # (~4.2M element_at products per pass at sf0.1 — the measured
+    # ~6 us/node interpreted dispatch class); one Arrow batch pass now
+    # computes the EXACT same integer moments with numpy int64
+    # arithmetic and emits only per-batch partials (2080 pair rows +
+    # 64 dim-sum rows + 1 count row per batch). Every partial is an
+    # exact int64 (|q| < 2^22 so a 10k-row batch's pair sum is
+    # < 2^58); Spark sums them as decimal(38,0), so p / s / n are the
+    # same integers the old explode->groupBy computed and every
+    # downstream IEEE expression is unchanged. The only exchange now
+    # moves ~2145 rows per batch instead of 4.2M product rows.
     emb = scan_parallel(spark, sf_dir, "embeddings")
-    q = emb.select(
-        F.expr(
-            "transform(embedding, x -> cast(floor(cast(x as double)"
-            f" * {_CORR_SCALE}) as bigint))"
-        ).alias("ql")
-    ).persist()
+    q = _corr_moment_partials_arrow(emb).persist()
     try:
-        pairs = q.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, 64), i ->"
-                    " transform(sequence(i, 64), j -> struct("
-                    " i as i, j as j,"
-                    " element_at(ql, i) * element_at(ql, j) as p))))"
-                )
-            ).alias("e")
-        ).select("e.i", "e.j", F.col("e.p").cast("decimal(38,0)").alias("p"))
-        p = pairs.groupBy("i", "j").agg(F.sum("p").alias("p"))
-        s = (
-            q.select(F.posexplode("ql").alias("pos", "qv"))
-            .select((F.col("pos") + 1).alias("dim"), "qv")
-            .groupBy("dim")
-            .agg(F.sum("qv").cast("decimal(38,0)").alias("s"))
+        p = (
+            q.filter((F.col("i") >= 1) & (F.col("j") >= 1))
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("p"))
         )
-        g = q.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+        s = (
+            q.filter((F.col("i") >= 1) & (F.col("j") == 0))
+            .groupBy(F.col("i").alias("dim"))
+            .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("s"))
+        )
+        g = (
+            q.filter((F.col("i") == 0) & (F.col("j") == 0))
+            .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("n"))
+        )
         m = (
             p.crossJoin(F.broadcast(g))
             .join(
