@@ -2342,6 +2342,81 @@ def assemble_novelty_curve(
     )
 
 
+def _novelty_partials_arrow(docs: DataFrame) -> DataFrame:
+    """One Arrow batch pass emitting the novelty partials (the
+    streaming leg's exact merge laws, guide §2.3 + §4.2): per-batch
+    per-gram rows (g, min shard in batch, 0, 0) — MIN is associative/
+    commutative/idempotent, so pre-reducing inside the batch cannot
+    change the global MIN — plus per-batch per-shard counter rows
+    (NULL, shard, n_docs, n_inst) whose SUM over disjoint batches is
+    exact. The former plan evaluated the interpreted 3-gram md5 HOF
+    TWICE per document (once under the explode leg, once under
+    ``size(...)`` on the counting leg — which needed only
+    ``greatest(size(toks) - 2, 0)``); here the grams are md5'd once
+    per instance at CPython speed (identical hex: hashlib.md5 over
+    the same UTF-8 gram bytes as ``md5(cast(concat_ws(' ', slice(
+    toks, i, 3)) as binary))``), and the gram shuffle shrinks from
+    instance-sized to batch-vocabulary-sized."""
+    import pyarrow as pa
+
+    shards = _NOVELTY_SHARDS
+    arrow_schema = pa.schema(
+        [
+            pa.field("g", pa.string()),
+            pa.field("shard", pa.int64()),
+            pa.field("n_docs", pa.int64()),
+            pa.field("n_inst", pa.int64()),
+        ]
+    )
+
+    def _partial_batches(batches):
+        from hashlib import md5 as _md5
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            doc_ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            gmin: dict[str, int] = {}
+            ndocs = [0] * shards
+            ninst = [0] * shards
+            join = " ".join
+            for d, t in zip(doc_ids, texts):
+                shard = d % shards
+                toks = [x for x in t.split(" ") if x]
+                n = len(toks)
+                ndocs[shard] += 1
+                if n < 3:
+                    continue
+                ninst[shard] += n - 2
+                for i in range(n - 2):
+                    g = _md5(join(toks[i : i + 3]).encode()).hexdigest()
+                    prev = gmin.get(g)
+                    if prev is None or shard < prev:
+                        gmin[g] = shard
+            # counter rows only for shards this batch saw: a shard
+            # with no documents anywhere must stay absent from the
+            # curve, exactly as the former groupBy produced
+            seen = [s for s in range(shards) if ndocs[s] > 0]
+            out_g = list(gmin.keys()) + [None] * len(seen)
+            out_shard = list(gmin.values()) + seen
+            zeros = [0] * len(gmin)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_g, pa.string()),
+                    pa.array(out_shard, pa.int64()),
+                    pa.array(zeros + [ndocs[s] for s in seen], pa.int64()),
+                    pa.array(zeros + [ninst[s] for s in seen], pa.int64()),
+                ],
+                schema=arrow_schema,
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        _partial_batches,
+        "g string, shard bigint, n_docs bigint, n_inst bigint",
+    )
+
+
 @register("corpus_ngram_novelty_curve", oracle=_NOVELTY_ORACLE)
 def corpus_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard 3-gram novelty: (shard, n_docs, n_gram_instances,
@@ -2350,33 +2425,38 @@ def corpus_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-accumulation curve. One vocabulary-sized MIN(shard)
     aggregate; see the section comment for the scale shape.
 
-    scan_parallel: both legs re-evaluate the 3-gram HOF per document
-    (explode + size); one-row-group layout = one task (guide §2.5)."""
-    docs = scan_parallel(spark, sf_dir, "documents")
-    grams = docs.select(
-        (F.col("doc_id") % _NOVELTY_SHARDS).alias("shard"),
-        F.explode(F.expr(_NOVELTY_GRAMS)).alias("g"),
+    r11 session 2: both legs ride ONE Arrow partial pass
+    (_novelty_partials_arrow) instead of two interpreted 3-gram md5
+    HOF passes; the per-gram MIN and per-shard SUM merges reproduce
+    the former aggregates exactly (MIN idempotent, SUMs over disjoint
+    batches). scan_parallel keeps the map wide on the one-row-group
+    layout (guide §2.5)."""
+    from workshop3_etl_spark.functions.cache import (
+        materialize_and_release,
     )
-    firsts = grams.groupBy("g").agg(
-        F.min("shard").cast("long").alias("first_shard")
+
+    part = _novelty_partials_arrow(
+        scan_parallel(spark, sf_dir, "documents")
+    ).persist()
+    firsts = (
+        part.filter(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.min("shard").cast("long").alias("first_shard"))
     )
     novel = firsts.groupBy(F.col("first_shard").alias("shard")).agg(
         F.count(F.lit(1)).cast("long").alias("n_new_gram_types")
     )
     per_shard = (
-        docs.select(
-            (F.col("doc_id") % _NOVELTY_SHARDS).alias("shard"),
-            F.expr(f"size({_NOVELTY_GRAMS})").alias("n_inst"),
-        )
+        part.filter(F.col("g").isNull())
         .groupBy("shard")
         .agg(
-            # doc_id is unique per row, so a plain count matches the
-            # oracle's COUNT(*) without a distinct expansion.
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("n_inst").cast("long").alias("n_gram_instances"),
         )
     )
-    return assemble_novelty_curve(per_shard, novel)
+    return materialize_and_release(
+        assemble_novelty_curve(per_shard, novel), part
+    )
 
 
 # --------------------------------------------------------------------
