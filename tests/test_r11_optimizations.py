@@ -380,3 +380,121 @@ def test_arrow_novelty_partials_merge_to_exact_aggregates(spark):
     }
     assert len(old_first) > 0 and new_first == old_first
     assert len(old_stats) > 0 and new_stats == old_stats
+
+
+def test_arrow_semdedup_dominance_matches_self_join(spark):
+    """sim_semantic_dedup_clusters (r11 session 2) computes dominance
+    edges in a grouped Arrow kernel. Pin (cell, vec_id, n_edges)
+    against the pre-rewrite (cell, chunk) self-join with interpreted
+    cosine folds."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.operators.similarity import (
+        _SEM_CAP,
+        _SEM_TAU,
+        _artifact_rows_cells,
+        _semdedup_dominated_arrow,
+        dot_fold,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("ev"),
+        dot_fold("embedding", "embedding").alias("nrm"),
+    )
+    adist_structs = ", ".join(
+        "named_struct('adist', "
+        + repr(cc)
+        + "D - 2 * aggregate(zip_with(ev, array("
+        + ", ".join(repr(x) + "D" for x in centroid)
+        + "), (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        + " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v),"
+        + f" 'cell', {int(cell)})"
+        for cell, centroid, cc in _artifact_rows_cells()
+    )
+    m = v.selectExpr(
+        "vec_id", "ev", "nrm",
+        f"array_min(array({adist_structs})) as mc",
+    ).select(
+        "vec_id", "ev", "nrm",
+        F.col("mc.cell").alias("cell"),
+        (F.col("nrm") + F.col("mc.adist")).alias("pd2"),
+    )
+    wc = Window.partitionBy("cell").orderBy(F.desc("pd2"), F.asc("vec_id"))
+    ch = (
+        m.withColumn("rnk", F.row_number().over(wc))
+        .withColumn("chunk", F.expr(f"(rnk - 1) div {_SEM_CAP}"))
+        .persist()
+    )
+    try:
+        a, b = ch.alias("a"), ch.alias("b")
+        cos = (
+            F.expr(
+                "aggregate(zip_with(a.ev, b.ev,"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            / (F.sqrt(F.col("a.nrm")) * F.sqrt(F.col("b.nrm")))
+        )
+        old = {
+            (r["cell"], r["vec_id"]): r["n"]
+            for r in a.join(
+                b,
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col("a.rnk") < F.col("b.rnk")),
+            )
+            .filter(cos >= F.expr(_SEM_TAU))
+            .groupBy(
+                F.col("b.cell").alias("cell"),
+                F.col("b.vec_id").alias("vec_id"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+        new = {
+            (r["cell"], r["vec_id"]): r["n_edges"]
+            for r in _semdedup_dominated_arrow(ch).collect()
+        }
+        assert len(old) > 0 and new == old
+    finally:
+        ch.unpersist()
+
+
+def test_arrow_bigram_partials_match_lead_window(spark):
+    """search_phrase_match_topk (r11 session 2) counts bigrams via
+    Arrow batch partials. Pin the merged SUMs against the pre-rewrite
+    per-document lead() window census."""
+    from pyspark.sql import Window
+
+    from workshop3_etl_spark.operators.text import (
+        _TOKENS,
+        _bigram_count_partials_arrow,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    pos = docs.select("doc_id", F.expr(_TOKENS).alias("toks")).select(
+        "doc_id", F.posexplode("toks").alias("p", "w")
+    )
+    wb = Window.partitionBy("doc_id").orderBy("p")
+    old = {
+        (r["w1"], r["w2"]): r["n_total"]
+        for r in pos.select(
+            F.col("w").alias("w1"), F.lead("w").over(wb).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        .collect()
+    }
+    new = {
+        (r["w1"], r["w2"]): r["n_total"]
+        for r in _bigram_count_partials_arrow(docs)
+        .groupBy("w1", "w2")
+        .agg(F.sum("n").cast("long").alias("n_total"))
+        .collect()
+    }
+    assert len(old) > 0 and new == old

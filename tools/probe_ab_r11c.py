@@ -580,3 +580,224 @@ def main5() -> int:
        registry.queries()["corpus_ngram_novelty_curve"])
     spark.stop()
     return 0
+
+
+def old_semdedup(spark, sf_dir):
+    """Pre-session-2 sim_semantic_dedup_clusters: (cell, chunk)
+    self-equi-join with interpreted per-pair cosine folds."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+    from workshop3_etl_spark.operators.similarity import (
+        _SEM_CAP,
+        _SEM_TAU,
+        _artifact_rows_cells,
+        dot_fold,
+    )
+    from workshop3_etl_spark.sources.tables import scan_parallel
+
+    emb = scan_parallel(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("ev"),
+        dot_fold("embedding", "embedding").alias("nrm"),
+    )
+    adist_structs = ", ".join(
+        "named_struct('adist', "
+        + repr(cc)
+        + "D - 2 * aggregate(zip_with(ev, array("
+        + ", ".join(repr(x) + "D" for x in centroid)
+        + "), (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        + " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v),"
+        + f" 'cell', {int(cell)})"
+        for cell, centroid, cc in _artifact_rows_cells()
+    )
+    m = v.selectExpr(
+        "vec_id", "ev", "nrm",
+        f"array_min(array({adist_structs})) as mc",
+    ).select(
+        "vec_id", "ev", "nrm",
+        F.col("mc.cell").alias("cell"),
+        (F.col("nrm") + F.col("mc.adist")).alias("pd2"),
+    )
+    wc = Window.partitionBy("cell").orderBy(F.desc("pd2"), F.asc("vec_id"))
+    ch = (
+        m.withColumn("rnk", F.row_number().over(wc))
+        .withColumn("chunk", F.expr(f"(rnk - 1) div {_SEM_CAP}"))
+        .persist()
+    )
+    a = ch.alias("a")
+    b = ch.alias("b")
+    cos = (
+        F.expr(
+            "aggregate(zip_with(a.ev, b.ev,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        / (F.sqrt(F.col("a.nrm")) * F.sqrt(F.col("b.nrm")))
+    )
+    dom = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.rnk") < F.col("b.rnk")),
+        )
+        .filter(cos >= F.expr(_SEM_TAU))
+        .select(
+            F.col("b.cell").alias("cell"),
+            F.col("b.vec_id").alias("vec_id"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    members = ch.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    stats = dom.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dom_edges"),
+        F.countDistinct("vec_id").cast("long").alias("n_dropped"),
+    )
+    result = (
+        members.join(stats, "cell", "left")
+        .select(
+            F.col("cell").alias("cluster"),
+            "n_members",
+            F.coalesce(F.col("n_dom_edges"), zero).alias("n_dom_edges"),
+            F.coalesce(F.col("n_dropped"), zero).alias("n_dropped"),
+            (F.col("n_members") - F.coalesce(F.col("n_dropped"), zero))
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+    return materialize_and_release(result, ch)
+
+
+def main6() -> int:
+    from workshop3_etl_spark.plans import registry
+    from workshop3_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="probe_ab_r11c_semdedup")
+    ab(spark, "sim_semantic_dedup_clusters", old_semdedup,
+       registry.queries()["sim_semantic_dedup_clusters"])
+    spark.stop()
+    return 0
+
+
+def old_phrase(spark, sf_dir):
+    """Pre-session-2 search_phrase_match_topk: bigram census via a
+    per-document lead() window over the posting frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from workshop3_etl_spark.functions.cache import materialize_and_release
+    from workshop3_etl_spark.operators.text import (
+        _PHRASE_N,
+        _PHRASE_TOPK,
+        _TOKENS,
+    )
+    from workshop3_etl_spark.sources.tables import load_table
+
+    tk = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKENS).alias("toks")
+    )
+    pos = tk.select(
+        "doc_id", F.posexplode("toks").alias("p", "w")
+    ).persist()
+    wb = Window.partitionBy("doc_id").orderBy("p")
+    bi = pos.select(
+        F.col("w").alias("w1"), F.lead("w").over(wb).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    bc = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    head = bc.orderBy(F.desc("n_total"), "w1", "w2").limit(_PHRASE_N)
+    wp = Window.orderBy(F.desc("n_total"), "w1", "w2")
+    phrases = head.select(
+        F.row_number().over(wp).cast("int").alias("phrase_id"),
+        "w1", "w2", "n_total",
+    )
+    p1 = pos.join(
+        F.broadcast(phrases.select("phrase_id", F.col("w1").alias("w"))),
+        "w",
+    ).select("phrase_id", "doc_id", "p")
+    p2 = pos.join(
+        F.broadcast(phrases.select("phrase_id", F.col("w2").alias("w"))),
+        "w",
+    ).select("phrase_id", "doc_id", (F.col("p") - 1).alias("p"))
+    occ = (
+        p1.join(p2, ["phrase_id", "doc_id", "p"])
+        .groupBy("phrase_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    wr = Window.partitionBy("phrase_id").orderBy(F.desc("n_occ"), "doc_id")
+    out = (
+        occ.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _PHRASE_TOPK)
+        .join(F.broadcast(phrases), "phrase_id")
+        .select(
+            "phrase_id",
+            F.concat_ws(" ", "w1", "w2").alias("phrase"),
+            "n_total",
+            "rank",
+            "doc_id",
+            "n_occ",
+        )
+        .orderBy("phrase_id", "rank")
+    )
+    return materialize_and_release(out, pos)
+
+
+def main7() -> int:
+    from workshop3_etl_spark.plans import registry
+    from workshop3_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="probe_ab_r11c_phrase")
+    ab(spark, "search_phrase_match_topk", old_phrase,
+       registry.queries()["search_phrase_match_topk"])
+    spark.stop()
+    return 0
+
+
+def _old_pairs_expand(q_name):
+    """Run a registered assoc/graph query with the pair census
+    temporarily swapped back to the HOF expansion."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from workshop3_etl_spark.operators import assoc as A
+        from workshop3_etl_spark.plans import registry
+
+        def hof_partials(baskets):
+            return baskets.select(
+                F.explode(F.expr(A._PAIR_SQL)).alias("pr")
+            ).select(
+                F.col("pr.p1").alias("p1"),
+                F.col("pr.p2").alias("p2"),
+                F.lit(1).cast("long").alias("n"),
+            )
+
+        orig = A._basket_pair_partials_arrow
+        A._basket_pair_partials_arrow = hof_partials
+        try:
+            return registry.queries()[q_name](spark, sf_dir)
+        finally:
+            A._basket_pair_partials_arrow = orig
+
+    return run
+
+
+def main8() -> int:
+    from workshop3_etl_spark.plans import registry
+    from workshop3_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="probe_ab_r11c_pairs")
+    for q in (
+        "basket_part_pairs_lift",
+        "graph_triangle_count_copurchase",
+        "graph_pagerank_copurchase",
+    ):
+        ab(spark, q, _old_pairs_expand(q), registry.queries()[q])
+    spark.stop()
+    return 0

@@ -1165,6 +1165,79 @@ def _km_update_sums(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _km_lloyd_step_arrow(g: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """One Lloyd step's update sums — (cell, dim, s, n), the exact
+    integers `_km_update_sums(_km_assign(g, cents))` produces — as
+    ONE Arrow batch pass (r11 session 2, guide §2.3 + §4.2): the
+    former chain evaluated K interpreted bigint distance folds per
+    row (higher-order functions, the measured ~6 us/node dispatch
+    class) and shuffled a K*D posexplode; here every quantity is
+    exact int64 numpy arithmetic (grid values < 2^22 so squared
+    diffs < 2^44 and a 64-dim sum < 2^50; per-batch column sums of
+    < 2^22 values stay far under 2^63), argmin ties resolve to the
+    LOWEST cell exactly like array_position(ds, array_min(ds)), and
+    only K*D partial rows per batch reach the shuffle. Sums of
+    integer partials are order-independent, so the merged aggregate
+    is identical integer for integer (pinned by
+    tests/test_r11_optimizations.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.asarray(cents, dtype=np.int64)  # (K, D)
+    arrow_schema = pa.schema(
+        [
+            pa.field("cell", pa.int32()),
+            pa.field("dim", pa.int32()),
+            pa.field("s", pa.int64()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def _step_batches(batches):
+        for b in batches:
+            m = b.num_rows
+            if m == 0:
+                continue
+            col = b.column("g")
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            vals = np.asarray(col.flatten(), dtype=np.int64)
+            G = vals.reshape(m, vals.size // m)
+            d = (G[:, None, :] - C[None, :, :]).astype(np.int64)
+            dist2 = np.einsum("mkd,mkd->mk", d, d)
+            cell = dist2.argmin(axis=1)  # first min = lowest cell
+            k, dimn = C.shape
+            s = np.zeros((k, dimn), dtype=np.int64)
+            n = np.zeros(k, dtype=np.int64)
+            np.add.at(s, cell, G)
+            np.add.at(n, cell, 1)
+            hit = n > 0
+            cells = np.nonzero(hit)[0]
+            out_cell = np.repeat(cells, dimn).astype(np.int32)
+            out_dim = np.tile(
+                np.arange(1, dimn + 1, dtype=np.int32), len(cells)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_cell, pa.int32()),
+                    pa.array(out_dim, pa.int32()),
+                    pa.array(s[hit].reshape(-1), pa.int64()),
+                    pa.array(
+                        np.repeat(n[hit], dimn).astype(np.int64),
+                        pa.int64(),
+                    ),
+                ],
+                schema=arrow_schema,
+            )
+
+    part = g.select("g").mapInArrow(
+        _step_batches, "cell int, dim int, s bigint, n bigint"
+    )
+    return part.groupBy("cell", "dim").agg(
+        F.sum("s").alias("s"), F.sum("n").cast("long").alias("n")
+    )
+
+
 def _km_seed_cents(g: DataFrame, k: int) -> list[list[int]]:
     """Deterministic seeding: the k corpus vectors with the smallest
     multiplicative-hash rank (ties by vec_id), as grid-int lists;
@@ -1186,7 +1259,7 @@ def _km_update_collect(
     the driver (the MLlib driver-held-centers protocol); empty cells
     keep their previous centroid."""
     asm = (
-        _km_update_sums(_km_assign(g, cents))
+        _km_lloyd_step_arrow(g, cents)
         .selectExpr(
             "cell",
             "dim",
@@ -1240,7 +1313,7 @@ def kmeans_lloyd_grid(
         ],
         "cell int, dim int, prev_cg long",
     )
-    upd = _km_update_sums(_km_assign(g, cents))
+    upd = _km_lloyd_step_arrow(g, cents)
     out = (
         spine.join(F.broadcast(upd), ["cell", "dim"], "left")
         .selectExpr(

@@ -1889,6 +1889,68 @@ def _semdedup_oracle() -> str:
     return _SEMDEDUP_ORACLE.format(cells=_ivf_cells_values_sql())
 
 
+def _semdedup_dominated_arrow(ch: DataFrame) -> DataFrame:
+    """(cell, vec_id, n_edges): per dominated member, how many
+    higher-priority tau-similar members dominate it — computed per
+    (cell, chunk) group in one Arrow kernel with the engine's exact
+    IEEE semantics (see the call-site comment). Input must carry
+    (cell, chunk, vec_id, ev, nrm, rnk)."""
+    import numpy as np
+    import pyarrow as pa
+
+    tau = float(_SEM_TAU)
+    out_schema = pa.schema(
+        [
+            pa.field("cell", pa.int32()),
+            pa.field("vec_id", pa.int64()),
+            pa.field("n_edges", pa.int64()),
+        ]
+    )
+
+    def _dominated(tbl: pa.Table) -> pa.Table:
+        m = tbl.num_rows
+        if m < 2:
+            return out_schema.empty_table()
+        rnk = tbl.column("rnk").to_numpy(zero_copy_only=False)
+        order = np.argsort(rnk)
+        vec_ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)[
+            order
+        ]
+        nrm = tbl.column("nrm").to_numpy(zero_copy_only=False)[order]
+        col = tbl.column("ev")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = np.asarray(col.flatten(), dtype=np.float64)
+        E = vals.reshape(m, vals.size // m)[order]
+        # sequential left fold over dims, vectorized over all pairs
+        acc = np.zeros((m, m), dtype=np.float64)
+        for j in range(E.shape[1]):
+            cj = E[:, j]
+            acc += cj[:, None] * cj[None, :]
+        cos = acc / (np.sqrt(nrm)[:, None] * np.sqrt(nrm)[None, :])
+        sim = (cos >= tau) | np.isnan(cos)  # NaN compares greatest
+        edges = np.triu(sim, k=1).sum(axis=0)  # a.rnk < b.rnk
+        hit = edges > 0
+        if not hit.any():
+            return out_schema.empty_table()
+        cell = tbl.column("cell")[0].as_py()
+        n = int(hit.sum())
+        return pa.Table.from_arrays(
+            [
+                pa.array([cell] * n, pa.int32()),
+                pa.array(vec_ids[hit], pa.int64()),
+                pa.array(edges[hit].astype(np.int64), pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+    return (
+        ch.select("cell", "chunk", "vec_id", "ev", "nrm", "rnk")
+        .groupBy("cell", "chunk")
+        .applyInArrow(_dominated, "cell int, vec_id bigint, n_edges bigint")
+    )
+
+
 @register("sim_semantic_dedup_clusters", oracle=_semdedup_oracle())
 def sim_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup per frozen-quantizer cluster (the SemDeDup
@@ -1970,36 +2032,31 @@ def sim_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("chunk", F.expr(f"(rnk - 1) div {_SEM_CAP}"))
         .persist()
     )
-    a = ch.alias("a")
-    b = ch.alias("b")
-    cos = (
-        F.expr(
-            "aggregate(zip_with(a.ev, b.ev,"
-            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        / (F.sqrt(F.col("a.nrm")) * F.sqrt(F.col("b.nrm")))
-    )
-    dom = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.rnk") < F.col("b.rnk")),
-        )
-        .filter(cos >= F.expr(_SEM_TAU))
-        .select(
-            F.col("b.cell").alias("cell"),
-            F.col("b.vec_id").alias("vec_id"),
-        )
-    )
+    # r11 session 2 (guide §4.2): the dominance pair stage — formerly
+    # a (cell, chunk) self-equi-join whose ~O(n * cap) interpreted
+    # 64-dim cosine folds were the operator's cost — is now ONE
+    # grouped Arrow map over the SAME (cell, chunk) key: each group's
+    # pairwise dots are accumulated in numpy in the engine's exact
+    # sequential IEEE fold order (one outer-product add per dimension
+    # ascending), cos = dot / (sqrt(na) * sqrt(nb)) element-wise (the
+    # identical rounding sequence), and the a.rnk < b.rnk restriction
+    # is the strict upper triangle after sorting the group by rnk.
+    # The tau comparator mirrors Spark's NaN-compares-greatest. Each
+    # vector crosses the shuffle ONCE (the self-join shuffled ch
+    # twice) and no per-pair rows exist outside the kernel. Emitted:
+    # one (cell, vec_id, n_edges) row per dominated member, so
+    # sum(n_edges) == the old COUNT(*) over edges and the row count
+    # == the old COUNT(DISTINCT vec_id) (a vector lives in exactly
+    # one chunk). Pinned against the self-join form by
+    # tests/test_r11_optimizations.py.
+    dom_b = _semdedup_dominated_arrow(ch)
     zero = F.lit(0).cast("long")
     members = ch.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
-    stats = dom.groupBy("cell").agg(
-        F.count(F.lit(1)).cast("long").alias("n_dom_edges"),
-        F.countDistinct("vec_id").cast("long").alias("n_dropped"),
+    stats = dom_b.groupBy("cell").agg(
+        F.sum("n_edges").cast("long").alias("n_dom_edges"),
+        F.count(F.lit(1)).cast("long").alias("n_dropped"),
     )
     result = (
         members.join(stats, "cell", "left")

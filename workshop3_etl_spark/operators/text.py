@@ -1713,6 +1713,58 @@ ORDER BY phrase_id, rank
 """
 
 
+def _bigram_count_partials_arrow(docs: DataFrame) -> DataFrame:
+    """(w1, w2, n): per-batch partial counts of adjacent token
+    bigrams, as one Arrow pass (guide §2.3 aggregate-before-the-
+    shuffle + §4.2). Python ``t.split(' ')`` + drop-empties matches
+    the engine's ``filter(split(text, ' '), x -> x != '')``
+    tokenizer for the single-space delimiter, and a Counter over
+    ``zip(toks, toks[1:])`` counts exactly the pairs the former
+    per-document lead() window produced — so the merged SUMs equal
+    the old COUNT(*) per (w1, w2) integer for integer. Replaces a
+    full (doc_id) exchange + sort of every token row with a
+    batch-vocabulary-sized partial frame; the head's ordering and
+    tie-breaks stay in Spark, so string comparison semantics are
+    untouched."""
+    import pyarrow as pa
+
+    arrow_schema = pa.schema(
+        [
+            pa.field("w1", pa.string()),
+            pa.field("w2", pa.string()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def _bigram_batches(batches):
+        from collections import Counter
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            counts: Counter = Counter()
+            for t in b.column("text").to_pylist():
+                toks = [x for x in t.split(" ") if x]
+                counts.update(zip(toks, toks[1:]))
+            if not counts:
+                continue
+            keys = list(counts.keys())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([k[0] for k in keys], pa.string()),
+                    pa.array([k[1] for k in keys], pa.string()),
+                    pa.array(
+                        [counts[k] for k in keys], pa.int64()
+                    ),
+                ],
+                schema=arrow_schema,
+            )
+
+    return docs.select("text").mapInArrow(
+        _bigram_batches, "w1 string, w2 string, n bigint"
+    )
+
+
 @register("search_phrase_match_topk", oracle=_PHRASE_ORACLE)
 def search_phrase_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search for the 3 most frequent corpus bigrams:
@@ -1729,19 +1781,19 @@ def search_phrase_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan_parallel was TRIED here and reverted (interleaved A/B: a
     # wash at best) — the positional-postings chain is stage-count
     # bound, not scan-map bound.
-    tk = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_TOKENS).alias("toks")
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.expr(_TOKENS).alias("toks"))
     pos = tk.select(
         "doc_id", F.posexplode("toks").alias("p", "w")
     ).persist()
     try:
-        wb = Window.partitionBy("doc_id").orderBy("p")
-        bi = pos.select(
-            F.col("w").alias("w1"), F.lead("w").over(wb).alias("w2")
-        ).filter(F.col("w2").isNotNull())
-        bc = bi.groupBy("w1", "w2").agg(
-            F.count(F.lit(1)).cast("long").alias("n_total")
+        # r11 session 2: the bigram census rides Arrow batch partials
+        # (_bigram_count_partials_arrow) instead of a per-document
+        # lead() window over every token row — one exchange + sort of
+        # the full posting frame removed; counts are identical
+        # integers.
+        bc = _bigram_count_partials_arrow(docs).groupBy("w1", "w2").agg(
+            F.sum("n").cast("long").alias("n_total")
         )
         head = bc.orderBy(F.desc("n_total"), "w1", "w2").limit(_PHRASE_N)
         wp = Window.orderBy(F.desc("n_total"), "w1", "w2")
